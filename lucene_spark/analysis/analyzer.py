@@ -1,0 +1,193 @@
+"""Standard analysis chain: tokenize → lowercase → stop, Arrow-batched.
+
+Re-creates the semantics of Lucene's default chain
+(`lucene/core/src/java/org/apache/lucene/analysis/standard/StandardAnalyzer.java:85-96`):
+
+1. **StandardTokenizer** — UAX#29 word-break segmentation
+   (`StandardTokenizer.java:38-113`): word tokens (letters/digits/marks,
+   with MidLetter ``' ’ :`` joins between letters and MidNum ``. ,``
+   joins between digits, MidNumLet ``.`` between letters, ExtendNumLet
+   ``_``), per-character IDEOGRAPHIC and HIRAGANA tokens, KATAKANA and
+   HANGUL runs, single-scalar EMOJI tokens; tokens longer than
+   ``max_token_length=255`` are **split**, not dropped
+   (`StandardTokenizer.java:152-168`).
+2. **LowerCaseFilter** — per-codepoint simple lowercase mapping,
+   matching Java ``Character.toLowerCase(int)``
+   (`analysis/LowerCaseFilter.java:36-39`, `CharacterUtils.java:53-60`)
+   — NOT Python ``str.lower()`` full-case mapping (they differ on e.g.
+   U+0130 İ, which full-maps to "i" + combining dot but simple-maps to
+   "i").
+3. **StopFilter** — drops the 33-word English stopset
+   (`analysis/common/.../en/EnglishAnalyzer.java:43-52`) while
+   preserving position increments
+   (`analysis/FilteringTokenFilter.java:49-75`): surviving tokens keep
+   their pre-stop position ordinal, and the field length used for norms
+   counts only surviving tokens (`index/IndexingChain.java:1154-1160`).
+
+Known approximations vs full UAX#29 (documented, covered by goldens for
+what we implement): combining marks outside ``str.isalnum()`` break
+tokens; regional-indicator/ZWJ emoji sequences tokenize per scalar.
+
+Everything is exposed two ways:
+
+- :func:`analyze` — pure-Python per-string (unit tests, goldens);
+- :func:`standard_analyzer_udf` — ``pandas_udf`` over Arrow batches
+  producing ``array<struct<term:string,pos:int>>`` (the indexing path);
+- :func:`tokens_simple_col` — a pure Spark-SQL tokenizer (split on
+  single spaces) used for the DuckDB-oracle parity queries where the
+  corpus is already space-normalized.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from functools import lru_cache
+from typing import Iterator, List, Tuple
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
+
+__all__ = [
+    "ENGLISH_STOP_WORDS",
+    "MAX_TOKEN_LENGTH",
+    "simple_lowercase",
+    "tokenize",
+    "analyze",
+    "standard_analyzer_udf",
+    "tokens_simple_col",
+    "extract_text_col",
+]
+
+# EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (`en/EnglishAnalyzer.java:48-50`)
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or
+    such that the their then there these they this to was will with""".split()
+)
+
+MAX_TOKEN_LENGTH = 255  # StandardTokenizer.maxTokenLength default
+
+
+@lru_cache(maxsize=1)
+def _simple_lower_table() -> dict:
+    """Per-codepoint simple lowercase table ≈ Java Character.toLowerCase.
+
+    Python's str.lower() is the *full* case mapping; the simple mapping
+    differs only where the full mapping is multi-codepoint. We take the
+    single-codepoint lowerings from Python and override the handful of
+    multi-codepoint full mappings with their UnicodeData simple
+    mappings.
+    """
+    table = {}
+    for cp in range(sys.maxunicode + 1):
+        ch = chr(cp)
+        lo = ch.lower()
+        if lo != ch and len(lo) == 1:
+            table[cp] = lo
+    # full mapping is multi-codepoint; simple mapping per UnicodeData:
+    table[0x0130] = "i"  # LATIN CAPITAL LETTER I WITH DOT ABOVE → i
+    return table
+
+
+def simple_lowercase(s: str) -> str:
+    """Codepoint-wise lowercase (Java Character.toLowerCase semantics)."""
+    return s.translate(_simple_lower_table())
+
+
+# --- tokenizer ------------------------------------------------------------
+# Script ranges (BMP + common supplementary) for per-char CJK semantics.
+_CJK = "⺀-⻿㐀-䶿一-鿿豈-﫿\U00020000-\U0002a6df"
+_HIRA = "ぁ-ゟ"
+_KATA = "゠-ヿㇰ-ㇿｦ-ﾝ"
+_HANG = "ᄀ-ᇿ㄰-㆏가-힯"
+_EMOJI = (
+    "☀-➿⬀-⯿\U0001f000-\U0001f02f\U0001f300-\U0001f5ff"
+    "\U0001f600-\U0001f64f\U0001f680-\U0001f6ff\U0001f900-\U0001f9ff\U0001fa70-\U0001faff"
+)
+_SCRIPTS = _CJK + _HIRA + _KATA + _HANG + _EMOJI
+
+# A "word char" is any \w (letters, digits, marks-in-alnum, underscore)
+# that is not one of the specially-tokenized scripts above.
+_W = rf"(?:(?![{_SCRIPTS}])\w)"
+_LETTER = r"[^\W\d_]"  # unicode letter
+# MidLetter/MidNumLet between letters; MidNum/MidNumLet between digits
+# (UAX#29 WB6/WB7/WB11/WB12; StandardTokenizerImpl grammar).
+_MID = rf"(?:(?<={_LETTER})['’:.](?={_LETTER})|(?<=\d)[.,](?=\d))"
+
+_TOKEN_RE = re.compile(
+    rf"[{_KATA}]+"  # KATAKANA runs
+    rf"|[{_HANG}]+"  # HANGUL runs
+    rf"|[{_HIRA}]"  # HIRAGANA per char
+    rf"|[{_CJK}]"  # IDEOGRAPHIC per char
+    rf"|[{_EMOJI}]"  # EMOJI per scalar
+    rf"|{_W}+(?:{_MID}{_W}+)*",  # ALPHANUM with mid joins
+    re.UNICODE,
+)
+
+
+def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> List[str]:
+    """UAX#29-style word segmentation with the 255-char split rule."""
+    out: List[str] = []
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group(0)
+        if len(tok) <= max_token_length:
+            out.append(tok)
+        else:  # StandardTokenizer *splits* over-long tokens (:152-168)
+            for i in range(0, len(tok), max_token_length):
+                out.append(tok[i : i + max_token_length])
+    return out
+
+
+def analyze(text: str, stopwords: frozenset = ENGLISH_STOP_WORDS) -> List[Tuple[str, int]]:
+    """Full chain → [(term, position)]; positions pre-stop-removal.
+
+    StopFilter preserves position increments
+    (`FilteringTokenFilter.java:49-75`), so a surviving token's position
+    is its ordinal in the tokenized stream before stop removal.
+    """
+    out: List[Tuple[str, int]] = []
+    for pos, tok in enumerate(tokenize(text)):
+        term = simple_lowercase(tok)
+        if term not in stopwords:
+            out.append((term, pos))
+    return out
+
+
+_TOKEN_SCHEMA = ArrayType(
+    StructType(
+        [StructField("term", StringType()), StructField("pos", IntegerType())]
+    )
+)
+
+
+def standard_analyzer_udf():
+    """pandas_udf: text column → array<struct<term,pos>> (Arrow batches)."""
+
+    @F.pandas_udf(_TOKEN_SCHEMA)
+    def _analyze(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(lambda t: analyze(t) if isinstance(t, str) else [])
+
+    return _analyze
+
+
+def tokens_simple_col(text_col):
+    """Pure-SQL tokenizer for space-normalized corpora: split on ' '.
+
+    JVM-side, whole-stage-codegen'd; byte-identical to DuckDB
+    ``string_split(text, ' ')`` for the oracle comparison.
+    """
+    return F.split(text_col, " ")
+
+
+def extract_text_col(html_col):
+    """Byte-identical text extraction from the synthetic html wrapper.
+
+    The corpus generator wraps text as
+    ``b"<html><body>" + text + b"</body></html>"``; stripping the fixed
+    wrapper recovers the text byte-identically (per-url invariant of
+    BASELINE.json input_hint). JVM-side: decode + regexp_replace.
+    """
+    s = F.decode(html_col, "UTF-8")
+    return F.regexp_replace(s, r"^<html><body>|</body></html>$", "")

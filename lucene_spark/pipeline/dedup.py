@@ -1,0 +1,263 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All exact/candidate generation is pure DataFrame SQL (JVM-side,
+codegen'd); only SimHash uses an Arrow-batched pandas UDF. Hashing is
+deliberately md5-string-based so every operator has a bit-identical
+ANSI-SQL oracle (DuckDB) — `__spark_entry__.oracle_sql` relies on this.
+
+Scale notes (100 TB corpus):
+- exact dedup: one shuffle on a 32-hex-char key, partial-agg'd;
+- MinHash/LSH: shingle explosion is the big intermediate — it stays
+  (doc_id, shingle) shaped and aggregates per doc before any join; the
+  band join is an equi-join on band keys (bounded bucket sizes —
+  near-identical docs only), never an O(n²) cross join;
+- candidate verification joins shingle sets only for candidate pairs
+  (semi-join pushdown), never for all pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "exact_duplicates",
+    "word_shingles",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_dups",
+]
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: (content md5, group size, canonical keeper id).
+
+    Returns one row per duplicated content hash (n_dups >= 2), keeper =
+    lowest id. One hash-partial-agg'd shuffle on the digest.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    toks = F.split(F.col(text_col), " ")
+    # shingle i = tokens[i..i+n-1] joined by ' ' — pure SQL via transform+slice
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per doc: sig_i = min(md5(i || '|' || shingle)).
+
+    String-min over salted md5 hex — order-identical in any engine, so
+    the DuckDB oracle reproduces signatures exactly. One groupBy(doc).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs with exact-Jaccard verification.
+
+    shingle → minhash → band → bucket-join (the LSH candidate step) →
+    exact n-gram Jaccard on candidates only. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col).persist()
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.concat_ws("#", *cols).alias("key")))
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # candidate pairs: docs sharing a band bucket
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = _verify_jaccard(cand, sh, threshold)
+    return verified
+
+
+def _verify_jaccard(cand: DataFrame, shingles: DataFrame, threshold: float) -> DataFrame:
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(shingles.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            shingles.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingle")
+            ),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs; candidates = any shared shingle.
+
+    For corpora where near-dup rate is low this is exact and cheap: the
+    shingle self-join only materializes pairs that share content.
+    """
+    sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    cand = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        cand.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _simhash64_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens, md5-derived term hashes.
+
+    h64(term) = first 16 hex chars of md5(term) as uint64 (big-endian);
+    bit j (0 = MSB) votes +freq / -freq; simhash bit j = 1 if vote > 0.
+    Deterministic and reproducible in ANSI SQL (the DuckDB oracle
+    rebuilds the same bits from md5 hex digits).
+    """
+    import hashlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not isinstance(t, str) or not t:
+            continue
+        toks = pd.Series(t.split(" ")).value_counts()
+        votes = np.zeros(64, dtype=np.int64)
+        for term, freq in toks.items():
+            h = int(hashlib.md5(term.encode()).hexdigest()[:16], 16)
+            bits = (h >> (63 - np.arange(64))) & 1
+            votes += np.where(bits == 1, freq, -freq)
+        sim = np.where(votes > 0, 1, 0)
+        val = 0
+        for b in sim:
+            val = (val << 1) | int(b)
+        # store as signed int64 (two's complement)
+        out[i] = np.int64(np.uint64(val).astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash int64) via Arrow-batched pandas UDF."""
+
+    @F.pandas_udf(T.LongType())
+    def _udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield _simhash64_batch(s)
+
+    return df.select(F.col(id_col).alias("doc_id"), _udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidate generation: split the 64-bit hash into (max_hamming + 1)
+    16-bit chunks — a pair within the Hamming budget must agree on at
+    least one chunk (pigeonhole), so an equi-join per chunk finds all
+    candidates without a cross join.
+    """
+    sh = simhash(df, **kw)
+    n_chunks = 4
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.key")
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force cosine top-k, pure Spark SQL
+  (``F.zip_with`` + ``F.aggregate`` run JVM-side inside codegen; no
+  Python in the hot path). The exactness baseline.
+- :func:`lsh_bucket_topk` — random-hyperplane LSH variant: a seeded,
+  deterministic plane matrix (numpy) produces a b-bit signature per
+  vector inside one Arrow-batched pandas UDF (a single matmul per
+  batch); candidates = vectors whose signature matches the query's in
+  at least one band; exact cosine re-rank on candidates only. The
+  100 TB scale path: the full scan is replaced by an equi-join on band
+  keys against a pre-computed (and persistable) signature table.
+- :func:`embedding_near_dups` — all-pairs near-duplicate detection by
+  cosine >= threshold, LSH-bucketed to avoid the cross join.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+__all__ = ["cosine_topk", "lsh_signatures", "lsh_bucket_topk", "embedding_near_dups"]
+
+
+def _cosine_col(vec_col, qvec: Sequence[float]):
+    """Cosine similarity column vs a literal query vector, JVM-side.
+
+    Computed in double precision: dot / (||a|| * ||q||).
+    """
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nq = float(np.sqrt(np.sum(np.asarray(qvec, dtype=np.float64) ** 2)))
+    return dot / (na * F.lit(nq))
+
+
+def cosine_topk(
+    df: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: (id, cos) ordered desc, id asc."""
+    return (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(_cosine_col(F.col(vec_col), qvec), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def _plane_matrix(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((dim, n_bits)).astype(np.float32)
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, sig int) random-hyperplane signature; one matmul per batch."""
+    planes = _plane_matrix(dim, n_bits, seed)
+
+    @F.pandas_udf(T.IntegerType())
+    def sig_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            mat = np.stack(s.values).astype(np.float32)  # (batch, dim)
+            bits = (mat @ planes) > 0  # (batch, n_bits)
+            vals = np.zeros(len(s), dtype=np.int32)
+            for j in range(planes.shape[1]):
+                vals = (vals << 1) | bits[:, j].astype(np.int32)
+            yield pd.Series(vals)
+
+    return df.select(F.col(id_col).alias("vec_id"), F.col(vec_col), sig_udf(F.col(vec_col)).alias("sig"))
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    qvec: Sequence[float],
+    k: int = 10,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: LSH band match → exact cosine re-rank on candidates.
+
+    Approximate (recall measured in tests vs :func:`cosine_topk`); at
+    scale the signature table is computed once and reused per query.
+    """
+    dim = len(qvec)
+    assert n_bits % bands == 0
+    bits_per_band = n_bits // bands
+    sigs = lsh_signatures(df, dim, n_bits=n_bits, seed=seed, vec_col=vec_col, id_col=id_col)
+    planes = _plane_matrix(dim, n_bits, seed)
+    qbits = (np.asarray(qvec, dtype=np.float32) @ planes) > 0
+    qsig = 0
+    for j in range(n_bits):
+        qsig = (qsig << 1) | int(qbits[j])
+    mask = (1 << bits_per_band) - 1
+    band_match = None
+    for b in range(bands):
+        shift = b * bits_per_band
+        cond = F.shiftright("sig", shift).bitwiseAND(F.lit(mask)) == ((qsig >> shift) & mask)
+        band_match = cond if band_match is None else (band_match | cond)
+    cand = sigs.filter(band_match)
+    return (
+        cand.select(
+            "vec_id", F.round(_cosine_col(F.col(vec_col), qvec), 6).alias("cos")
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cos >= threshold), LSH-bucketed.
+
+    Highly similar vectors agree on most hyperplane signs; bucketing on
+    8-bit signature bands keeps the self-join from going quadratic.
+    """
+    sigs = lsh_signatures(df, dim=None or _infer_dim(df, vec_col), n_bits=n_bits, seed=seed, vec_col=vec_col, id_col=id_col)
+    bands, bpb = 2, n_bits // 2
+    mask = (1 << bpb) - 1
+    banded = sigs.select(
+        "vec_id",
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * bpb).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", vec_col, "bk.band", "bk.key")
+    a, b_ = banded.alias("a"), banded.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(
+            F.col(f"{side}.{vec_col}"), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return (
+        a.join(b_, ["band", "key"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot / (norm("a") * norm("b")), 6).alias("cos"),
+        )
+        .distinct()
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    return int(row[0]["d"]) if row else 0

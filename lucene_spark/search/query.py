@@ -1,0 +1,273 @@
+"""Query tree + rewrite rules (Lucene Query/IndexSearcher.rewrite analog).
+
+Mirrors the immutable Query tree and its simplification rules
+(`lucene/core/src/java/org/apache/lucene/search/BooleanQuery.java:240-368`,
+`search/IndexSearcher.java:860-878`, `search/MultiTermQuery.java:39-103`):
+
+- single-SHOULD-clause BooleanQuery unwraps to the clause;
+- duplicate FILTER/MUST_NOT clauses dedup;
+- the same query in MUST and MUST_NOT → MatchNoDocsQuery;
+- multi-term queries (prefix/wildcard/regexp/fuzzy/range/set) rewrite
+  to a constant-score disjunction over the matched terms from the terms
+  table (CONSTANT_SCORE_REWRITE).
+
+These are plain Python dataclasses; the *physical* plan (DataFrame
+program) is produced by :mod:`lucene_spark.search.searcher`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "Occur",
+    "Query",
+    "TermQuery",
+    "BooleanClause",
+    "BooleanQuery",
+    "ConstantScoreQuery",
+    "BoostQuery",
+    "MatchAllDocsQuery",
+    "MatchNoDocsQuery",
+    "PrefixQuery",
+    "WildcardQuery",
+    "RegexpQuery",
+    "FuzzyQuery",
+    "TermInSetQuery",
+    "TermRangeQuery",
+    "PhraseQuery",
+    "rewrite",
+]
+
+
+class Occur(Enum):
+    SHOULD = "SHOULD"
+    MUST = "MUST"
+    FILTER = "FILTER"  # matches like MUST but does not score
+    MUST_NOT = "MUST_NOT"
+
+
+class Query:
+    """Base class; subclasses are frozen dataclasses (hashable)."""
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    reason: str = ""
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: "Query"
+    # score contributed per matching doc is the wrapping boost (default 1)
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    query: "Query"
+    boost: float
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    query: Query
+    occur: Occur = Occur.SHOULD
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple
+    minimum_number_should_match: int = 0
+
+    @staticmethod
+    def of(*clauses: BooleanClause, min_should_match: int = 0) -> "BooleanQuery":
+        return BooleanQuery(tuple(clauses), min_should_match)
+
+
+# --- multi-term queries: rewrite to term disjunctions ---------------------
+
+
+@dataclass(frozen=True)
+class MultiTermQuery(Query):
+    """Base: expands against the terms table (term dictionary)."""
+
+    def term_filter(self):  # Column predicate over F.col("term")
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class PrefixQuery(MultiTermQuery):
+    prefix: str
+
+    def term_filter(self):
+        return F.col("term").startswith(self.prefix)
+
+
+@dataclass(frozen=True)
+class WildcardQuery(MultiTermQuery):
+    pattern: str  # Lucene syntax: * any run, ? single char
+
+    def term_filter(self):
+        rx = "^" + "".join(
+            ".*" if c == "*" else "." if c == "?" else F"\\{c}" if c in r"\.[]{}()^$+|" else c
+            for c in self.pattern
+        ) + "$"
+        return F.col("term").rlike(rx)
+
+
+@dataclass(frozen=True)
+class RegexpQuery(MultiTermQuery):
+    regexp: str  # anchored, like Lucene RegexpQuery
+
+    def term_filter(self):
+        return F.col("term").rlike("^(?:" + self.regexp + ")$")
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(MultiTermQuery):
+    term: str
+    max_edits: int = 2
+
+    def term_filter(self):
+        # length pre-filter then exact Levenshtein (both JVM-side)
+        t = F.lit(self.term)
+        return (
+            (F.length("term") >= F.length(t) - self.max_edits)
+            & (F.length("term") <= F.length(t) + self.max_edits)
+            & (F.levenshtein(F.col("term"), t) <= self.max_edits)
+        )
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(MultiTermQuery):
+    terms: tuple
+
+    def term_filter(self):
+        return F.col("term").isin(list(self.terms))
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(MultiTermQuery):
+    lower: Optional[str]
+    upper: Optional[str]
+    include_lower: bool = True
+    include_upper: bool = True
+
+    def term_filter(self):
+        c = F.lit(True)
+        if self.lower is not None:
+            c = c & (
+                F.col("term") >= self.lower if self.include_lower else F.col("term") > self.lower
+            )
+        if self.upper is not None:
+            c = c & (
+                F.col("term") <= self.upper if self.include_upper else F.col("term") < self.upper
+            )
+        return c
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    """Exact phrase (slop=0). Positions are checked at match time from
+    the corpus text (we do not index positions in v1; SURVEY §2.4 notes
+    positions are optional for the BM25 north star)."""
+
+    terms: tuple
+    slop: int = 0
+
+
+# --- rewrite ---------------------------------------------------------------
+
+
+def rewrite(query: Query, terms_df: Optional[DataFrame] = None) -> Query:
+    """Rewrite to fixpoint (`IndexSearcher.java:860-866`)."""
+    prev = None
+    while prev != query:
+        prev = query
+        query = _rewrite_once(query, terms_df)
+    return query
+
+
+def _expand_terms(q: MultiTermQuery, terms_df: DataFrame) -> Query:
+    """CONSTANT_SCORE_REWRITE: matched terms → constant-score SHOULD."""
+    matched = [r["term"] for r in terms_df.filter(q.term_filter()).select("term").collect()]
+    if not matched:
+        return MatchNoDocsQuery("no matching terms")
+    inner = BooleanQuery(
+        tuple(BooleanClause(TermQuery(t), Occur.SHOULD) for t in sorted(matched))
+    )
+    return ConstantScoreQuery(inner)
+
+
+def _rewrite_once(query: Query, terms_df: Optional[DataFrame]) -> Query:
+    if isinstance(query, MultiTermQuery):
+        if terms_df is None:
+            raise ValueError("multi-term query rewrite needs the terms table")
+        return _expand_terms(query, terms_df)
+    if isinstance(query, BoostQuery):
+        inner = _rewrite_once(query.query, terms_df)
+        if isinstance(inner, BoostQuery):  # collapse nested boosts
+            return BoostQuery(inner.query, query.boost * inner.boost)
+        if isinstance(inner, MatchNoDocsQuery):
+            return inner
+        return BoostQuery(inner, query.boost)
+    if isinstance(query, ConstantScoreQuery):
+        inner = _rewrite_once(query.query, terms_df)
+        if isinstance(inner, MatchNoDocsQuery):
+            return inner
+        if isinstance(inner, ConstantScoreQuery):  # idempotent wrap
+            inner = inner.query
+        return ConstantScoreQuery(inner)
+    if isinstance(query, BooleanQuery):
+        clauses = [
+            BooleanClause(_rewrite_once(c.query, terms_df), c.occur) for c in query.clauses
+        ]
+        # drop MatchNoDocs SHOULD clauses; MatchNoDocs MUST/FILTER kills all
+        kept = []
+        for c in clauses:
+            if isinstance(c.query, MatchNoDocsQuery):
+                if c.occur in (Occur.MUST, Occur.FILTER):
+                    return MatchNoDocsQuery("MUST clause matches nothing")
+                continue  # SHOULD / MUST_NOT no-op
+            kept.append(c)
+        # dedup FILTER / MUST_NOT (BooleanQuery.java:283-305)
+        seen, dedup = set(), []
+        for c in kept:
+            key = (c.occur, c.query) if c.occur in (Occur.FILTER, Occur.MUST_NOT) else None
+            if key is not None and key in seen:
+                continue
+            if key is not None:
+                seen.add(key)
+            dedup.append(c)
+        kept = dedup
+        # MUST + MUST_NOT of the same query → MatchNoDocs (:340-354)
+        musts = {c.query for c in kept if c.occur in (Occur.MUST, Occur.FILTER)}
+        for c in kept:
+            if c.occur == Occur.MUST_NOT and c.query in musts:
+                return MatchNoDocsQuery("MUST and MUST_NOT of same query")
+        # single positive scoring clause unwrap (:240-265)
+        if (
+            len(kept) == 1
+            and kept[0].occur in (Occur.SHOULD, Occur.MUST)
+            and query.minimum_number_should_match <= 1
+        ):
+            return kept[0].query
+        if not kept:
+            return MatchNoDocsQuery("empty boolean")
+        return BooleanQuery(tuple(kept), query.minimum_number_should_match)
+    return query

@@ -1,0 +1,444 @@
+"""IndexSearcher: BM25 top-k over posting blocks, exhaustive or WAND.
+
+The Spark re-expression of Lucene's read path
+(`lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java:612-878`):
+
+1. **rewrite** the query tree to fixpoint (:mod:`lucene_spark.search.query`);
+2. **weight**: resolve collection stats + per-term stats once per query
+   (driver-side lookups on the tiny terms table —
+   `search/TermQuery.java:61-67`), fix float32 idf/avgdl/weight and the
+   256-entry norm-inverse cache (`BM25Similarity.java:179-184`);
+3. **execute**: decode+score matching posting blocks in one
+   Arrow-batched ``mapInPandas`` (numpy: FOR/PFor decode, cumsum, table
+   lookup, float32 BM25), combine clauses with DataFrame joins/aggs;
+4. **collect**: ``ORDER BY score DESC, doc_id ASC LIMIT k`` — Spark's
+   ``TakeOrderedAndProject`` is the distributed analog of
+   TopScoreDocCollector's tie-break-by-lower-docID heap
+   (`search/HitQueue.java:76-82`).
+
+Two physical strategies, selected like ``BooleanScorerSupplier``
+(`search/BooleanScorerSupplier.java:197-548`):
+
+- ``exhaustive`` — score every posting of every clause
+  (`search/BooleanScorer.java` analog); the correctness oracle.
+- ``wand`` — block-max WAND (`search/WANDScorer.java:31-121`,
+  `search/ImpactsDISI.java:67-84`): phase A scores each term's
+  highest-impact blocks to bootstrap θ (a lower bound on the k-th best
+  score); phase B prunes every block whose score upper bound plus the
+  sum of the other terms' global maxima is below θ, then scores only
+  survivors. Result-identical to exhaustive (see proof sketch in
+  ``_search_wand``), differential-tested in
+  ``tests/test_search_differential.py``.
+
+Boosts are pushed down into term weights (``weight = boost * idf`` in
+float32) exactly as ``createWeight(q, mode, boost)`` does — NOT applied
+as a post-multiply, which would round differently.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lucene_spark.functions.bm25 import BM25
+from lucene_spark.functions.forutil import for_decode, pfor_decode, delta_decode
+from lucene_spark.index.builder import InvertedIndex
+from lucene_spark.search.query import (
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    MultiTermQuery,
+    Occur,
+    Query,
+    TermQuery,
+    rewrite,
+)
+
+__all__ = ["IndexSearcher"]
+
+_SCORED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+_DOCS_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType(), False)])
+
+
+def _decode_score_udf(weights: Dict[str, Tuple[float, np.ndarray]]):
+    """mapInPandas kernel: block rows → (doc_id, term, float32 score).
+
+    weights: term → (float32 weight, float32[256] normInverse cache).
+    All numpy; no per-posting Python.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for term, docs_b, freqs_b, norms_b in zip(
+                pdf["term"].values,
+                pdf["docs_packed"].values,
+                pdf["freqs_packed"].values,
+                pdf["norms_raw"].values,
+            ):
+                w, cache = weights[term]
+                docs = delta_decode(for_decode(bytes(docs_b)))
+                freqs = pfor_decode(bytes(freqs_b)).astype(np.float32)
+                norms = np.frombuffer(bytes(norms_b), dtype=np.uint8)
+                ni = cache[norms]
+                score = w - w / (np.float32(1.0) + freqs * ni)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": docs,
+                            "term": term,
+                            "score": score.astype(np.float64),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return fn
+
+
+def _decode_docs_udf():
+    """mapInPandas kernel: block rows → doc_id only (unscored match)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = [
+                delta_decode(for_decode(bytes(b))) for b in pdf["docs_packed"].values
+            ]
+            if outs:
+                yield pd.DataFrame({"doc_id": np.concatenate(outs)})
+
+    return fn
+
+
+@dataclass
+class _Ctx:
+    """Per-query bound stats (the Weight tree analog)."""
+
+    doc_count: int
+    sum_total_term_freq: int
+    term_stats: Dict[str, Tuple[int, int]]  # term -> (doc_freq, total_term_freq)
+    k1: float
+    b: float
+
+    def scorer(self, term: str, boost: float) -> Optional[BM25]:
+        st = self.term_stats.get(term)
+        if st is None:
+            return None
+        return BM25(
+            doc_freq=st[0],
+            doc_count=self.doc_count,
+            sum_total_term_freq=self.sum_total_term_freq,
+            boost=boost,
+            k1=self.k1,
+            b=self.b,
+        )
+
+
+class IndexSearcher:
+    def __init__(self, index: InvertedIndex, k1: float = 1.2, b: float = 0.75):
+        self.index = index
+        self.k1 = k1
+        self.b = b
+
+    # ------------------------------------------------------------------
+    def search(self, query: Query, k: int = 10, mode: str = "auto") -> DataFrame:
+        """Top-k (doc_id, score) ordered by score desc, doc_id asc."""
+        q = rewrite(query, self.index.terms)
+        ctx = self._bind(q)
+        if mode == "auto":
+            mode = "wand" if self._wandable(q) else "exhaustive"
+        if mode == "wand" and self._wandable(q):
+            result = self._search_wand(q, ctx, k)
+        else:
+            result = self._eval(q, ctx, boost=1.0)
+        return (
+            result.select(
+                "doc_id", F.col("score").cast("float").alias("score")
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    # -- weight resolution ---------------------------------------------
+    def _collect_terms(self, q: Query) -> List[str]:
+        if isinstance(q, TermQuery):
+            return [q.term]
+        if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+            return self._collect_terms(q.query)
+        if isinstance(q, BooleanQuery):
+            out: List[str] = []
+            for c in q.clauses:
+                out.extend(self._collect_terms(c.query))
+            return out
+        return []
+
+    def _bind(self, q: Query) -> _Ctx:
+        terms = sorted(set(self._collect_terms(q)))
+        stats: Dict[str, Tuple[int, int]] = {}
+        if terms:
+            rows = (
+                self.index.terms.filter(F.col("term").isin(terms))
+                .select("term", "doc_freq", "total_term_freq")
+                .collect()
+            )
+            stats = {r["term"]: (r["doc_freq"], r["total_term_freq"]) for r in rows}
+        return _Ctx(
+            doc_count=self.index.doc_count,
+            sum_total_term_freq=self.index.sum_total_term_freq,
+            term_stats=stats,
+            k1=self.k1,
+            b=self.b,
+        )
+
+    # -- exhaustive evaluation -------------------------------------------
+    def _term_blocks(self, terms: List[str]) -> DataFrame:
+        return self.index.blocks.filter(F.col("term").isin(terms))
+
+    def _scored_terms(self, ctx: _Ctx, term_boosts: Dict[str, float]) -> DataFrame:
+        """One decode+score pass over all blocks of the given terms."""
+        weights = {}
+        for term, boost in term_boosts.items():
+            s = ctx.scorer(term, boost)
+            if s is not None:
+                weights[term] = (s.weight, s.cache)
+        if not weights:
+            return self.index.spark.createDataFrame([], _SCORED_SCHEMA)
+        blocks = self._term_blocks(list(weights))
+        return blocks.select(
+            "term", "docs_packed", "freqs_packed", "norms_raw"
+        ).mapInPandas(_decode_score_udf(weights), _SCORED_SCHEMA)
+
+    def _matching_docs(self, q: Query, ctx: _Ctx) -> DataFrame:
+        """Unscored match set (FILTER / MUST_NOT / ConstantScore path)."""
+        spark = self.index.spark
+        if isinstance(q, MatchNoDocsQuery):
+            return spark.createDataFrame([], _DOCS_SCHEMA)
+        if isinstance(q, MatchAllDocsQuery):
+            return self.index.norms.select("doc_id")
+        if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+            return self._matching_docs(q.query, ctx)
+        if isinstance(q, TermQuery):
+            if q.term not in ctx.term_stats:
+                return spark.createDataFrame([], _DOCS_SCHEMA)
+            return (
+                self._term_blocks([q.term])
+                .select("docs_packed")
+                .mapInPandas(_decode_docs_udf(), _DOCS_SCHEMA)
+            )
+        if isinstance(q, BooleanQuery):
+            pos = [c for c in q.clauses if c.occur in (Occur.SHOULD, Occur.MUST, Occur.FILTER)]
+            neg = [c for c in q.clauses if c.occur == Occur.MUST_NOT]
+            req = [c for c in pos if c.occur in (Occur.MUST, Occur.FILTER)]
+            opt = [c for c in pos if c.occur == Occur.SHOULD]
+            msm = q.minimum_number_should_match
+            docs: Optional[DataFrame] = None
+            if opt:
+                union = None
+                for c in opt:
+                    d = self._matching_docs(c.query, ctx).withColumn("_one", F.lit(1))
+                    union = d if union is None else union.unionByName(d)
+                need = max(msm, 1) if not req else msm
+                agg = union.groupBy("doc_id").agg(F.count("_one").alias("_m"))
+                docs = agg.filter(F.col("_m") >= need).select("doc_id") if need > 0 else agg.select("doc_id")
+                if req and msm == 0:
+                    docs = None  # SHOULD optional when required clauses exist
+            for c in req:
+                d = self._matching_docs(c.query, ctx)
+                docs = d if docs is None else docs.join(d.distinct(), "doc_id", "semi")
+            if docs is None:
+                docs = spark.createDataFrame([], _DOCS_SCHEMA)
+            for c in neg:
+                docs = docs.join(self._matching_docs(c.query, ctx).distinct(), "doc_id", "left_anti")
+            return docs.distinct()
+        raise NotImplementedError(f"matching_docs: {type(q).__name__}")
+
+    def _eval(self, q: Query, ctx: _Ctx, boost: float) -> DataFrame:
+        """Scored evaluation → DataFrame(doc_id, score double)."""
+        spark = self.index.spark
+        if isinstance(q, MatchNoDocsQuery):
+            return spark.createDataFrame([], "doc_id long, score double")
+        if isinstance(q, MatchAllDocsQuery):
+            return self.index.norms.select(
+                "doc_id", F.lit(float(np.float32(boost))).alias("score")
+            )
+        if isinstance(q, BoostQuery):
+            return self._eval(q.query, ctx, boost * q.boost)
+        if isinstance(q, ConstantScoreQuery):
+            docs = self._matching_docs(q.query, ctx).distinct()
+            return docs.select("doc_id", F.lit(float(np.float32(boost))).alias("score"))
+        if isinstance(q, TermQuery):
+            return self._scored_terms(ctx, {q.term: boost}).select("doc_id", "score")
+        if isinstance(q, BooleanQuery):
+            return self._eval_boolean(q, ctx, boost)
+        raise NotImplementedError(f"eval: {type(q).__name__}")
+
+    def _eval_boolean(self, q: BooleanQuery, ctx: _Ctx, boost: float) -> DataFrame:
+        spark = self.index.spark
+        should = [c.query for c in q.clauses if c.occur == Occur.SHOULD]
+        must = [c.query for c in q.clauses if c.occur == Occur.MUST]
+        filt = [c.query for c in q.clauses if c.occur == Occur.FILTER]
+        nots = [c.query for c in q.clauses if c.occur == Occur.MUST_NOT]
+        msm = q.minimum_number_should_match
+
+        scored = None
+        for sub in should + must:
+            d = self._eval(sub, ctx, boost).withColumn(
+                "_is_should", F.lit(1 if sub in should else 0)
+            )
+            scored = d if scored is None else scored.unionByName(d)
+
+        if scored is not None:
+            agg = scored.groupBy("doc_id").agg(
+                F.sum("score").alias("score"),
+                F.sum("_is_should").alias("_nshould"),
+            )
+            if should and (msm > 0 or not (must or filt)):
+                agg = agg.filter(F.col("_nshould") >= max(msm, 1 if not (must or filt) else msm))
+            result = agg.select("doc_id", "score")
+            # every MUST clause must be present: semi-join its match set
+            for sub in must:
+                result = result.join(
+                    self._matching_docs(sub, ctx).distinct(), "doc_id", "semi"
+                )
+        else:
+            # filter-only boolean scores 0 (ConstantScore handled above)
+            result = None
+
+        for sub in filt:
+            d = self._matching_docs(sub, ctx).distinct()
+            result = (
+                d.select("doc_id", F.lit(0.0).alias("score"))
+                if result is None
+                else result.join(d, "doc_id", "semi")
+            )
+        if result is None:
+            return spark.createDataFrame([], "doc_id long, score double")
+        for sub in nots:
+            result = result.join(
+                self._matching_docs(sub, ctx).distinct(), "doc_id", "left_anti"
+            )
+        return result
+
+    # -- block-max WAND ---------------------------------------------------
+    def _wandable(self, q: Query) -> bool:
+        """Pure scored disjunction of TermQuery/Boost(TermQuery)."""
+        if not isinstance(q, BooleanQuery) or q.minimum_number_should_match > 1:
+            return False
+        for c in q.clauses:
+            if c.occur != Occur.SHOULD:
+                return False
+            sub = c.query
+            if isinstance(sub, BoostQuery):
+                sub = sub.query
+            if not isinstance(sub, TermQuery):
+                return False
+        return True
+
+    def _search_wand(self, q: BooleanQuery, ctx: _Ctx, k: int) -> DataFrame:
+        """Block-max WAND: θ-bootstrap + upper-bound block pruning.
+
+        Correctness: a block B of term t is pruned only when
+        ``ub(B) + Σ_{t'≠t} max_ub(t') < θ`` with θ a lower bound on the
+        k-th best total score. Any doc appearing in a pruned block has
+        total score < θ, hence is not in the top-k; every top-k doc
+        therefore has all of its blocks surviving and is scored
+        exactly. Docs with partial (under-)scores all land strictly
+        below θ and cannot displace a top-k doc even on tie-break.
+        (Block-grained restatement of `WANDScorer.java:301-317`.)
+        """
+        term_boosts: Dict[str, float] = {}
+        for c in q.clauses:
+            sub, boost = c.query, 1.0
+            if isinstance(sub, BoostQuery):
+                sub, boost = sub.query, sub.boost
+            term_boosts[sub.term] = term_boosts.get(sub.term, 0.0) + boost
+
+        scorers = {t: ctx.scorer(t, b) for t, b in term_boosts.items()}
+        scorers = {t: s for t, s in scorers.items() if s is not None}
+        if not scorers:
+            return self.index.spark.createDataFrame([], "doc_id long, score double")
+        weights = {t: (s.weight, s.cache) for t, s in scorers.items()}
+
+        # per-block score upper bound from stored impacts (no decode)
+        ubs = {
+            t: {"w": float(s.weight), "cache": s.cache} for t, s in scorers.items()
+        }
+
+        @F.pandas_udf(T.DoubleType())
+        def block_ub(
+            it: Iterator[Tuple[pd.Series, pd.Series, pd.Series]]
+        ) -> Iterator[pd.Series]:
+            for term_s, if_s, in_s in it:
+                out = np.empty(len(term_s))
+                for i, (t, fs, ns) in enumerate(zip(term_s, if_s, in_s)):
+                    p = ubs[t]
+                    w = np.float32(p["w"])
+                    ni = p["cache"][np.asarray(ns, dtype=np.int64) & 0xFF]
+                    f = np.asarray(fs, dtype=np.float32)
+                    s = w - w / (np.float32(1.0) + f * ni)
+                    out[i] = float(s.max()) if len(s) else 0.0
+                yield pd.Series(out)
+
+        meta = (
+            self._term_blocks(list(scorers))
+            .withColumn("ub", block_ub("term", "impact_freqs", "impact_norms"))
+            .persist()
+        )
+
+        # phase A: θ from each term's highest-impact blocks
+        per_term = max(1, math.ceil(k / 128) + 1)
+        w_rank = Window.partitionBy("term").orderBy(F.col("ub").desc(), "segment_id", "block_ord")
+        cand = meta.withColumn("_r", F.row_number().over(w_rank)).filter(
+            F.col("_r") <= per_term
+        )
+        partial = (
+            cand.select("term", "docs_packed", "freqs_packed", "norms_raw")
+            .mapInPandas(_decode_score_udf(weights), _SCORED_SCHEMA)
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+            .orderBy(F.col("score").desc())
+            .limit(k)
+            .collect()
+        )
+        theta = float(partial[-1]["score"]) if len(partial) >= k else 0.0
+
+        # phase B: prune blocks by WAND upper-bound test
+        max_ub = {
+            r["term"]: r["m"]
+            for r in meta.groupBy("term").agg(F.max("ub").alias("m")).collect()
+        }
+        total_max = sum(max_ub.values())
+        surv = meta.filter(
+            F.col("ub")
+            + F.lit(total_max)
+            - F.create_map(
+                *[F.lit(x) for kv in max_ub.items() for x in kv]
+            )[F.col("term")]
+            >= F.lit(theta)
+        )
+        result = (
+            surv.select("term", "docs_packed", "freqs_packed", "norms_raw")
+            .mapInPandas(_decode_score_udf(weights), _SCORED_SCHEMA)
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+            .filter(F.col("score") >= F.lit(theta))
+        )
+        meta.unpersist()
+        return result

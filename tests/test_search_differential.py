@@ -1,0 +1,88 @@
+"""Randomized differential tests (FIXTURES.md F6, mirrors
+`TestWANDScorer.java:729-831`): pruned block-max WAND plan ≡ exhaustive
+DataFrame plan ≡ naive single-node reference, on every (docID, score).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_spark.index import InvertedIndex
+from lucene_spark.search import (
+    BooleanClause,
+    BooleanQuery,
+    BoostQuery,
+    IndexSearcher,
+    Occur,
+    TermQuery,
+)
+from tests.ref_impl import NaiveIndex
+
+
+def _random_corpus(rng, n_docs, vocab_size):
+    vocab = [f"w{i}" for i in range(vocab_size)]
+    docs = {}
+    for d in range(n_docs):
+        n = int(rng.zipf(1.5)) % 60
+        # zipf-skewed term draw
+        idx = np.minimum(rng.zipf(1.3, size=n) - 1, vocab_size - 1)
+        docs[d] = [vocab[i] for i in idx]
+    return docs
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_wand_equals_exhaustive_equals_naive(spark, seed):
+    rng = np.random.RandomState(seed)
+    docs = _random_corpus(rng, n_docs=400, vocab_size=30)
+    naive = NaiveIndex(docs)
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs), "text": [" ".join(t) for t in docs.values()]}
+    )
+    idx = InvertedIndex.build(
+        spark.createDataFrame(pdf), analyzer="simple", docs_per_segment=100
+    )
+    searcher = IndexSearcher(idx)
+
+    for trial in range(3):
+        n_terms = rng.randint(2, 5)
+        terms = [f"w{rng.randint(0, 30)}" for _ in range(n_terms)]
+        boosts = [float(b) for b in rng.choice([0.5, 1.0, 2.0, 3.0], size=n_terms)]
+        term_boosts = {}
+        for t, b in zip(terms, boosts):
+            term_boosts[t] = term_boosts.get(t, 0) + b
+        k = int(rng.choice([5, 10, 50]))
+        q = BooleanQuery.of(
+            *[
+                BooleanClause(BoostQuery(TermQuery(t), b), Occur.SHOULD)
+                for t, b in term_boosts.items()
+            ]
+        )
+        expected = naive.disjunction_topk(term_boosts, k)
+        ex = [(r["doc_id"], r["score"]) for r in searcher.search(q, k, "exhaustive").collect()]
+        wd = [(r["doc_id"], r["score"]) for r in searcher.search(q, k, "wand").collect()]
+        assert [d for d, _ in ex] == [d for d, _ in expected], (seed, trial, terms)
+        assert [d for d, _ in wd] == [d for d, _ in expected], (seed, trial, terms)
+        for (d1, s1), (d2, s2) in zip(ex, expected):
+            assert s1 == pytest.approx(s2, abs=0), (d1, s1, d2, s2)
+        assert wd == ex
+
+
+def test_term_query_scores_match_naive(spark):
+    rng = np.random.RandomState(7)
+    docs = _random_corpus(rng, n_docs=200, vocab_size=10)
+    naive = NaiveIndex(docs)
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs), "text": [" ".join(t) for t in docs.values()]}
+    )
+    idx = InvertedIndex.build(
+        spark.createDataFrame(pdf), analyzer="simple", docs_per_segment=64
+    )
+    searcher = IndexSearcher(idx)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in searcher.search(TermQuery("w0"), k=10_000, mode="exhaustive").collect()
+    }
+    expect = naive.term_scores("w0")
+    assert got.keys() == expect.keys()
+    for d in got:
+        assert got[d] == np.float32(expect[d]), d
