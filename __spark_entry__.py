@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship float32-exact block-max-WAND BM25
+query end-to-end on sf0.001. `queries()` exposes one entry per
+implemented operator (SURVEY.md §2 + training-data pipeline ops);
+`oracle_sql()` gives the DuckDB-equivalent SQL for each, generated from
+the same parameter sets (see lucene_spark/search/parity.py for why the
+gate queries score BM25 in float64: Lucene float32 semantics are pytest
+-verified separately and cannot be expressed in ANSI SQL).
 """
 
 from __future__ import annotations
@@ -12,27 +14,542 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from lucene_spark.index import InvertedIndex
+from lucene_spark.search.parity import bm25_topk_f64, oracle_bm25_sql, _decode_postings
+from lucene_spark.search import (
+    BooleanClause,
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    FuzzyQuery,
+    IndexSearcher,
+    Occur,
+    PrefixQuery,
+    TermInSetQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    rewrite,
+)
+from lucene_spark.pipeline import (
+    cosine_topk,
+    exact_duplicates,
+    fingerprint_md5,
+    language_id,
+    lsh_bucket_topk,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    rolling_fingerprint,
+    simhash,
+    simhash_near_dups,
+    token_counts,
+    word_shingles,
+)
+
+# ---------------------------------------------------------------------------
+# shared helpers
+
+_INDEX_CACHE: dict = {}
+
+TOK_CTE = (
+    "tok AS (SELECT doc_id, term FROM (SELECT doc_id, "
+    "unnest(string_split(text, ' ')) AS term FROM documents) WHERE term <> '')"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    if sf_dir not in _INDEX_CACHE:
+        _INDEX_CACHE[sf_dir] = InvertedIndex.build(
+            _docs(spark, sf_dir), analyzer="simple", docs_per_segment=2048
+        )
+    return _INDEX_CACHE[sf_dir]
+
+
+def _const_score_docs(spark, sf_dir, query, k=100) -> DataFrame:
+    """Multi-term query → constant-score matched docs (doc_id asc, k)."""
+    idx = _index(spark, sf_dir)
+    searcher = IndexSearcher(idx)
+    rw = rewrite(ConstantScoreQuery(query), idx.terms)
+    ctx = searcher._bind(rw)
+    docs = searcher._matching_docs(rw, ctx).distinct()
+    return (
+        docs.select("doc_id", F.lit(1.0).alias("score"))
+        .orderBy("doc_id")
+        .limit(k)
+    )
+
+
+def _const_score_oracle(term_pred: str, k: int = 100) -> str:
+    return f"""
+WITH {TOK_CTE}
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE {term_pred}
+ORDER BY doc_id LIMIT {k}
+"""
+
+
+# BM25 gate query parameter sets (engine + oracle generated from these)
+_BM25_QUERIES = {
+    "term_topk": dict(term_boosts={"spark": 1.0}, k=20),
+    "term_topk_rare": dict(term_boosts={"vector": 1.0}, k=15),
+    "bool_should_topk": dict(term_boosts={"hash": 1.0, "join": 1.0, "merge": 1.0}, k=25),
+    "bool_should_boosted": dict(term_boosts={"spark": 2.0, "query": 1.0, "window": 3.0}, k=20),
+    "bool_msm2": dict(term_boosts={"hash": 1.0, "join": 1.0, "scan": 1.0}, min_should_match=2, k=20),
+    "bool_must": dict(term_boosts={"hash": 1.0}, must_terms=["join"], k=20),
+    "bool_must_not": dict(term_boosts={"hash": 1.0}, must_not_terms=["join"], k=20),
+    "bool_filter": dict(term_boosts={"merge": 1.0}, filter_terms=["sort"], k=20),
+}
+
+_SIMHASH_MAX_ID = 30
+
+
+def _simhash_hex(spark, sf_dir) -> DataFrame:
+    df = _docs(spark, sf_dir).filter((F.col("doc_id") < _SIMHASH_MAX_ID) & (F.col("text") != ""))
+    sh = simhash(df)
+    hi = F.shiftrightunsigned("simhash", 32)
+    lo = F.col("simhash").bitwiseAND(F.lit(0xFFFFFFFF))
+    return sh.select("doc_id", F.format_string("%08x%08x", hi, lo).alias("simhash_hex"))
+
+
+def _simhash_oracle() -> str:
+    # bit j (0 = MSB) of the first 16 hex chars of md5(term)
+    def bit(j):
+        d = j // 4
+        s = 3 - (j % 4)
+        return (
+            f"(((strpos('0123456789abcdef', substr(md5(term), {d + 1}, 1)) - 1) >> {s}) & 1)"
+        )
+
+    votes = [
+        f"CASE WHEN sum(freq * (2 * {bit(j)} - 1)) > 0 THEN 1 ELSE 0 END AS b{j}"
+        for j in range(64)
+    ]
+    hi = " + ".join(f"(b{j}::BIGINT << {31 - j})" for j in range(32))
+    lo = " + ".join(f"(b{j}::BIGINT << {63 - j})" for j in range(32, 64))
+    return f"""
+WITH {TOK_CTE},
+tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM tok
+  WHERE doc_id < {_SIMHASH_MAX_ID} GROUP BY doc_id, term
+),
+bits AS (SELECT doc_id, {', '.join(votes)} FROM tf GROUP BY doc_id)
+SELECT doc_id, printf('%08x%08x', {hi}, {lo}) AS simhash_hex FROM bits
+"""
+
+
+_SHINGLE_CTE = """
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(l) - 2, 0))) AS i)
+)
+"""
+
+
+def _minhash_oracle(num_hashes: int, max_id: int) -> str:
+    sigs = ", ".join(
+        f"min(md5(concat('{i}|', shingle))) AS sig_{i}" for i in range(num_hashes)
+    )
+    return f"""
+WITH {_SHINGLE_CTE}
+SELECT doc_id, {sigs} FROM shingles WHERE doc_id < {max_id} GROUP BY doc_id
+"""
+
+
+_DLQ_CASE = (
+    "CASE WHEN dl < 24 THEN dl WHEN (dl - 24) < 8 THEN dl "
+    "ELSE 24 + (((dl - 24) >> (length(bin(dl - 24)) - 4)) << (length(bin(dl - 24)) - 4)) END"
+)
+_NORM_BYTE_CASE = (
+    "CASE WHEN dl < 24 THEN dl WHEN (dl - 24) < 8 THEN dl "
+    "ELSE 24 + (((dl - 24) >> (length(bin(dl - 24)) - 4)) % 8) "
+    "+ ((length(bin(dl - 24)) - 3) << 3) END"
+)
+
+
+# ---------------------------------------------------------------------------
+# the contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: float32-exact BM25 block-max WAND top-k on sf0.001."""
+    idx = InvertedIndex.build(
+        _docs(spark, "/root/testdata/sf0.001"), analyzer="simple", docs_per_segment=256
+    )
+    q = BooleanQuery.of(
+        BooleanClause(BoostQuery(TermQuery("spark"), 2.0), Occur.SHOULD),
+        BooleanClause(TermQuery("join"), Occur.SHOULD),
+        BooleanClause(TermQuery("vector"), Occur.SHOULD),
+    )
+    return IndexSearcher(idx).search(q, k=10, mode="wand")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- BM25 boolean retrieval (engine postings + float64 parity math)
+    for name, params in _BM25_QUERIES.items():
+        out[name] = (
+            lambda spark, sf, p=dict(params): bm25_topk_f64(_index(spark, sf), **p)
+        )
+
+    # --- constant-score multi-term queries (term-dictionary expansion)
+    out["prefix_query"] = lambda spark, sf: _const_score_docs(spark, sf, PrefixQuery("s"))
+    out["wildcard_query"] = lambda spark, sf: _const_score_docs(spark, sf, WildcardQuery("j*n"))
+    out["fuzzy_query"] = lambda spark, sf: _const_score_docs(spark, sf, FuzzyQuery("quer", 1))
+    out["term_in_set"] = lambda spark, sf: _const_score_docs(
+        spark, sf, TermInSetQuery(("spark", "flink", "duck"))
+    )
+    out["term_range"] = lambda spark, sf: _const_score_docs(
+        spark, sf, TermRangeQuery("query", "sort")
+    )
+
+    # --- phrase (positional match on space-normalized text)
+    out["phrase_query"] = lambda spark, sf: (
+        _docs(spark, sf)
+        .filter(F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like("% hash join %"))
+        .select("doc_id", F.lit(1.0).alias("score"))
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+    # --- statistics / norms
+    def collection_stats(spark, sf):
+        idx = _index(spark, sf)
+        return spark.createDataFrame(
+            [
+                (
+                    idx.doc_count,
+                    idx.sum_total_term_freq,
+                    round(idx.sum_total_term_freq / idx.doc_count, 6),
+                )
+            ],
+            "doc_count long, sttf long, avgdl double",
+        )
+
+    out["collection_stats"] = collection_stats
+
+    out["term_stats"] = lambda spark, sf: (
+        _index(spark, sf)
+        .terms.orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(10)
+        .select("term", "doc_freq", "total_term_freq")
+    )
+
+    def doc_norms(spark, sf):
+        from lucene_spark.functions.smallfloat import byte4_to_int
+        import numpy as np
+
+        idx = _index(spark, sf)
+        dlq = spark.createDataFrame(
+            [(int(i), int(byte4_to_int(np.int64(i)))) for i in range(256)],
+            "norm int, dl_q int",
+        )
+        return (
+            idx.norms.filter(F.col("doc_id") < 200)
+            .join(F.broadcast(dlq), "norm")
+            .select("doc_id", "dl", F.col("norm").alias("norm_byte"), "dl_q")
+        )
+
+    out["doc_norms"] = doc_norms
+
+    # --- sorted search / facets / grouping (Lucene module analogs)
+    out["top_docs_by_chars"] = lambda spark, sf: (
+        _docs(spark, sf)
+        .select("doc_id", "n_chars")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+    out["facet_lang_counts"] = lambda spark, sf: (
+        _docs(spark, sf).groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out["facet_chars_histogram"] = lambda spark, sf: (
+        _docs(spark, sf)
+        .groupBy(F.floor(F.col("n_chars") / 100).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out["group_top2_per_lang"] = lambda spark, sf: (
+        _docs(spark, sf)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("lang", "doc_id", "n_chars", "rn")
+    )
+    out["distinct_sources_per_lang"] = lambda spark, sf: (
+        _docs(spark, sf).groupBy("lang").agg(F.countDistinct("source").alias("n_sources"))
+    )
+
+    # --- events table (range facet over time + agg)
+    out["events_hourly"] = lambda spark, sf: (
+        _events(spark, sf)
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).alias("hour_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+    # --- dedup family
+    out["dedup_exact"] = lambda spark, sf: (
+        _docs(spark, sf)
+        .select(F.md5("text").alias("content_md5"), "doc_id")
+        .groupBy("content_md5")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_id"))
+    )
+    out["minhash_signatures"] = lambda spark, sf: minhash_signatures(
+        word_shingles(_docs(spark, sf).filter(F.col("doc_id") < 40)), num_hashes=8
+    )
+    out["ngram_jaccard_pairs"] = lambda spark, sf: ngram_jaccard_pairs(
+        _docs(spark, sf).filter(F.col("doc_id") < 120), n=3, threshold=0.5
+    )
+    out["simhash"] = _simhash_hex
+    out["simhash_near_dups"] = lambda spark, sf: simhash_near_dups(
+        _docs(spark, sf).filter(F.col("text") != ""), max_hamming=3
+    )  # engine-only: pigeonhole-bucketed candidates (no SQL oracle)
+
+    # --- similarity search over embeddings
+    def _qvec(spark, sf):
+        return [
+            float(x)
+            for x in _emb(spark, sf).filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+
+    out["embedding_cosine_topk"] = lambda spark, sf: cosine_topk(
+        _emb(spark, sf), _qvec(spark, sf), k=15
+    )
+    out["embedding_lsh_topk"] = lambda spark, sf: lsh_bucket_topk(
+        _emb(spark, sf), _qvec(spark, sf), k=15
+    )  # engine-only: approximate (recall vs brute force tested in pytest)
+
+    def embedding_near_dups_exact(spark, sf):
+        e = _emb(spark, sf).filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+        a = e.alias("a")
+        b = e.alias("b")
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("a.embedding"), F.col("b.embedding"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nrm = lambda s: F.sqrt(
+            F.aggregate(
+                F.col(f"{s}.embedding"), F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        return (
+            a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(dot / (nrm("a") * nrm("b")), 6).alias("cos"),
+            )
+            .filter(F.col("cos") >= 0.9)
+        )
+
+    out["embedding_near_dups"] = embedding_near_dups_exact
+
+    # --- text analysis
+    out["lang_id"] = lambda spark, sf: language_id(_docs(spark, sf))
+    out["quality_score"] = lambda spark, sf: quality_score(_docs(spark, sf))
+    out["token_counts"] = lambda spark, sf: token_counts(_docs(spark, sf))
+    out["fingerprint_md5"] = lambda spark, sf: fingerprint_md5(_docs(spark, sf))
+    out["rolling_fingerprint"] = lambda spark, sf: rolling_fingerprint(
+        _docs(spark, sf).filter(F.col("doc_id") < 50)
+    )  # engine-only numpy kernel (no SQL oracle)
+
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for name, params in _BM25_QUERIES.items():
+        out[name] = oracle_bm25_sql(**params)
+
+    out["prefix_query"] = _const_score_oracle("term LIKE 's%'")
+    out["wildcard_query"] = _const_score_oracle("regexp_matches(term, '^j.*n$')")
+    out["fuzzy_query"] = _const_score_oracle(
+        "length(term) BETWEEN 3 AND 5 AND levenshtein(term, 'quer') <= 1"
+    )
+    out["term_in_set"] = _const_score_oracle("term IN ('spark', 'flink', 'duck')")
+    out["term_range"] = _const_score_oracle("term BETWEEN 'query' AND 'sort'")
+
+    out["phrase_query"] = """
+SELECT doc_id, 1.0 AS score FROM documents
+WHERE (' ' || text || ' ') LIKE '% hash join %'
+ORDER BY doc_id LIMIT 100
+"""
+
+    out["collection_stats"] = f"""
+WITH {TOK_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+SELECT count(*) AS doc_count, sum(dl) AS sttf,
+       round(sum(dl) * 1.0 / count(*), 6) AS avgdl
+FROM dl
+"""
+    out["term_stats"] = f"""
+WITH {TOK_CTE}
+SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_term_freq
+FROM tok GROUP BY term
+ORDER BY doc_freq DESC, term ASC LIMIT 10
+"""
+    out["doc_norms"] = f"""
+WITH {TOK_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+SELECT doc_id, dl, {_NORM_BYTE_CASE} AS norm_byte, {_DLQ_CASE} AS dl_q
+FROM dl WHERE doc_id < 200
+"""
+
+    out["top_docs_by_chars"] = (
+        "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 25"
+    )
+    out["facet_lang_counts"] = "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang"
+    out["facet_chars_histogram"] = (
+        "SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket, count(*) AS cnt "
+        "FROM documents GROUP BY 1"
+    )
+    out["group_top2_per_lang"] = """
+SELECT lang, doc_id, n_chars, rn FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 2
+"""
+    out["distinct_sources_per_lang"] = (
+        "SELECT lang, count(DISTINCT source) AS n_sources FROM documents GROUP BY lang"
+    )
+    out["events_hourly"] = """
+SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       count(*) AS cnt, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    out["dedup_exact"] = (
+        "SELECT md5(text) AS content_md5, count(*) AS n_dups, min(doc_id) AS keeper_id "
+        "FROM documents GROUP BY 1"
+    )
+    out["minhash_signatures"] = _minhash_oracle(num_hashes=8, max_id=40)
+    out["ngram_jaccard_pairs"] = f"""
+WITH {_SHINGLE_CTE},
+sh AS (SELECT * FROM shingles WHERE doc_id < 120),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+"""
+    out["simhash"] = _simhash_oracle()
+
+    out["embedding_cosine_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+z AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x, unnest(qv)::DOUBLE AS y
+  FROM embeddings, q
+),
+s AS (
+  SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nq
+  FROM z GROUP BY vec_id
+)
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 6) AS cos FROM s
+ORDER BY dot / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC LIMIT 15
+"""
+    out["embedding_near_dups"] = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+z AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+),
+s AS (
+  SELECT vec_a, vec_b, sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nb
+  FROM z GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM s
+WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.9
+"""
+
+    _stoplist = (
+        "'a','an','and','are','as','at','be','but','by','for','if','in','into',"
+        "'is','it','no','not','of','on','or','such','that','the','their','then',"
+        "'there','these','they','this','to','was','will','with'"
+    )
+    out["lang_id"] = f"""
+WITH {TOK_CTE},
+st AS (
+  SELECT doc_id, count(*) AS n,
+         sum(CASE WHEN term IN ({_stoplist}) THEN 1 ELSE 0 END) AS stop_hits
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN regexp_matches(d.text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+            WHEN regexp_matches(d.text, '[\\x{{ac00}}-\\x{{d7af}}]') THEN 'ko'
+            WHEN regexp_matches(d.text, '[\\x{{3040}}-\\x{{30ff}}]') THEN 'ja'
+            WHEN coalesce(st.n, 0) > 0 AND st.stop_hits * 1.0 / st.n >= 0.08 THEN 'en'
+            ELSE 'unk' END AS lang_guess
+FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+"""
+    out["quality_score"] = f"""
+WITH {TOK_CTE},
+st AS (
+  SELECT doc_id, count(*) AS n, count(DISTINCT term) AS n_distinct,
+         sum(CASE WHEN term IN ({_stoplist}) THEN 1 ELSE 0 END) AS stop_hits
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(st.n, 0) AS n_tokens,
+       round(CASE WHEN coalesce(st.n, 0) > 0 THEN length(d.text) * 1.0 / st.n ELSE 0 END, 6) AS mean_token_len,
+       round(CASE WHEN coalesce(st.n, 0) > 0 THEN st.stop_hits * 1.0 / st.n ELSE 0 END, 6) AS stopword_ratio,
+       round(CASE WHEN coalesce(st.n, 0) > 0 THEN st.n_distinct * 1.0 / st.n ELSE 0 END, 6) AS distinct_ratio,
+       round(
+         (CASE WHEN coalesce(st.n, 0) BETWEEN 10 AND 5000 THEN 0.25 ELSE 0 END)
+         + (CASE WHEN coalesce(st.n, 0) > 0 AND length(d.text) * 1.0 / st.n BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0 END)
+         + (CASE WHEN coalesce(st.n, 0) > 0 AND st.stop_hits * 1.0 / st.n BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0 END)
+         + (CASE WHEN coalesce(st.n, 0) > 0 THEN st.n_distinct * 1.0 / st.n ELSE 0 END) * 0.25, 6) AS quality
+FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+"""
+    out["token_counts"] = """
+WITH w AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+         len(list_filter(string_split_regex(text, '[^0-9A-Za-z]+'), x -> x <> '')) AS word_pieces,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id, ws_tokens, word_pieces, n_chars FROM w
+"""
+    out["fingerprint_md5"] = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+         list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fingerprint
+FROM documents
+"""
+    return out

@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline index-build + query latencies, one JSON line.
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default 32)
+  BENCH_SYN_DOCS       synthetic-corpus size for the indexing-throughput
+                       leg (default 30000)
+  BENCH_REPS           repetitions per query, p50 reported (default 3)
+
+Measures:
+  - index_build_docs: build the inverted index over the sf documents
+    table (simple analyzer — JVM tokenization) → docs/sec
+  - index_build_synthetic: build over the deterministic synthetic web
+    corpus with the full Lucene-equivalent analysis chain (pandas UDF)
+    → docs/sec, postings/sec
+  - query latencies (p50 of BENCH_REPS): term BM25 top-k, 3-term
+    disjunction exhaustive vs block-max WAND, boolean must/must_not,
+    prefix expansion, phrase, minhash dedup, cosine top-k
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYN_DOCS = int(os.environ.get("BENCH_SYN_DOCS", "30000"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+
+
+def get_spark() -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("lucene_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def timed(fn, reps=1):
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return statistics.median(ts)
+
+
+def main() -> None:
+    from lucene_spark.corpus import synthetic_corpus
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.search import (
+        BooleanClause,
+        BooleanQuery,
+        BoostQuery,
+        IndexSearcher,
+        Occur,
+        PrefixQuery,
+        TermQuery,
+    )
+    from lucene_spark.pipeline import cosine_topk, minhash_lsh_pairs
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    t_suite = time.time()
+    queries: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    # ---- indexing throughput: sf documents (simple analyzer, JVM side)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    t0 = time.time()
+    idx = InvertedIndex.build(docs, analyzer="simple", docs_per_segment=4096)
+    t_build = time.time() - t0
+    queries["index_build_docs"] = round(t_build, 3)
+    extra["index_docs_per_sec"] = round(n_docs / t_build, 1)
+
+    # ---- indexing throughput: synthetic web corpus, full analysis chain
+    corpus = synthetic_corpus(spark, SYN_DOCS, seed=42, num_partitions=CPUS * 2)
+    corpus = corpus.withColumn(
+        "doc_id", F.xxhash64("url")  # opaque unique id is fine for throughput
+    )
+    t0 = time.time()
+    syn_idx = InvertedIndex.build(
+        corpus, analyzer="standard", docs_per_segment=1 << 14
+    )
+    t_syn = time.time() - t0
+    queries["index_build_synthetic"] = round(t_syn, 3)
+    extra["synthetic_docs_per_sec"] = round(SYN_DOCS / t_syn, 1)
+    extra["synthetic_postings_per_sec"] = syn_idx.metrics.get("postings_per_sec")
+    extra["synthetic_num_blocks"] = syn_idx.metrics.get("num_blocks")
+    syn_idx.blocks.unpersist()
+    syn_idx.terms.unpersist()
+
+    # ---- query latencies over the sf documents index
+    searcher = IndexSearcher(idx)
+    disj = BooleanQuery.of(
+        BooleanClause(BoostQuery(TermQuery("spark"), 2.0), Occur.SHOULD),
+        BooleanClause(TermQuery("join"), Occur.SHOULD),
+        BooleanClause(TermQuery("vector"), Occur.SHOULD),
+    )
+    conj = BooleanQuery.of(
+        BooleanClause(TermQuery("hash"), Occur.MUST),
+        BooleanClause(TermQuery("join"), Occur.MUST),
+        BooleanClause(TermQuery("scan"), Occur.MUST_NOT),
+    )
+
+    queries["q_term_topk"] = round(
+        timed(lambda: searcher.search(TermQuery("spark"), 10, "exhaustive").collect(), REPS), 3
+    )
+    queries["q_disjunction_exhaustive"] = round(
+        timed(lambda: searcher.search(disj, 10, "exhaustive").collect(), REPS), 3
+    )
+    queries["q_disjunction_wand"] = round(
+        timed(lambda: searcher.search(disj, 10, "wand").collect(), REPS), 3
+    )
+    queries["q_boolean_must"] = round(
+        timed(lambda: searcher.search(conj, 10, "exhaustive").collect(), REPS), 3
+    )
+    queries["q_prefix"] = round(
+        timed(lambda: searcher.search(PrefixQuery("s"), 10, "exhaustive").collect(), REPS), 3
+    )
+    queries["q_phrase_scan"] = round(
+        timed(
+            lambda: docs.filter(
+                F.concat(F.lit(" "), F.col("text"), F.lit(" ")).like("% hash join %")
+            ).count(),
+            REPS,
+        ),
+        3,
+    )
+
+    # ---- pipeline ops
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    queries["q_cosine_topk"] = round(
+        timed(lambda: cosine_topk(emb, qvec, k=10).collect(), REPS), 3
+    )
+    queries["q_minhash_dedup"] = round(
+        timed(
+            lambda: minhash_lsh_pairs(
+                docs.limit(2000), n=3, num_hashes=16, bands=4, threshold=0.8
+            ).count(),
+            1,
+        ),
+        3,
+    )
+
+    total = round(time.time() - t_suite, 3)
+    out = {
+        "metric": "index_build+query_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        **extra,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

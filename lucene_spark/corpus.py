@@ -100,7 +100,10 @@ def synthetic_corpus(
             starts = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(lens, out=starts[1:])
             total = int(starts[-1])
-            pos = np.arange(total, dtype=np.uint64)
+            # position *within each doc* (batch-offset-independent)
+            pos = (
+                np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], lens)
+            ).astype(np.uint64)
             doc_of = np.repeat(ids, lens)
             u_tok = _uniform(doc_of * np.uint64(1_000_003) + pos * np.uint64(7) + seed64)
             tok_idx = np.searchsorted(cdf, u_tok, side="left")

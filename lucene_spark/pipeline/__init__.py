@@ -1,0 +1,41 @@
+from lucene_spark.pipeline.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+    word_shingles,
+)
+from lucene_spark.pipeline.similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    lsh_bucket_topk,
+    lsh_signatures,
+)
+from lucene_spark.pipeline.textstats import (
+    fingerprint_md5,
+    language_id,
+    quality_score,
+    rolling_fingerprint,
+    token_counts,
+)
+
+__all__ = [
+    "cosine_topk",
+    "embedding_near_dups",
+    "exact_duplicates",
+    "fingerprint_md5",
+    "language_id",
+    "lsh_bucket_topk",
+    "lsh_signatures",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "quality_score",
+    "rolling_fingerprint",
+    "simhash",
+    "simhash_near_dups",
+    "token_counts",
+    "word_shingles",
+]

@@ -55,11 +55,15 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle)."""
     toks = F.split(F.col(text_col), " ")
-    # shingle i = tokens[i..i+n-1] joined by ' ' — pure SQL via transform+slice
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    # shingle i = tokens[i..i+n-1] joined by ' ' — pure SQL via transform+slice.
+    # Guard: Spark sequence(1, x) DESCENDS when x < 1, so gate on size >= n.
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
         .distinct()
@@ -194,16 +198,17 @@ def _simhash64_batch(texts: pd.Series) -> pd.Series:
             continue
         toks = pd.Series(t.split(" ")).value_counts()
         votes = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(63, -1, -1, dtype=np.uint64)  # bit 0 = MSB
         for term, freq in toks.items():
-            h = int(hashlib.md5(term.encode()).hexdigest()[:16], 16)
-            bits = (h >> (63 - np.arange(64))) & 1
+            h = np.uint64(int(hashlib.md5(term.encode()).hexdigest()[:16], 16))
+            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
             votes += np.where(bits == 1, freq, -freq)
-        sim = np.where(votes > 0, 1, 0)
-        val = 0
+        sim = (votes > 0).astype(np.uint64)
+        val = np.uint64(0)
         for b in sim:
-            val = (val << 1) | int(b)
-        # store as signed int64 (two's complement)
-        out[i] = np.int64(np.uint64(val).astype(np.int64))
+            val = (val << np.uint64(1)) | b
+        # store as signed int64 (two's complement reinterpretation)
+        out[i] = int(np.array([val], dtype=np.uint64).view(np.int64)[0])
     return pd.Series(out)
 
 

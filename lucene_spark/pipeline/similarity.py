@@ -55,10 +55,11 @@ def cosine_topk(
     return (
         df.select(
             F.col(id_col).alias("vec_id"),
-            F.round(_cosine_col(F.col(vec_col), qvec), 6).alias("cos"),
+            _cosine_col(F.col(vec_col), qvec).alias("_raw"),
         )
-        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .orderBy(F.col("_raw").desc(), F.col("vec_id").asc())
         .limit(k)
+        .select("vec_id", F.round("_raw", 6).alias("cos"))
     )
 
 
@@ -123,11 +124,10 @@ def lsh_bucket_topk(
         band_match = cond if band_match is None else (band_match | cond)
     cand = sigs.filter(band_match)
     return (
-        cand.select(
-            "vec_id", F.round(_cosine_col(F.col(vec_col), qvec), 6).alias("cos")
-        )
-        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        cand.select("vec_id", _cosine_col(F.col(vec_col), qvec).alias("_raw"))
+        .orderBy(F.col("_raw").desc(), F.col("vec_id").asc())
         .limit(k)
+        .select("vec_id", F.round("_raw", 6).alias("cos"))
     )
 
 

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""One indexing job at a fixed parallelism — the scaling-run worker.
+
+Run via spark-submit (or plain python) at two parallelism levels to
+evidence the north rule's N → 4N scaling criterion:
+
+    spark-submit --master local[8]  --py-files lucene_spark.zip scripts/index_job.py
+    spark-submit --master local[32] --py-files lucene_spark.zip scripts/index_job.py
+
+Prints one JSON line: corpus size, steady-state index-build seconds
+(corpus generation and Spark startup excluded), docs/sec, postings/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+CPUS = int(os.environ.get("JOB_CPUS", "8"))
+DOCS = int(os.environ.get("JOB_DOCS", "40000"))
+ANALYZER = os.environ.get("JOB_ANALYZER", "standard")
+SEED = int(os.environ.get("JOB_SEED", "42"))
+
+
+def main() -> None:
+    from lucene_spark.corpus import synthetic_corpus
+    from lucene_spark.index import InvertedIndex
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName(f"index_job_{CPUS}")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("JOB_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # materialize the corpus first so generation cost is excluded
+    corpus = synthetic_corpus(spark, DOCS, seed=SEED, num_partitions=CPUS * 4).persist()
+    corpus.count()
+    t0 = time.time()
+    idx = InvertedIndex.build(corpus, analyzer=ANALYZER, docs_per_segment=1 << 14)
+    secs = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "cpus": CPUS,
+                "docs": DOCS,
+                "analyzer": ANALYZER,
+                "build_secs": round(secs, 3),
+                "docs_per_sec": round(DOCS / secs, 1),
+                "postings_per_sec": idx.metrics.get("postings_per_sec"),
+                "num_blocks": idx.metrics.get("num_blocks"),
+                "sum_total_term_freq": idx.sum_total_term_freq,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

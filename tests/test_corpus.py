@@ -42,7 +42,9 @@ def test_length_spread_and_skew(spark):
         .limit(10)
         .collect()
     )
-    assert any(r["t"] == "the" for r in top)
+    from lucene_spark.analysis import ENGLISH_STOP_WORDS
+
+    assert any(r["t"] in ENGLISH_STOP_WORDS for r in top)
 
 
 def test_doc_id_assignment_on_corpus(spark):

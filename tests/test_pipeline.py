@@ -1,0 +1,133 @@
+"""Training-data pipeline ops: dedup, similarity, text stats, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.pipeline import (
+    cosine_topk,
+    exact_duplicates,
+    lsh_bucket_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    word_shingles,
+)
+from lucene_spark.pipeline.multimodal import attach_media_meta, frame_sample, image_features
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = " ".join(
+        "the quick brown fox jumps over the lazy dog while the clever cat "
+        "watches from the tall green tree and the birds sing morning songs "
+        "above the quiet river bank today".split()
+    )
+    near = base.replace("lazy", "sleepy")  # 1-token edit → jaccard ≈ 0.85
+    texts = [base, base, near, "completely different words here entirely", base + " x"]
+    return spark.createDataFrame(pd.DataFrame({"doc_id": range(5), "text": texts}))
+
+
+def test_exact_duplicates(dup_docs):
+    groups = exact_duplicates(dup_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["keeper_id"] == 0
+
+
+def test_word_shingles_short_docs(spark):
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "a b c d"]}))
+    rows = word_shingles(df, n=3).collect()
+    got = {(r["doc_id"], r["shingle"]) for r in rows}
+    assert got == {(1, "a b c"), (1, "b c d")}  # 2-token doc yields none
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            dup_docs, num_hashes=16, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always survives
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_exact(dup_docs):
+    rows = ngram_jaccard_pairs(dup_docs, threshold=0.99).collect()
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert exact[(0, 1)] == 1.0
+
+
+def test_simhash_near_dups(dup_docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_near_dups(dup_docs, max_hamming=10).collect()}
+    assert (0, 1) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    base[7] = base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near-dup of 0
+    pdf = pd.DataFrame({"vec_id": range(40), "embedding": [v.tolist() for v in base]})
+    return spark.createDataFrame(pdf)
+
+
+def test_cosine_topk_exact(vectors):
+    q = [float(x) for x in vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    rows = cosine_topk(vectors, q, k=3).collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["cos"] == 1.0
+    assert rows[1]["vec_id"] == 7  # the planted near-duplicate
+
+
+def test_lsh_topk_recall(vectors):
+    q = [float(x) for x in vectors.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = [r["vec_id"] for r in cosine_topk(vectors, q, k=5).collect()]
+    approx = [r["vec_id"] for r in lsh_bucket_topk(vectors, q, k=5, n_bits=16, bands=8).collect()]
+    # top-1/2 (identical + planted near-dup) must be found
+    assert exact[0] in approx and exact[1] in approx
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    pdf = pd.DataFrame(
+        {
+            "media_id": range(6),
+            "kind": ["image", "image", "video", "audio", "video", "image"],
+            "payload": [bytes([i] * (10 + i * 7)) for i in range(6)],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_media_meta_plumbing(media):
+    meta = attach_media_meta(media).collect()
+    assert len(meta) == 6
+    m = {r["media_id"]: r for r in meta}
+    assert m[3]["n_bytes"] == 31
+    assert all(r["width"] >= 64 and r["height"] >= 64 for r in meta)
+    # deterministic: same payload → same meta on re-run
+    again = {r["media_id"]: r for r in attach_media_meta(media).collect()}
+    assert {k: tuple(v) for k, v in m.items()} == {k: tuple(v) for k, v in again.items()}
+
+
+def test_media_strict_mode_raises(media):
+    with pytest.raises(Exception):  # NotImplementedError inside the UDF
+        attach_media_meta(media, strict=True).collect()
+
+
+def test_image_features_shape(media):
+    feats = image_features(media, dim=16).collect()
+    assert all(len(r["feat"]) == 16 for r in feats)
+
+
+def test_frame_sample_fanout(media):
+    frames = frame_sample(media, every_ms=1000).collect()
+    assert len(frames) >= 6  # at least one frame per item
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for mid, idxs in by_id.items():
+        assert sorted(idxs) == list(range(len(idxs)))
