@@ -18,7 +18,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from lucene_spark.index import InvertedIndex
-from lucene_spark.search.parity import bm25_topk_f64, oracle_bm25_sql, _decode_postings
+from lucene_spark.search.parity import (
+    bm25_topk_f64,
+    dismax_f64,
+    oracle_bm25_sql,
+    oracle_dismax_sql,
+    oracle_phrase_sql,
+    oracle_search_after_sql,
+    oracle_synonym_sql,
+    phrase_bm25_f64,
+    search_after_f64,
+    synonym_bm25_f64,
+    _decode_postings,
+)
 from lucene_spark.search import (
     BooleanClause,
     BooleanQuery,
@@ -76,7 +88,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
     if sf_dir not in _INDEX_CACHE:
         _INDEX_CACHE[sf_dir] = InvertedIndex.build(
-            _docs(spark, sf_dir), analyzer="simple", docs_per_segment=2048
+            _docs(spark, sf_dir),
+            analyzer="simple",
+            docs_per_segment=2048,
+            positions=True,  # phrase queries run off the same index
         )
     return _INDEX_CACHE[sf_dir]
 
@@ -227,6 +242,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .orderBy("doc_id")
         .limit(100)
     )
+    # index-backed positional phrase, BM25-scored (ExactPhraseMatcher)
+    out["phrase_bm25"] = lambda spark, sf: phrase_bm25_f64(
+        _index(spark, sf), ["hash", "join"], k=20
+    )
+    out["phrase_bm25_tri"] = lambda spark, sf: phrase_bm25_f64(
+        _index(spark, sf), ["slow", "hash", "batch"], k=15
+    )
+    # SynonymQuery: one pseudo-term (df=max, freq=sum)
+    out["synonym_query"] = lambda spark, sf: synonym_bm25_f64(
+        _index(spark, sf), ["hash", "merge"], k=20
+    )
+    # DisjunctionMaxQuery with tie-breaker
+    out["dismax_query"] = lambda spark, sf: dismax_f64(
+        _index(spark, sf), {"hash": 1.0, "join": 2.0, "scan": 1.5}, tie=0.3, k=20
+    )
+    # searchAfter paging (page 2 of a disjunction)
+    out["search_after"] = lambda spark, sf: search_after_f64(
+        _index(spark, sf), {"spark": 1.0, "query": 1.0}, k=15
+    )
 
     # --- statistics / norms
     def collection_stats(spark, sf):
@@ -319,7 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         word_shingles(_docs(spark, sf).filter(F.col("doc_id") < 40)), num_hashes=8
     )
     out["ngram_jaccard_pairs"] = lambda spark, sf: ngram_jaccard_pairs(
-        _docs(spark, sf).filter(F.col("doc_id") < 120), n=3, threshold=0.5
+        _docs(spark, sf).filter(F.col("doc_id") < 120), n=3, threshold=0.02
     )
     out["simhash"] = _simhash_hex
     out["simhash_near_dups"] = lambda spark, sf: simhash_near_dups(
@@ -365,7 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("b.vec_id").alias("vec_b"),
                 F.round(dot / (nrm("a") * nrm("b")), 6).alias("cos"),
             )
-            .filter(F.col("cos") >= 0.9)
+            .filter(F.col("cos") >= 0.4)
         )
 
     out["embedding_near_dups"] = embedding_near_dups_exact
@@ -400,6 +434,13 @@ SELECT doc_id, 1.0 AS score FROM documents
 WHERE (' ' || text || ' ') LIKE '% hash join %'
 ORDER BY doc_id LIMIT 100
 """
+    out["phrase_bm25"] = oracle_phrase_sql(["hash", "join"], k=20)
+    out["phrase_bm25_tri"] = oracle_phrase_sql(["slow", "hash", "batch"], k=15)
+    out["synonym_query"] = oracle_synonym_sql(["hash", "merge"], k=20)
+    out["dismax_query"] = oracle_dismax_sql(
+        {"hash": 1.0, "join": 2.0, "scan": 1.5}, tie=0.3, k=20
+    )
+    out["search_after"] = oracle_search_after_sql({"spark": 1.0, "query": 1.0}, k=15)
 
     out["collection_stats"] = f"""
 WITH {TOK_CTE},
@@ -465,7 +506,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.02
 """
     out["simhash"] = _simhash_oracle()
 
@@ -494,7 +535,7 @@ s AS (
   FROM z GROUP BY vec_a, vec_b
 )
 SELECT vec_a, vec_b, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM s
-WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.9
+WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4
 """
 
     _stoplist = (

@@ -88,9 +88,8 @@ def main() -> None:
     extra["index_docs_per_sec"] = round(n_docs / t_build, 1)
 
     # ---- indexing throughput: synthetic web corpus, full analysis chain
-    corpus = synthetic_corpus(spark, SYN_DOCS, seed=42, num_partitions=CPUS * 2)
-    corpus = corpus.withColumn(
-        "doc_id", F.xxhash64("url")  # opaque unique id is fine for throughput
+    corpus = synthetic_corpus(
+        spark, SYN_DOCS, seed=42, num_partitions=CPUS * 2, with_doc_id=True
     )
     t0 = time.time()
     syn_idx = InvertedIndex.build(

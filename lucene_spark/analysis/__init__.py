@@ -5,6 +5,7 @@ from lucene_spark.analysis.analyzer import (
     extract_text_col,
     simple_lowercase,
     standard_analyzer_udf,
+    term_freq_udf,
     tokenize,
     tokens_simple_col,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "extract_text_col",
     "simple_lowercase",
     "standard_analyzer_udf",
+    "term_freq_udf",
     "tokenize",
     "tokens_simple_col",
 ]

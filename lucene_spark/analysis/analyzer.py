@@ -56,6 +56,7 @@ __all__ = [
     "tokenize",
     "analyze",
     "standard_analyzer_udf",
+    "term_freq_udf",
     "tokens_simple_col",
     "extract_text_col",
 ]
@@ -170,6 +171,68 @@ def standard_analyzer_udf():
             yield s.map(lambda t: analyze(t) if isinstance(t, str) else [])
 
     return _analyze
+
+
+def term_freq_udf(analyzer: str = "standard", positions: bool = False):
+    """pandas_udf: text → struct<dl:int, tf:array<struct<term,freq[,positions]>>>.
+
+    Emits the per-document inversion result *pre-aggregated* — the
+    in-RAM equivalent of Lucene's per-document TermsHash
+    (`index/FreqProxTermsWriterPerField.java:113,141`: freq and
+    positions accumulate per term while the doc is processed, BEFORE
+    anything is written). Doing the doc-local aggregation inside the
+    Arrow batch means the (doc, term) → freq shuffle disappears from
+    the build plan: only already-aggregated postings cross the wire,
+    and ``dl`` (the norm input) comes out of the same pass.
+
+    analyzer='standard' → full Lucene-equivalent chain;
+    analyzer='simple' → split on single spaces (space-normalized
+    corpora; byte-identical to the JVM/DuckDB split used by the
+    oracle-parity queries).
+    """
+    fields = [
+        StructField("term", StringType()),
+        StructField("freq", IntegerType()),
+    ]
+    if positions:
+        fields.append(StructField("positions", ArrayType(IntegerType())))
+    schema = StructType(
+        [StructField("dl", IntegerType()), StructField("tf", ArrayType(StructType(fields)))]
+    )
+
+    def one_doc(text):
+        if not isinstance(text, str) or not text:
+            return {"dl": 0, "tf": []}
+        if analyzer == "standard":
+            toks = analyze(text)
+        else:
+            toks = [
+                (t, i) for i, t in enumerate(text.split(" ")) if t
+            ]
+        if positions:
+            acc: dict = {}
+            for term, pos in toks:
+                acc.setdefault(term, []).append(pos)
+            tf = [
+                {"term": t, "freq": len(ps), "positions": ps} for t, ps in acc.items()
+            ]
+        else:
+            cnt: dict = {}
+            for term, _ in toks:
+                cnt[term] = cnt.get(term, 0) + 1
+            tf = [{"term": t, "freq": f} for t, f in cnt.items()]
+        return {"dl": len(toks), "tf": tf}
+
+    @F.pandas_udf(schema)
+    def _tf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        # struct return type ⇒ yield a DataFrame with one column per field
+        for s in batches:
+            recs = s.map(one_doc)
+            yield pd.DataFrame(
+                {"dl": recs.map(lambda r: r["dl"]), "tf": recs.map(lambda r: r["tf"])}
+            )
+
+    return _tf
 
 
 def tokens_simple_col(text_col):

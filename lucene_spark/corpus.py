@@ -75,8 +75,15 @@ def synthetic_corpus(
     max_len: int = 2000,
     zipf_s: float = 1.07,
     num_partitions: int | None = None,
+    with_doc_id: bool = False,
 ) -> DataFrame:
-    """Return the deterministic corpus DataFrame (CORPUS_SCHEMA)."""
+    """Return the deterministic corpus DataFrame (CORPUS_SCHEMA).
+
+    with_doc_id=True prepends a dense deterministic ``doc_id`` column
+    (= the generator ordinal — a pure function of the data, not of the
+    partition layout, so it satisfies the deterministic-docID
+    requirement directly and skips the rank-assignment pass).
+    """
     vocab = build_vocab(vocab_size)
     ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
     weights = 1.0 / np.power(ranks, zipf_s)
@@ -118,15 +125,17 @@ def synthetic_corpus(
             )
             htmls = [f"<html><body>{t}</body></html>".encode("utf-8") for t in texts]
             langs = _LANGS[(_mix64(ids * np.uint64(11) + seed64) % np.uint64(len(_LANGS))).astype(np.int64)]
-            yield pd.DataFrame(
-                {
-                    "url": urls,
-                    "warc_ts": ts,
-                    "html": htmls,
-                    "text": texts,
-                    "lang": langs,
-                }
-            )
+            cols = {
+                "url": urls,
+                "warc_ts": ts,
+                "html": htmls,
+                "text": texts,
+                "lang": langs,
+            }
+            if with_doc_id:
+                cols = {"doc_id": ids.astype(np.int64), **cols}
+            yield pd.DataFrame(cols)
 
     parts = num_partitions or spark.sparkContext.defaultParallelism
-    return spark.range(0, n_docs, numPartitions=parts).mapInPandas(gen, CORPUS_SCHEMA)
+    schema = ("doc_id long, " + CORPUS_SCHEMA) if with_doc_id else CORPUS_SCHEMA
+    return spark.range(0, n_docs, numPartitions=parts).mapInPandas(gen, schema)

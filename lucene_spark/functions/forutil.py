@@ -38,6 +38,8 @@ __all__ = [
     "pfor_decode",
     "delta_encode",
     "delta_decode",
+    "for_encode_stream",
+    "for_decode_stream",
 ]
 
 BLOCK_SIZE = 128  # Lucene103PostingsFormat.BLOCK_SIZE
@@ -132,6 +134,38 @@ def pfor_decode(blob: bytes) -> np.ndarray:
     vals = _unpack_bits(buf[off:], n, width)
     vals[exc_pos] |= exc_high << np.uint64(width)
     return vals.astype(np.int64)
+
+
+def for_encode_stream(values: np.ndarray) -> bytes:
+    """FOR-pack an arbitrary-length int stream as 128-int sub-blocks.
+
+    Lucene's .pos file packs position deltas in the same 128-int FOR
+    blocks as docIDs (`Lucene103PostingsFormat.java:44-63`, pos blocks
+    at `:225-250`); this is the stream variant for per-block position
+    payloads whose length = sum of freqs (not bounded by 128).
+
+    Layout: [n_total:u4le] then ceil(n/128) FOR blobs back-to-back.
+    """
+    values = np.asarray(values, dtype=np.uint64)
+    out = bytearray(np.array([values.shape[0]], dtype="<u4").tobytes())
+    for start in range(0, values.shape[0], BLOCK_SIZE):
+        out += for_encode(values[start : start + BLOCK_SIZE])
+    return bytes(out)
+
+
+def for_decode_stream(blob: bytes) -> np.ndarray:
+    n_total = int(np.frombuffer(blob, dtype="<u4", count=1)[0])
+    out = np.empty(n_total, dtype=np.int64)
+    off, got = 4, 0
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    while got < n_total:
+        width = int(buf[off + 1])
+        n = int(np.frombuffer(blob, dtype="<u2", count=1, offset=off + 2)[0])
+        payload = (n * width + 7) // 8
+        out[got : got + n] = for_decode(blob[off : off + 4 + payload])
+        off += 4 + payload
+        got += n
+    return out
 
 
 def delta_encode(doc_ids: np.ndarray) -> np.ndarray:

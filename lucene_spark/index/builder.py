@@ -50,16 +50,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from lucene_spark.analysis import standard_analyzer_udf, tokens_simple_col
+from lucene_spark.analysis import term_freq_udf
 from lucene_spark.functions.forutil import (
     BLOCK_SIZE,
+    delta_decode,
     delta_encode,
     for_encode,
+    for_encode_stream,
     pfor_encode,
 )
 from lucene_spark.functions.smallfloat import int_to_byte4
 
-__all__ = ["InvertedIndex", "assign_doc_ids", "BLOCKS_SCHEMA"]
+__all__ = ["InvertedIndex", "assign_doc_ids", "BLOCKS_SCHEMA", "BLOCKS_SCHEMA_POS"]
 
 
 # One row per (segment, term, block). `docs_packed` is delta+FOR,
@@ -79,7 +81,22 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("impact_freqs", T.ArrayType(T.IntegerType()), False),
         T.StructField("impact_norms", T.ArrayType(T.IntegerType()), False),
         T.StructField("max_freq", T.IntegerType(), False),
+        T.StructField("sum_freq", T.LongType(), False),
     ]
+)
+
+# blocks rows with term == NORMS_TERM carry the segment's norms: one
+# "posting" per doc with freq = dl and norms_raw = the norm byte. This
+# keeps the whole segment build a single kernel output (one schema) and
+# makes collection/term statistics plain DataFrame aggs over blocks.
+NORMS_TERM = ""
+
+# Positional variant: `positions_packed` holds each posting's positions
+# (within-doc delta-encoded, concatenated in doc order, FOR-packed as
+# 128-int sub-blocks — the .pos-file analog of
+# `Lucene103PostingsFormat.java:225-250`); per-posting lengths = freqs.
+BLOCKS_SCHEMA_POS = T.StructType(
+    BLOCKS_SCHEMA.fields + [T.StructField("positions_packed", T.BinaryType(), False)]
 )
 
 
@@ -138,14 +155,15 @@ def assign_doc_ids(
     )
 
 
-def _encode_term_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: one (segment, term) group → block rows."""
-    seg = int(pdf["segment_id"].iloc[0])
-    term = pdf["term"].iloc[0]
-    order = np.argsort(pdf["doc_id"].values, kind="stable")
-    docs = pdf["doc_id"].values[order].astype(np.int64)
-    freqs = pdf["freq"].values[order].astype(np.int64)
-    norms = pdf["norm"].values[order].astype(np.uint8)
+def _blocks_from_arrays(
+    seg: int,
+    term: str,
+    docs: np.ndarray,
+    freqs: np.ndarray,
+    norms: np.ndarray,
+    positions=None,
+) -> list:
+    """Sorted per-term postings arrays → list of block row dicts."""
     rows = []
     for ord_, start in enumerate(range(0, len(docs), BLOCK_SIZE)):
         d = docs[start : start + BLOCK_SIZE]
@@ -154,23 +172,133 @@ def _encode_term_group(pdf: pd.DataFrame) -> pd.DataFrame:
         # competitive impacts: pareto frontier of (freq desc, norm asc)
         # — a pair dominates if freq >= and norm <= (CompetitiveImpactAccumulator)
         imp = _pareto_impacts(f, nb)
-        rows.append(
-            {
-                "segment_id": seg,
-                "term": term,
-                "block_ord": ord_,
-                "num_docs": int(len(d)),
-                "first_doc": int(d[0]),
-                "max_doc": int(d[-1]),
-                "docs_packed": for_encode(delta_encode(d)),
-                "freqs_packed": pfor_encode(f),
-                "norms_raw": nb.tobytes(),
-                "impact_freqs": [int(x) for x, _ in imp],
-                "impact_norms": [int(y) for _, y in imp],
-                "max_freq": int(f.max()),
-            }
-        )
-    return pd.DataFrame(rows)
+        row = {
+            "segment_id": seg,
+            "term": term,
+            "block_ord": ord_,
+            "num_docs": int(len(d)),
+            "first_doc": int(d[0]),
+            "max_doc": int(d[-1]),
+            "docs_packed": for_encode(delta_encode(d)),
+            "freqs_packed": pfor_encode(f),
+            "norms_raw": nb.tobytes(),
+            "impact_freqs": [int(x) for x, _ in imp],
+            "impact_norms": [int(y) for _, y in imp],
+            "max_freq": int(f.max()),
+            "sum_freq": int(f.sum()),
+        }
+        if positions is not None:
+            # within-doc delta encoding, concatenated in doc order
+            deltas = [
+                delta_encode(np.asarray(p, dtype=np.int64))
+                for p in positions[start : start + BLOCK_SIZE]
+            ]
+            row["positions_packed"] = for_encode_stream(
+                np.concatenate(deltas) if deltas else np.empty(0, dtype=np.int64)
+            )
+        rows.append(row)
+    return rows
+
+
+def _encode_term_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one (segment, term) group of per-posting
+    rows → block rows (used by the merge path)."""
+    seg = int(pdf["segment_id"].iloc[0])
+    term = pdf["term"].iloc[0]
+    order = np.argsort(pdf["doc_id"].values, kind="stable")
+    docs = pdf["doc_id"].values[order].astype(np.int64)
+    freqs = pdf["freq"].values[order].astype(np.int64)
+    norms = pdf["norm"].values[order].astype(np.uint8)
+    positions = pdf["positions"].values[order] if "positions" in pdf.columns else None
+    return pd.DataFrame(_blocks_from_arrays(seg, term, docs, freqs, norms, positions))
+
+
+def _segment_build_kernel(analyzer: str, positions: bool):
+    """applyInPandas kernel: one segment's (doc_id, text) rows → blocks.
+
+    The Spark analog of one DWPT flush
+    (`index/DocumentsWriterPerThread.java:132` +
+    `index/IndexingChain.java:553-1175`): the whole inversion —
+    analyze, per-doc TermsHash, norms, sort, block encode — happens
+    inside one task over one segment, so postings never cross the
+    network un-encoded. The only wide exchange in the build is the
+    corpus shuffle that forms segments.
+
+    Norms are emitted as pseudo-term ``NORMS_TERM`` rows (freq = dl),
+    making doc_count / sumTotalTermFreq / per-term stats plain
+    DataFrame aggregations over the output.
+    """
+    from lucene_spark.analysis import analyze as std_analyze
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["doc_id"].values, kind="stable")
+        doc_ids = pdf["doc_id"].values[order].astype(np.int64)
+        texts = pdf["text"].values[order]
+        seg = int(pdf["segment_id"].iloc[0])
+
+        # per-term accumulators over the segment (doc-ordered appends)
+        tdocs: dict = {}
+        tfreqs: dict = {}
+        tpos: dict = {}
+        dls = np.zeros(len(doc_ids), dtype=np.int64)
+        for i in range(len(doc_ids)):
+            text = texts[i]
+            if not isinstance(text, str) or not text:
+                continue
+            if analyzer == "standard":
+                toks = std_analyze(text)
+            else:
+                toks = [(t, p) for p, t in enumerate(text.split(" ")) if t]
+            if not toks:
+                continue
+            dls[i] = len(toks)
+            if positions:
+                acc: dict = {}
+                for term, pos in toks:
+                    acc.setdefault(term, []).append(pos)
+                for term, ps in acc.items():
+                    tdocs.setdefault(term, []).append(i)
+                    tfreqs[term] = tfreqs.get(term, [])
+                    tfreqs[term].append(len(ps))
+                    tpos.setdefault(term, []).append(ps)
+            else:
+                cnt: dict = {}
+                for term, _ in toks:
+                    cnt[term] = cnt.get(term, 0) + 1
+                for term, f in cnt.items():
+                    tdocs.setdefault(term, []).append(i)
+                    tfreqs.setdefault(term, []).append(f)
+
+        live = dls > 0
+        norm_bytes = int_to_byte4(dls).astype(np.uint8)
+        rows: list = []
+        # pseudo-term norms rows: one "posting" per live doc, freq = dl
+        if live.any():
+            rows.extend(
+                _blocks_from_arrays(
+                    seg,
+                    NORMS_TERM,
+                    doc_ids[live],
+                    dls[live],
+                    norm_bytes[live],
+                    positions=[[] for _ in range(int(live.sum()))] if positions else None,
+                )
+            )
+        for term in tdocs:
+            idx = np.asarray(tdocs[term], dtype=np.int64)
+            rows.extend(
+                _blocks_from_arrays(
+                    seg,
+                    term,
+                    doc_ids[idx],
+                    np.asarray(tfreqs[term], dtype=np.int64),
+                    norm_bytes[idx],
+                    positions=tpos[term] if positions else None,
+                )
+            )
+        return pd.DataFrame(rows)
+
+    return kernel
 
 
 def _pareto_impacts(freqs: np.ndarray, norms: np.ndarray) -> list:
@@ -187,6 +315,48 @@ def _pareto_impacts(freqs: np.ndarray, norms: np.ndarray) -> list:
             out.append((df[n], n))
             best = df[n]
     return out
+
+
+_NORMS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("dl", T.LongType(), False),
+        T.StructField("norm", T.IntegerType(), False),
+    ]
+)
+
+
+def _decode_norms(full_blocks: DataFrame) -> DataFrame:
+    """Decode the pseudo-term norm rows → (doc_id, dl, norm) table."""
+    from lucene_spark.functions.forutil import for_decode, pfor_decode
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for docs_b, freqs_b, norms_b in zip(
+                pdf["docs_packed"].values,
+                pdf["freqs_packed"].values,
+                pdf["norms_raw"].values,
+            ):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": delta_decode(for_decode(bytes(docs_b))),
+                            "dl": pfor_decode(bytes(freqs_b)),
+                            "norm": np.frombuffer(
+                                bytes(norms_b), dtype=np.uint8
+                            ).astype(np.int32),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return (
+        full_blocks.filter(F.col("term") == NORMS_TERM)
+        .select("docs_packed", "freqs_packed", "norms_raw")
+        .mapInPandas(fn, _NORMS_SCHEMA)
+    )
 
 
 @dataclass
@@ -207,6 +377,7 @@ class InvertedIndex:
     docs_per_segment: int
     num_segments: int
     metrics: dict
+    has_positions: bool = False
 
     # ------------------------------------------------------------------
     @classmethod
@@ -218,75 +389,64 @@ class InvertedIndex:
         analyzer: str = "simple",
         docs_per_segment: int = 1 << 14,
         shuffle_partitions: Optional[int] = None,
+        positions: bool = False,
     ) -> "InvertedIndex":
         """Build posting blocks from a corpus DataFrame.
 
         analyzer='standard' runs the full Lucene-equivalent chain
         (pandas UDF); 'simple' splits on single spaces JVM-side (for
         space-normalized corpora and DuckDB-oracle parity).
+
+        positions=True additionally stores per-posting position lists
+        (`IndexOptions.DOCS_AND_FREQS_AND_POSITIONS`), enabling
+        PhraseQuery; costs one extra array column through the build
+        shuffle plus the .pos-analog payload per block.
         """
         spark = corpus.sparkSession
         t0 = time.time()
         doc_id = F.col(doc_id_col).cast("long").alias("doc_id")
 
-        if analyzer == "standard":
-            toks = corpus.select(
-                doc_id,
-                F.explode(standard_analyzer_udf()(F.col(text_col))).alias("tok"),
-            ).select("doc_id", F.col("tok.term").alias("term"))
-        elif analyzer == "simple":
-            toks = corpus.select(
-                doc_id, F.explode(tokens_simple_col(F.col(text_col))).alias("term")
-            ).filter(F.col("term") != "")
-        else:
+        if analyzer not in ("standard", "simple"):
             raise ValueError(f"unknown analyzer {analyzer!r}")
 
-        # (doc, term) → freq. Map-side partial agg absorbs term skew;
-        # the composite key is skew-free.
-        freqs = toks.groupBy("doc_id", "term").agg(
-            F.count(F.lit(1)).cast("int").alias("freq")
+        # One segment = one task = one kernel call (a DWPT flush). The
+        # corpus shuffle that forms segments is the build's only wide
+        # exchange; postings are born block-encoded inside the kernel
+        # and collection/term statistics are aggregations over block
+        # METADATA (no posting decode, no per-posting shuffle).
+        src = corpus.select(doc_id, F.col(text_col).alias("text")).withColumn(
+            "segment_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("long")
         )
-        freqs = freqs.persist()
+        schema = BLOCKS_SCHEMA_POS if positions else BLOCKS_SCHEMA
+        full = (
+            src.groupBy("segment_id")
+            .applyInPandas(_segment_build_kernel(analyzer, positions), schema)
+            .persist()
+        )
 
-        # field length (# surviving tokens) → 1-byte norm
-        dl = freqs.groupBy("doc_id").agg(F.sum("freq").cast("long").alias("dl"))
-
-        @F.pandas_udf(T.IntegerType())
-        def norm_byte(s: Iterator[pd.Series]) -> Iterator[pd.Series]:
-            for batch in s:
-                yield pd.Series(
-                    int_to_byte4(batch.values.astype(np.int64)).astype(np.int32)
-                )
-
-        norms = dl.withColumn("norm", norm_byte(F.col("dl"))).persist()
-
-        stats_row = norms.agg(
-            F.count(F.lit(1)).alias("doc_count"), F.sum("dl").alias("sttf")
-        ).collect()[0]
-        doc_count = int(stats_row["doc_count"])
+        # collection stats from the pseudo-term norm rows (pure aggs —
+        # `search/CollectionStatistics.java:27-38`)
+        stats_row = (
+            full.filter(F.col("term") == NORMS_TERM)
+            .agg(F.sum("num_docs").alias("doc_count"), F.sum("sum_freq").alias("sttf"))
+            .collect()[0]
+        )
+        doc_count = int(stats_row["doc_count"] or 0)
         sttf = int(stats_row["sttf"] or 0)
 
-        terms = freqs.groupBy("term").agg(
-            F.count(F.lit(1)).cast("long").alias("doc_freq"),
-            F.sum("freq").cast("long").alias("total_term_freq"),
+        blocks = full.filter(F.col("term") != NORMS_TERM)
+        # per-term stats: agg over block metadata (map-side combine
+        # absorbs Zipf skew; no posting decode needed)
+        terms = blocks.groupBy("term").agg(
+            F.sum("num_docs").cast("long").alias("doc_freq"),
+            F.sum("sum_freq").cast("long").alias("total_term_freq"),
         )
+        norms = _decode_norms(full)
 
-        # postings with inline norms, grouped per (segment, term)
-        pf = (
-            freqs.join(norms.select("doc_id", "norm"), "doc_id")
-            .withColumn(
-                "segment_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("long")
-            )
-        )
-        blocks = pf.groupBy("segment_id", "term").applyInPandas(
-            _encode_term_group, BLOCKS_SCHEMA
-        )
-        # cache blocks for interactive search sessions
-        blocks = blocks.persist()
         n_blocks = blocks.count()  # materialize (also: build-time metric)
         num_segments = (doc_count + docs_per_segment - 1) // docs_per_segment
         build_secs = time.time() - t0
-        n_postings = sttf  # one posting per (doc, term) occurrence ≈ sum freq
+        n_postings = sttf  # one posting per (doc, term) occurrence = sum freq
         metrics = {
             "build_secs": round(build_secs, 3),
             "doc_count": doc_count,
@@ -294,7 +454,6 @@ class InvertedIndex:
             "docs_per_sec": round(doc_count / build_secs, 1) if build_secs else None,
             "postings_per_sec": round(n_postings / build_secs, 1) if build_secs else None,
         }
-        freqs.unpersist()
         return cls(
             spark=spark,
             blocks=blocks,
@@ -305,6 +464,7 @@ class InvertedIndex:
             docs_per_segment=docs_per_segment,
             num_segments=num_segments,
             metrics=metrics,
+            has_positions=positions,
         )
 
     # ------------------------------------------------------------------
@@ -332,6 +492,7 @@ class InvertedIndex:
             "docs_per_segment": self.docs_per_segment,
             "num_segments": self.num_segments,
             "metrics": self.metrics,
+            "has_positions": self.has_positions,
             "committed_at": time.time(),
         }
         os.makedirs(index_dir, exist_ok=True)
@@ -354,4 +515,5 @@ class InvertedIndex:
             docs_per_segment=m["docs_per_segment"],
             num_segments=m["num_segments"],
             metrics=m.get("metrics", {}),
+            has_positions=m.get("has_positions", False),
         )

@@ -132,14 +132,24 @@ def tiered_merge_plan(
 def _merge_term_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas kernel: all blocks of one (target_seg, term) across
     source segments → re-chunked, re-encoded blocks."""
+    from lucene_spark.functions.forutil import for_decode_stream
+
+    with_pos = "positions_packed" in pdf.columns
     order = np.argsort(pdf["first_doc"].values, kind="stable")
-    docs_parts, freq_parts, norm_parts = [], [], []
+    docs_parts, freq_parts, norm_parts, pos_parts = [], [], [], []
     for i in order:
         docs_parts.append(delta_decode(for_decode(bytes(pdf["docs_packed"].values[i]))))
-        freq_parts.append(pfor_decode(bytes(pdf["freqs_packed"].values[i])))
+        freqs = pfor_decode(bytes(pdf["freqs_packed"].values[i]))
+        freq_parts.append(freqs)
         norm_parts.append(
             np.frombuffer(bytes(pdf["norms_raw"].values[i]), dtype=np.uint8).astype(np.int64)
         )
+        if with_pos:
+            stream = for_decode_stream(bytes(pdf["positions_packed"].values[i]))
+            bounds = np.cumsum(freqs)[:-1]
+            pos_parts.extend(
+                np.cumsum(chunk) for chunk in np.split(stream, bounds)
+            )
     flat = pd.DataFrame(
         {
             "segment_id": int(pdf["target_seg"].iloc[0]),
@@ -149,6 +159,8 @@ def _merge_term_group(pdf: pd.DataFrame) -> pd.DataFrame:
             "norm": np.concatenate(norm_parts),
         }
     )
+    if with_pos:
+        flat["positions"] = pos_parts
     return _encode_term_group(flat)
 
 
@@ -173,8 +185,11 @@ def merge_segments(
     )
     merged_src = index.blocks.join(map_df, "segment_id")
     untouched = index.blocks.join(map_df.select("segment_id"), "segment_id", "left_anti")
+    from lucene_spark.index.builder import BLOCKS_SCHEMA_POS
+
+    schema = BLOCKS_SCHEMA_POS if index.has_positions else BLOCKS_SCHEMA
     re_encoded = merged_src.groupBy("target_seg", "term").applyInPandas(
-        _merge_term_group, BLOCKS_SCHEMA
+        _merge_term_group, schema
     )
     new_blocks = untouched.unionByName(re_encoded).persist()
     n_blocks = new_blocks.count()
@@ -202,6 +217,7 @@ def merge_segments(
         docs_per_segment=index.docs_per_segment,
         num_segments=index.num_segments - sum(len(g) - 1 for g in plan),
         metrics=metrics,
+        has_positions=index.has_positions,
     )
 
 

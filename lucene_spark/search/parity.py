@@ -213,3 +213,248 @@ SELECT doc_id, round(s, 4) AS score FROM scores
 WHERE 1=1{msm}{req_clauses}{not_clauses}
 ORDER BY s DESC, doc_id ASC LIMIT {k}
 """
+
+
+# --- phrase / synonym / dismax / searchAfter parity paths -------------------
+#
+# Same design as bm25_topk_f64: run the REAL engine machinery (posting
+# blocks, positional decode, stats) but score in float64 with a
+# SQL-reproducible formula, so the DuckDB oracle can hash-match values.
+
+
+def _dlq_col(spark, index: InvertedIndex):
+    """256-row broadcast: norm byte → quantized decoded length."""
+    return F.broadcast(
+        spark.createDataFrame(
+            [(int(i), int(byte4_to_int(np.int64(i)))) for i in range(256)],
+            "norm int, dl_q int",
+        )
+    )
+
+
+def _f64_idf(df: int, n: int) -> float:
+    import math
+
+    return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+
+def _f64_score_col(weight: float, n: int, sttf: int):
+    """weight * freq / (freq + k1*(1-b+b*dl_q/avgdl)) as a Column."""
+    avgdl = float(sttf) / float(n)
+    norm_f = F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl_q") / F.lit(avgdl))
+    return F.lit(weight) * F.col("freq") / (F.col("freq") + norm_f)
+
+
+def phrase_bm25_f64(index: InvertedIndex, phrase: list, k: int = 10) -> DataFrame:
+    """Engine phrase retrieval (positional blocks), f64 oracle scoring.
+
+    freq = exact phrase occurrences; weight = Σ_i idf(df_i) (idf summed
+    over phrase terms per `BM25Similarity.java:161-170`).
+    """
+    from lucene_spark.search.positional import phrase_freqs
+
+    spark = index.spark
+    stats = {
+        r["term"]: int(r["doc_freq"])
+        for r in index.terms.filter(F.col("term").isin(list(set(phrase)))).collect()
+    }
+    if any(t not in stats for t in set(phrase)):
+        return spark.createDataFrame([], "doc_id long, score double")
+    n, sttf = index.doc_count, index.sum_total_term_freq
+    weight = sum(_f64_idf(stats[t], n) for t in dict.fromkeys(phrase))
+    freqs = phrase_freqs(index, phrase).join(_dlq_col(spark, index), "norm")
+    scored = freqs.withColumn("s", _f64_score_col(weight, n, sttf))
+    return (
+        scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round(F.col("s"), 4).alias("score"))
+    )
+
+
+def oracle_phrase_sql(phrase: list, k: int = 10, table: str = "documents") -> str:
+    m = len(phrase)
+    conds = " AND ".join(f"l[i + {j}] = '{t}'" for j, t in enumerate(phrase))
+    idfs = " + ".join(
+        f"(SELECT ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5)) "
+        f"FROM df, stats WHERE term = '{t}')"
+        for t in dict.fromkeys(phrase)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM {table}
+),
+dl AS (SELECT doc_id, len(l) AS dl FROM toks WHERE len(l) > 0),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sttf FROM dl),
+dlq AS (SELECT doc_id, {_DLQ_SQL} AS dl_q FROM dl),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS doc_freq
+  FROM (SELECT doc_id, unnest(l) AS term FROM toks) GROUP BY term
+),
+occ AS (
+  SELECT doc_id, count(*) AS freq
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - {m - 1})) AS i)
+  WHERE {conds}
+  GROUP BY doc_id
+),
+scores AS (
+  SELECT occ.doc_id,
+         ({idfs}) * freq
+           / (freq + {K1} * (1 - {B} + {B} * dl_q / (sttf * 1.0 / n_docs))) AS s
+  FROM occ JOIN dlq USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def synonym_bm25_f64(index: InvertedIndex, terms: list, k: int = 10) -> DataFrame:
+    """SynonymQuery parity: pseudo-term df = max, freq = Σ freqs."""
+    spark = index.spark
+    stats = {
+        r["term"]: int(r["doc_freq"])
+        for r in index.terms.filter(F.col("term").isin(terms)).collect()
+    }
+    if not stats:
+        return spark.createDataFrame([], "doc_id long, score double")
+    n, sttf = index.doc_count, index.sum_total_term_freq
+    weight = _f64_idf(max(stats.values()), n)
+    posts = _decode_postings(index, list(stats))
+    freqs = (
+        posts.groupBy("doc_id")
+        .agg(F.sum("freq").alias("freq"), F.max("norm").alias("norm"))
+        .join(_dlq_col(spark, index), "norm")
+    )
+    scored = freqs.withColumn("s", _f64_score_col(weight, n, sttf))
+    return (
+        scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round(F.col("s"), 4).alias("score"))
+    )
+
+
+def oracle_synonym_sql(terms: list, k: int = 10, table: str = "documents") -> str:
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}
+  ) WHERE term <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sttf FROM dl),
+dlq AS (SELECT doc_id, {_DLQ_SQL} AS dl_q FROM dl),
+df AS (
+  SELECT max(doc_freq) AS pseudo_df FROM (
+    SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok
+    WHERE term IN ({terms_in}) GROUP BY term
+  )
+),
+tf AS (
+  SELECT doc_id, count(*) AS freq FROM tok
+  WHERE term IN ({terms_in}) GROUP BY doc_id
+),
+scores AS (
+  SELECT tf.doc_id,
+         ln(1 + (n_docs - pseudo_df + 0.5) / (pseudo_df + 0.5)) * freq
+           / (freq + {K1} * (1 - {B} + {B} * dl_q / (sttf * 1.0 / n_docs))) AS s
+  FROM tf JOIN dlq USING (doc_id) CROSS JOIN stats CROSS JOIN df
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def dismax_f64(
+    index: InvertedIndex, term_boosts: Dict[str, float], tie: float = 0.0, k: int = 10
+) -> DataFrame:
+    """DisjunctionMax parity: max + tie * (sum - max) in float64."""
+    spark = index.spark
+    stats = {
+        r["term"]: int(r["doc_freq"])
+        for r in index.terms.filter(F.col("term").isin(list(term_boosts))).collect()
+    }
+    if not stats:
+        return spark.createDataFrame([], "doc_id long, score double")
+    n, sttf = index.doc_count, index.sum_total_term_freq
+    posts = _decode_postings(index, list(stats)).join(_dlq_col(spark, index), "norm")
+    weight_map = F.create_map(
+        *[
+            F.lit(x)
+            for t in stats
+            for x in (t, float(term_boosts[t]) * _f64_idf(stats[t], n))
+        ]
+    )
+    avgdl = float(sttf) / float(n)
+    norm_f = F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl_q") / F.lit(avgdl))
+    per_term = weight_map[F.col("term")] * F.col("freq") / (F.col("freq") + norm_f)
+    scored = (
+        posts.withColumn("ts", per_term)
+        .groupBy("doc_id")
+        .agg(F.max("ts").alias("mx"), F.sum("ts").alias("sm"))
+        .withColumn("s", F.col("mx") + (F.col("sm") - F.col("mx")) * F.lit(float(tie)))
+    )
+    return (
+        scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round(F.col("s"), 4).alias("score"))
+    )
+
+
+def oracle_dismax_sql(
+    term_boosts: Dict[str, float], tie: float = 0.0, k: int = 10, table: str = "documents"
+) -> str:
+    terms_in = ", ".join(f"'{t}'" for t in term_boosts)
+    boost_rows = ", ".join(f"('{t}', {b!r})" for t, b in term_boosts.items())
+    return f"""
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}
+  ) WHERE term <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sttf FROM dl),
+dlq AS (SELECT doc_id, {_DLQ_SQL} AS dl_q FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM tok
+  WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+boosts(term, boost) AS (VALUES {boost_rows}),
+per_term AS (
+  SELECT tf.doc_id,
+         boost * ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5)) * freq
+           / (freq + {K1} * (1 - {B} + {B} * dl_q / (sttf * 1.0 / n_docs))) AS ts
+  FROM tf JOIN df USING (term) JOIN boosts USING (term)
+  JOIN dlq USING (doc_id) CROSS JOIN stats
+),
+scores AS (
+  SELECT doc_id, max(ts) + (sum(ts) - max(ts)) * {float(tie)!r} AS s
+  FROM per_term GROUP BY doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def search_after_f64(
+    index: InvertedIndex, term_boosts: Dict[str, float], k: int = 10
+) -> DataFrame:
+    """Page 2 via searchAfter: anchor = page 1's last (score, doc_id),
+    then ``WHERE s < anchor OR (s = anchor AND doc_id > anchor_doc)``
+    (`search/IndexSearcher.java:576-588` semantics). With the total
+    (s desc, doc_id asc) order this equals rows k..2k-1.
+    """
+    full = bm25_topk_f64(index, term_boosts, k=2 * k)
+    page1 = full.limit(k).collect()
+    if len(page1) < k:
+        return full.limit(0)
+    anchor_s, anchor_d = float(page1[-1]["score"]), int(page1[-1]["doc_id"])
+    return full.filter(
+        (F.col("score") < anchor_s)
+        | ((F.col("score") == anchor_s) & (F.col("doc_id") > anchor_d))
+    )
+
+
+def oracle_search_after_sql(term_boosts: Dict[str, float], k: int = 10) -> str:
+    inner = oracle_bm25_sql(term_boosts, k=2 * k).strip().rstrip()
+    return f"SELECT * FROM ({inner}) OFFSET {k}"

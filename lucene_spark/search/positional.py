@@ -1,0 +1,385 @@
+"""Positional queries: exact/sloppy PhraseQuery, SynonymQuery, DisMax.
+
+Spark re-expressions of Lucene's positional and multi-term scorers:
+
+- **PhraseQuery** (`search/PhraseQuery.java:71-152`, matcher
+  `search/ExactPhraseMatcher.java:39`): a doc matches when for some
+  position p every phrase term t_i occurs at p + offset_i; the BM25
+  freq is the number of such p. The SimScorer is built from the **sum
+  of the per-term idfs** (double-accumulated, cast to float —
+  `similarities/BM25Similarity.java:161-170`) and scored against the
+  doc's norm like a single pseudo-term.
+- **Sloppy phrase** (`search/SloppyPhraseMatcher.java:54`): we
+  implement the common no-repeated-terms case — a match is an
+  alignment whose span slack ≤ slop, with sloppy freq
+  ``Σ 1/(1+matchLength)`` over the greedy minimal alignments; for
+  phrases with repeated terms we fall back to match-only semantics
+  (documented approximation, differential-tested).
+- **SynonymQuery** (`search/SynonymQuery.java:212-231`): scored as ONE
+  pseudo-term with docFreq = max over terms, totalTermFreq = sum, and
+  per-doc freq = sum of the per-term freqs (boost-weighted,
+  `FreqBoostTermScorer`).
+- **DisjunctionMaxQuery** (`search/DisjunctionMaxScorer.java:60-72`):
+  score = max(sub scores) + tieBreaker * sum(other sub scores).
+
+Everything decodes posting blocks in Arrow-batched ``mapInPandas``
+(numpy kernels), then combines with DataFrame joins/aggs — no per-row
+Python outside the batched kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lucene_spark.functions.bm25 import BM25, bm25_idf
+from lucene_spark.functions.forutil import (
+    delta_decode,
+    for_decode,
+    for_decode_stream,
+    pfor_decode,
+)
+from lucene_spark.index.builder import InvertedIndex
+
+__all__ = [
+    "decode_positions",
+    "phrase_freqs",
+    "phrase_topk",
+    "synonym_freqs",
+    "synonym_topk",
+    "dismax_topk",
+]
+
+_POS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("freq", T.IntegerType(), False),
+        T.StructField("norm", T.IntegerType(), False),
+        T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+_FREQ_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("freq", T.DoubleType(), False),
+        T.StructField("norm", T.IntegerType(), False),
+    ]
+)
+
+
+def decode_positions(index: InvertedIndex, terms: List[str]) -> DataFrame:
+    """Decode (doc_id, term, freq, norm, positions) for the given terms."""
+    if not index.has_positions:
+        raise ValueError("index was built without positions=True")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for term, docs_b, freqs_b, norms_b, pos_b in zip(
+                pdf["term"].values,
+                pdf["docs_packed"].values,
+                pdf["freqs_packed"].values,
+                pdf["norms_raw"].values,
+                pdf["positions_packed"].values,
+            ):
+                docs = delta_decode(for_decode(bytes(docs_b)))
+                freqs = pfor_decode(bytes(freqs_b))
+                norms = np.frombuffer(bytes(norms_b), dtype=np.uint8).astype(np.int32)
+                stream = for_decode_stream(bytes(pos_b))
+                bounds = np.cumsum(freqs)[:-1]
+                positions = [
+                    np.cumsum(chunk).astype(np.int32)
+                    for chunk in np.split(stream, bounds)
+                ]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": docs,
+                            "term": term,
+                            "freq": freqs.astype(np.int32),
+                            "norm": norms,
+                            "positions": positions,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return (
+        index.blocks.filter(F.col("term").isin(list(set(terms))))
+        .select("term", "docs_packed", "freqs_packed", "norms_raw", "positions_packed")
+        .mapInPandas(fn, _POS_SCHEMA)
+    )
+
+
+def _exact_phrase_kernel(pos_cols: List[np.ndarray], offsets: List[int]) -> float:
+    """#positions p with p + offsets[i] ∈ pos_cols[i] for all i (numpy)."""
+    cand = np.asarray(pos_cols[0], dtype=np.int64)
+    for i in range(1, len(pos_cols)):
+        if cand.size == 0:
+            return 0.0
+        nxt = np.asarray(pos_cols[i], dtype=np.int64) - (offsets[i] - offsets[0])
+        cand = cand[np.isin(cand, nxt)]
+    return float(cand.size)
+
+
+def _sloppy_phrase_kernel(pos_cols: List[np.ndarray], offsets: List[int], slop: int) -> float:
+    """Greedy sloppy matcher for non-repeating phrases.
+
+    Enumerates candidate anchors from the first term; for each anchor
+    greedily picks the nearest-legal position of every other term; a
+    match with total slack ``L ≤ slop`` adds ``1/(1+L)`` (the
+    sloppyWeight of `SloppyPhraseMatcher`). Positions may not be
+    reused across matches for the same term (greedy consumption).
+    """
+    m = len(pos_cols)
+    cols = [np.asarray(c, dtype=np.int64) - off for c, off in zip(pos_cols, offsets)]
+    used = [np.zeros(len(c), dtype=bool) for c in cols]
+    total = 0.0
+    for a_idx in range(len(cols[0])):
+        anchor = cols[0][a_idx]
+        slack = 0
+        picks = []
+        ok = True
+        for i in range(1, m):
+            avail = np.nonzero(~used[i])[0]
+            if avail.size == 0:
+                ok = False
+                break
+            dists = np.abs(cols[i][avail] - anchor)
+            j = avail[np.argmin(dists)]
+            d = int(abs(cols[i][j] - anchor))
+            if slack + d > slop:
+                ok = False
+                break
+            slack += d
+            picks.append((i, j))
+        if ok:
+            for i, j in picks:
+                used[i][j] = True
+            total += 1.0 / (1.0 + slack)
+    return total
+
+
+def phrase_freqs(
+    index: InvertedIndex, phrase: List[str], slop: int = 0
+) -> DataFrame:
+    """DataFrame(doc_id, freq double, norm) of phrase occurrences."""
+    offsets_by_term: Dict[str, List[int]] = {}
+    for i, t in enumerate(phrase):
+        offsets_by_term.setdefault(t, []).append(i)
+    distinct = list(offsets_by_term)
+    decoded = decode_positions(index, distinct)
+
+    # conjunction: only docs containing every distinct term can match
+    base = decoded.filter(F.col("term") == distinct[0]).select(
+        "doc_id", "norm", F.col("positions").alias("p0")
+    )
+    for i, t in enumerate(distinct[1:], start=1):
+        base = base.join(
+            decoded.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"p{i}")
+            ),
+            "doc_id",
+        )
+
+    # expand repeated terms back to per-phrase-slot position columns
+    slot_col_idx = []  # for each phrase slot: index into distinct[]
+    for t in phrase:
+        slot_col_idx.append(distinct.index(t))
+    offsets = list(range(len(phrase)))
+
+    repeated = len(set(phrase)) != len(phrase)
+    use_sloppy = slop > 0 and not repeated
+
+    @F.pandas_udf(T.DoubleType())
+    def phrase_freq_udf(*cols: pd.Series) -> pd.Series:
+        out = np.empty(len(cols[0]))
+        for r in range(len(cols[0])):
+            pos_cols = [cols[slot_col_idx[s]].iloc[r] for s in range(len(phrase))]
+            if use_sloppy:
+                out[r] = _sloppy_phrase_kernel(pos_cols, offsets, slop)
+            elif slop > 0:
+                # repeated-term sloppy: match-only approximation
+                out[r] = 1.0 if _sloppy_ok_repeated(pos_cols, offsets, slop) else 0.0
+            else:
+                out[r] = _exact_phrase_kernel(pos_cols, offsets)
+        return pd.Series(out)
+
+    pcols = [F.col(f"p{i}") if i else F.col("p0") for i in range(len(distinct))]
+    return (
+        base.withColumn("freq", phrase_freq_udf(*pcols))
+        .filter(F.col("freq") > 0)
+        .select("doc_id", "freq", "norm")
+    )
+
+
+def _sloppy_ok_repeated(pos_cols, offsets, slop) -> bool:
+    """Any alignment within slop (repeated-term fallback, match-only)."""
+    cols = [np.asarray(c, dtype=np.int64) - off for c, off in zip(pos_cols, offsets)]
+    # a match exists iff some choice tuple has max-min ≤ slop; greedy scan
+    for anchor in cols[0]:
+        slack = 0
+        ok = True
+        for c in cols[1:]:
+            d = int(np.min(np.abs(c - anchor)))
+            slack += d
+            if slack > slop:
+                ok = False
+                break
+        if ok:
+            return True
+    return False
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    return (
+        scored.select("doc_id", F.col("score").cast("float").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def phrase_topk(
+    index: InvertedIndex,
+    phrase: List[str],
+    k: int = 10,
+    slop: int = 0,
+    boost: float = 1.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k for a phrase: float32 Lucene semantics.
+
+    weight = boost * (Σ_i idf(df_i)) with the idf sum accumulated in
+    float64 and cast to float32 (`BM25Similarity.java:161-170`).
+    """
+    stats = {
+        r["term"]: int(r["doc_freq"])
+        for r in index.terms.filter(F.col("term").isin(list(set(phrase)))).collect()
+    }
+    if any(t not in stats for t in set(phrase)):
+        return index.spark.createDataFrame([], "doc_id long, score float")
+    idf_sum = float(
+        sum(float(bm25_idf(stats[t], index.doc_count)) for t in dict.fromkeys(phrase))
+    )
+    scorer = BM25(
+        doc_freq=1,  # unused: weight overridden below
+        doc_count=index.doc_count,
+        sum_total_term_freq=index.sum_total_term_freq,
+        boost=boost,
+        k1=k1,
+        b=b,
+    )
+    w = np.float32(boost) * np.float32(idf_sum)
+    cache = scorer.cache
+
+    freqs = phrase_freqs(index, phrase, slop=slop)
+
+    @F.pandas_udf(T.DoubleType())
+    def score_udf(freq: pd.Series, norm: pd.Series) -> pd.Series:
+        f = freq.values.astype(np.float32)
+        ni = cache[norm.values.astype(np.int64) & 0xFF]
+        s = w - w / (np.float32(1.0) + f * ni)
+        return pd.Series(s.astype(np.float64))
+
+    return _topk(freqs.withColumn("score", score_udf("freq", "norm")), k)
+
+
+# --- SynonymQuery ----------------------------------------------------------
+
+
+def synonym_freqs(index: InvertedIndex, term_boosts: Dict[str, float]) -> DataFrame:
+    """Per-doc boost-weighted summed freq across synonym terms."""
+    from lucene_spark.search.parity import _decode_postings
+
+    posts = _decode_postings(index, list(term_boosts))
+    boosts = F.create_map(
+        *[F.lit(x) for tb in term_boosts.items() for x in (tb[0], float(tb[1]))]
+    )
+    return (
+        posts.withColumn("wf", F.col("freq") * boosts[F.col("term")])
+        .groupBy("doc_id")
+        .agg(F.sum("wf").alias("freq"), F.max("norm").alias("norm"))
+    )
+
+
+def synonym_topk(
+    index: InvertedIndex,
+    terms: List[str],
+    k: int = 10,
+    boost: float = 1.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """SynonymQuery top-k: one pseudo-term, df = max, freq = Σ freqs."""
+    stats = {
+        r["term"]: int(r["doc_freq"])
+        for r in index.terms.filter(F.col("term").isin(terms)).collect()
+    }
+    if not stats:
+        return index.spark.createDataFrame([], "doc_id long, score float")
+    pseudo_df = max(stats.values())
+    scorer = BM25(
+        doc_freq=pseudo_df,
+        doc_count=index.doc_count,
+        sum_total_term_freq=index.sum_total_term_freq,
+        boost=boost,
+        k1=k1,
+        b=b,
+    )
+    w, cache = scorer.weight, scorer.cache
+    freqs = synonym_freqs(index, {t: 1.0 for t in terms if t in stats})
+
+    @F.pandas_udf(T.DoubleType())
+    def score_udf(freq: pd.Series, norm: pd.Series) -> pd.Series:
+        f = freq.values.astype(np.float32)
+        ni = cache[norm.values.astype(np.int64) & 0xFF]
+        s = w - w / (np.float32(1.0) + f * ni)
+        return pd.Series(s.astype(np.float64))
+
+    return _topk(freqs.withColumn("score", score_udf("freq", "norm")), k)
+
+
+# --- DisjunctionMaxQuery ---------------------------------------------------
+
+
+def dismax_topk(
+    index: InvertedIndex,
+    term_boosts: Dict[str, float],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """DisMax over TermQuery clauses: max + tie * (sum - max), float32.
+
+    The float arithmetic in `DisjunctionMaxScorer.java:60-72` is
+    ``(float)(scoreMax + otherScoreSum * tieBreakerMultiplier)`` with
+    otherScoreSum accumulated in double; we mirror that.
+    """
+    from lucene_spark.search.searcher import IndexSearcher
+
+    searcher = IndexSearcher(index, k1=k1, b=b)
+    ctx = searcher._bind_terms(list(term_boosts))
+    scored = searcher._scored_terms(ctx, dict(term_boosts))
+    agg = scored.groupBy("doc_id").agg(
+        F.max("score").alias("mx"), F.sum("score").alias("sm")
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def combine(mx: pd.Series, sm: pd.Series) -> pd.Series:
+        out = (
+            mx.values.astype(np.float64)
+            + (sm.values - mx.values) * np.float64(tie_breaker)
+        ).astype(np.float32)
+        return pd.Series(out.astype(np.float64))
+
+    return _topk(agg.withColumn("score", combine("mx", "sm")), k)

@@ -190,7 +190,10 @@ class IndexSearcher:
         return []
 
     def _bind(self, q: Query) -> _Ctx:
-        terms = sorted(set(self._collect_terms(q)))
+        return self._bind_terms(self._collect_terms(q))
+
+    def _bind_terms(self, term_list: List[str]) -> _Ctx:
+        terms = sorted(set(term_list))
         stats: Dict[str, Tuple[int, int]] = {}
         if terms:
             rows = (

@@ -47,6 +47,7 @@ def append_batch(
         doc_id_col=doc_id_col,
         analyzer=analyzer,
         docs_per_segment=index.docs_per_segment,
+        positions=index.has_positions,
     )
     blocks = index.blocks.unionByName(delta.blocks)
     terms = (
@@ -68,6 +69,7 @@ def append_batch(
         docs_per_segment=index.docs_per_segment,
         num_segments=index.num_segments + delta.num_segments,
         metrics={**index.metrics, "last_append_docs": delta.doc_count},
+        has_positions=index.has_positions,
     )
 
 

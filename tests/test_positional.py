@@ -1,0 +1,174 @@
+"""Positional index: phrase / synonym / dismax vs naive references."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.functions.bm25 import BM25, bm25_idf
+from lucene_spark.functions.forutil import for_decode_stream, for_encode_stream
+from lucene_spark.functions.smallfloat import int_to_byte4
+from lucene_spark.index import InvertedIndex
+from lucene_spark.index.merge import force_merge
+from lucene_spark.search import (
+    decode_positions,
+    dismax_topk,
+    phrase_freqs,
+    phrase_topk,
+    synonym_topk,
+)
+
+DOCS = [
+    (0, "hash join beats sort merge join on small builds"),
+    (1, "sort merge join wins when both sides are sorted"),
+    (2, "a hash join needs a hash table for the build side"),
+    (3, "broadcast hash join avoids the shuffle entirely"),
+    (4, "join hash is not the same phrase as hash join"),
+    (5, "hash hash join join hash join"),
+    (6, "nothing relevant here at all"),
+    (7, "the quick brown fox jumps over the lazy dog hash"),
+]
+
+
+@pytest.fixture(scope="module")
+def pidx(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return InvertedIndex.build(df, analyzer="simple", docs_per_segment=3, positions=True)
+
+
+def naive_tokens():
+    return {d: t.split(" ") for d, t in DOCS}
+
+
+def naive_phrase_freq(phrase):
+    out = {}
+    for d, toks in naive_tokens().items():
+        n = sum(
+            1
+            for i in range(len(toks) - len(phrase) + 1)
+            if toks[i : i + len(phrase)] == phrase
+        )
+        if n:
+            out[d] = n
+    return out
+
+
+def test_for_stream_roundtrip():
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 127, 128, 129, 1000):
+        vals = rng.integers(0, 1 << 20, size=n)
+        assert np.array_equal(for_decode_stream(for_encode_stream(vals)), vals)
+
+
+def test_decode_positions_roundtrip(pidx):
+    rows = decode_positions(pidx, ["hash", "join"]).collect()
+    got = {(r["doc_id"], r["term"]): list(r["positions"]) for r in rows}
+    toks = naive_tokens()
+    for (d, t), pos in got.items():
+        expect = [i for i, w in enumerate(toks[d]) if w == t]
+        assert pos == expect, (d, t)
+    # freq matches positions length
+    for r in rows:
+        assert r["freq"] == len(r["positions"])
+
+
+@pytest.mark.parametrize("phrase", [["hash", "join"], ["sort", "merge", "join"], ["hash", "join", "beats"]])
+def test_exact_phrase_freqs(pidx, phrase):
+    got = {r["doc_id"]: r["freq"] for r in phrase_freqs(pidx, phrase).collect()}
+    assert got == {d: float(f) for d, f in naive_phrase_freq(phrase).items()}
+
+
+def test_exact_phrase_freqs_after_merge(pidx):
+    merged = force_merge(pidx)
+    got = {r["doc_id"]: r["freq"] for r in phrase_freqs(merged, ["hash", "join"]).collect()}
+    assert got == {d: float(f) for d, f in naive_phrase_freq(["hash", "join"]).items()}
+
+
+def test_phrase_topk_scores(pidx):
+    phrase = ["hash", "join"]
+    res = phrase_topk(pidx, phrase, k=10).collect()
+    # naive float32 scoring: weight = (float)(sum of float idfs)
+    toks = naive_tokens()
+    dls = {d: len(t) for d, t in toks.items()}
+    norms = {d: int(int_to_byte4(dl)) for d, dl in dls.items()}
+    df = {t: sum(1 for toks_ in toks.values() if t in toks_) for t in phrase}
+    n = len(DOCS)
+    sttf = sum(dls.values())
+    idf_sum = np.float32(sum(float(bm25_idf(df[t], n)) for t in phrase))
+    scorer = BM25(doc_freq=1, doc_count=n, sum_total_term_freq=sttf)
+    w = np.float32(1.0) * idf_sum
+    expect = {}
+    for d, f in naive_phrase_freq(phrase).items():
+        ni = scorer.cache[norms[d]]
+        expect[d] = float(w - w / (np.float32(1.0) + np.float32(f) * ni))
+    got = {r["doc_id"]: r["score"] for r in res}
+    assert set(got) == set(expect)
+    for d in got:
+        assert got[d] == pytest.approx(expect[d], abs=0), d
+    # ordering: score desc, doc asc
+    scores = [(r["score"], r["doc_id"]) for r in res]
+    assert scores == sorted(scores, key=lambda x: (-x[0], x[1]))
+
+
+def test_sloppy_phrase_matches_superset(pidx):
+    exact = {r["doc_id"] for r in phrase_freqs(pidx, ["hash", "table"], slop=0).collect()}
+    sloppy = {r["doc_id"] for r in phrase_freqs(pidx, ["hash", "table"], slop=2).collect()}
+    assert exact <= sloppy
+    # "needs a hash table": exact adjacency exists in doc 2
+    assert 2 in exact
+    # "hash ... builds" in doc 0: positions 0 and 8, offset-adjusted slack 7
+    wide = {r["doc_id"] for r in phrase_freqs(pidx, ["hash", "builds"], slop=7).collect()}
+    assert 0 in wide
+    tight = {r["doc_id"] for r in phrase_freqs(pidx, ["hash", "builds"], slop=2).collect()}
+    assert 0 not in tight
+
+
+def test_synonym_topk(pidx):
+    terms = ["hash", "sort"]
+    toks = naive_tokens()
+    dls = {d: len(t) for d, t in toks.items()}
+    norms = {d: int(int_to_byte4(dl)) for d, dl in dls.items()}
+    n, sttf = len(DOCS), sum(dls.values())
+    tf = {d: Counter(t) for d, t in toks.items()}
+    df = {t: sum(1 for c in tf.values() if c[t]) for t in terms}
+    pseudo_df = max(df.values())
+    scorer = BM25(doc_freq=pseudo_df, doc_count=n, sum_total_term_freq=sttf)
+    expect = {}
+    for d, c in tf.items():
+        f = sum(c[t] for t in terms)
+        if f:
+            expect[d] = float(scorer.score([f], [norms[d]])[0])
+    got = {r["doc_id"]: r["score"] for r in synonym_topk(pidx, terms, k=20).collect()}
+    assert got == pytest.approx(expect)
+
+
+def test_dismax_topk(pidx):
+    tb = {"hash": 1.0, "join": 2.0}
+    toks = naive_tokens()
+    dls = {d: len(t) for d, t in toks.items()}
+    norms = {d: int(int_to_byte4(dl)) for d, dl in dls.items()}
+    n, sttf = len(DOCS), sum(dls.values())
+    tf = {d: Counter(t) for d, t in toks.items()}
+    per_term = {}
+    for t, boost in tb.items():
+        dfv = sum(1 for c in tf.values() if c[t])
+        s = BM25(doc_freq=dfv, doc_count=n, sum_total_term_freq=sttf, boost=boost)
+        for d, c in tf.items():
+            if c[t]:
+                per_term.setdefault(d, []).append(float(s.score([c[t]], [norms[d]])[0]))
+    tie = 0.3
+    expect = {
+        d: float(np.float32(max(ss) + (sum(ss) - max(ss)) * tie))
+        for d, ss in per_term.items()
+    }
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dismax_topk(pidx, tb, tie_breaker=tie, k=20).collect()
+    }
+    assert set(got) == set(expect)
+    for d in got:
+        assert got[d] == pytest.approx(expect[d], rel=1e-6)
