@@ -332,6 +332,133 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf).groupBy("lang").agg(F.countDistinct("source").alias("n_sources"))
     )
 
+    # --- Lucene module analogs: join / facet / grouping / misc -----------
+
+    # ToParentBlockJoinQuery analog: parent (orders) scored by max child
+    # (lineitem) contribution, child filter pushed down
+    def block_join_orders(spark, sf):
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        items = spark.read.parquet(f"{sf}/lineitem.parquet")
+        child = items.filter(F.col("l_quantity") > 30).groupBy("l_orderkey").agg(
+            F.round(
+                F.max(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("best_child"),
+            F.count(F.lit(1)).alias("n_children"),
+        )
+        return (
+            orders.join(child, orders.o_orderkey == child.l_orderkey)
+            .select("o_orderkey", "o_orderstatus", "best_child", "n_children")
+            .orderBy(F.col("best_child").desc(), F.col("o_orderkey").asc())
+            .limit(20)
+        )
+
+    out["block_join_orders"] = block_join_orders
+
+    # JoinUtil analog: query-time join customer → orders
+    def join_customer_orders(spark, sf):
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        agg = orders.groupBy("o_custkey").agg(
+            F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        return (
+            cust.join(F.broadcast(agg), cust.c_custkey == agg.o_custkey)
+            .select("c_custkey", "total_spent", "n_orders")
+            .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+            .limit(25)
+        )
+
+    out["join_customer_orders"] = join_customer_orders
+
+    # DrillSideways analog: drill-down on (lang='en', source='src1');
+    # each dimension's counts computed with its own filter removed
+    def drill_sideways(spark, sf):
+        d = _docs(spark, sf)
+        lang_dim = (
+            d.filter(F.col("source") == "src1")
+            .groupBy(F.col("lang").alias("value"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("dim", F.lit("lang"))
+        )
+        src_dim = (
+            d.filter(F.col("lang") == "en")
+            .groupBy(F.col("source").alias("value"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("dim", F.lit("source"))
+        )
+        return lang_dim.unionByName(src_dim).select("dim", "value", "cnt")
+
+    out["drill_sideways"] = drill_sideways
+
+    # expressions module analog: computed score expression + sort
+    out["expression_score"] = lambda spark, sf: (
+        _docs(spark, sf)
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.lit(1.0) + F.col("n_chars")) * 0.5
+                + (F.col("doc_id") % 7) * 0.1,
+                6,
+            ).alias("expr_score"),
+        )
+        .orderBy(F.col("expr_score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+    # suggest module analog: prefix completion from the term dictionary,
+    # weighted by doc_freq
+    out["suggest_prefix"] = lambda spark, sf: (
+        _index(spark, sf)
+        .terms.filter(F.col("term").startswith("s"))
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(10)
+        .select("term", "doc_freq")
+    )
+
+    # highlighter analog: snippet around the first match of 'merge'
+    out["highlight_snippet"] = lambda spark, sf: (
+        _docs(spark, sf)
+        .withColumn("pos", F.locate("merge", F.col("text")))
+        .filter(F.col("pos") > 0)
+        .select(
+            "doc_id",
+            F.substring(
+                F.col("text"), F.greatest(F.col("pos") - 15, F.lit(1)), 40
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+    # PointRangeQuery analog (BKD → parquet min/max + predicate pushdown)
+    out["point_range"] = lambda spark, sf: (
+        _docs(spark, sf)
+        .filter((F.col("n_chars") >= 200) & (F.col("n_chars") <= 400))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+    # PointInSetQuery analog over events
+    out["point_in_set"] = lambda spark, sf: (
+        _events(spark, sf)
+        .filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+    # TopFieldCollector multi-key sort
+    out["sort_multi_field"] = lambda spark, sf: (
+        _docs(spark, sf)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(F.col("lang").asc(), F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(30)
+    )
+
     # --- events table (range facet over time + agg)
     out["events_hourly"] = lambda spark, sf: (
         _events(spark, sf)
@@ -484,6 +611,65 @@ SELECT lang, doc_id, n_chars, rn FROM (
 SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
        count(*) AS cnt, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+    out["block_join_orders"] = """
+WITH child AS (
+  SELECT l_orderkey,
+         round(max(l_extendedprice * (1.0 - l_discount)), 4) AS best_child,
+         count(*) AS n_children
+  FROM lineitem WHERE l_quantity > 30 GROUP BY l_orderkey
+)
+SELECT o_orderkey, o_orderstatus, best_child, n_children
+FROM orders JOIN child ON o_orderkey = l_orderkey
+ORDER BY best_child DESC, o_orderkey ASC LIMIT 20
+"""
+    out["join_customer_orders"] = """
+WITH agg AS (
+  SELECT o_custkey, round(sum(o_totalprice), 4) AS total_spent,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, total_spent, n_orders
+FROM customer JOIN agg ON c_custkey = o_custkey
+ORDER BY total_spent DESC, c_custkey ASC LIMIT 25
+"""
+    out["drill_sideways"] = """
+SELECT 'lang' AS dim, lang AS value, count(*) AS cnt
+FROM documents WHERE source = 'src1' GROUP BY lang
+UNION ALL
+SELECT 'source' AS dim, source AS value, count(*) AS cnt
+FROM documents WHERE lang = 'en' GROUP BY source
+"""
+    out["expression_score"] = """
+SELECT doc_id,
+       round(ln(1.0 + n_chars) * 0.5 + (doc_id % 7) * 0.1, 6) AS expr_score
+FROM documents
+ORDER BY ln(1.0 + n_chars) * 0.5 + (doc_id % 7) * 0.1 DESC, doc_id ASC LIMIT 20
+"""
+    out["suggest_prefix"] = f"""
+WITH {TOK_CTE}
+SELECT term, count(DISTINCT doc_id) AS doc_freq
+FROM tok WHERE term LIKE 's%'
+GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 10
+"""
+    out["highlight_snippet"] = """
+SELECT doc_id,
+       substr(text, greatest(strpos(text, 'merge') - 15, 1), 40) AS snippet
+FROM documents WHERE strpos(text, 'merge') > 0
+ORDER BY doc_id LIMIT 50
+"""
+    out["point_range"] = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars BETWEEN 200 AND 400 ORDER BY doc_id LIMIT 100
+"""
+    out["point_in_set"] = """
+SELECT event_type, count(*) AS cnt, count(DISTINCT user_id) AS n_users
+FROM events WHERE event_type IN ('click', 'view') GROUP BY event_type
+"""
+    out["sort_multi_field"] = """
+SELECT doc_id, lang, n_chars FROM documents
+ORDER BY lang ASC, n_chars DESC, doc_id ASC LIMIT 30
 """
 
     out["dedup_exact"] = (

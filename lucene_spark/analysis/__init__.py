@@ -6,6 +6,7 @@ from lucene_spark.analysis.analyzer import (
     simple_lowercase,
     standard_analyzer_udf,
     term_freq_udf,
+    term_freqs,
     tokenize,
     tokens_simple_col,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "simple_lowercase",
     "standard_analyzer_udf",
     "term_freq_udf",
+    "term_freqs",
     "tokenize",
     "tokens_simple_col",
 ]

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import re
 import sys
+from collections import Counter
 from functools import lru_cache
 from typing import Iterator, List, Tuple
 
@@ -153,6 +154,33 @@ def analyze(text: str, stopwords: frozenset = ENGLISH_STOP_WORDS) -> List[Tuple[
         if term not in stopwords:
             out.append((term, pos))
     return out
+
+
+def term_freqs(text: str, stopwords: frozenset = ENGLISH_STOP_WORDS):
+    """(term→freq dict, dl) with no per-token Python — the hot path.
+
+    Equivalent to ``Counter(t for t, _ in analyze(text))`` but built
+    from three C-level passes: whole-string ``str.translate`` lowercase
+    (safe to hoist before tokenization — UAX#29 word-break classes are
+    case-insensitive), ``findall``, ``Counter``. Verified identical to
+    :func:`analyze` in tests. dl counts surviving tokens only
+    (`index/IndexingChain.java:1154-1160`).
+    """
+    toks = _TOKEN_RE.findall(text.translate(_simple_lower_table()))
+    cnt = Counter(toks)
+    dl = len(toks)
+    # over-long tokens split, not dropped (StandardTokenizer:152-168)
+    long_keys = [t for t in cnt if len(t) > MAX_TOKEN_LENGTH]
+    for t in long_keys:
+        n = cnt.pop(t)
+        pieces = range(0, len(t), MAX_TOKEN_LENGTH)
+        for i in pieces:
+            piece = t[i : i + MAX_TOKEN_LENGTH]
+            cnt[piece] = cnt.get(piece, 0) + n
+        dl += n * (len(pieces) - 1)
+    for sw in stopwords & cnt.keys():
+        dl -= cnt.pop(sw)
+    return cnt, dl
 
 
 _TOKEN_SCHEMA = ArrayType(

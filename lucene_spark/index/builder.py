@@ -228,7 +228,10 @@ def _segment_build_kernel(analyzer: str, positions: bool):
     making doc_count / sumTotalTermFreq / per-term stats plain
     DataFrame aggregations over the output.
     """
+    from collections import Counter
+
     from lucene_spark.analysis import analyze as std_analyze
+    from lucene_spark.analysis import term_freqs as std_term_freqs
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(pdf["doc_id"].values, kind="stable")
@@ -245,26 +248,33 @@ def _segment_build_kernel(analyzer: str, positions: bool):
             text = texts[i]
             if not isinstance(text, str) or not text:
                 continue
-            if analyzer == "standard":
-                toks = std_analyze(text)
-            else:
-                toks = [(t, p) for p, t in enumerate(text.split(" ")) if t]
-            if not toks:
-                continue
-            dls[i] = len(toks)
             if positions:
+                if analyzer == "standard":
+                    toks = std_analyze(text)
+                else:
+                    toks = [(t, p) for p, t in enumerate(text.split(" ")) if t]
+                if not toks:
+                    continue
+                dls[i] = len(toks)
                 acc: dict = {}
                 for term, pos in toks:
                     acc.setdefault(term, []).append(pos)
                 for term, ps in acc.items():
                     tdocs.setdefault(term, []).append(i)
-                    tfreqs[term] = tfreqs.get(term, [])
-                    tfreqs[term].append(len(ps))
+                    tfreqs.setdefault(term, []).append(len(ps))
                     tpos.setdefault(term, []).append(ps)
             else:
-                cnt: dict = {}
-                for term, _ in toks:
-                    cnt[term] = cnt.get(term, 0) + 1
+                # freq-only hot path: C-level tokenize+count, no
+                # per-token Python (see analyzer.term_freqs)
+                if analyzer == "standard":
+                    cnt, dl = std_term_freqs(text)
+                else:
+                    cnt = Counter(text.split(" "))
+                    cnt.pop("", None)
+                    dl = sum(cnt.values())
+                if dl == 0:
+                    continue
+                dls[i] = dl
                 for term, f in cnt.items():
                     tdocs.setdefault(term, []).append(i)
                     tfreqs.setdefault(term, []).append(f)
@@ -417,6 +427,16 @@ class InvertedIndex:
         src = corpus.select(doc_id, F.col(text_col).alias("text")).withColumn(
             "segment_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("long")
         )
+        # Explicit repartition on the group key: the analysis kernel is
+        # CPU-bound, so partition count must track cores, not shuffle
+        # bytes — AQE's size-based coalescing would serialize it (a few
+        # hundred MB of text is "one partition" to AQE but hours of
+        # tokenization). Hash-partitioning on segment_id also satisfies
+        # the groupBy's distribution, so no second shuffle.
+        n_part = shuffle_partitions or max(
+            spark.sparkContext.defaultParallelism * 2, 8
+        )
+        src = src.repartition(n_part, "segment_id")
         schema = BLOCKS_SCHEMA_POS if positions else BLOCKS_SCHEMA
         full = (
             src.groupBy("segment_id")

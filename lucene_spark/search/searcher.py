@@ -379,29 +379,33 @@ class IndexSearcher:
             return self.index.spark.createDataFrame([], "doc_id long, score double")
         weights = {t: (s.weight, s.cache) for t, s in scorers.items()}
 
-        # per-block score upper bound from stored impacts (no decode)
-        ubs = {
-            t: {"w": float(s.weight), "cache": s.cache} for t, s in scorers.items()
-        }
-
-        @F.pandas_udf(T.DoubleType())
-        def block_ub(
-            it: Iterator[Tuple[pd.Series, pd.Series, pd.Series]]
-        ) -> Iterator[pd.Series]:
-            for term_s, if_s, in_s in it:
-                out = np.empty(len(term_s))
-                for i, (t, fs, ns) in enumerate(zip(term_s, if_s, in_s)):
-                    p = ubs[t]
-                    w = np.float32(p["w"])
-                    ni = p["cache"][np.asarray(ns, dtype=np.int64) & 0xFF]
-                    f = np.asarray(fs, dtype=np.float32)
-                    s = w - w / (np.float32(1.0) + f * ni)
-                    out[i] = float(s.max()) if len(s) else 0.0
-                yield pd.Series(out)
+        # Per-block score upper bound from stored impacts, fully
+        # JVM-side (whole-stage codegen — no Python in the prune scan):
+        # score is monotone in freq*normInverse, so
+        # ub = w - w / (1 + max_i(freq_i * cache[norm_i])).
+        # The normInverse cache depends only on (avgdl, k1, b) — shared
+        # by every term — so it becomes one 256-float array literal.
+        cache = next(iter(scorers.values())).cache
+        cache_arr = F.array(*[F.lit(float(x)) for x in cache])
+        w_map = F.create_map(
+            *[F.lit(x) for t, s in scorers.items() for x in (t, float(s.weight))]
+        )
+        w_col = w_map[F.col("term")]
+        max_x = F.array_max(
+            F.zip_with(
+                "impact_freqs",
+                "impact_norms",
+                lambda fr, nm: fr.cast("double") * F.element_at(cache_arr, nm + 1),
+            )
+        )
+        # tiny inflation guards against float32-vs-double rounding: the
+        # real score is computed in float32 and could round a hair above
+        # the double bound; a loose bound only prunes less, never wrong
+        ub_col = (w_col - w_col / (F.lit(1.0) + max_x)) * F.lit(1.0 + 1e-5)
 
         meta = (
             self._term_blocks(list(scorers))
-            .withColumn("ub", block_ub("term", "impact_freqs", "impact_norms"))
+            .withColumn("ub", ub_col)
             .persist()
         )
 

@@ -26,6 +26,9 @@ CPUS = int(os.environ.get("JOB_CPUS", "8"))
 DOCS = int(os.environ.get("JOB_DOCS", "40000"))
 ANALYZER = os.environ.get("JOB_ANALYZER", "standard")
 SEED = int(os.environ.get("JOB_SEED", "42"))
+# one segment = one build task; fixed across parallelism levels so the
+# N and 4N runs execute the identical job (scaling-evidence fairness)
+DOCS_PER_SEGMENT = int(os.environ.get("JOB_DOCS_PER_SEGMENT", "1024"))
 
 
 def main() -> None:
@@ -37,17 +40,29 @@ def main() -> None:
         .appName(f"index_job_{CPUS}")
         .config("spark.sql.shuffle.partitions", str(CPUS))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("JOB_DRIVER_MEM", "48g"))
+        # modest heap: a huge heap turns post-shuffle full GCs into
+        # multi-second serial pauses that poison the parallel stages
+        .config("spark.driver.memory", os.environ.get("JOB_DRIVER_MEM", "16g"))
+        .config("spark.driver.extraJavaOptions", "-XX:+UseG1GC -XX:MaxGCPauseMillis=200")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
     # materialize the corpus first so generation cost is excluded
-    corpus = synthetic_corpus(spark, DOCS, seed=SEED, num_partitions=CPUS * 4).persist()
+    corpus = synthetic_corpus(
+        spark, DOCS, seed=SEED, num_partitions=CPUS * 4, with_doc_id=True
+    ).persist()
     corpus.count()
     t0 = time.time()
-    idx = InvertedIndex.build(corpus, analyzer=ANALYZER, docs_per_segment=1 << 14)
+    idx = InvertedIndex.build(
+        corpus,
+        analyzer=ANALYZER,
+        docs_per_segment=DOCS_PER_SEGMENT,
+        # ~4 task waves: fine enough for balance, coarse enough that
+        # per-task overhead stays negligible
+        shuffle_partitions=CPUS * 4,
+    )
     secs = time.time() - t0
     print(
         json.dumps(

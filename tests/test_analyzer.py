@@ -107,3 +107,36 @@ def test_extract_text_byte_identity(spark):
     rows = df.select("text", extract_text_col(F.col("html")).alias("ext")).collect()
     for r in rows:
         assert r["ext"] == r["text"]  # byte-identical per url (input_hint)
+
+
+def test_term_freqs_matches_analyze():
+    """The C-level hot path must agree with the reference chain."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from lucene_spark.analysis import analyze, term_freqs
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=400))
+    def check(text):
+        ref = analyze(text)
+        cnt, dl = term_freqs(text)
+        assert cnt == Counter(t for t, _ in ref)
+        assert dl == len(ref)
+
+    check()
+
+    # targeted cases: stopwords, overlong token split, unicode, CJK
+    for text in [
+        "the a an and are",
+        "x" * 600 + " the quick",
+        "İstanbul Zürich naïve 東京タワー 검색",
+        "can't o'clock 3.14 1,000 a_b",
+        "",
+        "   ",
+    ]:
+        ref = analyze(text)
+        cnt, dl = term_freqs(text)
+        assert cnt == Counter(t for t, _ in ref), text
+        assert dl == len(ref), text
