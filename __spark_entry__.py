@@ -262,6 +262,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _index(spark, sf), {"spark": 1.0, "query": 1.0}, k=15
     )
 
+    # MoreLikeThis (queries/mlt): top-5 tf*idf terms of a seed doc →
+    # BM25 disjunction (term selection driver-side, like MLT's query build)
+    def more_like_this(spark, sf, seed_doc=7, n_terms=5, k=20):
+        idx = _index(spark, sf)
+        seed_tf = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") == seed_doc)
+            .select(F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        n = idx.doc_count
+        scored = seed_tf.join(idx.terms.select("term", "doc_freq"), "term").select(
+            "term",
+            (
+                F.col("tf")
+                * F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n)) - F.col("doc_freq") + 0.5) / (F.col("doc_freq") + 0.5)
+                )
+            ).alias("tfidf"),
+        )
+        top = scored.orderBy(F.col("tfidf").desc(), F.col("term").asc()).limit(n_terms).collect()
+        terms = {r["term"]: 1.0 for r in top}
+        return bm25_topk_f64(idx, terms, k=k)
+
+    out["more_like_this"] = more_like_this
+
     # --- statistics / norms
     def collection_stats(spark, sf):
         idx = _index(spark, sf)
@@ -501,6 +530,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(spark, sf), _qvec(spark, sf), k=15
     )  # engine-only: approximate (recall vs brute force tested in pytest)
 
+    def embedding_ivf_topk(spark, sf):
+        # IVF with all lists probed == exact brute force (oracle-safe)
+        from lucene_spark.pipeline import ivf_assign, ivf_topk
+
+        assigned, cent = ivf_assign(_emb(spark, sf), n_lists=8, seed=7)
+        return ivf_topk(assigned, cent, _qvec(spark, sf), k=15, n_probes=8).select(
+            F.col("vec_id"), F.col("cos")
+        )
+
+    out["embedding_ivf_topk"] = embedding_ivf_topk
+
     def embedding_near_dups_exact(spark, sf):
         e = _emb(spark, sf).filter(F.col("vec_id") < 300).select("vec_id", "embedding")
         a = e.alias("a")
@@ -568,6 +608,36 @@ ORDER BY doc_id LIMIT 100
         {"hash": 1.0, "join": 2.0, "scan": 1.5}, tie=0.3, k=20
     )
     out["search_after"] = oracle_search_after_sql({"spark": 1.0, "query": 1.0}, k=15)
+    out["more_like_this"] = f"""
+WITH {TOK_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sttf FROM dl),
+dlq AS (SELECT doc_id, {_DLQ_CASE} AS dl_q FROM dl),
+alldf AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term),
+seed AS (
+  SELECT term, count(*) AS tf FROM tok WHERE doc_id = 7 GROUP BY term
+),
+top_terms AS (
+  SELECT seed.term
+  FROM seed JOIN alldf USING (term) CROSS JOIN stats
+  ORDER BY tf * ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5)) DESC,
+           seed.term ASC
+  LIMIT 5
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM tok
+  WHERE term IN (SELECT term FROM top_terms) GROUP BY doc_id, term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5)) * freq
+             / (freq + 1.2 * (1 - 0.75 + 0.75 * dl_q / (sttf * 1.0 / n_docs)))) AS s
+  FROM tf JOIN alldf USING (term) JOIN dlq USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY s DESC, doc_id ASC LIMIT 20
+"""
 
     out["collection_stats"] = f"""
 WITH {TOK_CTE},
@@ -709,6 +779,9 @@ s AS (
 SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 6) AS cos FROM s
 ORDER BY dot / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC LIMIT 15
 """
+    # IVF with n_probes == n_lists degenerates to exact search, so the
+    # brute-force oracle applies (the pruned variant is pytest-tested)
+    out["embedding_ivf_topk"] = out["embedding_cosine_topk"]
     out["embedding_near_dups"] = """
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
 z AS (

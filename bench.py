@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SYN_DOCS = int(os.environ.get("BENCH_SYN_DOCS", "30000"))
+SYN_DOCS = int(os.environ.get("BENCH_SYN_DOCS", "100000"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
@@ -81,8 +81,9 @@ def main() -> None:
     # ---- indexing throughput: sf documents (simple analyzer, JVM side)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
+    dps = max(128, n_docs // (CPUS * 2))
     t0 = time.time()
-    idx = InvertedIndex.build(docs, analyzer="simple", docs_per_segment=4096)
+    idx = InvertedIndex.build(docs, analyzer="simple", docs_per_segment=dps)
     t_build = time.time() - t0
     queries["index_build_docs"] = round(t_build, 3)
     extra["index_docs_per_sec"] = round(n_docs / t_build, 1)
@@ -93,7 +94,10 @@ def main() -> None:
     )
     t0 = time.time()
     syn_idx = InvertedIndex.build(
-        corpus, analyzer="standard", docs_per_segment=1 << 14
+        corpus,
+        analyzer="standard",
+        docs_per_segment=max(256, SYN_DOCS // (CPUS * 4)),
+        shuffle_partitions=CPUS * 4,
     )
     t_syn = time.time() - t0
     queries["index_build_synthetic"] = round(t_syn, 3)

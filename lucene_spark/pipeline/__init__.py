@@ -8,6 +8,8 @@ from lucene_spark.pipeline.dedup import (
     word_shingles,
 )
 from lucene_spark.pipeline.similarity import (
+    ivf_assign,
+    ivf_topk,
     cosine_topk,
     embedding_near_dups,
     lsh_bucket_topk,

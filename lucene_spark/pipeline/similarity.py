@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["cosine_topk", "lsh_signatures", "lsh_bucket_topk", "embedding_near_dups"]
+__all__ = ["cosine_topk", "lsh_signatures", "lsh_bucket_topk", "embedding_near_dups", "ivf_assign", "ivf_topk"]
 
 
 def _cosine_col(vec_col, qvec: Sequence[float]):
@@ -191,3 +191,82 @@ def embedding_near_dups(
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(vec_col).alias("d")).limit(1).collect()
     return int(row[0]["d"]) if row else 0
+
+
+# --- IVF (inverted-file) ANN -----------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+    sample_fraction: float = 0.2,
+    kmeans_iters: int = 5,
+) -> tuple:
+    """Train IVF centroids (mini k-means on a deterministic sample) and
+    assign every vector to its nearest list.
+
+    The IVF index structure of FAISS-style ANN re-expressed Spark-first:
+    centroids live on the driver (tiny), training is numpy over a
+    sampled Arrow collect, assignment is one Arrow-batched pandas UDF
+    (a single matmul per batch). Returns (assigned_df, centroids) where
+    assigned_df = df + ``ivf_list`` column — at scale you'd write it
+    partitioned by ``ivf_list`` so probes prune partitions.
+    """
+    dim = _infer_dim(df, vec_col)
+    sample = np.array(
+        df.sample(fraction=sample_fraction, seed=seed)
+        .select(vec_col)
+        .toPandas()[vec_col]
+        .tolist(),
+        dtype=np.float32,
+    )
+    if len(sample) < n_lists:
+        sample = np.array(df.select(vec_col).toPandas()[vec_col].tolist(), dtype=np.float32)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=n_lists, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(sample @ cent.T, axis=1)  # cosine on unit vectors
+        for c in range(n_lists):
+            m = sample[assign == c]
+            if len(m):
+                v = m.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+
+    bc = df.sparkSession.sparkContext.broadcast(cent)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        c = bc.value
+        for s in it:
+            v = np.array(s.tolist(), dtype=np.float32)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            yield pd.Series(np.argmax(v @ c.T, axis=1).astype(np.int32))
+
+    return df.withColumn("ivf_list", assign_udf(F.col(vec_col))), cent
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    qvec: Sequence[float],
+    k: int = 10,
+    n_probes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: probe the n_probes nearest lists, exact cosine
+    re-rank inside them. The list filter prunes the scan (partition
+    pruning when assigned is written partitioned by ivf_list)."""
+    q = np.asarray(qvec, dtype=np.float32)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(centroids @ qn))[:n_probes].tolist()
+    cand = assigned.filter(F.col("ivf_list").isin([int(p) for p in probes]))
+    return (
+        cand.select(id_col, _cosine_col(F.col(vec_col), qvec).alias("cos"))
+        .withColumn("cos", F.round(F.col("cos"), 6))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -50,6 +50,7 @@ __all__ = [
     "decode_positions",
     "phrase_freqs",
     "phrase_topk",
+    "multi_phrase_freqs",
     "synonym_freqs",
     "synonym_topk",
     "dismax_topk",
@@ -216,6 +217,54 @@ def phrase_freqs(
     pcols = [F.col(f"p{i}") if i else F.col("p0") for i in range(len(distinct))]
     return (
         base.withColumn("freq", phrase_freq_udf(*pcols))
+        .filter(F.col("freq") > 0)
+        .select("doc_id", "freq", "norm")
+    )
+
+
+def multi_phrase_freqs(index: InvertedIndex, slots: List[List[str]]) -> DataFrame:
+    """MultiPhraseQuery (`search/MultiPhraseQuery.java:54`): each slot
+    is a SET of alternative terms; a doc matches at p when every slot i
+    has some alternative occurring at p + i. freq = #matching p.
+
+    Plan shape: per-slot positions = union of the alternatives'
+    positions (groupBy doc + flatten), then the exact-phrase kernel.
+    """
+    distinct = sorted({t for slot in slots for t in slot})
+    decoded = decode_positions(index, distinct)
+
+    slot_dfs = []
+    for i, slot in enumerate(slots):
+        d = (
+            decoded.filter(F.col("term").isin(slot))
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("positions")))
+                ).alias(f"p{i}"),
+                F.max("norm").alias("norm") if i == 0 else F.max("norm").alias(f"_n{i}"),
+            )
+        )
+        slot_dfs.append(
+            d.select("doc_id", f"p{i}", "norm") if i == 0 else d.select("doc_id", f"p{i}")
+        )
+
+    base = slot_dfs[0]
+    for d in slot_dfs[1:]:
+        base = base.join(d, "doc_id")
+
+    m = len(slots)
+    offsets = list(range(m))
+
+    @F.pandas_udf(T.DoubleType())
+    def mp_freq(*cols: pd.Series) -> pd.Series:
+        out = np.empty(len(cols[0]))
+        for r in range(len(cols[0])):
+            out[r] = _exact_phrase_kernel([cols[i].iloc[r] for i in range(m)], offsets)
+        return pd.Series(out)
+
+    return (
+        base.withColumn("freq", mp_freq(*[F.col(f"p{i}") for i in range(m)]))
         .filter(F.col("freq") > 0)
         .select("doc_id", "freq", "norm")
     )

@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Physical-plan audit: assert the plans we want, record them.
+
+For each headline operation, captures `.explain("formatted")` and
+checks the properties that matter at 100 TB:
+
+- term-filtered block scans of an on-disk index PUSH the term predicate
+  into the parquet scan (PushedFilters) and PRUNE to the needed columns
+  (ReadSchema) — the FST-seek analog;
+- top-k is TakeOrderedAndProject (bounded heap per partition + merge),
+  never a global sort;
+- small-side joins broadcast (dlq/stats lookup tables);
+- scan→filter→project pipelines run inside WholeStageCodegen;
+- the WAND prune filter is JVM-side (no BatchEvalPython/ArrowEvalPython
+  in the block-metadata pass).
+
+Writes PLANS.md with the verdict table + plan excerpts. Exits 1 if an
+assertion fails.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+import tempfile
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+SF = os.environ.get("PLAN_SF_DIR", "/root/testdata/sf0.01")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.search import IndexSearcher, TermQuery
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = InvertedIndex.build(docs, analyzer="simple", docs_per_segment=512)
+    tmp = tempfile.mkdtemp(prefix="planaudit_")
+    idx.save(tmp)
+    disk_idx = InvertedIndex.load(spark, tmp)
+
+    checks = []  # (name, ok, detail, excerpt)
+
+    # 1. term-filtered scan of the on-disk blocks table
+    scan = disk_idx.blocks.filter(F.col("term") == "spark").select(
+        "term", "docs_packed", "freqs_packed", "norms_raw"
+    )
+    p = plan_of(scan)
+    pushed = bool(re.search(r"PushedFilters: \[.*(EqualTo|IsNotNull)\(term", p))
+    pruned = "impact_freqs" not in p.split("ReadSchema")[-1]
+    checks.append(
+        (
+            "term filter pushed to parquet scan",
+            pushed,
+            "PushedFilters contains term predicate",
+            p,
+        )
+    )
+    checks.append(
+        (
+            "column pruning (no impacts read for decode scan)",
+            pruned,
+            "ReadSchema excludes impact columns",
+            "",
+        )
+    )
+
+    # 2. top-k plan = TakeOrderedAndProject
+    searcher = IndexSearcher(idx)
+    topk = searcher.search(TermQuery("spark"), 10, "exhaustive")
+    p2 = plan_of(topk)
+    checks.append(
+        (
+            "top-k is TakeOrderedAndProject (no global sort)",
+            "TakeOrderedAndProject" in p2,
+            "bounded per-partition heap + driver merge",
+            p2,
+        )
+    )
+
+    # 3. broadcast of small lookup tables in the parity scorer
+    from lucene_spark.search.parity import bm25_topk_f64
+
+    p3 = plan_of(bm25_topk_f64(idx, {"spark": 1.0}, k=10))
+    checks.append(
+        (
+            "small dims broadcast (dlq/boost tables)",
+            "BroadcastHashJoin" in p3 or "BroadcastExchange" in p3,
+            "BroadcastHashJoin in BM25 parity plan",
+            p3,
+        )
+    )
+
+    # 4. facet agg: map-side partial aggregation + batched columnar scan
+    # (AQE's pre-execution formatted plan hides codegen annotations, so
+    # codegen is probed via explain(codegen) separately)
+    facet = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    p4 = plan_of(facet)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        facet.explain("codegen")
+    p4c = buf.getvalue()
+    checks.append(
+        (
+            "facet agg: map-side combine + columnar scan",
+            "partial_count" in p4 and "Batched: true" in p4,
+            "partial_count before the exchange",
+            p4,
+        )
+    )
+    checks.append(
+        (
+            "facet agg compiles to WholeStageCodegen",
+            "WholeStageCodegen" in p4c,
+            "explain(codegen) emits generated stages",
+            "",
+        )
+    )
+
+    # 5. WAND block-metadata pass has no Python eval
+    from lucene_spark.functions.bm25 import BM25
+
+    s = BM25(doc_freq=10, doc_count=idx.doc_count, sum_total_term_freq=idx.sum_total_term_freq)
+    cache_arr = F.array(*[F.lit(float(x)) for x in s.cache])
+    ub = (
+        F.lit(float(s.weight))
+        - F.lit(float(s.weight))
+        / (
+            F.lit(1.0)
+            + F.array_max(
+                F.zip_with(
+                    "impact_freqs",
+                    "impact_norms",
+                    lambda fr, nm: fr.cast("double") * F.element_at(cache_arr, nm + 1),
+                )
+            )
+        )
+    )
+    meta = disk_idx.blocks.select("term", "segment_id", "block_ord", "impact_freqs", "impact_norms").withColumn("ub", ub)
+    p5 = plan_of(meta.filter(F.col("ub") > 0.5))
+    no_python = "EvalPython" not in p5
+    checks.append(
+        (
+            "WAND block-prune pass fully JVM-side",
+            no_python,
+            "no BatchEvalPython/ArrowEvalPython in metadata pass",
+            p5,
+        )
+    )
+
+    # report
+    ok_all = all(ok for _, ok, _, _ in checks)
+    rows = "\n".join(
+        f"| {name} | {'✅' if ok else '❌'} | {detail} |" for name, ok, detail, _ in checks
+    )
+    excerpts = "\n".join(
+        f"### {name}\n\n```\n{_trim(pl)}\n```\n" for name, ok, _, pl in checks if pl
+    )
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write(
+            f"""# PLANS — physical-plan audit (scripts/plan_audit.py)
+
+Checked at sf0.01 ({SF}); these properties are what keep the design
+viable at 100 TB (see docstring for why each matters).
+
+| property | verdict | evidence |
+|---|---|---|
+{rows}
+
+{excerpts}"""
+        )
+    for name, ok, _, _ in checks:
+        print(("PASS " if ok else "FAIL ") + name)
+    spark.stop()
+    sys.exit(0 if ok_all else 1)
+
+
+def _trim(p: str, n: int = 40) -> str:
+    lines = [l.rstrip() for l in p.splitlines() if l.strip()]
+    return "\n".join(lines[:n])
+
+
+if __name__ == "__main__":
+    main()

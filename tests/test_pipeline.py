@@ -131,3 +131,23 @@ def test_frame_sample_fanout(media):
         by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
     for mid, idxs in by_id.items():
         assert sorted(idxs) == list(range(len(idxs)))
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with enough probes must recover most of the brute-force top-k."""
+    from lucene_spark.pipeline import cosine_topk, ivf_assign, ivf_topk
+
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    exact = [r["vec_id"] for r in cosine_topk(emb, qvec, k=10).collect()]
+    assigned, cent = ivf_assign(emb, n_lists=8, seed=7)
+    assigned = assigned.persist()
+    approx = [r["vec_id"] for r in ivf_topk(assigned, cent, qvec, k=10, n_probes=4).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.6, (recall, exact, approx)
+    # all-probes IVF == brute force (sanity: partitioning loses nothing)
+    full = [r["vec_id"] for r in ivf_topk(assigned, cent, qvec, k=10, n_probes=8).collect()]
+    assert full == exact
+    assigned.unpersist()

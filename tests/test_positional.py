@@ -172,3 +172,24 @@ def test_dismax_topk(pidx):
     assert set(got) == set(expect)
     for d in got:
         assert got[d] == pytest.approx(expect[d], rel=1e-6)
+
+
+def test_multi_phrase_freqs(pidx):
+    from lucene_spark.search.positional import multi_phrase_freqs
+
+    # slot0: {hash, sort}; slot1: {join, merge} — matches "hash join",
+    # "hash merge", "sort join", "sort merge" bigrams
+    got = {
+        r["doc_id"]: r["freq"]
+        for r in multi_phrase_freqs(pidx, [["hash", "sort"], ["join", "merge"]]).collect()
+    }
+    expect = {}
+    for d, toks in naive_tokens().items():
+        n = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] in ("hash", "sort") and toks[i + 1] in ("join", "merge")
+        )
+        if n:
+            expect[d] = float(n)
+    assert got == expect
