@@ -291,6 +291,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["more_like_this"] = more_like_this
 
+    # classic QueryParser syntax end-to-end (constant-score match set)
+    def classic_parse_match(spark, sf):
+        from lucene_spark.search import parse_query
+
+        return _const_score_docs(
+            spark, sf, parse_query("(hash OR sort) AND join -scan"), k=100
+        )
+
+    out["classic_parse_match"] = classic_parse_match
+
     # --- statistics / norms
     def collection_stats(spark, sf):
         idx = _index(spark, sf)
@@ -588,6 +598,14 @@ def oracle_sql() -> dict[str, str]:
     for name, params in _BM25_QUERIES.items():
         out[name] = oracle_bm25_sql(**params)
 
+    out["classic_parse_match"] = f"""
+WITH {TOK_CTE}
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok
+WHERE doc_id IN (SELECT doc_id FROM tok WHERE term IN ('hash', 'sort'))
+  AND doc_id IN (SELECT doc_id FROM tok WHERE term = 'join')
+  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'scan')
+ORDER BY doc_id LIMIT 100
+"""
     out["prefix_query"] = _const_score_oracle("term LIKE 's%'")
     out["wildcard_query"] = _const_score_oracle("regexp_matches(term, '^j.*n$')")
     out["fuzzy_query"] = _const_score_oracle(

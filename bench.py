@@ -81,7 +81,9 @@ def main() -> None:
     # ---- indexing throughput: sf documents (simple analyzer, JVM side)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
-    dps = max(128, n_docs // (CPUS * 2))
+    # segments sized for query-side block granularity (≥512 docs/seg)
+    # while keeping some build parallelism
+    dps = max(512, n_docs // (CPUS * 2))
     t0 = time.time()
     idx = InvertedIndex.build(docs, analyzer="simple", docs_per_segment=dps)
     t_build = time.time() - t0

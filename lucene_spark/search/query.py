@@ -183,9 +183,9 @@ class TermRangeQuery(MultiTermQuery):
 
 @dataclass(frozen=True)
 class PhraseQuery(Query):
-    """Exact phrase (slop=0). Positions are checked at match time from
-    the corpus text (we do not index positions in v1; SURVEY §2.4 notes
-    positions are optional for the BM25 north star)."""
+    """Phrase query over an index built with ``positions=True``
+    (`search/PhraseQuery.java:71-152`); exact when slop=0, sloppy
+    matching via :mod:`lucene_spark.search.positional` otherwise."""
 
     terms: tuple
     slop: int = 0

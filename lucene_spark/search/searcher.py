@@ -58,6 +58,7 @@ from lucene_spark.search.query import (
     MatchNoDocsQuery,
     MultiTermQuery,
     Occur,
+    PhraseQuery,
     Query,
     TermQuery,
     rewrite,
@@ -180,6 +181,8 @@ class IndexSearcher:
     def _collect_terms(self, q: Query) -> List[str]:
         if isinstance(q, TermQuery):
             return [q.term]
+        if isinstance(q, PhraseQuery):
+            return list(q.terms)
         if isinstance(q, (BoostQuery, ConstantScoreQuery)):
             return self._collect_terms(q.query)
         if isinstance(q, BooleanQuery):
@@ -245,6 +248,10 @@ class IndexSearcher:
                 .select("docs_packed")
                 .mapInPandas(_decode_docs_udf(), _DOCS_SCHEMA)
             )
+        if isinstance(q, PhraseQuery):
+            from lucene_spark.search.positional import phrase_freqs
+
+            return phrase_freqs(self.index, list(q.terms), slop=q.slop).select("doc_id")
         if isinstance(q, BooleanQuery):
             pos = [c for c in q.clauses if c.occur in (Occur.SHOULD, Occur.MUST, Occur.FILTER)]
             neg = [c for c in q.clauses if c.occur == Occur.MUST_NOT]
@@ -288,6 +295,18 @@ class IndexSearcher:
             return docs.select("doc_id", F.lit(float(np.float32(boost))).alias("score"))
         if isinstance(q, TermQuery):
             return self._scored_terms(ctx, {q.term: boost}).select("doc_id", "score")
+        if isinstance(q, PhraseQuery):
+            from lucene_spark.search.positional import phrase_topk
+
+            return phrase_topk(
+                self.index,
+                list(q.terms),
+                k=self.index.doc_count or 1,
+                slop=q.slop,
+                boost=boost,
+                k1=self.k1,
+                b=self.b,
+            ).select("doc_id", F.col("score").cast("double").alias("score"))
         if isinstance(q, BooleanQuery):
             return self._eval_boolean(q, ctx, boost)
         raise NotImplementedError(f"eval: {type(q).__name__}")
