@@ -301,6 +301,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["classic_parse_match"] = classic_parse_match
 
+    # monitor module analog: reverse search (which saved query fires per doc)
+    def monitor_percolate(spark, sf):
+        from lucene_spark.search import parse_query
+        from lucene_spark.streaming.monitor import match_monitor_queries
+
+        qs = [
+            ("alert_hash_join", parse_query("hash AND join")),
+            ("alert_merge_not_sort", parse_query("merge -sort")),
+            ("alert_spark", parse_query("spark")),
+        ]
+        return match_monitor_queries(_docs(spark, sf), qs).orderBy("doc_id", "query_id")
+
+    out["monitor_percolate"] = monitor_percolate
+
     # --- statistics / norms
     def collection_stats(spark, sf):
         idx = _index(spark, sf)
@@ -605,6 +619,19 @@ WHERE doc_id IN (SELECT doc_id FROM tok WHERE term IN ('hash', 'sort'))
   AND doc_id IN (SELECT doc_id FROM tok WHERE term = 'join')
   AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'scan')
 ORDER BY doc_id LIMIT 100
+"""
+    out["monitor_percolate"] = f"""
+WITH {TOK_CTE},
+t AS (SELECT doc_id, list(DISTINCT term) AS terms FROM tok GROUP BY doc_id)
+SELECT doc_id, query_id FROM (
+  SELECT doc_id, 'alert_hash_join' AS query_id FROM t
+  WHERE list_contains(terms, 'hash') AND list_contains(terms, 'join')
+  UNION ALL
+  SELECT doc_id, 'alert_merge_not_sort' FROM t
+  WHERE list_contains(terms, 'merge') AND NOT list_contains(terms, 'sort')
+  UNION ALL
+  SELECT doc_id, 'alert_spark' FROM t WHERE list_contains(terms, 'spark')
+) ORDER BY doc_id, query_id
 """
     out["prefix_query"] = _const_score_oracle("term LIKE 's%'")
     out["wildcard_query"] = _const_score_oracle("regexp_matches(term, '^j.*n$')")

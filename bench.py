@@ -107,6 +107,20 @@ def main() -> None:
     extra["synthetic_postings_per_sec"] = syn_idx.metrics.get("postings_per_sec")
     extra["synthetic_num_blocks"] = syn_idx.metrics.get("num_blocks")
     extra["synthetic_bytes_per_posting"] = syn_idx.metrics.get("bytes_per_posting")
+
+    # WAND vs exhaustive on the big Zipf corpus (pruning's home turf)
+    syn_searcher = IndexSearcher(syn_idx)
+    syn_disj = BooleanQuery.of(
+        BooleanClause(TermQuery("spark"), Occur.SHOULD),
+        BooleanClause(TermQuery("index"), Occur.SHOULD),
+        BooleanClause(BoostQuery(TermQuery("segment"), 2.0), Occur.SHOULD),
+    )
+    queries["q_syn_wand"] = round(
+        timed(lambda: syn_searcher.search(syn_disj, 10, "wand").collect(), REPS), 3
+    )
+    queries["q_syn_exhaustive"] = round(
+        timed(lambda: syn_searcher.search(syn_disj, 10, "exhaustive").collect(), REPS), 3
+    )
     syn_idx.blocks.unpersist()
     syn_idx.terms.unpersist()
 

@@ -157,6 +157,9 @@ class IndexSearcher:
         self.index = index
         self.k1 = k1
         self.b = b
+        # per-searcher term-stats memo (TermStates cache analog,
+        # `index/TermStates.java`): repeated queries skip the lookup job
+        self._stats_cache: Dict[str, Optional[Tuple[int, int]]] = {}
 
     # ------------------------------------------------------------------
     def search(self, query: Query, k: int = 10, mode: str = "auto") -> DataFrame:
@@ -164,7 +167,16 @@ class IndexSearcher:
         q = rewrite(query, self.index.terms)
         ctx = self._bind(q)
         if mode == "auto":
-            mode = "wand" if self._wandable(q) else "exhaustive"
+            # cost-based physical choice (BooleanScorerSupplier.java:
+            # 197-221): block-max pruning pays when the posting lists
+            # are long; short lists are cheaper scored exhaustively
+            # (phase-A/θ bootstrap overhead dominates otherwise).
+            total_df = sum(df for df, _ in ctx.term_stats.values())
+            mode = (
+                "wand"
+                if self._wandable(q) and total_df > 100_000
+                else "exhaustive"
+            )
         if mode == "wand" and self._wandable(q):
             result = self._search_wand(q, ctx, k)
         else:
@@ -197,14 +209,19 @@ class IndexSearcher:
 
     def _bind_terms(self, term_list: List[str]) -> _Ctx:
         terms = sorted(set(term_list))
-        stats: Dict[str, Tuple[int, int]] = {}
-        if terms:
+        missing = [t for t in terms if t not in self._stats_cache]
+        if missing:
             rows = (
-                self.index.terms.filter(F.col("term").isin(terms))
+                self.index.terms.filter(F.col("term").isin(missing))
                 .select("term", "doc_freq", "total_term_freq")
                 .collect()
             )
-            stats = {r["term"]: (r["doc_freq"], r["total_term_freq"]) for r in rows}
+            found = {r["term"]: (r["doc_freq"], r["total_term_freq"]) for r in rows}
+            for t in missing:
+                self._stats_cache[t] = found.get(t)
+        stats = {
+            t: self._stats_cache[t] for t in terms if self._stats_cache[t] is not None
+        }
         return _Ctx(
             doc_count=self.index.doc_count,
             sum_total_term_freq=self.index.sum_total_term_freq,
