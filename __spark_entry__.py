@@ -512,6 +512,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .limit(30)
     )
 
+    # event-time windowed agg (streaming-capable path, batch-checked)
+    def events_windowed(spark, sf):
+        from lucene_spark.streaming.windows import windowed_event_counts
+
+        return windowed_event_counts(_events(spark, sf), "30 minutes").select(
+            "event_type",
+            F.unix_timestamp("win_start").alias("win_epoch"),
+            "cnt",
+            "sum_value",
+        )
+
+    out["events_windowed"] = events_windowed
+
     # --- events table (range facet over time + agg)
     out["events_hourly"] = lambda spark, sf: (
         _events(spark, sf)
@@ -724,6 +737,12 @@ SELECT lang, doc_id, n_chars, rn FROM (
     )
     out["events_hourly"] = """
 SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       count(*) AS cnt, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+    out["events_windowed"] = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS win_epoch,
        count(*) AS cnt, round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2
 """

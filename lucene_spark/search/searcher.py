@@ -462,20 +462,16 @@ class IndexSearcher:
         )
         theta = float(partial[-1]["score"]) if len(partial) >= k else 0.0
 
-        # phase B: prune blocks by WAND upper-bound test
-        max_ub = {
-            r["term"]: r["m"]
-            for r in meta.groupBy("term").agg(F.max("ub").alias("m")).collect()
-        }
-        total_max = sum(max_ub.values())
-        surv = meta.filter(
-            F.col("ub")
-            + F.lit(total_max)
-            - F.create_map(
-                *[F.lit(x) for kv in max_ub.items() for x in kv]
-            )[F.col("term")]
-            >= F.lit(theta)
-        )
+        # phase B: prune blocks by the WAND upper-bound test. The other
+        # terms' contribution is bounded by their WEIGHTS (the analytic
+        # supremum of w - w/(1+x)) — driver-side constants, no extra
+        # job; marginally looser than per-term max-ub, still correct.
+        w_of = {t: float(s.weight) for t, s in scorers.items()}
+        total_w = sum(w_of.values())
+        others = F.lit(total_w) - F.create_map(
+            *[F.lit(x) for kv in w_of.items() for x in kv]
+        )[F.col("term")]
+        surv = meta.filter(F.col("ub") + others >= F.lit(theta))
         result = (
             surv.select("term", "docs_packed", "freqs_packed", "norms_raw")
             .mapInPandas(_decode_score_udf(weights), _SCORED_SCHEMA)
