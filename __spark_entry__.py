@@ -315,6 +315,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["monitor_percolate"] = monitor_percolate
 
+    # CombinedFieldQuery (BM25F): text + keyword pseudo-field
+    def combined_field(spark, sf):
+        from lucene_spark.search.parity import combined_field_f64
+
+        return combined_field_f64(
+            _index(spark, sf), _docs(spark, sf), "src1", w_text=1.0, w_kw=2.0, k=25
+        )
+
+    out["combined_field"] = combined_field
+    # and a term that lives in the text field (kw side contributes 0)
+    out["combined_field_text"] = lambda spark, sf: __import__(
+        "lucene_spark.search.parity", fromlist=["combined_field_f64"]
+    ).combined_field_f64(
+        _index(spark, sf), _docs(spark, sf), "hash", w_text=1.0, w_kw=2.0, k=25
+    )
+
     # --- statistics / norms
     def collection_stats(spark, sf):
         idx = _index(spark, sf)
@@ -633,6 +649,10 @@ WHERE doc_id IN (SELECT doc_id FROM tok WHERE term IN ('hash', 'sort'))
   AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'scan')
 ORDER BY doc_id LIMIT 100
 """
+    from lucene_spark.search.parity import oracle_combined_field_sql
+
+    out["combined_field"] = oracle_combined_field_sql("src1", 1.0, 2.0, k=25)
+    out["combined_field_text"] = oracle_combined_field_sql("hash", 1.0, 2.0, k=25)
     out["monitor_percolate"] = f"""
 WITH {TOK_CTE},
 t AS (SELECT doc_id, list(DISTINCT term) AS terms FROM tok GROUP BY doc_id)

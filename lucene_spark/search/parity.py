@@ -458,3 +458,147 @@ def search_after_f64(
 def oracle_search_after_sql(term_boosts: Dict[str, float], k: int = 10) -> str:
     inner = oracle_bm25_sql(term_boosts, k=2 * k).strip().rstrip()
     return f"SELECT * FROM ({inner}) OFFSET {k}"
+
+
+# --- CombinedFieldQuery (BM25F) --------------------------------------------
+
+
+def _dlq_sql_expr(col: str) -> str:
+    """The SmallFloat intToByte4∘byte4ToInt quantization as SQL over `col`."""
+    c = col
+    return (
+        f"CASE WHEN {c} < 24 THEN {c} WHEN ({c} - 24) < 8 THEN {c} "
+        f"ELSE 24 + ((({c} - 24) >> (length(bin({c} - 24)) - 4)) << (length(bin({c} - 24)) - 4)) END"
+    )
+
+
+def combined_field_f64(
+    index: InvertedIndex,
+    docs: DataFrame,
+    term: str,
+    w_text: float = 1.0,
+    w_kw: float = 2.0,
+    kw_col: str = "source",
+    k: int = 20,
+) -> DataFrame:
+    """BM25F over a pseudo-field = text (weight w_text) + a one-token
+    keyword field (weight w_kw), float64 parity scoring.
+
+    Semantics from `search/CombinedFieldQuery.java:274-316` and
+    `MultiNormsLeafSimScorer.java:164-173`:
+      docFreq   = max over fields' docFreq
+      ttf       = Σ_f w_f · ttf_f ;  sttf = Σ_f w_f · sttf_f
+      freq(doc) = Σ_f w_f · freq_f(doc)
+      norm(doc) = quantize(round(Σ_f w_f · decodedLen_f(doc)))
+    """
+    import numpy as np
+
+    from lucene_spark.functions.smallfloat import byte4_to_int, int_to_byte4
+
+    spark = index.spark
+    n = index.doc_count
+    # keyword side: every doc has exactly one token in kw_col
+    kw = docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.col(kw_col))
+    df_kw = kw.filter(F.col(kw_col) == term).count()
+    st = {
+        r["term"]: (int(r["doc_freq"]), int(r["total_term_freq"]))
+        for r in index.terms.filter(F.col("term") == term).collect()
+    }
+    df_text, ttf_text = st.get(term, (0, 0))
+    pseudo_df = max(df_text, df_kw)
+    if pseudo_df == 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+    sttf_comb = w_text * index.sum_total_term_freq + w_kw * n
+    avgdl = sttf_comb / float(n)
+    idf = _f64_idf(pseudo_df, n)
+
+    # per-doc combined freq + combined quantized length
+    text_posts = (
+        _decode_postings(index, [term]).select("doc_id", "freq")
+        if df_text
+        else spark.createDataFrame([], "doc_id long, freq int")
+    )
+    base = (
+        index.norms.select("doc_id", "norm")
+        .join(kw, "doc_id")
+        .join(text_posts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "norm",
+            (
+                F.coalesce(F.col("freq"), F.lit(0)) * F.lit(float(w_text))
+                + F.when(F.col(kw_col) == term, F.lit(float(w_kw))).otherwise(0.0)
+            ).alias("cfreq"),
+        )
+        .filter(F.col("cfreq") > 0)
+    )
+
+    @F.pandas_udf("long")
+    def comb_dlq(norm: pd.Series) -> pd.Series:
+        dl_text = byte4_to_int(norm.values.astype(np.int64))
+        comb = np.rint(w_text * dl_text + w_kw * 1.0).astype(np.int64)
+        return pd.Series(byte4_to_int(int_to_byte4(comb)))
+
+    scored = base.withColumn("dl_q", comb_dlq("norm")).withColumn(
+        "s",
+        F.lit(idf)
+        * F.col("cfreq")
+        / (
+            F.col("cfreq")
+            + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl_q") / F.lit(avgdl))
+        ),
+    )
+    return (
+        scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round(F.col("s"), 4).alias("score"))
+    )
+
+
+def oracle_combined_field_sql(
+    term: str,
+    w_text: float = 1.0,
+    w_kw: float = 2.0,
+    kw_col: str = "source",
+    k: int = 20,
+    table: str = "documents",
+) -> str:
+    dlq_text = _dlq_sql_expr("dl.dl")
+    comb = f"CAST(round({w_text!r} * ({dlq_text}) + {w_kw!r}) AS BIGINT)"
+    dlq_comb = _dlq_sql_expr(f"({comb})")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}
+  ) WHERE term <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sttf FROM dl),
+dfs AS (
+  SELECT
+    (SELECT count(DISTINCT doc_id) FROM tok WHERE term = '{term}') AS df_text,
+    (SELECT count(*) FROM {table} d JOIN dl ON d.doc_id = dl.doc_id
+      WHERE d.{kw_col} = '{term}') AS df_kw
+),
+base AS (
+  SELECT dl.doc_id,
+         {dlq_comb} AS dl_q,
+         {w_text!r} * coalesce(tf.freq, 0)
+           + CASE WHEN d.{kw_col} = '{term}' THEN {w_kw!r} ELSE 0 END AS cfreq
+  FROM dl
+  JOIN {table} d ON d.doc_id = dl.doc_id
+  LEFT JOIN (
+    SELECT doc_id, count(*) AS freq FROM tok WHERE term = '{term}' GROUP BY doc_id
+  ) tf ON tf.doc_id = dl.doc_id
+),
+scores AS (
+  SELECT doc_id,
+         ln(1 + (n_docs - greatest(df_text, df_kw) + 0.5) / (greatest(df_text, df_kw) + 0.5))
+           * cfreq / (cfreq + {K1} * (1 - {B} + {B} * dl_q
+             / (({w_text!r} * sttf + {w_kw!r} * n_docs) * 1.0 / n_docs))) AS s
+  FROM base CROSS JOIN stats CROSS JOIN dfs
+  WHERE cfreq > 0
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
