@@ -331,6 +331,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _index(spark, sf), _docs(spark, sf), "hash", w_text=1.0, w_kw=2.0, k=25
     )
 
+    # FieldExistsQuery analog: docs with a non-empty text field
+    out["field_exists"] = lambda spark, sf: (
+        _docs(spark, sf)
+        .filter((F.col("text").isNotNull()) & (F.col("text") != ""))
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(1000)
+    )
+
+    # deterministic docID assignment (IndexSorter / index-sorting analog):
+    # rank over a stable total order, partition-layout independent
+    def doc_id_assignment(spark, sf):
+        from lucene_spark.index import assign_doc_ids
+
+        d = _docs(spark, sf).select(
+            F.col("doc_id").alias("orig_id"), "n_chars"
+        )
+        return assign_doc_ids(
+            d.repartition(7), ["n_chars", "orig_id"]
+        ).select("orig_id", F.col("doc_id").alias("sorted_id"))
+
+    out["doc_id_assignment"] = doc_id_assignment
+
     # --- statistics / norms
     def collection_stats(spark, sf):
         idx = _index(spark, sf)
@@ -717,6 +740,15 @@ SELECT doc_id, round(s, 4) AS score FROM scores
 ORDER BY s DESC, doc_id ASC LIMIT 20
 """
 
+    out["field_exists"] = """
+SELECT doc_id FROM documents
+WHERE text IS NOT NULL AND text <> '' ORDER BY doc_id LIMIT 1000
+"""
+    out["doc_id_assignment"] = """
+SELECT doc_id AS orig_id,
+       row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS sorted_id
+FROM documents
+"""
     out["collection_stats"] = f"""
 WITH {TOK_CTE},
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
