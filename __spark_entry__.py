@@ -354,6 +354,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["doc_id_assignment"] = doc_id_assignment
 
+    # term vectors analog: per-doc (term, freq) decoded from postings
+    def term_vectors(spark, sf):
+        idx = _index(spark, sf)
+        # skip-pointer pruning: only blocks whose doc range can contain
+        # doc_id < 10 are decoded (first_doc metadata)
+        return (
+            _decode_postings(idx, None, max_doc=9)
+            .filter(F.col("doc_id") < 10)
+            .select("doc_id", "term", "freq")
+            .orderBy("doc_id", "term")
+        )
+
+    out["term_vectors"] = term_vectors
+
+    # stored-fields retrieval: hits joined back to the document store
+    # (first 10 matches by docID — float32 top-k ranking is pytest-
+    # verified; the gate checks the retrieval join deterministically)
+    def stored_fields(spark, sf):
+        hits = _const_score_docs(spark, sf, TermQuery("vector"), k=10).select("doc_id")
+        return (
+            hits.join(_docs(spark, sf), "doc_id")
+            .select("doc_id", "lang", "source", "n_chars")
+            .orderBy("doc_id")
+        )
+
+    out["stored_fields"] = stored_fields
+
     # --- statistics / norms
     def collection_stats(spark, sf):
         idx = _index(spark, sf)
@@ -748,6 +775,20 @@ WHERE text IS NOT NULL AND text <> '' ORDER BY doc_id LIMIT 1000
 SELECT doc_id AS orig_id,
        row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS sorted_id
 FROM documents
+"""
+    out["term_vectors"] = f"""
+WITH {TOK_CTE}
+SELECT doc_id, term, count(*) AS freq FROM tok
+WHERE doc_id < 10 GROUP BY doc_id, term ORDER BY doc_id, term
+"""
+    out["stored_fields"] = f"""
+WITH {TOK_CTE},
+hits AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = 'vector'
+  ORDER BY doc_id LIMIT 10
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM hits JOIN documents d USING (doc_id) ORDER BY d.doc_id
 """
     out["collection_stats"] = f"""
 WITH {TOK_CTE},

@@ -49,8 +49,12 @@ _POSTINGS_SCHEMA = T.StructType(
 )
 
 
-def _decode_postings(index: InvertedIndex, terms: list) -> DataFrame:
-    """Decode (doc_id, term, freq, norm byte) for the given terms."""
+def _decode_postings(
+    index: InvertedIndex, terms: Optional[list], max_doc: Optional[int] = None
+) -> DataFrame:
+    """Decode (doc_id, term, freq, norm byte) for the given terms
+    (None = all terms). ``max_doc`` prunes blocks via the skip-pointer
+    metadata (first_doc) before any decode."""
     from lucene_spark.functions.forutil import delta_decode, for_decode, pfor_decode
 
     def fn(batches):
@@ -73,11 +77,14 @@ def _decode_postings(index: InvertedIndex, terms: list) -> DataFrame:
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return (
-        index.blocks.filter(F.col("term").isin(terms))
-        .select("term", "docs_packed", "freqs_packed", "norms_raw")
-        .mapInPandas(fn, _POSTINGS_SCHEMA)
-    )
+    blocks = index.blocks
+    if terms is not None:
+        blocks = blocks.filter(F.col("term").isin(terms))
+    if max_doc is not None:
+        blocks = blocks.filter(F.col("first_doc") <= max_doc)
+    return blocks.select(
+        "term", "docs_packed", "freqs_packed", "norms_raw"
+    ).mapInPandas(fn, _POSTINGS_SCHEMA)
 
 
 def bm25_topk_f64(

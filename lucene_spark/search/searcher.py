@@ -275,6 +275,22 @@ class IndexSearcher:
             req = [c for c in pos if c.occur in (Occur.MUST, Occur.FILTER)]
             opt = [c for c in pos if c.occur == Occur.SHOULD]
             msm = q.minimum_number_should_match
+
+            # flat term disjunction (e.g. a rewritten multi-term query):
+            # ONE decode pass over all matched terms' blocks instead of
+            # a union of per-term passes
+            flat_opt = self._flat_should_terms(opt)
+            if flat_opt is not None and not req and not neg and msm <= 1:
+                present = [t for t in flat_opt if t in ctx.term_stats]
+                if not present:
+                    return spark.createDataFrame([], _DOCS_SCHEMA)
+                return (
+                    self._term_blocks(present)
+                    .select("docs_packed")
+                    .mapInPandas(_decode_docs_udf(), _DOCS_SCHEMA)
+                    .distinct()
+                )
+
             docs: Optional[DataFrame] = None
             if opt:
                 union = None
@@ -328,8 +344,74 @@ class IndexSearcher:
             return self._eval_boolean(q, ctx, boost)
         raise NotImplementedError(f"eval: {type(q).__name__}")
 
+    def _flat_should_terms(self, opt) -> Optional[List[str]]:
+        """Terms when every SHOULD clause unwraps to a TermQuery."""
+        terms = []
+        for c in opt:
+            sub = c.query
+            while isinstance(sub, (BoostQuery, ConstantScoreQuery)):
+                sub = sub.query
+            if not isinstance(sub, TermQuery):
+                return None
+            terms.append(sub.term)
+        return terms
+
+    def _flat_term_clauses(self, q: BooleanQuery):
+        """[(occur, term, boost)] when every clause is a (boosted) term
+        query and scoring terms are distinct — else None."""
+        out = []
+        for c in q.clauses:
+            sub, b = c.query, 1.0
+            if isinstance(sub, BoostQuery) and isinstance(sub.query, TermQuery):
+                sub, b = sub.query, sub.boost
+            if not isinstance(sub, TermQuery):
+                return None
+            out.append((c.occur, sub.term, b))
+        scoring = [t for o, t, _ in out if o in (Occur.SHOULD, Occur.MUST)]
+        if len(set(scoring)) != len(scoring):
+            return None
+        return out
+
+    def _eval_boolean_flat(self, flat, q: BooleanQuery, ctx: _Ctx, boost: float) -> DataFrame:
+        """One decode pass for a flat term-only boolean: presence and
+        scores per clause come from conditional aggregation instead of
+        per-clause decode passes (BooleanScorer's single-pass window
+        accumulator, `search/BooleanScorer.java:31-34`)."""
+        spark = self.index.spark
+        must = [t for o, t, _ in flat if o in (Occur.MUST, Occur.FILTER)]
+        if any(t not in ctx.term_stats for t in must):
+            return spark.createDataFrame([], "doc_id long, score double")
+        nots = [t for o, t, _ in flat if o == Occur.MUST_NOT]
+        should = [t for o, t, _ in flat if o == Occur.SHOULD]
+        scoring = {
+            t: b * boost for o, t, b in flat if o in (Occur.SHOULD, Occur.MUST)
+        }
+        all_terms = {t: scoring.get(t, 1.0) for o, t, b in flat}
+        scored = self._scored_terms(ctx, all_terms)
+
+        in_ = lambda ts: F.col("term").isin(list(ts)) if ts else F.lit(False)
+        agg = scored.groupBy("doc_id").agg(
+            F.sum(F.when(in_(list(scoring)), F.col("score"))).alias("score"),
+            F.count_distinct(F.when(in_(must), F.col("term"))).alias("_m"),
+            F.count_distinct(F.when(in_(should), F.col("term"))).alias("_s"),
+            F.max(F.when(in_(nots), F.lit(1))).alias("_n"),
+        )
+        cond = F.col("_n").isNull() & (F.col("_m") == len(set(must)))
+        msm = q.minimum_number_should_match
+        need = msm if must else max(msm, 1 if should else 0)
+        if should and need > 0:
+            cond = cond & (F.col("_s") >= need)
+        return agg.filter(cond).select(
+            "doc_id", F.coalesce(F.col("score"), F.lit(0.0)).alias("score")
+        )
+
     def _eval_boolean(self, q: BooleanQuery, ctx: _Ctx, boost: float) -> DataFrame:
         spark = self.index.spark
+        flat = self._flat_term_clauses(q)
+        if flat is not None and any(
+            o in (Occur.SHOULD, Occur.MUST) for o, _, _ in flat
+        ):
+            return self._eval_boolean_flat(flat, q, ctx, boost)
         should = [c.query for c in q.clauses if c.occur == Occur.SHOULD]
         must = [c.query for c in q.clauses if c.occur == Occur.MUST]
         filt = [c.query for c in q.clauses if c.occur == Occur.FILTER]
