@@ -614,6 +614,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ngram_jaccard_pairs"] = lambda spark, sf: ngram_jaccard_pairs(
         _docs(spark, sf).filter(F.col("doc_id") < 120), n=3, threshold=0.02
     )
+    # connected-component dedup clusters over near-dup (jaccard) pairs;
+    # oracle: recursive-CTE transitive closure with min labels
+    def dedup_clusters(spark, sf):
+        from lucene_spark.pipeline import duplicate_clusters
+
+        pairs = ngram_jaccard_pairs(
+            _docs(spark, sf).filter(F.col("doc_id") < 120), n=3, threshold=0.02
+        ).select("doc_a", "doc_b")
+        return duplicate_clusters(pairs).orderBy("doc_id")
+
+    out["dedup_clusters"] = dedup_clusters
+
     out["simhash"] = _simhash_hex
     out["simhash_near_dups"] = lambda spark, sf: simhash_near_dups(
         _docs(spark, sf).filter(F.col("text") != ""), max_hamming=3
@@ -920,6 +932,32 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.02
+"""
+    out["dedup_clusters"] = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sh AS (SELECT * FROM shingles WHERE doc_id < 120),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.02
+),
+und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+FROM reach GROUP BY u ORDER BY doc_id
 """
     out["simhash"] = _simhash_oracle()
 

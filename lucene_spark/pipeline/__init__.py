@@ -1,4 +1,5 @@
 from lucene_spark.pipeline.dedup import (
+    duplicate_clusters,
     exact_duplicates,
     minhash_lsh_pairs,
     minhash_signatures,

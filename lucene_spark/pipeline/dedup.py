@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 __all__ = [
+    "duplicate_clusters",
     "exact_duplicates",
     "word_shingles",
     "minhash_signatures",
@@ -266,3 +267,84 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → dedup clusters.
+
+    Iterative minimum-label propagation (alternating large/small-star
+    style): every doc's cluster converges to the smallest doc_id
+    reachable through the pair graph. Each iteration is two
+    shuffles (join + min-agg); near-dup graphs have tiny diameters so
+    this converges in a handful of rounds. At scale, checkpoint the
+    label frame every few iterations to cut lineage.
+
+    Returns DataFrame(doc_id, cluster_id) where cluster_id = min doc_id
+    of the component; the canonical "keeper" is doc_id == cluster_id.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for i in range(max_iters):
+        # propagate: each node takes min(own label, neighbors' labels,
+        # and its current LABEL's label — pointer-doubling, so chains
+        # converge in O(log diameter) rounds instead of O(diameter))
+        neigh = (
+            edges.join(labels.withColumnRenamed("doc_id", "v"), "v")
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        via_label = (
+            labels.alias("l")
+            .join(
+                labels.select(
+                    F.col("doc_id").alias("cluster_id"),
+                    F.col("cluster_id").alias("l2"),
+                ),
+                "cluster_id",
+            )
+            .select("doc_id", F.col("l2").alias("p_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .join(via_label, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("n_min"), F.col("cluster_id")),
+                    F.coalesce(F.col("p_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
+        # truncate lineage every round: iterative algorithms otherwise
+        # build exponentially deep plans (driver OOM on long chains)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

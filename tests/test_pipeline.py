@@ -151,3 +151,37 @@ def test_ivf_topk_recall(spark):
     full = [r["vec_id"] for r in ivf_topk(assigned, cent, qvec, k=10, n_probes=8).collect()]
     assert full == exact
     assigned.unpersist()
+
+
+def test_duplicate_clusters(spark):
+    """Connected components over dup pairs: chains collapse to one
+    cluster keyed by the min doc_id."""
+    from lucene_spark.pipeline import duplicate_clusters
+
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_duplicate_clusters_end_to_end(spark, documents):
+    """minhash-LSH pairs -> clusters on real data, keepers consistent."""
+    from lucene_spark.pipeline import duplicate_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        documents.limit(300), n=3, num_hashes=16, bands=8, threshold=0.3
+    ).select("doc_a", "doc_b")
+    if pairs.count() == 0:
+        import pytest
+
+        pytest.skip("no near-dup pairs at this threshold")
+    clusters = duplicate_clusters(pairs)
+    # every cluster id is a member of its own cluster
+    ids = {r["cluster_id"] for r in clusters.collect()}
+    members = {r["doc_id"] for r in clusters.collect()}
+    assert ids <= members
