@@ -124,6 +124,19 @@ def main() -> None:
     syn_idx.blocks.unpersist()
     syn_idx.terms.unpersist()
 
+    # ---- merge round (tiered log-merge): fan-in + merge throughput
+    from lucene_spark.index.merge import log_merge_plan, merge_segments, segment_infos
+
+    infos = segment_infos(idx)
+    plan = log_merge_plan(infos, merge_factor=10, floor_docs=dps)
+    if plan:
+        t0 = time.time()
+        idx = merge_segments(idx, plan)
+        queries["merge_round"] = round(time.time() - t0, 3)
+        extra["merge_fan_in"] = idx.metrics.get("last_merge_fan_in")
+        extra["merge_groups"] = idx.metrics.get("last_merge_groups")
+        extra["merge_postings_per_sec"] = idx.metrics.get("merge_postings_per_sec")
+
     # ---- query latencies over the sf documents index
     searcher = IndexSearcher(idx)
     disj = BooleanQuery.of(

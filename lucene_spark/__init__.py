@@ -21,3 +21,15 @@ Catalyst operators; numpy kernels run inside Arrow-batched pandas UDFs
 """
 
 __version__ = "0.1.0"
+
+from lucene_spark.index import InvertedIndex, assign_doc_ids, check_index  # noqa: E402
+from lucene_spark.search import IndexSearcher, parse_query  # noqa: E402
+
+__all__ = [
+    "InvertedIndex",
+    "IndexSearcher",
+    "assign_doc_ids",
+    "check_index",
+    "parse_query",
+    "__version__",
+]

@@ -147,12 +147,17 @@ def analyze(text: str, stopwords: frozenset = ENGLISH_STOP_WORDS) -> List[Tuple[
     StopFilter preserves position increments
     (`FilteringTokenFilter.java:49-75`), so a surviving token's position
     is its ordinal in the tokenized stream before stop removal.
+
+    Lowercasing is hoisted before tokenization (one C-level
+    ``str.translate`` instead of per-token calls): UAX#29 word-break
+    classes are case-insensitive, so boundaries are unchanged —
+    property-tested against the per-token order in
+    ``tests/test_analyzer.py``.
     """
     out: List[Tuple[str, int]] = []
-    for pos, tok in enumerate(tokenize(text)):
-        term = simple_lowercase(tok)
-        if term not in stopwords:
-            out.append((term, pos))
+    for pos, tok in enumerate(tokenize(simple_lowercase(text))):
+        if tok not in stopwords:
+            out.append((tok, pos))
     return out
 
 

@@ -140,3 +140,34 @@ def test_term_freqs_matches_analyze():
         cnt, dl = term_freqs(text)
         assert cnt == Counter(t for t, _ in ref), text
         assert dl == len(ref), text
+
+
+def test_lowercase_hoist_preserves_boundaries():
+    """analyze() lowercases before tokenizing; verify against the
+    reference order (tokenize, then lowercase each token)."""
+    from hypothesis import given, settings, strategies as st
+
+    from lucene_spark.analysis import ENGLISH_STOP_WORDS, analyze, simple_lowercase, tokenize
+
+    def reference(text):
+        out = []
+        for pos, tok in enumerate(tokenize(text)):
+            term = simple_lowercase(tok)
+            if term not in ENGLISH_STOP_WORDS:
+                out.append((term, pos))
+        return out
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.text(max_size=300))
+    def check(text):
+        assert analyze(text) == reference(text)
+
+    check()
+
+    for text in [
+        "The QUICK İstanbul STRASSE ẞ Ω µ",
+        "CAN'T O'CLOCK A.B.C 3.14 1,000",
+        "東京タワーＡＢＣ ＫＡＴＡ",
+        "x" * 300 + "Y" * 300,
+    ]:
+        assert analyze(text) == reference(text), text
