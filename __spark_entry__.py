@@ -141,6 +141,40 @@ def _simhash_hex(spark, sf_dir) -> DataFrame:
     return sh.select("doc_id", F.format_string("%08x%08x", hi, lo).alias("simhash_hex"))
 
 
+def _simhash_near_dups_oracle(max_hamming: int = 3) -> str:
+    """Brute-force pair oracle: per-doc simhash halves (hi, lo) as
+    BIGINTs, hamming = bit_count(xor(hi)) + bit_count(xor(lo))."""
+
+    def bit(j):
+        d = j // 4
+        s = 3 - (j % 4)
+        return (
+            f"(((strpos('0123456789abcdef', substr(md5(term), {d + 1}, 1)) - 1) >> {s}) & 1)"
+        )
+
+    votes = [
+        f"CASE WHEN sum(freq * (2 * {bit(j)} - 1)) > 0 THEN 1 ELSE 0 END AS b{j}"
+        for j in range(64)
+    ]
+    hi = " + ".join(f"(b{j}::BIGINT << {31 - j})" for j in range(32))
+    lo = " + ".join(f"(b{j}::BIGINT << {63 - j})" for j in range(32, 64))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    WHERE text <> ''
+  ) WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY doc_id, term),
+bits AS (SELECT doc_id, {', '.join(votes)} FROM tf GROUP BY doc_id),
+h AS (SELECT doc_id, {hi} AS hi, {lo} AS lo FROM bits)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INT AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {max_hamming}
+"""
+
+
 def _simhash_oracle() -> str:
     # bit j (0 = MSB) of the first 16 hex chars of md5(term)
     def bit(j):
@@ -629,7 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["simhash"] = _simhash_hex
     out["simhash_near_dups"] = lambda spark, sf: simhash_near_dups(
         _docs(spark, sf).filter(F.col("text") != ""), max_hamming=3
-    )  # engine-only: pigeonhole-bucketed candidates (no SQL oracle)
+    )  # oracle: brute-force bit_count over SQL-computed simhashes
 
     # --- similarity search over embeddings
     def _qvec(spark, sf):
@@ -693,7 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fingerprint_md5"] = lambda spark, sf: fingerprint_md5(_docs(spark, sf))
     out["rolling_fingerprint"] = lambda spark, sf: rolling_fingerprint(
         _docs(spark, sf).filter(F.col("doc_id") < 50)
-    )  # engine-only numpy kernel (no SQL oracle)
+    )  # oracle: Horner-nested polynomial hash per window position
 
     return out
 
@@ -960,6 +994,7 @@ SELECT u AS doc_id, least(u, min(v)) AS cluster_id
 FROM reach GROUP BY u ORDER BY doc_id
 """
     out["simhash"] = _simhash_oracle()
+    out["simhash_near_dups"] = _simhash_near_dups_oracle(max_hamming=3)
 
     out["embedding_cosine_topk"] = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1046,5 +1081,25 @@ SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(
          list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fingerprint
 FROM documents
+"""
+
+    # Rabin-Karp mod 2^31-1 over 8-codepoint windows, Horner-nested so
+    # every intermediate fits BIGINT — bit-identical to the numpy kernel
+    horner = "0::BIGINT"
+    for t in range(8):
+        horner = f"(({horner}) * 257 + unicode(ch[j + {t}])) % 2147483647"
+    out["rolling_fingerprint"] = f"""
+WITH c AS (
+  SELECT doc_id, regexp_split_to_array(text, '') AS ch FROM documents
+  WHERE doc_id < 50
+),
+pos AS (
+  SELECT doc_id, ch, unnest(generate_series(1, len(ch) - 7)) AS j
+  FROM c WHERE len(ch) >= 8
+),
+h AS (SELECT doc_id, {horner} AS hv FROM pos),
+mn AS (SELECT doc_id, min(hv) AS rolling_fp FROM h GROUP BY doc_id)
+SELECT c.doc_id, coalesce(mn.rolling_fp, 0) AS rolling_fp
+FROM c LEFT JOIN mn ON c.doc_id = mn.doc_id
 """
     return out

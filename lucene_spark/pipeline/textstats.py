@@ -114,13 +114,17 @@ def fingerprint_md5(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def rolling_fingerprint(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 8, mod: int = (1 << 61) - 1
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 8, mod: int = (1 << 31) - 1
 ) -> DataFrame:
     """Rolling polynomial (Rabin-Karp) hash fingerprint, numpy-vectorized.
 
     fp(doc) = min over sliding windows of the polynomial hash of
     `window` consecutive codepoints (winnowing-style minimum) — robust
     to local edits. Arrow-batched; the per-batch work is pure numpy.
+
+    mod defaults to 2^31-1 so every intermediate (h*base + c < 2^40)
+    fits uint64 exactly — the hash is the true mathematical Rabin-Karp
+    value, reproducible bit-for-bit in SQL (see the DuckDB oracle).
     """
     base = np.uint64(257)
     m = np.uint64(mod)
