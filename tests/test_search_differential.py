@@ -150,3 +150,44 @@ def test_flat_fast_path_equals_general_path(spark, documents):
         finally:
             s._flat_term_clauses = orig
         assert fast == slow, (trial, bq)
+
+
+def test_wand_differential_zipf_corpus(spark):
+    """WAND == exhaustive on a realistic Zipf web corpus for randomized
+    disjunctions (mirrors TestWANDScorer.java:729-831 randomized runs,
+    at a scale where pruning actually skips blocks)."""
+    import random
+
+    from lucene_spark.corpus import synthetic_corpus
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.search import (
+        BooleanClause,
+        BooleanQuery,
+        BoostQuery,
+        IndexSearcher,
+        Occur,
+        TermQuery,
+    )
+
+    corpus = synthetic_corpus(spark, 20000, seed=5, num_partitions=16, with_doc_id=True)
+    idx = InvertedIndex.build(corpus, analyzer="standard", docs_per_segment=1024)
+    s = IndexSearcher(idx)
+    vocab = [
+        "spark", "index", "segment", "merge", "posting", "bm25", "score",
+        "query", "term", "doc", "block", "shuffle", "partition", "crawl",
+    ]
+    rng = random.Random(99)
+    for trial in range(6):
+        terms = rng.sample(vocab, rng.randint(2, 4))
+        clauses = tuple(
+            BooleanClause(
+                BoostQuery(TermQuery(t), rng.choice([0.5, 1.0, 2.0, 3.0])),
+                Occur.SHOULD,
+            )
+            for t in terms
+        )
+        q = BooleanQuery.of(*clauses)
+        k = rng.choice([3, 10, 50])
+        wand = [(r["doc_id"], r["score"]) for r in s.search(q, k, "wand").collect()]
+        exh = [(r["doc_id"], r["score"]) for r in s.search(q, k, "exhaustive").collect()]
+        assert wand == exh, (trial, terms, k)
