@@ -121,8 +121,7 @@ def main() -> None:
     queries["q_syn_exhaustive"] = round(
         timed(lambda: syn_searcher.search(syn_disj, 10, "exhaustive").collect(), REPS), 3
     )
-    syn_idx.blocks.unpersist()
-    syn_idx.terms.unpersist()
+    syn_idx.unpersist()
 
     # ---- merge round (tiered log-merge): fan-in + merge throughput
     from lucene_spark.index.merge import log_merge_plan, merge_segments, segment_infos

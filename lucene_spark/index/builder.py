@@ -388,6 +388,10 @@ class InvertedIndex:
     num_segments: int
     metrics: dict
     has_positions: bool = False
+    # the persisted DataFrame backing `blocks` (blocks may be a filter
+    # of it); unpersisting a derived child is a no-op, so holders of
+    # the cache root track it explicitly for release on merge/close
+    persisted_root: Optional[DataFrame] = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -498,7 +502,16 @@ class InvertedIndex:
             num_segments=num_segments,
             metrics=metrics,
             has_positions=positions,
+            persisted_root=full,
         )
+
+    def unpersist(self) -> None:
+        """Release the cached blocks/terms backing this index."""
+        if self.persisted_root is not None:
+            self.persisted_root.unpersist()
+        else:
+            self.blocks.unpersist()
+        self.terms.unpersist()
 
     # ------------------------------------------------------------------
     def save(self, index_dir: str) -> None:

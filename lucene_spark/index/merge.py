@@ -206,7 +206,12 @@ def merge_segments(
             ),
         }
     )
-    index.blocks.unpersist()
+    # release the previous cache root (blocks may be a filtered child
+    # of a persisted frame; unpersisting the child is a no-op)
+    if index.persisted_root is not None:
+        index.persisted_root.unpersist()
+    else:
+        index.blocks.unpersist()
     return InvertedIndex(
         spark=spark,
         blocks=new_blocks,
@@ -218,6 +223,7 @@ def merge_segments(
         num_segments=index.num_segments - sum(len(g) - 1 for g in plan),
         metrics=metrics,
         has_positions=index.has_positions,
+        persisted_root=new_blocks,
     )
 
 

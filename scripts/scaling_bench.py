@@ -159,8 +159,16 @@ Python calibration (analyzer throughput, docs/sec):
 Target: ≥ 0.8 (`BASELINE.json`). Generated by
 `scripts/scaling_bench.py` at {time.strftime('%Y-%m-%d %H:%M:%S')}.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    # preserve appended sections (e.g. scale_stress.py's scale-up part)
+    bench_path = os.path.join(REPO, "BENCH.md")
+    appendix = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        pos = old.find("\n## Scale-up stress")
+        if pos != -1:
+            appendix = old[pos:]
+    with open(bench_path, "w") as f:
+        f.write(md + appendix)
 
 
 if __name__ == "__main__":
