@@ -85,7 +85,9 @@ def main() -> None:
     # while keeping some build parallelism
     dps = max(512, n_docs // (CPUS * 2))
     t0 = time.time()
-    idx = InvertedIndex.build(docs, analyzer="simple", docs_per_segment=dps)
+    idx = InvertedIndex.build(
+        docs, analyzer="simple", docs_per_segment=dps, positions=True
+    )
     t_build = time.time() - t0
     queries["index_build_docs"] = round(t_build, 3)
     extra["index_docs_per_sec"] = round(n_docs / t_build, 1)
@@ -173,6 +175,26 @@ def main() -> None:
         ),
         3,
     )
+
+    # ---- reference query set (classic syntax, benchmark/conf shapes)
+    from lucene_spark.search import parse_query
+
+    ref_queries = [
+        "spark AND query",
+        "hash OR join OR merge",
+        "+table -scan sort",
+        '"hash join"',
+        "quer~1",
+        "s*",
+        "[merge TO sort]",
+        "(hash OR sort) AND join^2",
+    ]
+    lat = []
+    for qs in ref_queries:
+        lat.append(timed(lambda q=parse_query(qs): searcher.search(q, 10).collect(), 1))
+    lat.sort()
+    queries["q_ref_set_p50"] = round(lat[len(lat) // 2], 3)
+    queries["q_ref_set_max"] = round(lat[-1], 3)
 
     # ---- pipeline ops
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
