@@ -172,20 +172,45 @@ def _sloppy_phrase_kernel(pos_cols: List[np.ndarray], offsets: List[int], slop: 
 def phrase_freqs(
     index: InvertedIndex, phrase: List[str], slop: int = 0
 ) -> DataFrame:
-    """DataFrame(doc_id, freq double, norm) of phrase occurrences."""
+    """DataFrame(doc_id, freq double, norm) of phrase occurrences.
+
+    Exact phrases (slop=0) match fully JVM-side: each slot's positions
+    are exploded, offset-shifted to the anchor, and equi-joined on
+    (doc_id, position) — the leapfrog intersection of
+    `ExactPhraseMatcher.java:39` as a codegen'd multi-way join. Sloppy
+    phrases use the Arrow-batched greedy matcher.
+    """
+    if slop == 0:
+        norms = decode_positions(index, [phrase[0]]).select("doc_id", "norm")
+        anchors = None
+        for i, t in enumerate(phrase):
+            slot = (
+                decode_positions(index, [t])
+                .select("doc_id", F.explode("positions").alias("p"))
+                .select("doc_id", (F.col("p") - F.lit(i)).alias("p"))
+            )
+            anchors = slot if anchors is None else anchors.join(slot, ["doc_id", "p"])
+        return (
+            anchors.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+            .join(norms, "doc_id")
+            .select("doc_id", "freq", "norm")
+        )
+
     offsets_by_term: Dict[str, List[int]] = {}
     for i, t in enumerate(phrase):
         offsets_by_term.setdefault(t, []).append(i)
     distinct = list(offsets_by_term)
-    decoded = decode_positions(index, distinct)
 
-    # conjunction: only docs containing every distinct term can match
-    base = decoded.filter(F.col("term") == distinct[0]).select(
+    # per-term decode: the term filter prunes blocks BEFORE the Python
+    # decode (filtering a shared multi-term decode would re-run the
+    # whole decode once per join branch)
+    base = decode_positions(index, [distinct[0]]).select(
         "doc_id", "norm", F.col("positions").alias("p0")
     )
     for i, t in enumerate(distinct[1:], start=1):
         base = base.join(
-            decoded.filter(F.col("term") == t).select(
+            decode_positions(index, [t]).select(
                 "doc_id", F.col("positions").alias(f"p{i}")
             ),
             "doc_id",
