@@ -356,18 +356,44 @@ class IndexSearcher:
             terms.append(sub.term)
         return terms
 
+    def _term_group(self, sub: Query, boost: float):
+        """A clause body → {term: boost} when it is a (boosted) term or
+        a pure SHOULD term disjunction (msm<=1) — else None."""
+        if isinstance(sub, BoostQuery):
+            return self._term_group(sub.query, boost * sub.boost)
+        if isinstance(sub, TermQuery):
+            return {sub.term: boost}
+        if isinstance(sub, BooleanQuery) and sub.minimum_number_should_match <= 1:
+            out = {}
+            for c in sub.clauses:
+                if c.occur != Occur.SHOULD:
+                    return None
+                inner = self._term_group(c.query, boost)
+                if inner is None:
+                    return None
+                for t, b in inner.items():
+                    if t in out:
+                        return None
+                    out[t] = b
+            return out or None
+        return None
+
     def _flat_term_clauses(self, q: BooleanQuery):
-        """[(occur, term, boost)] when every clause is a (boosted) term
-        query and scoring terms are distinct — else None."""
+        """[(occur, {term: boost})] when every clause is a (boosted)
+        term or a nested pure term-disjunction, and scoring terms are
+        distinct across clauses — else None. Each entry is a GROUP: a
+        doc satisfies the clause when any member matches; its score
+        contribution is the sum of matching members' scores (exactly
+        the general evaluator's semantics for these shapes)."""
         out = []
         for c in q.clauses:
-            sub, b = c.query, 1.0
-            if isinstance(sub, BoostQuery) and isinstance(sub.query, TermQuery):
-                sub, b = sub.query, sub.boost
-            if not isinstance(sub, TermQuery):
+            g = self._term_group(c.query, 1.0)
+            if g is None:
                 return None
-            out.append((c.occur, sub.term, b))
-        scoring = [t for o, t, _ in out if o in (Occur.SHOULD, Occur.MUST)]
+            out.append((c.occur, g))
+        scoring = [
+            t for o, g in out if o in (Occur.SHOULD, Occur.MUST) for t in g
+        ]
         if len(set(scoring)) != len(scoring):
             return None
         return out
@@ -378,29 +404,52 @@ class IndexSearcher:
         per-clause decode passes (BooleanScorer's single-pass window
         accumulator, `search/BooleanScorer.java:31-34`)."""
         spark = self.index.spark
-        must = [t for o, t, _ in flat if o in (Occur.MUST, Occur.FILTER)]
-        if any(t not in ctx.term_stats for t in must):
-            return spark.createDataFrame([], "doc_id long, score double")
-        nots = [t for o, t, _ in flat if o == Occur.MUST_NOT]
-        should = [t for o, t, _ in flat if o == Occur.SHOULD]
+        # a MUST/FILTER group with no indexed member can never match
+        for o, g in flat:
+            if o in (Occur.MUST, Occur.FILTER) and not any(
+                t in ctx.term_stats for t in g
+            ):
+                return spark.createDataFrame([], "doc_id long, score double")
+        nots = [t for o, g in flat if o == Occur.MUST_NOT for t in g]
         scoring = {
-            t: b * boost for o, t, b in flat if o in (Occur.SHOULD, Occur.MUST)
+            t: b * boost
+            for o, g in flat
+            if o in (Occur.SHOULD, Occur.MUST)
+            for t, b in g.items()
         }
-        all_terms = {t: scoring.get(t, 1.0) for o, t, b in flat}
+        all_terms = dict(scoring)
+        for o, g in flat:
+            for t in g:
+                all_terms.setdefault(t, 1.0)
         scored = self._scored_terms(ctx, all_terms)
 
         in_ = lambda ts: F.col("term").isin(list(ts)) if ts else F.lit(False)
-        agg = scored.groupBy("doc_id").agg(
+        aggs = [
             F.sum(F.when(in_(list(scoring)), F.col("score"))).alias("score"),
-            F.count_distinct(F.when(in_(must), F.col("term"))).alias("_m"),
-            F.count_distinct(F.when(in_(should), F.col("term"))).alias("_s"),
             F.max(F.when(in_(nots), F.lit(1))).alias("_n"),
-        )
-        cond = F.col("_n").isNull() & (F.col("_m") == len(set(must)))
+        ]
+        # per-group presence flags (a group matches when ANY member does)
+        req_flags, should_flags = [], []
+        for i, (o, g) in enumerate(flat):
+            if o in (Occur.MUST, Occur.FILTER):
+                aggs.append(F.max(F.when(in_(g), F.lit(1))).alias(f"_r{i}"))
+                req_flags.append(f"_r{i}")
+            elif o == Occur.SHOULD:
+                aggs.append(F.max(F.when(in_(g), F.lit(1))).alias(f"_s{i}"))
+                should_flags.append(f"_s{i}")
+        agg = scored.groupBy("doc_id").agg(*aggs)
+
+        cond = F.col("_n").isNull()
+        for f_ in req_flags:
+            cond = cond & (F.col(f_) == 1)
         msm = q.minimum_number_should_match
-        need = msm if must else max(msm, 1 if should else 0)
-        if should and need > 0:
-            cond = cond & (F.col("_s") >= need)
+        need = msm if req_flags else max(msm, 1 if should_flags else 0)
+        if should_flags and need > 0:
+            n_should = sum(
+                [F.coalesce(F.col(f_), F.lit(0)) for f_ in should_flags[1:]],
+                F.coalesce(F.col(should_flags[0]), F.lit(0)),
+            )
+            cond = cond & (n_should >= need)
         return agg.filter(cond).select(
             "doc_id", F.coalesce(F.col("score"), F.lit(0.0)).alias("score")
         )
@@ -409,7 +458,7 @@ class IndexSearcher:
         spark = self.index.spark
         flat = self._flat_term_clauses(q)
         if flat is not None and any(
-            o in (Occur.SHOULD, Occur.MUST) for o, _, _ in flat
+            o in (Occur.SHOULD, Occur.MUST) for o, _ in flat
         ):
             return self._eval_boolean_flat(flat, q, ctx, boost)
         should = [c.query for c in q.clauses if c.occur == Occur.SHOULD]

@@ -191,3 +191,39 @@ def test_wand_differential_zipf_corpus(spark):
         wand = [(r["doc_id"], r["score"]) for r in s.search(q, k, "wand").collect()]
         exh = [(r["doc_id"], r["score"]) for r in s.search(q, k, "exhaustive").collect()]
         assert wand == exh, (trial, terms, k)
+
+
+def test_grouped_fast_path_equals_general(spark, documents):
+    """Nested term-disjunction groups through the single-pass evaluator
+    must equal the general per-clause evaluator."""
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.search import IndexSearcher, parse_query
+
+    idx = InvertedIndex.build(documents, analyzer="simple", docs_per_segment=128)
+    s = IndexSearcher(idx)
+    shapes = [
+        "(hash OR sort) AND join",
+        "(hash OR sort) AND (join OR merge)",
+        "(hash OR sort^2) join -scan",
+        "+(merge OR batch) -(scan OR window) query",
+        "(hash OR sort) AND join^2",
+    ]
+    for qs in shapes:
+        q = parse_query(qs)
+        ctx = s._bind(q)
+        flat = s._flat_term_clauses(q)
+        assert flat is not None, qs  # shape must take the fast path
+        fast = {
+            (r["doc_id"], round(r["score"], 6))
+            for r in s._eval_boolean_flat(flat, q, ctx, 1.0).collect()
+        }
+        orig = s._flat_term_clauses
+        s._flat_term_clauses = lambda _q: None
+        try:
+            slow = {
+                (r["doc_id"], round(r["score"], 6))
+                for r in s._eval_boolean(q, ctx, 1.0).collect()
+            }
+        finally:
+            s._flat_term_clauses = orig
+        assert fast == slow, qs
