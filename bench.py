@@ -202,10 +202,12 @@ def main() -> None:
     queries["q_cosine_topk"] = round(
         timed(lambda: cosine_topk(emb, qvec, k=10).collect(), REPS), 3
     )
+    # filter, not LIMIT: a global limit coalesces everything downstream
+    # onto one partition, serializing the shingle/minhash stages
     queries["q_minhash_dedup"] = round(
         timed(
             lambda: minhash_lsh_pairs(
-                docs.limit(2000), n=3, num_hashes=16, bands=4, threshold=0.8
+                docs.filter(F.col("doc_id") < 2000), n=3, num_hashes=16, bands=4, threshold=0.8
             ).count(),
             1,
         ),
