@@ -163,3 +163,42 @@ def test_check_index_detects_corruption(spark, documents):
     )
     report = check_index(idx)
     assert report["impacts_cover"] > 0
+
+
+def test_saved_index_full_query_battery(spark, documents, tmp_path):
+    """Every query family must work identically on a reloaded index
+    (parquet-backed blocks with predicate pushdown) as on the in-memory
+    build."""
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.search import IndexSearcher, parse_query
+    from lucene_spark.search.positional import phrase_topk, synonym_topk
+
+    idx = InvertedIndex.build(
+        documents, analyzer="simple", docs_per_segment=128, positions=True
+    )
+    d = str(tmp_path / "ix")
+    idx.save(d)
+    loaded = InvertedIndex.load(spark, d)
+
+    s_mem, s_dsk = IndexSearcher(idx), IndexSearcher(loaded)
+    for qs in [
+        "spark",
+        "hash AND join",
+        '"hash join"',
+        "quer~1 OR s*",
+        "+merge -scan sort",
+        "(hash OR sort) AND join^2",
+    ]:
+        q = parse_query(qs)
+        a = [(r["doc_id"], r["score"]) for r in s_mem.search(q, 10, "exhaustive").collect()]
+        b = [(r["doc_id"], r["score"]) for r in s_dsk.search(q, 10, "exhaustive").collect()]
+        assert a == b, qs
+    # positional + synonym APIs on the loaded index
+    assert (
+        phrase_topk(loaded, ["hash", "join"], k=5).collect()
+        == phrase_topk(idx, ["hash", "join"], k=5).collect()
+    )
+    assert (
+        synonym_topk(loaded, ["hash", "merge"], k=5).collect()
+        == synonym_topk(idx, ["hash", "merge"], k=5).collect()
+    )
