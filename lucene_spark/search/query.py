@@ -31,6 +31,7 @@ __all__ = [
     "BooleanClause",
     "BooleanQuery",
     "ConstantScoreQuery",
+    "DisjunctionMaxQuery",
     "BoostQuery",
     "MatchAllDocsQuery",
     "MatchNoDocsQuery",
@@ -81,6 +82,15 @@ class ConstantScoreQuery(Query):
 class BoostQuery(Query):
     query: "Query"
     boost: float
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """max(sub scores) + tie_breaker * sum(other sub scores)
+    (`search/DisjunctionMaxQuery.java:44`)."""
+
+    queries: tuple
+    tie_breaker: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -233,6 +243,14 @@ def _rewrite_once(query: Query, terms_df: Optional[DataFrame]) -> Query:
         if isinstance(inner, ConstantScoreQuery):  # idempotent wrap
             inner = inner.query
         return ConstantScoreQuery(inner)
+    if isinstance(query, DisjunctionMaxQuery):
+        subs = [_rewrite_once(sub, terms_df) for sub in query.queries]
+        subs = [sub for sub in subs if not isinstance(sub, MatchNoDocsQuery)]
+        if not subs:
+            return MatchNoDocsQuery("all disjuncts empty")
+        if len(subs) == 1:  # DisjunctionMaxQuery.rewrite single-disjunct
+            return subs[0]
+        return DisjunctionMaxQuery(tuple(subs), query.tie_breaker)
     if isinstance(query, BooleanQuery):
         clauses = [
             BooleanClause(_rewrite_once(c.query, terms_df), c.occur) for c in query.clauses

@@ -54,6 +54,7 @@ from lucene_spark.search.query import (
     BooleanQuery,
     BoostQuery,
     ConstantScoreQuery,
+    DisjunctionMaxQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     MultiTermQuery,
@@ -197,6 +198,11 @@ class IndexSearcher:
             return list(q.terms)
         if isinstance(q, (BoostQuery, ConstantScoreQuery)):
             return self._collect_terms(q.query)
+        if isinstance(q, DisjunctionMaxQuery):
+            out: List[str] = []
+            for sub in q.queries:
+                out.extend(self._collect_terms(sub))
+            return out
         if isinstance(q, BooleanQuery):
             out: List[str] = []
             for c in q.clauses:
@@ -269,6 +275,12 @@ class IndexSearcher:
             from lucene_spark.search.positional import phrase_freqs
 
             return phrase_freqs(self.index, list(q.terms), slop=q.slop).select("doc_id")
+        if isinstance(q, DisjunctionMaxQuery):
+            union = None
+            for sub in q.queries:
+                d = self._matching_docs(sub, ctx)
+                union = d if union is None else union.unionByName(d)
+            return union.distinct()
         if isinstance(q, BooleanQuery):
             pos = [c for c in q.clauses if c.occur in (Occur.SHOULD, Occur.MUST, Occur.FILTER)]
             neg = [c for c in q.clauses if c.occur == Occur.MUST_NOT]
@@ -340,6 +352,23 @@ class IndexSearcher:
                 k1=self.k1,
                 b=self.b,
             ).select("doc_id", F.col("score").cast("double").alias("score"))
+        if isinstance(q, DisjunctionMaxQuery):
+            # max + tie * (sum - max) over sub scores
+            # (`search/DisjunctionMaxScorer.java:60-72`)
+            union = None
+            for sub in q.queries:
+                d = self._eval(sub, ctx, boost)
+                union = d if union is None else union.unionByName(d)
+            agg = union.groupBy("doc_id").agg(
+                F.max("score").alias("_mx"), F.sum("score").alias("_sm")
+            )
+            return agg.select(
+                "doc_id",
+                (
+                    F.col("_mx")
+                    + (F.col("_sm") - F.col("_mx")) * F.lit(float(q.tie_breaker))
+                ).alias("score"),
+            )
         if isinstance(q, BooleanQuery):
             return self._eval_boolean(q, ctx, boost)
         raise NotImplementedError(f"eval: {type(q).__name__}")

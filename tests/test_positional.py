@@ -193,3 +193,47 @@ def test_multi_phrase_freqs(pidx):
         if n:
             expect[d] = float(n)
     assert got == expect
+
+
+def test_dismax_query_node(spark, pidx):
+    """DisjunctionMaxQuery as a composable tree node through
+    IndexSearcher agrees with the dismax_topk function."""
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        BoostQuery,
+        DisjunctionMaxQuery,
+        Occur,
+        TermQuery,
+    )
+
+    s = IndexSearcher(pidx)
+    dm = DisjunctionMaxQuery(
+        (TermQuery("hash"), BoostQuery(TermQuery("join"), 2.0)), tie_breaker=0.3
+    )
+    via_node = {
+        (r["doc_id"], round(r["score"], 5))
+        for r in s.search(dm, 20, "exhaustive").collect()
+    }
+    via_fn = {
+        (r["doc_id"], round(r["score"], 5))
+        for r in dismax_topk(pidx, {"hash": 1.0, "join": 2.0}, tie_breaker=0.3, k=20).collect()
+    }
+    assert via_node == via_fn
+
+    # composable inside a boolean with an exclusion
+    bq = BooleanQuery.of(
+        BooleanClause(dm, Occur.SHOULD),
+        BooleanClause(TermQuery("sort"), Occur.MUST_NOT),
+    )
+    res = s.search(bq, 20, "exhaustive").collect()
+    toks = naive_tokens()
+    excluded = {d for d, t in toks.items() if "sort" in t}
+    assert all(r["doc_id"] not in excluded for r in res)
+    assert len(res) > 0
+
+    # single-disjunct rewrite unwraps
+    from lucene_spark.search import rewrite
+
+    assert rewrite(DisjunctionMaxQuery((TermQuery("hash"),), 0.5)) == TermQuery("hash")
