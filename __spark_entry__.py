@@ -417,13 +417,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- statistics / norms
     def collection_stats(spark, sf):
+        # avgdl is the UN-rounded IEEE double sttf/doc_count on both the
+        # engine and oracle sides: Python round() vs DuckDB round() can
+        # differ in the last ulp and trip the driver's full-precision
+        # value hash (the one red row of round 1).
         idx = _index(spark, sf)
         return spark.createDataFrame(
             [
                 (
                     idx.doc_count,
                     idx.sum_total_term_freq,
-                    round(idx.sum_total_term_freq / idx.doc_count, 6),
+                    idx.sum_total_term_freq / idx.doc_count,
                 )
             ],
             "doc_count long, sttf long, avgdl double",
@@ -840,7 +844,7 @@ FROM hits JOIN documents d USING (doc_id) ORDER BY d.doc_id
 WITH {TOK_CTE},
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
 SELECT count(*) AS doc_count, sum(dl) AS sttf,
-       round(sum(dl) * 1.0 / count(*), 6) AS avgdl
+       sum(dl) * 1.0 / count(*) AS avgdl
 FROM dl
 """
     out["term_stats"] = f"""

@@ -87,19 +87,19 @@ def _decode_postings(
     ).mapInPandas(fn, _POSTINGS_SCHEMA)
 
 
-def bm25_topk_f64(
+def _bm25_scored_f64(
     index: InvertedIndex,
     term_boosts: Dict[str, float],
-    k: int = 10,
     min_should_match: int = 0,
     must_terms: Optional[list] = None,
     must_not_terms: Optional[list] = None,
     filter_terms: Optional[list] = None,
 ) -> DataFrame:
-    """Engine-backed BM25 boolean top-k with SQL-reproducible scores.
-
-    Returns (doc_id long, score double rounded 4dp), ordered
-    score desc / doc_id asc, limited to k.
+    """All matching docs with the RAW float64 score column ``s``
+    (un-rounded, un-ordered). Shared by :func:`bm25_topk_f64` and
+    :func:`search_after_f64` — paging must compare raw scores
+    (`search/IndexSearcher.java:576-588` compares exact scores), so the
+    4-dp display rounding only happens in the final top-k select.
     """
     spark = index.spark
     all_terms = sorted(
@@ -151,6 +151,31 @@ def bm25_topk_f64(
         scored = scored.join(
             posts.filter(F.col("term") == t).select("doc_id").distinct(), "doc_id", "left_anti"
         )
+    return scored.select("doc_id", "s")
+
+
+def bm25_topk_f64(
+    index: InvertedIndex,
+    term_boosts: Dict[str, float],
+    k: int = 10,
+    min_should_match: int = 0,
+    must_terms: Optional[list] = None,
+    must_not_terms: Optional[list] = None,
+    filter_terms: Optional[list] = None,
+) -> DataFrame:
+    """Engine-backed BM25 boolean top-k with SQL-reproducible scores.
+
+    Returns (doc_id long, score double rounded 4dp), ordered
+    score desc / doc_id asc, limited to k.
+    """
+    scored = _bm25_scored_f64(
+        index,
+        term_boosts,
+        min_should_match=min_should_match,
+        must_terms=must_terms,
+        must_not_terms=must_not_terms,
+        filter_terms=filter_terms,
+    )
     # order by the raw double (matching the oracle's ORDER BY s), round after
     return (
         scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
@@ -450,15 +475,28 @@ def search_after_f64(
     then ``WHERE s < anchor OR (s = anchor AND doc_id > anchor_doc)``
     (`search/IndexSearcher.java:576-588` semantics). With the total
     (s desc, doc_id asc) order this equals rows k..2k-1.
+
+    The anchor and the page filter BOTH use the raw float64 ``s``
+    column off one persisted frame: rounding first (the round-1 bug)
+    merged distinct raw scores that display identically at 4 dp, so a
+    page-1 row could re-enter page 2. Persisting pins the float64 sum
+    results so the collected anchor and the filter see identical bits.
     """
-    full = bm25_topk_f64(index, term_boosts, k=2 * k)
-    page1 = full.limit(k).collect()
-    if len(page1) < k:
-        return full.limit(0)
-    anchor_s, anchor_d = float(page1[-1]["score"]), int(page1[-1]["doc_id"])
-    return full.filter(
-        (F.col("score") < anchor_s)
-        | ((F.col("score") == anchor_s) & (F.col("doc_id") > anchor_d))
+    scored = _bm25_scored_f64(index, term_boosts)
+    full = (
+        scored.orderBy(F.col("s").desc(), F.col("doc_id").asc()).limit(2 * k).persist()
+    )
+    rows = full.orderBy(F.col("s").desc(), F.col("doc_id").asc()).collect()
+    if len(rows) <= k:
+        return full.limit(0).select("doc_id", F.col("s").alias("score"))
+    anchor_s, anchor_d = float(rows[k - 1]["s"]), int(rows[k - 1]["doc_id"])
+    return (
+        full.filter(
+            (F.col("s") < anchor_s)
+            | ((F.col("s") == anchor_s) & (F.col("doc_id") > anchor_d))
+        )
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .select("doc_id", F.round(F.col("s"), 4).alias("score"))
     )
 
 
