@@ -435,6 +435,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["collection_stats"] = collection_stats
 
+    # --- deletes / liveDocs (IndexWriter.deleteDocuments + reclaim) ------
+
+    # tombstones filter results but stats stay (Lucene: docFreq counts
+    # deleted docs until merge) — so the oracle is exactly the MUST_NOT
+    # oracle: full-corpus stats, excluded docs
+    def search_with_deletes(spark, sf):
+        from lucene_spark.index import delete_documents
+
+        return bm25_topk_f64(
+            delete_documents(_index(spark, sf), "join"), {"hash": 1.0}, k=20
+        )
+
+    out["search_with_deletes"] = search_with_deletes
+
+    def _reclaimed(spark, sf):
+        # separate build: apply_deletes rewrites blocks and releases the
+        # input's cache root, so never run it on the shared gate index
+        from lucene_spark.index import apply_deletes, delete_documents
+
+        if ("reclaim", sf) not in _INDEX_CACHE:
+            idx = InvertedIndex.build(
+                _docs(spark, sf), analyzer="simple", docs_per_segment=2048
+            )
+            _INDEX_CACHE[("reclaim", sf)] = apply_deletes(
+                delete_documents(idx, "vector")
+            )
+        return _INDEX_CACHE[("reclaim", sf)]
+
+    # merge-time reclaim: stats now EXCLUDE the deleted docs
+    def delete_reclaim_stats(spark, sf):
+        idx = _reclaimed(spark, sf)
+        return spark.createDataFrame(
+            [
+                (
+                    idx.doc_count,
+                    idx.sum_total_term_freq,
+                    idx.sum_total_term_freq / idx.doc_count,
+                )
+            ],
+            "doc_count long, sttf long, avgdl double",
+        )
+
+    out["delete_reclaim_stats"] = delete_reclaim_stats
+
+    # post-reclaim scoring uses the recomputed stats (df/sttf dropped)
+    out["term_topk_after_reclaim"] = lambda spark, sf: bm25_topk_f64(
+        _reclaimed(spark, sf), {"hash": 1.0}, k=20
+    )
+
     out["term_stats"] = lambda spark, sf: (
         _index(spark, sf)
         .terms.orderBy(F.col("doc_freq").desc(), F.col("term").asc())
@@ -853,6 +902,26 @@ SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_term_freq
 FROM tok GROUP BY term
 ORDER BY doc_freq DESC, term ASC LIMIT 10
 """
+    # tombstoned docs excluded, stats untouched == the MUST_NOT oracle
+    out["search_with_deletes"] = oracle_bm25_sql(
+        {"hash": 1.0}, k=20, must_not_terms=["join"]
+    )
+    _SURVIVORS = (
+        "(SELECT * FROM documents WHERE doc_id NOT IN ("
+        "SELECT doc_id FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "FROM documents) WHERE term = 'vector'))"
+    )
+    out["delete_reclaim_stats"] = f"""
+WITH tok AS (SELECT doc_id, term FROM (SELECT doc_id,
+  unnest(string_split(text, ' ')) AS term FROM {_SURVIVORS}) WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+SELECT count(*) AS doc_count, sum(dl) AS sttf,
+       sum(dl) * 1.0 / count(*) AS avgdl
+FROM dl
+"""
+    out["term_topk_after_reclaim"] = oracle_bm25_sql(
+        {"hash": 1.0}, k=20, table=_SURVIVORS
+    )
     out["doc_norms"] = f"""
 WITH {TOK_CTE},
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)

@@ -5,14 +5,28 @@ from lucene_spark.index.builder import (
     assign_doc_ids,
 )
 from lucene_spark.index.check import check_index
+from lucene_spark.index.deletes import (
+    apply_deletes,
+    delete_by_ids,
+    delete_by_query,
+    delete_documents,
+    reclaimable_segments,
+    update_document,
+)
 from lucene_spark.index.resumable import load_resumable, resumable_build
 
 __all__ = [
     "BLOCKS_SCHEMA",
     "BLOCKS_SCHEMA_POS",
     "InvertedIndex",
+    "apply_deletes",
     "assign_doc_ids",
     "check_index",
+    "delete_by_ids",
+    "delete_by_query",
+    "delete_documents",
     "load_resumable",
+    "reclaimable_segments",
     "resumable_build",
+    "update_document",
 ]

@@ -392,6 +392,16 @@ class InvertedIndex:
     # of it); unpersisting a derived child is a no-op, so holders of
     # the cache root track it explicitly for release on merge/close
     persisted_root: Optional[DataFrame] = None
+    # tombstoned doc_ids (liveDocs analog, `index/PendingDeletes.java`):
+    # searches anti-join this; stats stay unchanged until apply_deletes
+    # reclaims the segments (Lucene's docFreq-counts-deletes semantics)
+    deletes: Optional[DataFrame] = None
+    num_deleted: int = 0
+
+    @property
+    def num_docs(self) -> int:
+        """Live doc count (`IndexReader.numDocs` = maxDoc - deletions)."""
+        return self.doc_count - self.num_deleted
 
     # ------------------------------------------------------------------
     @classmethod
@@ -531,6 +541,10 @@ class InvertedIndex:
         )
         self.terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
         self.norms.write.mode("overwrite").parquet(os.path.join(index_dir, "norms"))
+        if self.deletes is not None and self.num_deleted > 0:
+            self.deletes.write.mode("overwrite").parquet(
+                os.path.join(index_dir, "deletes")
+            )
         manifest = {
             "format": "lucene_spark.v1",
             "doc_count": self.doc_count,
@@ -539,6 +553,7 @@ class InvertedIndex:
             "num_segments": self.num_segments,
             "metrics": self.metrics,
             "has_positions": self.has_positions,
+            "num_deleted": self.num_deleted,
             "committed_at": time.time(),
         }
         os.makedirs(index_dir, exist_ok=True)
@@ -551,7 +566,15 @@ class InvertedIndex:
     def load(cls, spark: SparkSession, index_dir: str) -> "InvertedIndex":
         with open(os.path.join(index_dir, "manifest.json")) as f:
             m = json.load(f)
+        n_del = int(m.get("num_deleted", 0))
+        dels = (
+            spark.read.parquet(os.path.join(index_dir, "deletes"))
+            if n_del > 0
+            else None
+        )
         return cls(
+            deletes=dels,
+            num_deleted=n_del,
             spark=spark,
             blocks=spark.read.parquet(os.path.join(index_dir, "blocks")),
             terms=spark.read.parquet(os.path.join(index_dir, "terms")),

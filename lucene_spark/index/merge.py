@@ -224,6 +224,8 @@ def merge_segments(
         metrics=metrics,
         has_positions=index.has_positions,
         persisted_root=new_blocks,
+        deletes=index.deletes,
+        num_deleted=index.num_deleted,
     )
 
 

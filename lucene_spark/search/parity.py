@@ -151,6 +151,10 @@ def _bm25_scored_f64(
         scored = scored.join(
             posts.filter(F.col("term") == t).select("doc_id").distinct(), "doc_id", "left_anti"
         )
+    # liveDocs: tombstoned docs leave results but (like Lucene) stats
+    # above still count them until apply_deletes reclaims the segments
+    if index.deletes is not None and index.num_deleted > 0:
+        scored = scored.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
     return scored.select("doc_id", "s")
 
 

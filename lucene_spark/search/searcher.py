@@ -163,6 +163,18 @@ class IndexSearcher:
         self._stats_cache: Dict[str, Optional[Tuple[int, int]]] = {}
 
     # ------------------------------------------------------------------
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Drop tombstoned docs (liveDocs check, `index/PendingDeletes`).
+
+        No-op when the index has no deletes, so the common path adds
+        zero plan nodes. Scores of surviving docs are NOT affected:
+        stats still count deleted docs until reclaim, as in Lucene.
+        """
+        dels = self.index.deletes
+        if dels is None or self.index.num_deleted == 0:
+            return df
+        return df.join(dels.select("doc_id"), "doc_id", "left_anti")
+
     def search(self, query: Query, k: int = 10, mode: str = "auto") -> DataFrame:
         """Top-k (doc_id, score) ordered by score desc, doc_id asc."""
         q = rewrite(query, self.index.terms)
@@ -183,9 +195,8 @@ class IndexSearcher:
         else:
             result = self._eval(q, ctx, boost=1.0)
         return (
-            result.select(
-                "doc_id", F.col("score").cast("float").alias("score")
-            )
+            self._live(result)
+            .select("doc_id", F.col("score").cast("float").alias("score"))
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
         )
@@ -611,11 +622,15 @@ class IndexSearcher:
         cand = meta.withColumn("_r", F.row_number().over(w_rank)).filter(
             F.col("_r") <= per_term
         )
+        # θ must lower-bound the k-th best LIVE score: a deleted doc's
+        # partial score could over-prune live blocks, so filter first
         partial = (
-            cand.select("term", "docs_packed", "freqs_packed", "norms_raw")
-            .mapInPandas(_decode_score_udf(weights), _SCORED_SCHEMA)
-            .groupBy("doc_id")
-            .agg(F.sum("score").alias("score"))
+            self._live(
+                cand.select("term", "docs_packed", "freqs_packed", "norms_raw")
+                .mapInPandas(_decode_score_udf(weights), _SCORED_SCHEMA)
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("score"))
+            )
             .orderBy(F.col("score").desc())
             .limit(k)
             .collect()

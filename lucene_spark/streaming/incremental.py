@@ -70,6 +70,8 @@ def append_batch(
         num_segments=index.num_segments + delta.num_segments,
         metrics={**index.metrics, "last_append_docs": delta.doc_count},
         has_positions=index.has_positions,
+        deletes=index.deletes,
+        num_deleted=index.num_deleted,
     )
 
 
