@@ -132,6 +132,27 @@ _BM25_QUERIES = {
 
 _SIMHASH_MAX_ID = 30
 
+# Fixed inflected-form battery for the Porter gate; stems hand-derived
+# from the published 1980 algorithm (also pytest goldens). The corpus
+# vocabulary's non-identity stems live in _STEM_MAP.
+_STEM_BATTERY = {
+    "relational": "relat", "conditional": "condit", "hopefulness": "hope",
+    "adjustable": "adjust", "replacement": "replac", "digitizer": "digit",
+    "motoring": "motor", "caresses": "caress", "ponies": "poni",
+    "hopping": "hop", "sized": "size", "happy": "happi",
+    "electrical": "electr", "formalize": "formal", "allowance": "allow",
+    "controll": "control",
+}
+_STEM_MAP = {
+    "customer": "custom", "merge": "merg", "table": "tabl",
+    "value": "valu", "key": "kei", "query": "queri",
+}
+_STEM_CASE = (
+    "CASE "
+    + " ".join(f"WHEN term = '{w}' THEN '{s}'" for w, s in _STEM_MAP.items())
+    + " ELSE term END"
+)
+
 
 def _simhash_hex(spark, sf_dir) -> DataFrame:
     df = _docs(spark, sf_dir).filter((F.col("doc_id") < _SIMHASH_MAX_ID) & (F.col("text") != ""))
@@ -261,6 +282,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["prefix_query"] = lambda spark, sf: _const_score_docs(spark, sf, PrefixQuery("s"))
     out["wildcard_query"] = lambda spark, sf: _const_score_docs(spark, sf, WildcardQuery("j*n"))
     out["fuzzy_query"] = lambda spark, sf: _const_score_docs(spark, sf, FuzzyQuery("quer", 1))
+    # transposition semantics: "jion"~1 reaches "join" only under
+    # Damerau-Levenshtein (plain Levenshtein distance is 2)
+    out["fuzzy_transpositions"] = lambda spark, sf: _const_score_docs(
+        spark, sf, FuzzyQuery("jion", 1)
+    )
     out["term_in_set"] = lambda spark, sf: _const_score_docs(
         spark, sf, TermInSetQuery(("spark", "flink", "duck"))
     )
@@ -334,6 +360,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["classic_parse_match"] = classic_parse_match
+
+    # hyphenated words are ONE term token (QueryParser.jj _TERM_CHAR),
+    # analyzed into a SHOULD group — not hash AND NOT join
+    def hyphen_term_query(spark, sf):
+        from lucene_spark.search import parse_query
+
+        return _const_score_docs(spark, sf, parse_query("hash-join"), k=100)
+
+    out["hyphen_term_query"] = hyphen_term_query
 
     # monitor module analog: reverse search (which saved query fires per doc)
     def monitor_percolate(spark, sf):
@@ -482,6 +517,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # post-reclaim scoring uses the recomputed stats (df/sttf dropped)
     out["term_topk_after_reclaim"] = lambda spark, sf: bm25_topk_f64(
         _reclaimed(spark, sf), {"hash": 1.0}, k=20
+    )
+
+    # --- english analyzer (possessive strip → stop → Porter stem) --------
+
+    # stemmer battery: the engine's vectorized Porter UDF over the
+    # actual corpus vocabulary + a fixed inflection list; the oracle's
+    # stems are hand-derived from the published 1980 algorithm
+    def porter_stem_tokens(spark, sf):
+        from lucene_spark.analysis.porter import porter_stem_udf
+
+        corpus_toks = (
+            _docs(spark, sf)
+            .select(F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .distinct()
+        )
+        extra = spark.createDataFrame(
+            [(w,) for w in sorted(_STEM_BATTERY)], "word string"
+        )
+        words = corpus_toks.unionByName(extra).distinct()
+        return words.select(
+            "word", porter_stem_udf()("word").alias("stem")
+        ).orderBy("word")
+
+    out["porter_stem_tokens"] = porter_stem_tokens
+
+    def _index_english(spark, sf):
+        if ("english", sf) not in _INDEX_CACHE:
+            _INDEX_CACHE[("english", sf)] = InvertedIndex.build(
+                _docs(spark, sf), analyzer="english", docs_per_segment=2048
+            )
+        return _INDEX_CACHE[("english", sf)]
+
+    # end-to-end english chain: index with stemming, score BM25 on a
+    # stem; oracle re-creates the chain via the hand-derived stem map
+    out["english_term_topk"] = lambda spark, sf: bm25_topk_f64(
+        _index_english(spark, sf), {"merg": 1.0}, k=20
+    )
+    out["english_term_stats"] = lambda spark, sf: (
+        _index_english(spark, sf)
+        .terms.orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(10)
+        .select("term", "doc_freq", "total_term_freq")
     )
 
     out["term_stats"] = lambda spark, sf: (
@@ -815,10 +893,14 @@ SELECT doc_id, query_id FROM (
   SELECT doc_id, 'alert_spark' FROM t WHERE list_contains(terms, 'spark')
 ) ORDER BY doc_id, query_id
 """
+    out["hyphen_term_query"] = _const_score_oracle("term IN ('hash', 'join')")
     out["prefix_query"] = _const_score_oracle("term LIKE 's%'")
     out["wildcard_query"] = _const_score_oracle("regexp_matches(term, '^j.*n$')")
     out["fuzzy_query"] = _const_score_oracle(
-        "length(term) BETWEEN 3 AND 5 AND levenshtein(term, 'quer') <= 1"
+        "length(term) BETWEEN 3 AND 5 AND damerau_levenshtein(term, 'quer') <= 1"
+    )
+    out["fuzzy_transpositions"] = _const_score_oracle(
+        "length(term) BETWEEN 3 AND 5 AND damerau_levenshtein(term, 'jion') <= 1"
     )
     out["term_in_set"] = _const_score_oracle("term IN ('spark', 'flink', 'duck')")
     out["term_range"] = _const_score_oracle("term BETWEEN 'query' AND 'sort'")
@@ -922,6 +1004,52 @@ FROM dl
     out["term_topk_after_reclaim"] = oracle_bm25_sql(
         {"hash": 1.0}, k=20, table=_SURVIVORS
     )
+    _battery_vals = ", ".join(f"('{w}')" for w in sorted(_STEM_BATTERY))
+    _map_vals = ", ".join(
+        f"('{w}', '{s}')" for w, s in sorted({**_STEM_MAP, **_STEM_BATTERY}.items())
+    )
+    out["porter_stem_tokens"] = f"""
+WITH corpus AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents
+),
+words AS (
+  SELECT word FROM corpus WHERE word <> ''
+  UNION SELECT * FROM (VALUES {_battery_vals})
+),
+map(word, stem) AS (VALUES {_map_vals})
+SELECT w.word, coalesce(m.stem, w.word) AS stem
+FROM words w LEFT JOIN map m USING (word) ORDER BY w.word
+"""
+    _ENG_TOK_CTE = f"""tok AS (
+  SELECT doc_id, {_STEM_CASE} AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> '' AND term NOT IN ('a', 'the')
+)"""
+    out["english_term_topk"] = f"""
+WITH {_ENG_TOK_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sttf FROM dl),
+dlq AS (SELECT doc_id, {_DLQ_CASE} AS dl_q FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM tok
+  WHERE term = 'merg' GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5)) * freq
+             / (freq + 1.2 * (1 - 0.75 + 0.75 * dl_q / (sttf * 1.0 / n_docs)))) AS s
+  FROM tf JOIN df USING (term) JOIN dlq USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY s DESC, doc_id ASC LIMIT 20
+"""
+    out["english_term_stats"] = f"""
+WITH {_ENG_TOK_CTE}
+SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_term_freq
+FROM tok GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 10
+"""
     out["doc_norms"] = f"""
 WITH {TOK_CTE},
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)

@@ -232,6 +232,7 @@ def _segment_build_kernel(analyzer: str, positions: bool):
 
     from lucene_spark.analysis import analyze as std_analyze
     from lucene_spark.analysis import term_freqs as std_term_freqs
+    from lucene_spark.analysis.porter import english_analyze, english_term_freqs
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(pdf["doc_id"].values, kind="stable")
@@ -251,6 +252,8 @@ def _segment_build_kernel(analyzer: str, positions: bool):
             if positions:
                 if analyzer == "standard":
                     toks = std_analyze(text)
+                elif analyzer == "english":
+                    toks = english_analyze(text)
                 else:
                     toks = [(t, p) for p, t in enumerate(text.split(" ")) if t]
                 if not toks:
@@ -268,6 +271,8 @@ def _segment_build_kernel(analyzer: str, positions: bool):
                 # per-token Python (see analyzer.term_freqs)
                 if analyzer == "standard":
                     cnt, dl = std_term_freqs(text)
+                elif analyzer == "english":
+                    cnt, dl = english_term_freqs(text)
                 else:
                     cnt = Counter(text.split(" "))
                     cnt.pop("", None)
@@ -430,7 +435,7 @@ class InvertedIndex:
         t0 = time.time()
         doc_id = F.col(doc_id_col).cast("long").alias("doc_id")
 
-        if analyzer not in ("standard", "simple"):
+        if analyzer not in ("standard", "simple", "english"):
             raise ValueError(f"unknown analyzer {analyzer!r}")
 
         # One segment = one task = one kernel call (a DWPT flush). The

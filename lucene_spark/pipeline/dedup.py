@@ -156,13 +156,32 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs; candidates = any shared shingle.
 
     For corpora where near-dup rate is low this is exact and cheap: the
     shingle self-join only materializes pairs that share content.
+
+    **Scale**: on a web corpus, Zipf-head shingles ("of the and") put
+    huge doc sets in one join bucket — the self-join goes quadratic in
+    the head. Set ``max_shingle_df`` to drop shingles seen in more than
+    that many docs before the join (a standard LSH-era trick: ubiquitous
+    shingles carry no near-dup signal). Jaccard is then computed over
+    the surviving shingle space — i.e. head shingles are treated as
+    stopwords on both the intersection and the union side. For exact
+    full-shingle results at scale, prefer
+    :func:`minhash_lsh_pairs`, whose band join bounds bucket sizes by
+    construction.
     """
     sh = word_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    if max_shingle_df is not None:
+        sh_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(
+            sh_df.filter(F.col("_df") <= max_shingle_df).select("shingle"),
+            "shingle",
+            "semi",
+        )
     cand = (
         sh.alias("a")
         .join(sh.alias("b"), "shingle")
@@ -183,6 +202,12 @@ def ngram_jaccard_pairs(
     )
 
 
+# term → 64-bit hash memo shared across Arrow batches in one worker;
+# Zipf token reuse makes the hit rate very high on web text
+_H64_CACHE: dict = {}
+_H64_CACHE_MAX = 1 << 20
+
+
 def _simhash64_batch(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens, md5-derived term hashes.
 
@@ -190,26 +215,53 @@ def _simhash64_batch(texts: pd.Series) -> pd.Series:
     bit j (0 = MSB) votes +freq / -freq; simhash bit j = 1 if vote > 0.
     Deterministic and reproducible in ANSI SQL (the DuckDB oracle
     rebuilds the same bits from md5 hex digits).
+
+    Vectorized: per-(doc, term) frequencies come from one C-level
+    pandas groupby over the whole batch; md5 runs once per UNIQUE term
+    (memoized across batches); the 64 vote counters accumulate as one
+    matrix groupby-sum — no per-token Python in the loop.
     """
     import hashlib
 
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not isinstance(t, str) or not t:
-            continue
-        toks = pd.Series(t.split(" ")).value_counts()
-        votes = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(63, -1, -1, dtype=np.uint64)  # bit 0 = MSB
-        for term, freq in toks.items():
-            h = np.uint64(int(hashlib.md5(term.encode()).hexdigest()[:16], 16))
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            votes += np.where(bits == 1, freq, -freq)
-        sim = (votes > 0).astype(np.uint64)
-        val = np.uint64(0)
-        for b in sim:
-            val = (val << np.uint64(1)) | b
-        # store as signed int64 (two's complement reinterpretation)
-        out[i] = int(np.array([val], dtype=np.uint64).view(np.int64)[0])
+    n = len(texts)
+    lists = [
+        t.split(" ") if isinstance(t, str) and t else [] for t in texts.tolist()
+    ]
+    lens = np.fromiter((len(l) for l in lists), dtype=np.int64, count=n)
+    if lens.sum() == 0:
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    doc_idx = np.repeat(np.arange(n), lens)
+    toks = np.concatenate([np.asarray(l, dtype=object) for l in lists if l])
+    grp = (
+        pd.DataFrame({"d": doc_idx, "t": toks})
+        .groupby(["d", "t"], sort=False)
+        .size()
+    )
+    d_arr = grp.index.get_level_values(0).to_numpy()
+    t_arr = grp.index.get_level_values(1).to_numpy()
+    f_arr = grp.to_numpy(dtype=np.int64)
+    uniq, inv = np.unique(t_arr, return_inverse=True)
+    hvals = np.empty(len(uniq), dtype=np.uint64)
+    for i, term in enumerate(uniq):
+        v = _H64_CACHE.get(term)
+        if v is None:
+            v = int(hashlib.md5(term.encode()).hexdigest()[:16], 16)
+            if len(_H64_CACHE) < _H64_CACHE_MAX:
+                _H64_CACHE[term] = v
+        hvals[i] = v
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)  # bit 0 = MSB
+    signs = (
+        ((hvals[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+    )  # (n_unique, 64) of ±1
+    contrib = signs[inv] * f_arr[:, None]  # (n_pairs, 64)
+    votes_df = pd.DataFrame(contrib)
+    votes_df["_d"] = d_arr
+    votes_by_doc = votes_df.groupby("_d", sort=True).sum()  # C-level agg
+    sim_bits = (votes_by_doc.to_numpy() > 0).astype(np.uint64)
+    weights = np.uint64(1) << shifts
+    vals = (sim_bits * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    out = np.zeros(n, dtype=np.int64)
+    out[votes_by_doc.index.to_numpy()] = vals.view(np.int64)
     return pd.Series(out)
 
 
@@ -228,26 +280,32 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Candidate generation: split the 64-bit hash into (max_hamming + 1)
-    16-bit chunks — a pair within the Hamming budget must agree on at
-    least one chunk (pigeonhole), so an equi-join per chunk finds all
-    candidates without a cross join.
+    contiguous chunks — with at most max_hamming differing bits, the
+    pigeonhole principle guarantees the pair agrees on at least one
+    whole chunk, so an equi-join per chunk finds all candidates without
+    a cross join. The chunk count tracks the parameter (a fixed count
+    would silently lose pairs for larger budgets).
     """
     sh = simhash(df, **kw)
-    n_chunks = 4
+    n_chunks = max_hamming + 1
+    # contiguous chunk boundaries covering all 64 bits (widths differ by
+    # at most 1 when 64 % n_chunks != 0)
+    bounds = [round(64 * c / n_chunks) for c in range(n_chunks + 1)]
+    chunk_structs = []
+    for c in range(n_chunks):
+        lo, hi = bounds[c], bounds[c + 1]
+        width = hi - lo
+        mask = (1 << width) - 1
+        chunk_structs.append(
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("simhash", lo).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+        )
     chunks = sh.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("ck"),
+        F.explode(F.array(*chunk_structs)).alias("ck"),
     ).select("doc_id", "simhash", "ck.chunk", "ck.key")
     cand = (
         chunks.alias("a")

@@ -203,6 +203,7 @@ def ivf_assign(
     seed: int = 42,
     sample_fraction: float = 0.2,
     kmeans_iters: int = 5,
+    max_train_rows: int = 200_000,
 ) -> tuple:
     """Train IVF centroids (mini k-means on a deterministic sample) and
     assign every vector to its nearest list.
@@ -215,15 +216,22 @@ def ivf_assign(
     partitioned by ``ivf_list`` so probes prune partitions.
     """
     dim = _infer_dim(df, vec_col)
+    # cap the driver-side training collect: a bare fraction scales with
+    # the table (20% of 10^9 vectors OOMs the driver); k-means quality
+    # saturates long before max_train_rows anyway
     sample = np.array(
         df.sample(fraction=sample_fraction, seed=seed)
         .select(vec_col)
+        .limit(max_train_rows)
         .toPandas()[vec_col]
         .tolist(),
         dtype=np.float32,
     )
     if len(sample) < n_lists:
-        sample = np.array(df.select(vec_col).toPandas()[vec_col].tolist(), dtype=np.float32)
+        sample = np.array(
+            df.select(vec_col).limit(max_train_rows).toPandas()[vec_col].tolist(),
+            dtype=np.float32,
+        )
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cent = sample[rng.choice(len(sample), size=n_lists, replace=False)]

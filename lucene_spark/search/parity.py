@@ -548,7 +548,14 @@ def combined_field_f64(
     n = index.doc_count
     # keyword side: every doc has exactly one token in kw_col
     kw = docs.select(F.col("doc_id").cast("long").alias("doc_id"), F.col(kw_col))
-    df_kw = kw.filter(F.col(kw_col) == term).count()
+    # df_kw counts only docs that are IN the index (non-empty tokenized
+    # text, like the oracle's JOIN dl): an empty-text doc whose keyword
+    # matches must not inflate pseudo_df
+    df_kw = (
+        kw.filter(F.col(kw_col) == term)
+        .join(index.norms.select("doc_id"), "doc_id", "semi")
+        .count()
+    )
     st = {
         r["term"]: (int(r["doc_freq"]), int(r["total_term_freq"]))
         for r in index.terms.filter(F.col("term") == term).collect()

@@ -150,17 +150,26 @@ class RegexpQuery(MultiTermQuery):
 
 @dataclass(frozen=True)
 class FuzzyQuery(MultiTermQuery):
+    """`search/FuzzyQuery.java`: transpositions=True (the default)
+    uses Damerau-Levenshtein so "teh"~1 matches "the"; False falls back
+    to plain Levenshtein (JVM built-in)."""
+
     term: str
     max_edits: int = 2
+    transpositions: bool = True
 
     def term_filter(self):
-        # length pre-filter then exact Levenshtein (both JVM-side)
+        # length window prunes JVM-side (|len diff| <= edit distance
+        # for both metrics) before the exact distance check
         t = F.lit(self.term)
-        return (
-            (F.length("term") >= F.length(t) - self.max_edits)
-            & (F.length("term") <= F.length(t) + self.max_edits)
-            & (F.levenshtein(F.col("term"), t) <= self.max_edits)
+        window = (F.length("term") >= F.length(t) - self.max_edits) & (
+            F.length("term") <= F.length(t) + self.max_edits
         )
+        if not self.transpositions:
+            return window & (F.levenshtein(F.col("term"), t) <= self.max_edits)
+        from lucene_spark.functions.editdist import damerau_within_udf
+
+        return window & damerau_within_udf(self.term, self.max_edits)(F.col("term"))
 
 
 @dataclass(frozen=True)

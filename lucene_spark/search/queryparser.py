@@ -60,11 +60,14 @@ _TOKEN = re.compile(
     (?P<plus>\+) | (?P<minus>-) |
     (?P<phrase>"(?P<phrase_body>[^"]*)"(?:~(?P<slop>\d+))?) |
     (?P<range>\[(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\]) |
-    (?P<term>[^\s()+\-!"\[\]]+) |
+    (?P<term>[^\s()+\-!"\[\]][^\s()!"\[\]]*) |
     (?P<ws>\s+)
     """,
     re.VERBOSE,
 )
+# term grammar mirrors QueryParser.jj:186: '+'/'-' are NOT in
+# _TERM_START_CHAR (so they lex as operators at clause start) but ARE
+# in _TERM_CHAR — "hash-join" is ONE term token, not hash AND NOT join
 
 _BOOST = re.compile(r"\^(\d+(?:\.\d+)?)$")
 
@@ -131,8 +134,19 @@ def _term_like(raw: str) -> Optional[Query]:
         t = _analyze_one(raw)
         q = FuzzyQuery(t, fuzzy) if t else None
     else:
-        t = _analyze_one(raw)
-        q = TermQuery(t) if t else None
+        # one query term can analyze to several tokens (e.g.
+        # "hash-join" → hash, join): classic default builds a SHOULD
+        # group, NOT a phrase (QueryBuilder.createFieldQuery with
+        # autoGeneratePhraseQueries=false, the default since 3.1)
+        toks = [t for t, _ in analyze(raw)]
+        if not toks:
+            q = None
+        elif len(toks) == 1:
+            q = TermQuery(toks[0])
+        else:
+            q = BooleanQuery.of(
+                *[BooleanClause(TermQuery(t), Occur.SHOULD) for t in toks]
+            )
     if q is not None and boost is not None:
         q = BoostQuery(q, boost)
     return q

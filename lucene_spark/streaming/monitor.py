@@ -79,13 +79,28 @@ def _matches(q: Query, tf: dict, toks: List[Tuple[str, int]]) -> bool:
         positions = {}
         for t, p in toks:
             positions.setdefault(t, []).append(p)
-        first = positions.get(q.terms[0])
-        if first is None:
+        if any(t not in positions for t in q.terms):
             return False
-        rest = [set(positions.get(t, ())) for t in q.terms[1:]]
-        return any(
-            all(p + i + 1 in s for i, s in enumerate(rest)) for p in first
+        if q.slop == 0:
+            first = positions[q.terms[0]]
+            rest = [set(positions.get(t, ())) for t in q.terms[1:]]
+            return any(
+                all(p + i + 1 in s for i, s in enumerate(rest)) for p in first
+            )
+        # sloppy: reuse the forward-search kernels so a registered
+        # '"a b"~2' alert fires for exactly the docs phrase_freqs finds
+        import numpy as np
+
+        from lucene_spark.search.positional import (
+            _sloppy_ok_repeated,
+            _sloppy_phrase_kernel,
         )
+
+        pos_cols = [np.asarray(positions[t], dtype=np.int64) for t in q.terms]
+        offsets = list(range(len(q.terms)))
+        if len(set(q.terms)) != len(q.terms):
+            return _sloppy_ok_repeated(pos_cols, offsets, q.slop)
+        return _sloppy_phrase_kernel(pos_cols, offsets, q.slop) > 0
     if isinstance(q, PrefixQuery):
         return any(t.startswith(q.prefix) for t in tf)
     if isinstance(q, WildcardQuery):
@@ -98,6 +113,10 @@ def _matches(q: Query, tf: dict, toks: List[Tuple[str, int]]) -> bool:
         pat = re.compile("^(?:" + q.regexp + ")$")
         return any(pat.match(t) for t in tf)
     if isinstance(q, FuzzyQuery):
+        if q.transpositions:
+            from lucene_spark.functions.editdist import damerau_levenshtein
+
+            return any(damerau_levenshtein(t, q.term) <= q.max_edits for t in tf)
         return any(_levenshtein(t, q.term, q.max_edits) <= q.max_edits for t in tf)
     if isinstance(q, TermInSetQuery):
         return any(t in tf for t in q.terms)

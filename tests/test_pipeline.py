@@ -185,3 +185,98 @@ def test_duplicate_clusters_end_to_end(spark, documents):
     ids = {r["cluster_id"] for r in clusters.collect()}
     members = {r["doc_id"] for r in clusters.collect()}
     assert ids <= members
+
+
+# --- round-2 regressions: pigeonhole chunks, vectorized simhash, df cap ----
+
+
+@pytest.fixture(scope="module")
+def near_dup_variants(spark):
+    """15 docs: a 30-token base plus variants with 1-3 token edits —
+    pairwise simhash hamming distances land in the 0-15 range, so
+    recall for budgets above 3 is actually exercised."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two "
+        "three four five six"
+    ).split()
+    rng = np.random.RandomState(7)
+    texts = [" ".join(base)]
+    for i in range(14):
+        toks = list(base)
+        for j in rng.choice(len(toks), size=1 + i % 3, replace=False):
+            toks[j] = f"edit{i}_{j}"
+        texts.append(" ".join(toks))
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+def test_simhash_near_dups_complete_recall_hamming_gt3(near_dup_variants):
+    """The fixed n_chunks = max_hamming + 1 pigeonhole must find EVERY
+    pair within the budget (the old hardcoded 4 chunks silently lost
+    pairs for max_hamming >= 4)."""
+    from lucene_spark.pipeline import simhash
+
+    hs = {r["doc_id"]: r["simhash"] for r in simhash(near_dup_variants).collect()}
+    ids = sorted(hs)
+    want = set()
+    for i in ids:
+        for j in ids:
+            if i < j:
+                ham = bin((hs[i] ^ hs[j]) & ((1 << 64) - 1)).count("1")
+                if ham <= 8:
+                    want.add((i, j, ham))
+    assert any(3 < h <= 8 for _, _, h in want), "fixture must exercise hamming 4..8"
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dups(near_dup_variants, max_hamming=8).collect()
+    }
+    assert got == want
+
+
+def test_simhash_vectorized_matches_reference(spark):
+    """Batch kernel == per-doc reference loop (the pre-vectorization
+    semantics), including empty docs and repeated terms."""
+    import hashlib
+
+    from lucene_spark.pipeline.dedup import _simhash64_batch
+
+    texts = pd.Series(
+        ["a b a c", "", None, "z z z", "the quick fox", "a", "b c d e f g"]
+    )
+
+    def ref_one(t):
+        if not isinstance(t, str) or not t:
+            return 0
+        votes = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(63, -1, -1, dtype=np.uint64)
+        cnt = pd.Series(t.split(" ")).value_counts()
+        for term, freq in cnt.items():
+            h = np.uint64(int(hashlib.md5(term.encode()).hexdigest()[:16], 16))
+            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+            votes += np.where(bits == 1, freq, -freq)
+        val = np.uint64(0)
+        for b in (votes > 0).astype(np.uint64):
+            val = (val << np.uint64(1)) | b
+        return int(np.array([val], dtype=np.uint64).view(np.int64)[0])
+
+    got = _simhash64_batch(texts).tolist()
+    assert got == [ref_one(t) for t in texts]
+
+
+def test_ngram_jaccard_shingle_df_cap(spark):
+    """Head shingles above the df cap stop generating candidates; rare
+    shared shingles still pair up (Jaccard over the capped space)."""
+    head = "of the and in to for on at by is"  # the ubiquitous content
+    docs = [(i, head) for i in range(8)]
+    docs.append((100, head + " rare signal shingle"))
+    docs.append((101, head + " rare signal shingle"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.01).collect()
+    assert len(uncapped) == 10 * 9 // 2  # all-pairs: the head blowup
+
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_shingle_df=4).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(100, 101)}
+    assert capped[0]["jaccard"] == 1.0  # over the surviving shingle space
