@@ -370,6 +370,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["hyphen_term_query"] = hyphen_term_query
 
+    # --- span queries (queries/spans: SpanNear ordered/unordered, SpanFirst)
+    def _span_gate(fn_docs):
+        return (
+            fn_docs.select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id")
+            .limit(200)
+        )
+
+    def span_near_ordered(spark, sf):
+        from lucene_spark.search.spans import span_near_docs
+
+        return _span_gate(
+            span_near_docs(_index(spark, sf), ["hash", "join"], slop=2, in_order=True)
+        )
+
+    def span_near_unordered(spark, sf):
+        from lucene_spark.search.spans import span_near_docs
+
+        return _span_gate(
+            span_near_docs(_index(spark, sf), ["join", "hash"], slop=1, in_order=False)
+        )
+
+    def span_first(spark, sf):
+        from lucene_spark.search.spans import span_first_docs
+
+        return _span_gate(span_first_docs(_index(spark, sf), "spark", end=3))
+
+    out["span_near_ordered"] = span_near_ordered
+    out["span_near_unordered"] = span_near_unordered
+    out["span_first"] = span_first
+
     # monitor module analog: reverse search (which saved query fires per doc)
     def monitor_percolate(spark, sf):
         from lucene_spark.search import parse_query
@@ -894,6 +925,37 @@ SELECT doc_id, query_id FROM (
 ) ORDER BY doc_id, query_id
 """
     out["hyphen_term_query"] = _const_score_oracle("term IN ('hash', 'join')")
+    _POS_CTE = """toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+)"""
+    out["span_near_ordered"] = f"""
+WITH {_POS_CTE},
+p1 AS (SELECT doc_id, i FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'hash'),
+p2 AS (SELECT doc_id, i AS j FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'join')
+SELECT DISTINCT doc_id, 1.0 AS score FROM p1 JOIN p2 USING (doc_id)
+WHERE j > i AND j - i - 1 <= 2
+ORDER BY doc_id LIMIT 200
+"""
+    out["span_near_unordered"] = f"""
+WITH {_POS_CTE},
+p1 AS (SELECT doc_id, i FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'join'),
+p2 AS (SELECT doc_id, i AS j FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'hash')
+SELECT DISTINCT doc_id, 1.0 AS score FROM p1 JOIN p2 USING (doc_id)
+WHERE i <> j AND greatest(i, j) - least(i, j) - 1 <= 1
+ORDER BY doc_id LIMIT 200
+"""
+    out["span_first"] = f"""
+WITH {_POS_CTE}
+SELECT DISTINCT doc_id, 1.0 AS score FROM toks,
+LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
+WHERE l[i] = 'spark' AND i <= 3
+ORDER BY doc_id LIMIT 200
+"""
     out["prefix_query"] = _const_score_oracle("term LIKE 's%'")
     out["wildcard_query"] = _const_score_oracle("regexp_matches(term, '^j.*n$')")
     out["fuzzy_query"] = _const_score_oracle(

@@ -161,6 +161,15 @@ class IndexSearcher:
         # per-searcher term-stats memo (TermStates cache analog,
         # `index/TermStates.java`): repeated queries skip the lookup job
         self._stats_cache: Dict[str, Optional[Tuple[int, int]]] = {}
+        # per-term impact heads (the in-RAM top-impact block payloads +
+        # f(x)=x/(1+x) spread, where x = max freq·normInverse of a
+        # block). ub = weight · f(x), so everything here is
+        # boost-independent and reusable across queries — the analog of
+        # a reader holding impact metadata hot. Keyed by term; holds the
+        # top _IMPACT_HEADS blocks (covers k ≤ 128·(_IMPACT_HEADS-1)).
+        self._impact_cache: Dict[str, dict] = {}
+
+    _IMPACT_HEADS = 4
 
     # ------------------------------------------------------------------
     def _live(self, df: DataFrame) -> DataFrame:
@@ -547,6 +556,95 @@ class IndexSearcher:
         return result
 
     # -- block-max WAND ---------------------------------------------------
+    def _load_impact_heads(self, terms: List[str]) -> None:
+        """Fill ``self._impact_cache`` for any term missing from it.
+
+        One metadata-only window job picks each term's top
+        ``_IMPACT_HEADS`` blocks by x = max(freq·normInverse) plus the
+        per-term max/avg of f(x) = x/(1+x); one JVM filter+collect then
+        fetches just those blocks' payloads (a few KB per term). Both
+        are boost-independent, so repeated WAND queries over the same
+        terms run with ZERO extra jobs before the scoring pass — the
+        reader-holds-impact-metadata-in-RAM behavior of Lucene.
+        """
+        missing = [t for t in terms if t not in self._impact_cache]
+        if not missing:
+            return
+        # the normInverse cache depends only on (avgdl, k1, b)
+        cache_np = BM25(
+            doc_freq=1,
+            doc_count=self.index.doc_count or 1,
+            sum_total_term_freq=self.index.sum_total_term_freq or 1,
+            boost=1.0,
+            k1=self.k1,
+            b=self.b,
+        ).cache
+        cache_arr = F.array(*[F.lit(float(x)) for x in cache_np])
+        max_x = F.array_max(
+            F.zip_with(
+                "impact_freqs",
+                "impact_norms",
+                lambda fr, nm: fr.cast("double") * F.element_at(cache_arr, nm + 1),
+            )
+        )
+        f_col = F.col("x") / (F.lit(1.0) + F.col("x"))
+        w_rank = Window.partitionBy("term").orderBy(
+            F.col("x").desc(), "segment_id", "block_ord"
+        )
+        w_term = Window.partitionBy("term")
+        meta_rows = (
+            self._term_blocks(missing)
+            .withColumn("x", max_x)
+            .select("term", "segment_id", "block_ord", "x")
+            .withColumn("_r", F.row_number().over(w_rank))
+            .withColumn("_mxf", F.max(f_col).over(w_term))
+            .withColumn("_avf", F.avg(f_col).over(w_term))
+            .filter(F.col("_r") <= self._IMPACT_HEADS)
+            .collect()
+        )
+        by_term: Dict[str, list] = {t: [] for t in missing}
+        stats: Dict[str, Tuple[float, float]] = {}
+        for r in meta_rows:
+            by_term[r["term"]].append(r)
+            stats[r["term"]] = (float(r["_mxf"]), float(r["_avf"]))
+        payload_by_key: Dict[tuple, object] = {}
+        if meta_rows:
+            key_of = lambda r: (
+                (F.col("term") == r["term"])
+                & (F.col("segment_id") == r["segment_id"])
+                & (F.col("block_ord") == r["block_ord"])
+            )
+            key_filter = key_of(meta_rows[0])
+            for r in meta_rows[1:]:
+                key_filter = key_filter | key_of(r)
+            for row in (
+                self._term_blocks(missing)
+                .filter(key_filter)
+                .select(
+                    "term",
+                    "segment_id",
+                    "block_ord",
+                    "docs_packed",
+                    "freqs_packed",
+                    "norms_raw",
+                )
+                .collect()
+            ):
+                payload_by_key[
+                    (row["term"], row["segment_id"], row["block_ord"])
+                ] = row
+        for t in missing:
+            ordered = sorted(by_term[t], key=lambda r: r["_r"])
+            self._impact_cache[t] = {
+                "heads": [
+                    payload_by_key[(t, r["segment_id"], r["block_ord"])]
+                    for r in ordered
+                    if (t, r["segment_id"], r["block_ord"]) in payload_by_key
+                ],
+                "mxf": stats.get(t, (0.0, 0.0))[0],
+                "avf": stats.get(t, (0.0, 0.0))[1],
+            }
+
     def _wandable(self, q: Query) -> bool:
         """Pure scored disjunction of TermQuery/Boost(TermQuery)."""
         if not isinstance(q, BooleanQuery) or q.minimum_number_should_match > 1:
@@ -586,12 +684,102 @@ class IndexSearcher:
             return self.index.spark.createDataFrame([], "doc_id long, score double")
         weights = {t: (s.weight, s.cache) for t, s in scorers.items()}
 
-        # Per-block score upper bound from stored impacts, fully
-        # JVM-side (whole-stage codegen — no Python in the prune scan):
-        # score is monotone in freq*normInverse, so
-        # ub = w - w / (1 + max_i(freq_i * cache[norm_i])).
-        # The normInverse cache depends only on (avgdl, k1, b) — shared
-        # by every term — so it becomes one 256-float array literal.
+
+        # Per-term impact heads (cached across queries — see __init__):
+        # top blocks by x = max(freq·normInverse), plus the f(x)=x/(1+x)
+        # spread. ub = weight·f(x)·(1+ε), so all cached facts are
+        # boost-independent.
+        self._load_impact_heads(list(scorers))
+        heads = {t: self._impact_cache[t] for t in scorers}
+        if all(not h["heads"] for h in heads.values()):
+            return self.index.spark.createDataFrame([], "doc_id long, score double")
+
+        # Cost-based degenerate-case routing (the physical-plan choice
+        # BooleanScorerSupplier.java:197-305 makes from cost stats):
+        # when every term's block maxima are flat (avg f ≈ max f —
+        # short-doc/high-freq outliers saturate freq/(freq+norm) in
+        # nearly every block), θ can never exceed the other terms'
+        # near-max bounds and the prune test cannot fire (measured
+        # 0/2055 blocks pruned on the Zipf bench corpus; BENCH.md).
+        # Score everything in one exhaustive-shaped job instead of
+        # paying the θ-bootstrap + prune jobs for nothing — the same
+        # degenerate-case fallback MAXSCORE/WAND make per-window.
+        saturated = all(
+            h["avf"] >= 0.9 * h["mxf"] for h in heads.values() if h["heads"]
+        )
+        if saturated:
+            return (
+                self._scored_terms(ctx, dict(term_boosts))
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("score"))
+            )
+
+        # θ bootstrap from each term's highest-impact blocks — their
+        # payloads are already cached driver-side (a few KB per term),
+        # decoded with the same float32 numpy kernel: zero Spark jobs.
+        # With tombstones, re-score the head blocks through the Spark
+        # path so the anti-join keeps θ a LIVE lower bound.
+        per_term = min(max(1, math.ceil(k / 128) + 1), self._IMPACT_HEADS)
+        has_deletes = (
+            self.index.deletes is not None and self.index.num_deleted > 0
+        )
+        head_rows = [r for t in scorers for r in heads[t]["heads"][:per_term]]
+        if has_deletes:
+            key_of = lambda r: (
+                (F.col("term") == r["term"])
+                & (F.col("segment_id") == r["segment_id"])
+                & (F.col("block_ord") == r["block_ord"])
+            )
+            key_filter = key_of(head_rows[0])
+            for r in head_rows[1:]:
+                key_filter = key_filter | key_of(r)
+            partial = [
+                (r["doc_id"], r["score"])
+                for r in self._live(
+                    self._term_blocks(list(scorers))
+                    .filter(key_filter)
+                    .select("term", "docs_packed", "freqs_packed", "norms_raw")
+                    .mapInPandas(_decode_score_udf(weights), _SCORED_SCHEMA)
+                    .groupBy("doc_id")
+                    .agg(F.sum("score").alias("score"))
+                )
+                .orderBy(F.col("score").desc())
+                .limit(k)
+                .collect()
+            ]
+        else:
+            acc: Dict[int, float] = {}
+            for row in head_rows:
+                w, cache_np = weights[row["term"]]
+                docs = delta_decode(for_decode(bytes(row["docs_packed"])))
+                freqs = pfor_decode(bytes(row["freqs_packed"])).astype(np.float32)
+                norms = np.frombuffer(bytes(row["norms_raw"]), dtype=np.uint8)
+                # identical expression to _decode_score_udf (float32)
+                sc = (w - w / (np.float32(1.0) + freqs * cache_np[norms])).astype(
+                    np.float64
+                )
+                for d, v in zip(docs.tolist(), sc.tolist()):
+                    acc[d] = acc.get(d, 0.0) + v
+            partial = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        theta = float(partial[-1][1]) if len(partial) >= k else 0.0
+
+        # phase B: the WAND prune test. "Others" is bounded by each
+        # other term's MAX BLOCK UB = weight·mxf·(1+ε) — driver math
+        # from the cached heads (ImpactsDISI's
+        # getMaxScore(NO_MORE_DOCS) analog), tighter than the analytic
+        # weight supremum and with no extra job.
+        max_ub = {
+            t: float(scorers[t].weight) * heads[t]["mxf"] * (1.0 + 1e-5)
+            for t in scorers
+            if heads[t]["heads"]
+        }
+        total_ub = sum(max_ub.values())
+
+        # JVM-side per-block ub for the prune scan (whole-stage
+        # codegen; the 256-float normInverse cache is shared by every
+        # term so it becomes one array literal). The (1+ε) inflation
+        # guards against float32-vs-double rounding: a loose bound only
+        # prunes less, never wrong.
         cache = next(iter(scorers.values())).cache
         cache_arr = F.array(*[F.lit(float(x)) for x in cache])
         w_map = F.create_map(
@@ -605,54 +793,37 @@ class IndexSearcher:
                 lambda fr, nm: fr.cast("double") * F.element_at(cache_arr, nm + 1),
             )
         )
-        # tiny inflation guards against float32-vs-double rounding: the
-        # real score is computed in float32 and could round a hair above
-        # the double bound; a loose bound only prunes less, never wrong
         ub_col = (w_col - w_col / (F.lit(1.0) + max_x)) * F.lit(1.0 + 1e-5)
+        meta = self._term_blocks(list(scorers)).withColumn("ub", ub_col)
 
-        meta = (
-            self._term_blocks(list(scorers))
-            .withColumn("ub", ub_col)
-            .persist()
-        )
-
-        # phase A: θ from each term's highest-impact blocks
-        per_term = max(1, math.ceil(k / 128) + 1)
-        w_rank = Window.partitionBy("term").orderBy(F.col("ub").desc(), "segment_id", "block_ord")
-        cand = meta.withColumn("_r", F.row_number().over(w_rank)).filter(
-            F.col("_r") <= per_term
-        )
-        # θ must lower-bound the k-th best LIVE score: a deleted doc's
-        # partial score could over-prune live blocks, so filter first
-        partial = (
-            self._live(
-                cand.select("term", "docs_packed", "freqs_packed", "norms_raw")
-                .mapInPandas(_decode_score_udf(weights), _SCORED_SCHEMA)
-                .groupBy("doc_id")
-                .agg(F.sum("score").alias("score"))
-            )
-            .orderBy(F.col("score").desc())
-            .limit(k)
-            .collect()
-        )
-        theta = float(partial[-1]["score"]) if len(partial) >= k else 0.0
-
-        # phase B: prune blocks by the WAND upper-bound test. The other
-        # terms' contribution is bounded by their WEIGHTS (the analytic
-        # supremum of w - w/(1+x)) — driver-side constants, no extra
-        # job; marginally looser than per-term max-ub, still correct.
-        w_of = {t: float(s.weight) for t, s in scorers.items()}
-        total_w = sum(w_of.values())
-        others = F.lit(total_w) - F.create_map(
-            *[F.lit(x) for kv in w_of.items() for x in kv]
-        )[F.col("term")]
-        surv = meta.filter(F.col("ub") + others >= F.lit(theta))
-        result = (
+        # Driver-side prunability: a block of term t prunes only when
+        # ub_block < θ - Σ_{t'≠t} mx(t'); if θ never exceeds the other
+        # terms' max-ub sum for ANY term (the low-co-occurrence regime:
+        # top docs carry essentially one query term), zero blocks can
+        # prune — skip the prune scan and score everything in one
+        # exhaustive-shaped job. Pure arithmetic on already-collected
+        # stats, no extra Spark job.
+        prunable = any(theta > total_ub - u for u in max_ub.values())
+        if not prunable:
+            surv = meta
+        else:
+            others = F.create_map(
+                *[F.lit(x) for t, u in max_ub.items() for x in (t, total_ub - u)]
+            )[F.col("term")]
+            keep = F.col("ub") + others >= F.lit(theta)
+            # survivor fraction, metadata-only (codegen'd agg, no
+            # decode): if pruning barely bites, the filter just adds
+            # plan nodes — score everything instead
+            counts = meta.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(keep, 1).otherwise(0)).alias("kept"),
+            ).collect()[0]
+            n_blocks, n_kept = int(counts["n"]), int(counts["kept"] or 0)
+            surv = meta.filter(keep) if n_kept < 0.5 * n_blocks else meta
+        return (
             surv.select("term", "docs_packed", "freqs_packed", "norms_raw")
             .mapInPandas(_decode_score_udf(weights), _SCORED_SCHEMA)
             .groupBy("doc_id")
             .agg(F.sum("score").alias("score"))
             .filter(F.col("score") >= F.lit(theta))
         )
-        meta.unpersist()
-        return result

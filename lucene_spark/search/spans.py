@@ -1,0 +1,86 @@
+"""Span queries: proximity beyond PhraseQuery.
+
+Re-expression of the span family
+(`lucene/queries/src/java/org/apache/lucene/queries/spans/SpanNearQuery.java:47-85`,
+`spans/NearSpansOrdered.java:31-60`, `spans/NearSpansUnordered.java`,
+`spans/SpanFirstQuery.java`), for term sub-spans (each term occurrence
+is a width-1 span [p, p+1)):
+
+- **ordered** SpanNear: occurrences at strictly increasing positions
+  p1 < p2 < ... < pn with total gap (pn - p1 + 1 - n) <= slop — the
+  ordered matcher's "non-overlapping, in order, within slop".
+- **unordered** SpanNear: n DISTINCT positions (one per clause, any
+  order) whose covering span satisfies (max - min + 1 - n) <= slop.
+- **SpanFirst**: a term occurrence whose span ends within the first
+  ``end`` positions (p + 1 <= end).
+
+Physical plan: per-term positions decode (the same .pos stream the
+phrase path uses) → explode → doc-equi-join with position inequality
+filters. Each join is keyed on doc_id, so Spark shuffles once per
+clause on the doc key and the inequality predicates evaluate inside
+codegen — positions per (doc, term) are tiny, so the theta part of the
+join never blows up. No Python in the matching path.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, functions as F
+
+from lucene_spark.index.builder import InvertedIndex
+from lucene_spark.search.positional import decode_positions
+
+__all__ = ["span_near_docs", "span_first_docs"]
+
+
+def _slots(index: InvertedIndex, terms: List[str]) -> List[DataFrame]:
+    """One (doc_id, p{i}) frame per clause, in clause order."""
+    pos = decode_positions(index, list(set(terms))).persist()
+    out = []
+    for i, t in enumerate(terms):
+        out.append(
+            pos.filter(F.col("term") == t)
+            .select("doc_id", F.explode("positions").alias(f"p{i}"))
+        )
+    return out
+
+
+def span_near_docs(
+    index: InvertedIndex, terms: List[str], slop: int, in_order: bool
+) -> DataFrame:
+    """DataFrame(doc_id) of docs with a SpanNear match (constant score —
+    span scoring uses sloppyFreq like phrases; the match set is the
+    span semantics the gate verifies)."""
+    if len(terms) < 2:
+        raise ValueError("span_near needs >= 2 clauses")
+    slots = _slots(index, terms)
+    n = len(terms)
+    joined = slots[0]
+    for i in range(1, n):
+        joined = joined.join(slots[i], "doc_id")
+        if in_order:
+            # strictly increasing, non-overlapping width-1 spans
+            joined = joined.filter(F.col(f"p{i}") > F.col(f"p{i-1}"))
+    pcols = [F.col(f"p{i}") for i in range(n)]
+    if in_order:
+        width = pcols[-1] - pcols[0] + 1 - n
+    else:
+        # distinct positions per clause (spans must not overlap), any order
+        for i in range(n):
+            for j in range(i + 1, n):
+                joined = joined.filter(pcols[i] != pcols[j])
+        width = F.greatest(*pcols) - F.least(*pcols) + 1 - n
+    return joined.filter(width <= slop).select("doc_id").distinct()
+
+
+def span_first_docs(index: InvertedIndex, term: str, end: int) -> DataFrame:
+    """Docs where `term` occurs within the first `end` positions
+    (`SpanFirstQuery`: span.end <= end; width-1 span ⇒ p + 1 <= end)."""
+    return (
+        decode_positions(index, [term])
+        .select("doc_id", F.explode("positions").alias("p"))
+        .filter(F.col("p") + 1 <= end)
+        .select("doc_id")
+        .distinct()
+    )
