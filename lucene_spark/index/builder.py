@@ -316,6 +316,32 @@ def _segment_build_kernel(analyzer: str, positions: bool):
     return kernel
 
 
+def _aligned_build_kernel(analyzer: str, positions: bool):
+    """mapInPandas wrapper for the ZERO-SHUFFLE aligned build path:
+    each Arrow batch is grouped by segment_id in pandas and fed to the
+    same per-segment kernel. Valid when the input is range-partitioned
+    by doc_id (rank-assigned docIDs are — each partition holds a
+    contiguous docID run), so a segment's docs are already co-located.
+    A segment cut by a partition/batch boundary yields two partial
+    flushes whose block doc-ranges are disjoint — every consumer
+    (decode, skip pruning, stats aggs, merge, reclaim) orders blocks by
+    ``first_doc``, never by flush arrival, exactly like Lucene readers
+    tolerate multiple flushed segments before a merge folds them.
+    """
+    seg_kernel = _segment_build_kernel(analyzer, positions)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for _, g in pdf.groupby("segment_id", sort=True):
+                out = seg_kernel(g)
+                if len(out):
+                    yield out
+
+    return fn
+
+
 def _pareto_impacts(freqs: np.ndarray, norms: np.ndarray) -> list:
     """Competitive (freq, norm) pairs: max freq per distinct norm, then
     keep only pairs not dominated by a lower-norm pair with >= freq
@@ -419,6 +445,7 @@ class InvertedIndex:
         docs_per_segment: int = 1 << 14,
         shuffle_partitions: Optional[int] = None,
         positions: bool = False,
+        layout: str = "hash",
     ) -> "InvertedIndex":
         """Build posting blocks from a corpus DataFrame.
 
@@ -430,6 +457,18 @@ class InvertedIndex:
         (`IndexOptions.DOCS_AND_FREQS_AND_POSITIONS`), enabling
         PhraseQuery; costs one extra array column through the build
         shuffle plus the .pos-analog payload per block.
+
+        layout='hash' (default, any input) shuffles the corpus once to
+        co-locate each segment. layout='aligned' skips that shuffle
+        entirely: REQUIRES the input to be range-partitioned by doc_id
+        (true for rank-assigned docIDs and for the deterministic
+        corpus generator) and runs the kernel per input partition with
+        in-batch segment grouping. At web scale the corpus shuffle is
+        the single largest data movement of the whole build — aligned
+        ingest removes it (measured: 36% of the 32-way build;
+        BENCH.md). Segments cut by partition boundaries produce
+        partial flushes with disjoint doc ranges, which every reader
+        path tolerates (blocks order by first_doc, not flush arrival).
         """
         spark = corpus.sparkSession
         t0 = time.time()
@@ -446,22 +485,33 @@ class InvertedIndex:
         src = corpus.select(doc_id, F.col(text_col).alias("text")).withColumn(
             "segment_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("long")
         )
-        # Explicit repartition on the group key: the analysis kernel is
-        # CPU-bound, so partition count must track cores, not shuffle
-        # bytes — AQE's size-based coalescing would serialize it (a few
-        # hundred MB of text is "one partition" to AQE but hours of
-        # tokenization). Hash-partitioning on segment_id also satisfies
-        # the groupBy's distribution, so no second shuffle.
-        n_part = shuffle_partitions or max(
-            spark.sparkContext.defaultParallelism * 2, 8
-        )
-        src = src.repartition(n_part, "segment_id")
         schema = BLOCKS_SCHEMA_POS if positions else BLOCKS_SCHEMA
-        full = (
-            src.groupBy("segment_id")
-            .applyInPandas(_segment_build_kernel(analyzer, positions), schema)
-            .persist()
-        )
+        if layout == "aligned":
+            # zero-shuffle ingest: partitions already hold contiguous
+            # docID ranges; sort within each (no exchange) and group
+            # segments inside the Arrow batches
+            full = (
+                src.sortWithinPartitions("doc_id")
+                .mapInPandas(_aligned_build_kernel(analyzer, positions), schema)
+                .persist()
+            )
+        else:
+            # Explicit repartition on the group key: the analysis
+            # kernel is CPU-bound, so partition count must track
+            # cores, not shuffle bytes — AQE's size-based coalescing
+            # would serialize it (a few hundred MB of text is "one
+            # partition" to AQE but hours of tokenization).
+            # Hash-partitioning on segment_id also satisfies the
+            # groupBy's distribution, so no second shuffle.
+            n_part = shuffle_partitions or max(
+                spark.sparkContext.defaultParallelism * 2, 8
+            )
+            src = src.repartition(n_part, "segment_id")
+            full = (
+                src.groupBy("segment_id")
+                .applyInPandas(_segment_build_kernel(analyzer, positions), schema)
+                .persist()
+            )
 
         # collection stats from the pseudo-term norm rows (pure aggs —
         # `search/CollectionStatistics.java:27-38`)

@@ -132,16 +132,29 @@ def check_index(index: InvertedIndex) -> Dict[str, int]:
         _decode_checks(index.has_positions), _VIOLATION_SCHEMA
     )
 
-    # block_chain + segment_bounds via aggregations (no decode)
-    w_cnt = blocks.groupBy("segment_id", "term").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.max("block_ord").alias("mx"),
-        F.min("block_ord").alias("mn"),
-        F.count_distinct("block_ord").alias("nd"),
+    # block_chain: within (segment, term), doc ranges ordered by
+    # first_doc must be pairwise disjoint — the invariant every reader
+    # relies on. (block_ord is ordinal within its producing flush, so
+    # the aligned build's partial flushes legally restart it at 0;
+    # strict 0..n-1 numbering is NOT required, matching how Lucene
+    # readers tolerate multiple flushed segments pre-merge.)
+    from pyspark.sql import Window as _W
+
+    w_chain = _W.partitionBy("segment_id", "term").orderBy("first_doc", "max_doc")
+    chain_viol = (
+        blocks.select(
+            "segment_id",
+            "term",
+            "first_doc",
+            "max_doc",
+            F.lag("max_doc").over(w_chain).alias("_prev_max"),
+        )
+        .filter(
+            (F.col("max_doc") < F.col("first_doc"))
+            | (F.col("_prev_max").isNotNull() & (F.col("first_doc") <= F.col("_prev_max")))
+        )
+        .count()
     )
-    chain_viol = w_cnt.filter(
-        (F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1) | (F.col("nd") != F.col("n"))
-    ).count()
 
     dps = index.docs_per_segment
     seg_viol = blocks.filter(

@@ -233,8 +233,10 @@ def phrase_freqs(
             if use_sloppy:
                 out[r] = _sloppy_phrase_kernel(pos_cols, offsets, slop)
             elif slop > 0:
-                # repeated-term sloppy: match-only approximation
-                out[r] = 1.0 if _sloppy_ok_repeated(pos_cols, offsets, slop) else 0.0
+                # repeated-term sloppy: exact repeat-group matching
+                out[r] = _sloppy_phrase_kernel_repeats(
+                    pos_cols, offsets, slop, phrase
+                )
             else:
                 out[r] = _exact_phrase_kernel(pos_cols, offsets)
         return pd.Series(out)
@@ -245,6 +247,34 @@ def phrase_freqs(
         .filter(F.col("freq") > 0)
         .select("doc_id", "freq", "norm")
     )
+
+
+def ngram_phrase_docs(index: InvertedIndex, gram_terms: List[str], n: int) -> DataFrame:
+    """NGramPhraseQuery (`search/NGramPhraseQuery.java:29-45`): on a
+    field tokenized into n-grams, a phrase of consecutive grams is
+    fully determined by every n-th gram plus the last one — the
+    optimization drops the redundant middle slots, decoding ~1/n of the
+    posting lists while returning the exact same docs. Valid ONLY for
+    n-gram fields (consecutive grams sit at consecutive positions by
+    construction), which is why Lucene keys the rewrite on the
+    tokenizer's gram size.
+
+    Returns DataFrame(doc_id) of matching docs; the match join is the
+    same JVM-side offset-shifted position equi-join as the exact-phrase
+    path."""
+    m = len(gram_terms)
+    slots = list(range(0, m, n))
+    if slots[-1] != m - 1:
+        slots.append(m - 1)
+    anchors = None
+    for i in slots:
+        slot = (
+            decode_positions(index, [gram_terms[i]])
+            .select("doc_id", F.explode("positions").alias("p"))
+            .select("doc_id", (F.col("p") - F.lit(i)).alias("p"))
+        )
+        anchors = slot if anchors is None else anchors.join(slot, ["doc_id", "p"])
+    return anchors.select("doc_id").distinct()
 
 
 def multi_phrase_freqs(index: InvertedIndex, slots: List[List[str]]) -> DataFrame:
@@ -295,22 +325,63 @@ def multi_phrase_freqs(index: InvertedIndex, slots: List[List[str]]) -> DataFram
     )
 
 
-def _sloppy_ok_repeated(pos_cols, offsets, slop) -> bool:
-    """Any alignment within slop (repeated-term fallback, match-only)."""
-    cols = [np.asarray(c, dtype=np.int64) - off for c, off in zip(pos_cols, offsets)]
-    # a match exists iff some choice tuple has max-min ≤ slop; greedy scan
-    for anchor in cols[0]:
-        slack = 0
-        ok = True
-        for c in cols[1:]:
-            d = int(np.min(np.abs(c - anchor)))
-            slack += d
-            if slack > slop:
-                ok = False
-                break
-        if ok:
-            return True
-    return False
+def _sloppy_phrase_kernel_repeats(
+    pos_cols, offsets, slop: int, slot_terms
+) -> float:
+    """Sloppy matcher for phrases WITH repeated terms (the repeat-group
+    case of `search/SloppyPhraseMatcher.java:54`): two slots holding the
+    same term must match DISTINCT positions.
+
+    Per anchor (slot-0 position), a branch-and-bound DFS finds the
+    minimal-total-slack injective assignment of the remaining slots —
+    exact match-existence (unlike a greedy nearest pick, which can
+    dead-end on e.g. slots [a, a] with positions [5, 6]). Matches
+    consume their positions (non-overlapping, in anchor order) and each
+    adds sloppyWeight 1/(1+slack). Position lists are per-doc and tiny,
+    so the DFS is bounded in practice; slop pruning cuts it further.
+    """
+    m = len(pos_cols)
+    shifted = [np.asarray(c, dtype=np.int64) - off for c, off in zip(pos_cols, offsets)]
+    raw = [np.asarray(c, dtype=np.int64) for c in pos_cols]
+    consumed = {t: set() for t in set(slot_terms)}
+    total = 0.0
+    t0 = slot_terms[0]
+    for a_idx in range(len(shifted[0])):
+        a_raw = int(raw[0][a_idx])
+        if a_raw in consumed[t0]:
+            continue
+        anchor = int(shifted[0][a_idx])
+        best: list = [None]
+
+        def dfs(i: int, slack: int, picked: dict) -> None:
+            if best[0] is not None and slack >= best[0][0]:
+                return
+            if i == m:
+                best[0] = (slack, {t: set(s) for t, s in picked.items()})
+                return
+            t = slot_terms[i]
+            cand = []
+            taken = picked.get(t, ())
+            for j in range(len(raw[i])):
+                rp = int(raw[i][j])
+                if rp in consumed[t] or rp in taken:
+                    continue
+                d = abs(int(shifted[i][j]) - anchor)
+                if slack + d <= slop:
+                    cand.append((d, rp))
+            cand.sort()
+            for d, rp in cand:
+                picked.setdefault(t, set()).add(rp)
+                dfs(i + 1, slack + d, picked)
+                picked[t].discard(rp)
+
+        dfs(1, 0, {t0: {a_raw}})
+        if best[0] is not None:
+            slack, picked = best[0]
+            for t, s in picked.items():
+                consumed[t] |= s
+            total += 1.0 / (1.0 + slack)
+    return total
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:

@@ -140,12 +140,61 @@ class WildcardQuery(MultiTermQuery):
         return F.col("term").rlike(rx)
 
 
+def lucene_regexp_to_java(s: str) -> str:
+    """Translate Lucene RegExp syntax (`util/automaton/RegExp.java`)
+    to an equivalent Java regex for RLIKE.
+
+    Lucene regexps are implicitly anchored (handled by the caller) and
+    add three operators Java lacks: ``@`` (any string), ``#`` (empty
+    language) and ``<n-m>`` (decimal numeric interval). The standard
+    operators (``. ? * + {} () [] |``) pass through unchanged.
+    ``~`` (complement) and ``&`` (intersection) require automaton
+    algebra that a backtracking regex cannot express — they raise,
+    loudly, like Lucene's optional-flag gating.
+    """
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            out.append(s[i : i + 2])
+            i += 2
+            continue
+        if c == "@":
+            out.append(".*")
+        elif c == "#":
+            out.append("(?!x)x")  # matches nothing
+        elif c == "<":
+            j = s.index(">", i)
+            lo, hi = s[i + 1 : j].split("-")
+            lo_i, hi_i = int(lo), int(hi)
+            if hi_i - lo_i > 10_000:
+                raise NotImplementedError(
+                    "numeric interval wider than 10000 not supported"
+                )
+            out.append("(?:" + "|".join(str(x) for x in range(lo_i, hi_i + 1)) + ")")
+            i = j + 1
+            continue
+        elif c in "~&":
+            raise NotImplementedError(
+                f"Lucene RegExp operator {c!r} (complement/intersection) "
+                "needs automaton algebra; rewrite the query without it"
+            )
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
 @dataclass(frozen=True)
 class RegexpQuery(MultiTermQuery):
-    regexp: str  # anchored, like Lucene RegexpQuery
+    """`search/RegexpQuery.java`: Lucene RegExp syntax, anchored,
+    expanded against the term dictionary."""
+
+    regexp: str
 
     def term_filter(self):
-        return F.col("term").rlike("^(?:" + self.regexp + ")$")
+        return F.col("term").rlike("^(?:" + lucene_regexp_to_java(self.regexp) + ")$")
 
 
 @dataclass(frozen=True)

@@ -92,14 +92,17 @@ def _matches(q: Query, tf: dict, toks: List[Tuple[str, int]]) -> bool:
         import numpy as np
 
         from lucene_spark.search.positional import (
-            _sloppy_ok_repeated,
             _sloppy_phrase_kernel,
+            _sloppy_phrase_kernel_repeats,
         )
 
         pos_cols = [np.asarray(positions[t], dtype=np.int64) for t in q.terms]
         offsets = list(range(len(q.terms)))
         if len(set(q.terms)) != len(q.terms):
-            return _sloppy_ok_repeated(pos_cols, offsets, q.slop)
+            return (
+                _sloppy_phrase_kernel_repeats(pos_cols, offsets, q.slop, list(q.terms))
+                > 0
+            )
         return _sloppy_phrase_kernel(pos_cols, offsets, q.slop) > 0
     if isinstance(q, PrefixQuery):
         return any(t.startswith(q.prefix) for t in tf)

@@ -29,6 +29,9 @@ SEED = int(os.environ.get("JOB_SEED", "42"))
 # one segment = one build task; fixed across parallelism levels so the
 # N and 4N runs execute the identical job (scaling-evidence fairness)
 DOCS_PER_SEGMENT = int(os.environ.get("JOB_DOCS_PER_SEGMENT", "1024"))
+# aligned: the generator's corpus is range-partitioned by doc_id, so
+# the zero-shuffle ingest applies (set JOB_LAYOUT=hash to compare)
+LAYOUT = os.environ.get("JOB_LAYOUT", "aligned")
 
 
 def main() -> None:
@@ -51,7 +54,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # materialize the corpus first so generation cost is excluded
     corpus = synthetic_corpus(
-        spark, DOCS, seed=SEED, num_partitions=CPUS * 4, with_doc_id=True
+        # fixed input partitioning across parallelism levels: a real
+        # N-vs-4N pair reads the SAME files, and with the aligned
+        # layout the partition count also fixes the flush boundaries —
+        # otherwise the two runs would encode different block sets
+        spark, DOCS, seed=SEED, num_partitions=int(os.environ.get("JOB_INPUT_PARTS", "128")), with_doc_id=True
     ).persist()
     corpus.count()
     # best of REPS runs: the sandbox shares hardware with other tenants
@@ -75,6 +82,7 @@ def main() -> None:
             # ~4 task waves: fine enough for balance, coarse enough
             # that per-task overhead stays negligible
             shuffle_partitions=CPUS * 4,
+            layout=LAYOUT,
         )
         secs = min(secs, time.time() - t0)
     print(
@@ -83,6 +91,7 @@ def main() -> None:
                 "cpus": CPUS,
                 "docs": DOCS,
                 "analyzer": ANALYZER,
+                "layout": LAYOUT,
                 "build_secs": round(secs, 3),
                 "docs_per_sec": round(DOCS / secs, 1),
                 "postings_per_sec": idx.metrics.get("postings_per_sec"),

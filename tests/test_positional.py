@@ -237,3 +237,80 @@ def test_dismax_query_node(spark, pidx):
     from lucene_spark.search import rewrite
 
     assert rewrite(DisjunctionMaxQuery((TermQuery("hash"),), 0.5)) == TermQuery("hash")
+
+
+# --- round-2: exact repeat-group sloppy matching ---------------------------
+
+
+def _brute_exists(toks, phrase, slop):
+    """∃ injective (per repeated term) slot→position assignment with
+    total slack ≤ slop — the objective match predicate."""
+    from itertools import product
+
+    pos = {t: [i for i, x in enumerate(toks) if x == t] for t in set(phrase)}
+    if any(not pos[t] for t in phrase):
+        return False
+    for combo in product(*[pos[t] for t in phrase]):
+        # distinct positions for slots of the same term
+        seen = {}
+        ok = True
+        for slot, p in enumerate(combo):
+            t = phrase[slot]
+            if p in seen.get(t, ()):
+                ok = False
+                break
+            seen.setdefault(t, set()).add(p)
+        if not ok:
+            continue
+        anchor = combo[0] - 0
+        slack = sum(abs((combo[i] - i) - anchor) for i in range(1, len(phrase)))
+        if slack <= slop:
+            return True
+    return False
+
+
+def test_repeated_sloppy_differential(spark):
+    import numpy as np
+
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.search.positional import phrase_freqs
+
+    rng = np.random.RandomState(3)
+    vocab = ["a", "b", "c", "d"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(2, 12))) for _ in range(60)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    idx = InvertedIndex.build(docs, analyzer="simple", docs_per_segment=16, positions=True)
+    for phrase, slop in [
+        (["a", "a"], 1),
+        (["a", "a"], 3),
+        (["a", "b", "a"], 2),
+        (["b", "a", "a"], 4),
+        (["a", "a", "a"], 5),
+    ]:
+        got = {
+            r["doc_id"] for r in phrase_freqs(idx, phrase, slop=slop).collect()
+        }
+        want = {
+            i for i, t in enumerate(texts) if _brute_exists(t.split(" "), phrase, slop)
+        }
+        assert got == want, (phrase, slop, got ^ want)
+
+
+def test_repeated_sloppy_greedy_deadend_case(spark):
+    """slots [a, a] over positions [5, 6]: a greedy nearest pick from
+    anchor 5 would try to reuse 5; the exact matcher must find (5, 6)."""
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.search.positional import phrase_freqs
+
+    docs = spark.createDataFrame(
+        [(0, "x x x x x a a"), (1, "x a x x x x a")],
+        "doc_id long, text string",
+    )
+    idx = InvertedIndex.build(docs, analyzer="simple", docs_per_segment=4, positions=True)
+    rows = {r["doc_id"]: r["freq"] for r in phrase_freqs(idx, ["a", "a"], slop=0).collect()}
+    assert 0 in rows  # adjacent repeat, slack 0
+    assert 1 not in rows  # positions 1 and 6: slack 4 > 0
+    rows4 = {r["doc_id"]: r["freq"] for r in phrase_freqs(idx, ["a", "a"], slop=4).collect()}
+    assert 1 in rows4

@@ -71,3 +71,76 @@ def test_span_first(span_corpus):
     got = {r["doc_id"] for r in span_first_docs(idx, "sort", end=2).collect()}
     want = {d for d, t in enumerate(texts) if "sort" in t.split(" ")[:2]}
     assert got == want
+
+
+# --- NGramPhrase / RegExp / filtered KNN (round-2 additions) ---------------
+
+
+def test_lucene_regexp_translation():
+    from lucene_spark.search.query import lucene_regexp_to_java
+    import re
+
+    assert re.fullmatch(lucene_regexp_to_java("ab@"), "abxyz")
+    assert re.fullmatch(lucene_regexp_to_java("a<1-12>b"), "a7b")
+    assert re.fullmatch(lucene_regexp_to_java("a<1-12>b"), "a12b")
+    assert not re.fullmatch(lucene_regexp_to_java("a<1-12>b"), "a13b")
+    assert not re.fullmatch(lucene_regexp_to_java("#"), "")
+    with pytest.raises(NotImplementedError):
+        lucene_regexp_to_java("~ab")
+    # escapes pass through
+    assert re.fullmatch(lucene_regexp_to_java(r"a\.b"), "a.b")
+    assert not re.fullmatch(lucene_regexp_to_java(r"a\.b"), "axb")
+
+
+def test_ngram_phrase_equals_full_phrase(spark):
+    from lucene_spark.search.positional import ngram_phrase_docs, phrase_freqs
+    from pyspark.sql import functions as F
+
+    texts = ["the vector engine", "no match", "vectors everywhere", "vec tor split"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    t = F.translate(F.col("text"), " ", "_")
+    gram_text = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.length(t) - 2), lambda i: t.substr(i, F.lit(3))),
+        " ",
+    )
+    grams_df = docs.select("doc_id", gram_text.alias("text"))
+    idx = InvertedIndex.build(grams_df, analyzer="simple", docs_per_segment=4, positions=True)
+    word = "vector"
+    grams = [word[i : i + 3] for i in range(len(word) - 2)]
+    fast = {r["doc_id"] for r in ngram_phrase_docs(idx, grams, n=3).collect()}
+    full = {r["doc_id"] for r in phrase_freqs(idx, grams, slop=0).collect()}
+    want = {i for i, x in enumerate(texts) if "vector" in x}
+    assert fast == full == want  # doc 3 has 'vec_tor' grams, must NOT match
+
+
+def test_filtered_knn_restricts_candidates(spark):
+    import numpy as np
+    import pandas as pd
+
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.search import TermQuery
+    from lucene_spark.search.knn import knn_filtered_topk
+
+    docs = spark.createDataFrame(
+        [(i, "red apple" if i % 2 == 0 else "blue sky") for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = InvertedIndex.build(docs, analyzer="simple", docs_per_segment=16)
+    rng = np.random.RandomState(5)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(40),
+                "embedding": [rng.standard_normal(8).tolist() for _ in range(40)],
+            }
+        )
+    )
+    q = [1.0] * 8
+    hits = knn_filtered_topk(idx, emb, q, TermQuery("apple"), k=10).collect()
+    assert len(hits) == 10
+    assert all(r["vec_id"] % 2 == 0 for r in hits)  # filter respected
+    # scores descending, ties by id
+    cos = [r["cos"] for r in hits]
+    assert cos == sorted(cos, reverse=True)
