@@ -144,6 +144,12 @@ time only.
 |---|---|---|---|
 {pairs_tbl}
 
+The build runs the zero-shuffle **aligned** layout (input
+range-partitioned by doc_id → segments grouped in-batch, no corpus
+exchange; see `InvertedIndex.build(layout=...)`) with the input
+partition count pinned across parallelism levels so the N and 4N runs
+encode the identical block set.
+
 **Hardware ceiling**: this sandbox is ONE box — all threads share one
 memory system, so even pure Python (zero framework overhead) cannot
 scale 4× from 8→32 workers on the tokenizer workload. On a real
