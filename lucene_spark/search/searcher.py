@@ -201,6 +201,8 @@ class IndexSearcher:
             )
         if mode == "wand" and self._wandable(q):
             result = self._search_wand(q, ctx, k)
+        elif mode == "maxscore" and self._wandable(q):
+            result = self._search_maxscore(q, ctx, k)
         else:
             result = self._eval(q, ctx, boost=1.0)
         return (
@@ -556,6 +558,134 @@ class IndexSearcher:
         return result
 
     # -- block-max WAND ---------------------------------------------------
+    def _bootstrap_theta(self, scorers, weights, heads, k: int) -> float:
+        """θ = lower bound on the k-th best LIVE total score, from each
+        term's highest-impact blocks.
+
+        Their payloads are cached driver-side (a few KB per term), so
+        the common no-deletes path decodes them with the same float32
+        numpy kernel — zero Spark jobs. With tombstones, the head
+        blocks re-score through the Spark path so the anti-join keeps
+        θ valid for live docs.
+        """
+        per_term = min(max(1, math.ceil(k / 128) + 1), self._IMPACT_HEADS)
+        has_deletes = (
+            self.index.deletes is not None and self.index.num_deleted > 0
+        )
+        head_rows = [r for t in scorers for r in heads[t]["heads"][:per_term]]
+        if not head_rows:
+            return 0.0
+        if has_deletes:
+            key_of = lambda r: (
+                (F.col("term") == r["term"])
+                & (F.col("segment_id") == r["segment_id"])
+                & (F.col("block_ord") == r["block_ord"])
+            )
+            key_filter = key_of(head_rows[0])
+            for r in head_rows[1:]:
+                key_filter = key_filter | key_of(r)
+            partial = [
+                (r["doc_id"], r["score"])
+                for r in self._live(
+                    self._term_blocks(list(scorers))
+                    .filter(key_filter)
+                    .select("term", "docs_packed", "freqs_packed", "norms_raw")
+                    .mapInPandas(_decode_score_udf(weights), _SCORED_SCHEMA)
+                    .groupBy("doc_id")
+                    .agg(F.sum("score").alias("score"))
+                )
+                .orderBy(F.col("score").desc())
+                .limit(k)
+                .collect()
+            ]
+        else:
+            acc: Dict[int, float] = {}
+            for row in head_rows:
+                w, cache_np = weights[row["term"]]
+                docs = delta_decode(for_decode(bytes(row["docs_packed"])))
+                freqs = pfor_decode(bytes(row["freqs_packed"])).astype(np.float32)
+                norms = np.frombuffer(bytes(row["norms_raw"]), dtype=np.uint8)
+                # identical expression to _decode_score_udf (float32)
+                sc = (w - w / (np.float32(1.0) + freqs * cache_np[norms])).astype(
+                    np.float64
+                )
+                for d, v in zip(docs.tolist(), sc.tolist()):
+                    acc[d] = acc.get(d, 0.0) + v
+            partial = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return float(partial[-1][1]) if len(partial) >= k else 0.0
+
+    def _disjunction_boosts(self, q: BooleanQuery) -> Dict[str, float]:
+        """term → accumulated boost for a wandable pure disjunction."""
+        term_boosts: Dict[str, float] = {}
+        for c in q.clauses:
+            sub, boost = c.query, 1.0
+            if isinstance(sub, BoostQuery):
+                sub, boost = sub.query, sub.boost
+            term_boosts[sub.term] = term_boosts.get(sub.term, 0.0) + boost
+        return term_boosts
+
+    def _search_maxscore(self, q: BooleanQuery, ctx: _Ctx, k: int) -> DataFrame:
+        """MAXSCORE bulk disjunction (`search/MaxScoreBulkScorer.java`,
+        selected by `BooleanScorerSupplier.java:283-305`).
+
+        Terms sort by max block upper bound ascending; the longest
+        prefix whose cumulative Σ max_ub < θ is NON-ESSENTIAL: a doc
+        containing only those terms cannot reach θ, hence cannot enter
+        the top-k. Candidate docs therefore come from the ESSENTIAL
+        lists alone; non-essential postings are scored only for
+        candidates (semi-join pushdown shrinks both the decode output
+        and the aggregation shuffle). Result-identical to exhaustive:
+        every true top-k doc scores ≥ θ, so it appears in an essential
+        list and its full score (essential + non-essential parts) is
+        computed exactly.
+        """
+        term_boosts = self._disjunction_boosts(q)
+        scorers = {t: ctx.scorer(t, b) for t, b in term_boosts.items()}
+        scorers = {t: s for t, s in scorers.items() if s is not None}
+        if not scorers:
+            return self.index.spark.createDataFrame([], "doc_id long, score double")
+        weights = {t: (s.weight, s.cache) for t, s in scorers.items()}
+        self._load_impact_heads(list(scorers))
+        heads = {t: self._impact_cache[t] for t in scorers}
+        theta = self._bootstrap_theta(scorers, weights, heads, k)
+
+        max_ub = {
+            t: float(scorers[t].weight) * heads[t]["mxf"] * (1.0 + 1e-5)
+            for t in scorers
+            if heads[t]["heads"]
+        }
+        by_ub = sorted(max_ub, key=lambda t: max_ub[t])
+        non_essential, acc_ub = [], 0.0
+        for t in by_ub:
+            if acc_ub + max_ub[t] < theta:
+                non_essential.append(t)
+                acc_ub += max_ub[t]
+            else:
+                break
+        essential = [t for t in scorers if t not in set(non_essential)]
+        if not non_essential:
+            # θ too low to drop anything → plain exhaustive single pass
+            return (
+                self._scored_terms(ctx, dict(term_boosts))
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("score"))
+            )
+        ess = (
+            self._scored_terms(ctx, {t: term_boosts[t] for t in essential})
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+        )
+        non = (
+            self._scored_terms(ctx, {t: term_boosts[t] for t in non_essential})
+            .join(ess.select("doc_id"), "doc_id", "semi")
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("s_non"))
+        )
+        return ess.join(non, "doc_id", "left").select(
+            "doc_id",
+            (F.col("score") + F.coalesce(F.col("s_non"), F.lit(0.0))).alias("score"),
+        )
+
     def _load_impact_heads(self, terms: List[str]) -> None:
         """Fill ``self._impact_cache`` for any term missing from it.
 
@@ -671,13 +801,7 @@ class IndexSearcher:
         below θ and cannot displace a top-k doc even on tie-break.
         (Block-grained restatement of `WANDScorer.java:301-317`.)
         """
-        term_boosts: Dict[str, float] = {}
-        for c in q.clauses:
-            sub, boost = c.query, 1.0
-            if isinstance(sub, BoostQuery):
-                sub, boost = sub.query, sub.boost
-            term_boosts[sub.term] = term_boosts.get(sub.term, 0.0) + boost
-
+        term_boosts = self._disjunction_boosts(q)
         scorers = {t: ctx.scorer(t, b) for t, b in term_boosts.items()}
         scorers = {t: s for t, s in scorers.items() if s is not None}
         if not scorers:
@@ -714,54 +838,7 @@ class IndexSearcher:
                 .agg(F.sum("score").alias("score"))
             )
 
-        # θ bootstrap from each term's highest-impact blocks — their
-        # payloads are already cached driver-side (a few KB per term),
-        # decoded with the same float32 numpy kernel: zero Spark jobs.
-        # With tombstones, re-score the head blocks through the Spark
-        # path so the anti-join keeps θ a LIVE lower bound.
-        per_term = min(max(1, math.ceil(k / 128) + 1), self._IMPACT_HEADS)
-        has_deletes = (
-            self.index.deletes is not None and self.index.num_deleted > 0
-        )
-        head_rows = [r for t in scorers for r in heads[t]["heads"][:per_term]]
-        if has_deletes:
-            key_of = lambda r: (
-                (F.col("term") == r["term"])
-                & (F.col("segment_id") == r["segment_id"])
-                & (F.col("block_ord") == r["block_ord"])
-            )
-            key_filter = key_of(head_rows[0])
-            for r in head_rows[1:]:
-                key_filter = key_filter | key_of(r)
-            partial = [
-                (r["doc_id"], r["score"])
-                for r in self._live(
-                    self._term_blocks(list(scorers))
-                    .filter(key_filter)
-                    .select("term", "docs_packed", "freqs_packed", "norms_raw")
-                    .mapInPandas(_decode_score_udf(weights), _SCORED_SCHEMA)
-                    .groupBy("doc_id")
-                    .agg(F.sum("score").alias("score"))
-                )
-                .orderBy(F.col("score").desc())
-                .limit(k)
-                .collect()
-            ]
-        else:
-            acc: Dict[int, float] = {}
-            for row in head_rows:
-                w, cache_np = weights[row["term"]]
-                docs = delta_decode(for_decode(bytes(row["docs_packed"])))
-                freqs = pfor_decode(bytes(row["freqs_packed"])).astype(np.float32)
-                norms = np.frombuffer(bytes(row["norms_raw"]), dtype=np.uint8)
-                # identical expression to _decode_score_udf (float32)
-                sc = (w - w / (np.float32(1.0) + freqs * cache_np[norms])).astype(
-                    np.float64
-                )
-                for d, v in zip(docs.tolist(), sc.tolist()):
-                    acc[d] = acc.get(d, 0.0) + v
-            partial = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-        theta = float(partial[-1][1]) if len(partial) >= k else 0.0
+        theta = self._bootstrap_theta(scorers, weights, heads, k)
 
         # phase B: the WAND prune test. "Others" is bounded by each
         # other term's MAX BLOCK UB = weight·mxf·(1+ε) — driver math

@@ -227,3 +227,63 @@ def test_grouped_fast_path_equals_general(spark, documents):
         finally:
             s._flat_term_clauses = orig
         assert fast == slow, qs
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_maxscore_equals_exhaustive_equals_naive(spark, seed):
+    """MAXSCORE essential/non-essential partition must be result-
+    identical to exhaustive (and the naive reference) on every
+    (docID, score) of the top-k."""
+    rng = np.random.RandomState(seed)
+    docs = _random_corpus(rng, n_docs=400, vocab_size=30)
+    naive = NaiveIndex(docs)
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs), "text": [" ".join(t) for t in docs.values()]}
+    )
+    idx = InvertedIndex.build(
+        spark.createDataFrame(pdf), analyzer="simple", docs_per_segment=100
+    )
+    searcher = IndexSearcher(idx)
+    for trial in range(3):
+        n_terms = rng.randint(2, 7)
+        terms = [f"w{rng.randint(0, 30)}" for _ in range(n_terms)]
+        boosts = [float(b) for b in rng.choice([0.5, 1.0, 2.0, 5.0], size=n_terms)]
+        term_boosts = {}
+        for t, b in zip(terms, boosts):
+            term_boosts[t] = term_boosts.get(t, 0) + b
+        k = int(rng.choice([3, 10]))
+        q = BooleanQuery.of(
+            *[
+                BooleanClause(BoostQuery(TermQuery(t), b), Occur.SHOULD)
+                for t, b in term_boosts.items()
+            ]
+        )
+        expected = naive.disjunction_topk(term_boosts, k)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in searcher.search(q, k=k, mode="maxscore").collect()
+        ]
+        assert [(d, pytest.approx(s, abs=1e-5)) for d, s in got] == expected
+
+
+def test_maxscore_partitions_lists(spark):
+    """A strong co-occurring pair + a weak rare term: θ exceeds the
+    weak term's max ub, so it must land in the non-essential set and
+    results must still be exact."""
+    texts = []
+    for i in range(300):
+        t = ["big", "big", "strong", "strong"] if i < 40 else ["filler"]
+        if i % 97 == 0:
+            t = t + ["weakterm"]
+        texts.append((i, " ".join(t)))
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    idx = InvertedIndex.build(docs, analyzer="simple", docs_per_segment=64)
+    s = IndexSearcher(idx)
+    q = BooleanQuery.of(
+        BooleanClause(TermQuery("big"), Occur.SHOULD),
+        BooleanClause(TermQuery("strong"), Occur.SHOULD),
+        BooleanClause(TermQuery("weakterm"), Occur.SHOULD),
+    )
+    exh = [(r["doc_id"], r["score"]) for r in s.search(q, 10, "exhaustive").collect()]
+    mxs = [(r["doc_id"], r["score"]) for r in s.search(q, 10, "maxscore").collect()]
+    assert mxs == exh
