@@ -97,11 +97,14 @@ def main() -> None:
         spark, SYN_DOCS, seed=42, num_partitions=CPUS * 2, with_doc_id=True
     )
     t0 = time.time()
+    # the generator's corpus is range-partitioned by doc_id → the
+    # zero-shuffle aligned ingest applies (BENCH.md: the corpus shuffle
+    # was 36% of the 32-way build)
     syn_idx = InvertedIndex.build(
         corpus,
         analyzer="standard",
         docs_per_segment=max(256, SYN_DOCS // (CPUS * 4)),
-        shuffle_partitions=CPUS * 4,
+        layout="aligned",
     )
     t_syn = time.time() - t0
     queries["index_build_synthetic"] = round(t_syn, 3)

@@ -170,6 +170,27 @@ def main() -> None:
         )
     )
 
+    # 8. aligned build: zero shuffle — the whole kernel pipeline must
+    # contain NO Exchange (the hash layout's corpus repartition is the
+    # single largest data movement of the build at web scale)
+    from lucene_spark.index.builder import BLOCKS_SCHEMA, _aligned_build_kernel
+
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).withColumn("segment_id", (F.col("doc_id") / 512).cast("long"))
+    aligned_df = src.sortWithinPartitions("doc_id").mapInPandas(
+        _aligned_build_kernel("simple", False), BLOCKS_SCHEMA
+    )
+    p = plan_of(aligned_df)
+    checks.append(
+        (
+            "aligned build plan has no shuffle Exchange",
+            "Exchange" not in p,
+            "sortWithinPartitions + mapInPandas, zero exchanges",
+            p,
+        )
+    )
+
     # report
     ok_all = all(ok for _, ok, _, _ in checks)
     rows = "\n".join(
