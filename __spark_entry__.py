@@ -264,7 +264,7 @@ _DRIVER_PRIORITY = [
     "porter_stem_tokens", "english_term_topk", "english_term_stats",
     "fuzzy_transpositions", "hyphen_term_query",
     "span_near_ordered", "span_near_unordered", "span_first",
-    "filtered_knn", "regexp_query", "ngram_phrase",
+    "filtered_knn", "regexp_query", "ngram_phrase", "spellcheck",
     # round-1 driver-unseen (past the r01 window)
     "dedup_clusters", "simhash", "simhash_near_dups",
     "embedding_cosine_topk", "embedding_lsh_topk", "embedding_ivf_topk",
@@ -278,7 +278,7 @@ _DRIVER_PRIORITY = [
     "fuzzy_query", "phrase_bm25", "phrase_bm25_tri", "synonym_query",
     "dismax_query", "more_like_this", "classic_parse_match",
     "monitor_percolate", "combined_field", "events_windowed",
-    "term_stats", "doc_norms", "block_join_orders", "minhash_signatures",
+    "term_stats", "doc_norms", "block_join_orders",
 ]
 
 
@@ -493,6 +493,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["ngram_phrase"] = ngram_phrase
+
+    # --- spellcheck (suggest/spell DirectSpellChecker)
+    def spellcheck(spark, sf):
+        from lucene_spark.search.spellcheck import suggest_corrections
+
+        return suggest_corrections(_index(spark, sf), "quary", max_edits=2, num_suggestions=5)
+
+    out["spellcheck"] = spellcheck
 
     # monitor module analog: reverse search (which saved query fires per doc)
     def monitor_percolate(spark, sf):
@@ -1080,6 +1088,17 @@ ORDER BY dot / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC LIMIT 15
 SELECT doc_id, 1.0 AS score FROM documents
 WHERE strpos(text, 'vector') > 0
 ORDER BY doc_id LIMIT 500
+"""
+    out["spellcheck"] = f"""
+WITH {TOK_CTE},
+df AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term)
+SELECT term AS suggestion, doc_freq,
+       damerau_levenshtein(term, 'quary')::INT AS distance
+FROM df
+WHERE term <> 'quary'
+  AND length(term) BETWEEN 3 AND 7
+  AND damerau_levenshtein(term, 'quary') <= 2
+ORDER BY distance ASC, doc_freq DESC, suggestion ASC LIMIT 5
 """
     out["prefix_query"] = _const_score_oracle("term LIKE 's%'")
     out["wildcard_query"] = _const_score_oracle("regexp_matches(term, '^j.*n$')")

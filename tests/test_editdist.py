@@ -95,3 +95,24 @@ def test_monitor_sloppy_phrase_matches_forward_search(spark):
         if r["freq"] > 0
     }
     assert got == want and 0 in got and 1 in got and 2 not in got
+
+
+def test_spellcheck_ranking(spark):
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.search.spellcheck import suggest_corrections
+
+    docs = spark.createDataFrame(
+        [
+            (0, "query query query engine"),
+            (1, "quart of quarry stone"),
+            (2, "query tuning"),
+            (3, "unrelated words"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = InvertedIndex.build(docs, analyzer="simple", docs_per_segment=4)
+    rows = suggest_corrections(idx, "quary", max_edits=2, num_suggestions=3).collect()
+    got = [(r["suggestion"], r["distance"]) for r in rows]
+    # all distance 1 (query: transposition; quarry: insert; quart:
+    # substitute) → ranked by doc_freq desc then alphabetically
+    assert got == [("query", 1), ("quarry", 1), ("quart", 1)]
