@@ -280,3 +280,94 @@ def test_ngram_jaccard_shingle_df_cap(spark):
     capped = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_shingle_df=4).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(100, 101)}
     assert capped[0]["jaccard"] == 1.0  # over the surviving shingle space
+
+
+# --- real multimodal codecs (round 2): PPM/PGM/BMP/WAV, frame streams -----
+
+
+def _ppm_bytes(w, h, rgb):
+    import numpy as np
+
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :] = rgb
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def _bmp_bytes(w, h, rgb):
+    import struct
+
+    row = (bytes([rgb[2], rgb[1], rgb[0]]) * w) + b"\0" * ((4 - (w * 3) % 4) % 4)
+    pixels = row * h
+    off = 54
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(pixels), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    )
+    return header + pixels
+
+
+def _wav_bytes(rate, n_samples):
+    import struct
+
+    import numpy as np
+
+    samples = (np.sin(np.arange(n_samples) / 10.0) * 1000).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    data = samples
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def test_real_image_and_wav_metadata(spark):
+    from lucene_spark.pipeline.multimodal import attach_media_meta
+
+    rows = [
+        (0, "image", bytearray(_ppm_bytes(20, 10, (255, 0, 0)))),
+        (1, "image", bytearray(_bmp_bytes(7, 5, (0, 0, 255)))),
+        (2, "audio", bytearray(_wav_bytes(8000, 4000))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    meta = {r["media_id"]: r for r in attach_media_meta(df, strict=True).collect()}
+    assert (meta[0]["width"], meta[0]["height"], meta[0]["codec"]) == (20, 10, "ppm")
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["codec"]) == (7, 5, "bmp")
+    assert meta[2]["codec"] == "pcm_wav" and meta[2]["duration_ms"] == 500
+
+
+def test_real_image_features_and_resize(spark):
+    import numpy as np
+
+    from lucene_spark.pipeline.multimodal import (
+        decode_image,
+        image_features,
+        image_resize,
+    )
+
+    # pure red image: mean = (1, 0, 0), stds 0, grid means = red mean
+    df = spark.createDataFrame(
+        [(0, bytearray(_ppm_bytes(8, 8, (255, 0, 0))))],
+        "media_id long, payload binary",
+    )
+    feat = image_features(df, dim=10, strict=True).collect()[0]["feat"]
+    assert feat[0] == pytest.approx(1.0) and feat[1] == pytest.approx(0.0)
+    assert feat[3] == pytest.approx(0.0)  # zero std
+
+    out = image_resize(df, 4, 2, strict=True).collect()[0]
+    assert (out["width"], out["height"]) == (4, 2)
+    arr, codec = decode_image(bytes(out["payload"]))
+    assert codec == "ppm" and arr.shape == (2, 4, 3)
+    assert (arr[:, :, 0] == 255).all()
+
+
+def test_ppm_stream_frame_sampling(spark):
+    from lucene_spark.pipeline.multimodal import decode_image, frame_sample
+
+    stream = b"".join(_ppm_bytes(4, 4, (i * 20, 0, 0)) for i in range(6))
+    df = spark.createDataFrame(
+        [(0, bytearray(stream))], "media_id long, payload binary"
+    )
+    frames = frame_sample(df, every_n=2, strict=True).collect()
+    assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 2, 4]
+    arr, _ = decode_image(bytes(frames[0]["frame"]))
+    assert arr.shape == (4, 4, 3)
