@@ -265,6 +265,7 @@ _DRIVER_PRIORITY = [
     "fuzzy_transpositions", "hyphen_term_query",
     "span_near_ordered", "span_near_unordered", "span_first",
     "filtered_knn", "regexp_query", "ngram_phrase", "spellcheck",
+    "intervals_maxgaps", "intervals_containing",
     # round-1 driver-unseen (past the r01 window)
     "dedup_clusters", "simhash", "simhash_near_dups",
     "embedding_cosine_topk", "embedding_lsh_topk", "embedding_ivf_topk",
@@ -278,7 +279,7 @@ _DRIVER_PRIORITY = [
     "fuzzy_query", "phrase_bm25", "phrase_bm25_tri", "synonym_query",
     "dismax_query", "more_like_this", "classic_parse_match",
     "monitor_percolate", "combined_field", "events_windowed",
-    "term_stats", "doc_norms", "block_join_orders",
+    "term_stats",
 ]
 
 
@@ -501,6 +502,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return suggest_corrections(_index(spark, sf), "quary", max_edits=2, num_suggestions=5)
 
     out["spellcheck"] = spellcheck
+
+    # --- minimal-interval queries (queries/intervals)
+    def intervals_maxgaps(spark, sf):
+        from lucene_spark.search import intervals as I
+
+        src = I.max_gaps(2, I.unordered(I.term("sort"), I.term("scan")))
+        return (
+            I.interval_matches(_index(spark, sf), src)
+            .select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id")
+            .limit(300)
+        )
+
+    # containing() filters MINIMAL intervals only — a doc where every
+    # tight hash..join interval misses 'merge' must NOT match even if a
+    # wider (non-minimal) hash..join window would contain it
+    def intervals_containing(spark, sf):
+        from lucene_spark.search import intervals as I
+
+        src = I.containing(
+            I.ordered(I.term("hash"), I.term("join")), I.term("merge")
+        )
+        return (
+            I.interval_matches(_index(spark, sf), src)
+            .select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id")
+            .limit(300)
+        )
+
+    out["intervals_maxgaps"] = intervals_maxgaps
+    out["intervals_containing"] = intervals_containing
 
     # monitor module analog: reverse search (which saved query fires per doc)
     def monitor_percolate(spark, sf):
@@ -1099,6 +1131,38 @@ WHERE term <> 'quary'
   AND length(term) BETWEEN 3 AND 7
   AND damerau_levenshtein(term, 'quary') <= 2
 ORDER BY distance ASC, doc_freq DESC, suggestion ASC LIMIT 5
+"""
+    out["intervals_maxgaps"] = f"""
+WITH {_POS_CTE},
+p1 AS (SELECT doc_id, i FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'sort'),
+p2 AS (SELECT doc_id, i AS j FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'scan')
+SELECT DISTINCT doc_id, 1.0 AS score FROM p1 JOIN p2 USING (doc_id)
+WHERE i <> j AND greatest(i, j) - least(i, j) - 1 <= 2
+ORDER BY doc_id LIMIT 300
+"""
+    out["intervals_containing"] = f"""
+WITH {_POS_CTE},
+ph AS (SELECT doc_id, i FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'hash'),
+pj AS (SELECT doc_id, i AS j FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'join'),
+pm AS (SELECT doc_id, i AS m FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'merge'),
+pairs AS (SELECT doc_id, i, j FROM ph JOIN pj USING (doc_id) WHERE j > i),
+minimal AS (
+  SELECT * FROM pairs p WHERE NOT EXISTS (
+    SELECT 1 FROM pairs q
+    WHERE q.doc_id = p.doc_id AND q.i >= p.i AND q.j <= p.j
+      AND (q.i > p.i OR q.j < p.j)
+  )
+)
+SELECT DISTINCT doc_id, 1.0 AS score FROM minimal mi
+WHERE EXISTS (
+  SELECT 1 FROM pm WHERE pm.doc_id = mi.doc_id AND pm.m BETWEEN mi.i AND mi.j
+)
+ORDER BY doc_id LIMIT 300
 """
     out["prefix_query"] = _const_score_oracle("term LIKE 's%'")
     out["wildcard_query"] = _const_score_oracle("regexp_matches(term, '^j.*n$')")
