@@ -266,6 +266,8 @@ _DRIVER_PRIORITY = [
     "span_near_ordered", "span_near_unordered", "span_first",
     "filtered_knn", "regexp_query", "ngram_phrase", "spellcheck",
     "intervals_maxgaps", "intervals_containing",
+    "geo_box", "geo_distance", "geo_nearest",
+    "shingle_top", "edge_ngram_terms",
     # round-1 driver-unseen (past the r01 window)
     "dedup_clusters", "simhash", "simhash_near_dups",
     "embedding_cosine_topk", "embedding_lsh_topk", "embedding_ivf_topk",
@@ -533,6 +535,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["intervals_maxgaps"] = intervals_maxgaps
     out["intervals_containing"] = intervals_containing
+
+    # --- geo queries (LatLonPoint analog; document/LatLonPoint.java):
+    # deterministic synthetic points derived from doc_id so the DuckDB
+    # oracle computes bit-identical coordinates
+    def _geo_points(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id",
+            (((F.col("doc_id") * 7919) % 18000) / 100.0 - 90.0).alias("lat"),
+            (((F.col("doc_id") * 104729) % 36000) / 100.0 - 180.0).alias("lon"),
+        )
+
+    def geo_box(spark, sf):
+        from lucene_spark.search.geo import box_query
+
+        return (
+            box_query(_geo_points(spark, sf), 10.0, 45.0, -30.0, 60.0)
+            .select(
+                "doc_id",
+                F.round("lat", 2).alias("lat"),
+                F.round("lon", 2).alias("lon"),
+            )
+            .orderBy("doc_id")
+            .limit(400)
+        )
+
+    def geo_distance(spark, sf):
+        from lucene_spark.search.geo import distance_query, haversine_meters
+
+        pts = distance_query(_geo_points(spark, sf), 48.8566, 2.3522, 2_000_000.0)
+        d = haversine_meters(
+            F.col("lat"), F.col("lon"), F.lit(48.8566), F.lit(2.3522)
+        )
+        return (
+            pts.select("doc_id", F.round(d, 2).alias("dist_m"))
+            .orderBy("doc_id")
+            .limit(500)
+        )
+
+    def geo_nearest(spark, sf):
+        from lucene_spark.search.geo import nearest_k
+
+        return nearest_k(_geo_points(spark, sf), -33.8688, 151.2093, k=20)
+
+    out["geo_box"] = geo_box
+    out["geo_distance"] = geo_distance
+    out["geo_nearest"] = geo_nearest
+
+    # --- analysis filters (analysis/common): shingles + edge n-grams
+    # as whole-stage-codegen'd column expansions in the scan stage
+    def shingle_top(spark, sf):
+        from lucene_spark.analysis.filters import shingles, whitespace_tokens
+
+        return (
+            _docs(spark, sf)
+            .select(
+                F.explode(shingles(whitespace_tokens(F.col("text")))).alias("shingle")
+            )
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("shingle").asc())
+            .limit(20)
+        )
+
+    def edge_ngram_terms(spark, sf):
+        from lucene_spark.analysis.filters import edge_ngrams, whitespace_tokens
+
+        terms = (
+            _docs(spark, sf)
+            .select(F.explode(whitespace_tokens(F.col("text"))).alias("term"))
+            .distinct()
+        )
+        return (
+            terms.select(
+                F.explode(edge_ngrams(F.array(F.col("term")), 2, 4)).alias("gram")
+            )
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("nterms"))
+            .orderBy("gram")
+            .limit(500)
+        )
+
+    out["shingle_top"] = shingle_top
+    out["edge_ngram_terms"] = edge_ngram_terms
 
     # monitor module analog: reverse search (which saved query fires per doc)
     def monitor_percolate(spark, sf):
@@ -1163,6 +1248,62 @@ WHERE EXISTS (
   SELECT 1 FROM pm WHERE pm.doc_id = mi.doc_id AND pm.m BETWEEN mi.i AND mi.j
 )
 ORDER BY doc_id LIMIT 300
+"""
+    _GEO_CTE = """pts AS (
+  SELECT doc_id,
+         ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,
+         ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+  FROM documents
+)"""
+
+    def _hav_sql(center_lat: float, center_lon: float) -> str:
+        # identical expression shape to geo.haversine_meters (IEEE parity)
+        return (
+            f"(2 * 6371008.7714) * asin(sqrt("
+            f"pow(sin(radians({center_lat} - lat) / 2), 2) + "
+            f"cos(radians(lat)) * cos(radians({center_lat})) * "
+            f"pow(sin(radians({center_lon} - lon) / 2), 2)))"
+        )
+
+    out["geo_box"] = f"""
+WITH {_GEO_CTE}
+SELECT doc_id, round(lat, 2) AS lat, round(lon, 2) AS lon FROM pts
+WHERE lat BETWEEN 10.0 AND 45.0 AND lon BETWEEN -30.0 AND 60.0
+ORDER BY doc_id LIMIT 400
+"""
+    out["geo_distance"] = f"""
+WITH {_GEO_CTE}
+SELECT doc_id, round({_hav_sql(48.8566, 2.3522)}, 2) AS dist_m FROM pts
+WHERE {_hav_sql(48.8566, 2.3522)} <= 2000000.0
+ORDER BY doc_id LIMIT 500
+"""
+    out["geo_nearest"] = f"""
+WITH {_GEO_CTE}
+SELECT doc_id, round({_hav_sql(-33.8688, 151.2093)}, 3) AS distance_m FROM pts
+ORDER BY {_hav_sql(-33.8688, 151.2093)} ASC, doc_id ASC LIMIT 20
+"""
+    out["shingle_top"] = """
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents
+),
+sh AS (
+  SELECT l[i] || ' ' || l[i + 1] AS shingle FROM toks,
+  LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i)
+)
+SELECT shingle, count(*) AS cnt FROM sh
+GROUP BY shingle ORDER BY cnt DESC, shingle ASC LIMIT 20
+"""
+    out["edge_ngram_terms"] = """
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents
+),
+terms AS (SELECT DISTINCT unnest(l) AS term FROM toks),
+g AS (
+  SELECT substr(term, 1, n) AS gram FROM terms,
+  LATERAL (SELECT unnest(generate_series(2, least(4, length(term)))) AS n)
+)
+SELECT gram, count(*) AS nterms FROM g
+GROUP BY gram ORDER BY gram LIMIT 500
 """
     out["prefix_query"] = _const_score_oracle("term LIKE 's%'")
     out["wildcard_query"] = _const_score_oracle("regexp_matches(term, '^j.*n$')")

@@ -1,0 +1,237 @@
+"""Common analysis-chain filters as JVM-side column functions.
+
+Lucene's `analysis/common` module ships the token filters every real
+deployment composes around the core analyzers. The Spark re-expression
+keeps token streams as array columns (`array<string>`, position =
+array index) so every filter below is a pure Catalyst expression —
+whole-stage-codegen'd, zero Python in the build or query path:
+
+- :func:`whitespace_tokens` — WhitespaceAnalyzer/WhitespaceTokenizer
+  (`analysis/common/src/java/org/apache/lucene/analysis/core/WhitespaceTokenizer.java`):
+  split on whitespace runs, no lowercasing.
+- :func:`keyword_token` — KeywordAnalyzer (`core/KeywordAnalyzer.java`):
+  the whole input is one token.
+- :func:`length_filter` — LengthFilter (`miscellaneous/LengthFilter.java`):
+  keep tokens with min <= len <= max.
+- :func:`trim_filter` — TrimFilter (`miscellaneous/TrimFilter.java`).
+- :func:`shingles` — ShingleFilter (`shingle/ShingleFilter.java:26-60`):
+  word n-grams ("shingles") of sizes [min_shingle, max_shingle] joined
+  by a separator, optionally keeping the unigrams — the word-ngram
+  source for phrase suggesters and index-time phrase speedups.
+- :func:`edge_ngrams` — EdgeNGramTokenFilter
+  (`ngram/EdgeNGramTokenFilter.java`): per-token prefixes of length
+  [min_gram, max_gram], the standard autocomplete/search-as-you-type
+  indexing shape.
+- :func:`char_ngrams` — NGramTokenFilter (`ngram/NGramTokenFilter.java`):
+  all character n-grams of each token.
+- :func:`ascii_fold` — ASCIIFoldingFilter
+  (`miscellaneous/ASCIIFoldingFilter.java`): fold Latin-1 Supplement /
+  Latin Extended-A letters to ASCII (the subset covering European
+  scripts; the reference folds further Unicode blocks).
+- :func:`synonym_expand` — SynonymGraphFilter
+  (`synonym/SynonymGraphFilter.java`): expand each token into the set
+  of terms stacked at its position (original + synonyms, posIncrement
+  0), returned as `array<array<string>>` — position = outer index.
+
+At 100 TB these matter precisely because they are column expressions:
+a shingle or edge-ngram index build adds zero shuffles (the expansion
+happens inside the scan stage before the existing build kernel), and
+Catalyst prunes/pushes around them like any other projection.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column, functions as F
+
+__all__ = [
+    "whitespace_tokens",
+    "keyword_token",
+    "length_filter",
+    "trim_filter",
+    "shingles",
+    "edge_ngrams",
+    "char_ngrams",
+    "ascii_fold",
+    "synonym_expand",
+]
+
+
+def whitespace_tokens(text_col: Column) -> Column:
+    """Split on whitespace runs; drops empty tokens (WhitespaceTokenizer)."""
+    return F.filter(F.split(text_col, r"\s+"), lambda t: t != "")
+
+
+def keyword_token(text_col: Column) -> Column:
+    """The entire input as a single token (KeywordAnalyzer); empty input
+    yields an empty stream like Lucene's empty TokenStream."""
+    return F.when(
+        text_col.isNotNull() & (text_col != ""), F.array(text_col)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def length_filter(tokens_col: Column, min_len: int = 1, max_len: int = 255) -> Column:
+    """Keep tokens with min_len <= length <= max_len (LengthFilter)."""
+    return F.filter(
+        tokens_col,
+        lambda t: (F.length(t) >= min_len) & (F.length(t) <= max_len),
+    )
+
+
+def trim_filter(tokens_col: Column) -> Column:
+    """Trim leading/trailing whitespace per token (TrimFilter trims
+    `Character.isWhitespace`, so regexp \\s rather than SQL TRIM's
+    space-only semantics)."""
+    return F.transform(
+        tokens_col, lambda t: F.regexp_replace(t, r"^\s+|\s+$", "")
+    )
+
+
+def shingles(
+    tokens_col: Column,
+    min_shingle: int = 2,
+    max_shingle: int = 2,
+    separator: str = " ",
+    output_unigrams: bool = False,
+) -> Column:
+    """Word n-grams of sizes [min_shingle, max_shingle] (ShingleFilter).
+
+    Emitted in Lucene's stream order: for each start position, the
+    unigram (if requested) then each shingle size ascending. No filler
+    tokens (input streams here have no stopword holes — stop filtering
+    happens downstream of shingling in chains that combine them).
+    """
+    if min_shingle < 2 or max_shingle < min_shingle:
+        raise ValueError("need 2 <= min_shingle <= max_shingle")
+    n = F.size(tokens_col)
+    sizes = list(range(min_shingle, max_shingle + 1))
+    if output_unigrams:
+        sizes = [1] + sizes
+
+    def at(i: Column) -> Column:  # grams starting at 0-based index i
+        grams = [
+            F.when(
+                i + size <= n,
+                F.array_join(F.slice(tokens_col, i + 1, size), separator),
+            )
+            for size in sizes
+        ]
+        return F.filter(F.array(*grams), lambda g: g.isNotNull())
+
+    return F.flatten(
+        F.transform(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))), at)
+    )
+
+
+def edge_ngrams(
+    tokens_col: Column,
+    min_gram: int = 1,
+    max_gram: int = 2,
+    preserve_original: bool = False,
+) -> Column:
+    """Per-token prefixes of length [min_gram, max_gram]
+    (EdgeNGramTokenFilter); `preserve_original` additionally emits
+    tokens longer than max_gram unchanged (its preserveOriginal flag).
+    Tokens shorter than min_gram are dropped, matching the reference.
+    """
+    if min_gram < 1 or max_gram < min_gram:
+        raise ValueError("need 1 <= min_gram <= max_gram")
+
+    def grams(t: Column) -> Column:
+        gs = [
+            F.when(F.length(t) >= g, F.substring(t, 1, g))
+            for g in range(min_gram, max_gram + 1)
+        ]
+        if preserve_original:
+            gs.append(F.when(F.length(t) > max_gram, t))
+        return F.filter(F.array(*gs), lambda g: g.isNotNull())
+
+    return F.flatten(F.transform(tokens_col, grams))
+
+
+def char_ngrams(
+    tokens_col: Column, min_gram: int = 1, max_gram: int = 2
+) -> Column:
+    """All character n-grams of each token (NGramTokenFilter): per
+    token, gram sizes ascending, offsets ascending within each size."""
+    if min_gram < 1 or max_gram < min_gram:
+        raise ValueError("need 1 <= min_gram <= max_gram")
+
+    def grams(t: Column) -> Column:
+        per_size = [
+            F.when(
+                F.length(t) >= g,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - g + 1),
+                    lambda i: t.substr(i, F.lit(g)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            for g in range(min_gram, max_gram + 1)
+        ]
+        return F.flatten(F.array(*per_size))
+
+    return F.flatten(F.transform(tokens_col, grams))
+
+
+# 1:1 foldings (Latin-1 Supplement + Latin Extended-A letters)
+_FOLD_SRC = (
+    "ÀÁÂÃÄÅàáâãäåÇçÈÉÊËèéêëÌÍÎÏìíîïÑñÒÓÔÕÖØòóôõöøÙÚÛÜùúûüÝŸýÿ"
+    "ĀāĂăĄąĆćĈĉĊċČčĎďĐđĒēĔĕĖėĘęĚěĜĝĞğĠġĢģĤĥĦħĨĩĪīĬĭĮįİı"
+    "ĴĵĶķĹĺĻļĽľĿŀŁłŃńŅņŇňŌōŎŏŐőŔŕŖŗŘřŚśŜŝŞşŠšŢţŤťŦŧ"
+    "ŨũŪūŬŭŮůŰűŲųŴŵŶŷŹźŻżŽž"
+)
+_FOLD_DST = (
+    "AAAAAAaaaaaaCcEEEEeeeeIIIIiiiiNnOOOOOOooooooUUUUuuuuYYyy"
+    "AaAaAaCcCcCcCcDdDdEeEeEeEeEeGgGgGgGgHhHhIiIiIiIiIi"
+    "JjKkLlLlLlLlLlNnNnNnOoOoOoRrRrRrSsSsSsSsTtTtTt"
+    "UuUuUuUuUuUuWwYyZzZzZz"
+)
+assert len(_FOLD_SRC) == len(_FOLD_DST)
+# multi-char foldings (ligatures / special letters)
+_FOLD_MULTI = [
+    ("Æ", "AE"), ("æ", "ae"), ("Œ", "OE"), ("œ", "oe"),
+    ("ß", "ss"), ("Þ", "TH"), ("þ", "th"), ("Ð", "D"), ("ð", "d"),
+    ("Ĳ", "IJ"), ("ĳ", "ij"), ("ﬁ", "fi"), ("ﬂ", "fl"),
+]
+
+
+def ascii_fold(col: Column) -> Column:
+    """Fold accented Latin letters to their ASCII equivalents
+    (ASCIIFoldingFilter, Latin-1 Supplement + Latin Extended-A scope).
+    Works on a text column or inside `F.transform` over a token array.
+    """
+    out = F.translate(col, _FOLD_SRC, _FOLD_DST)
+    for src, dst in _FOLD_MULTI:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return out
+
+
+def synonym_expand(
+    tokens_col: Column,
+    synonyms: Dict[str, List[str]],
+    keep_original: bool = True,
+) -> Column:
+    """Expand each token to the terms stacked at its position
+    (SynonymGraphFilter with posIncrement-0 stacking): returns
+    `array<array<string>>`, outer index = position. The inner array is
+    the original token (unless `keep_original=False`, replace-mode)
+    followed by its mapped synonyms.
+    """
+    if not synonyms:
+        return F.transform(tokens_col, lambda t: F.array(t))
+    pairs: list = []
+    for k, vs in synonyms.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.array(*[F.lit(v) for v in vs]))
+    m = F.create_map(*pairs)
+    empty = F.array().cast("array<string>")
+
+    def expand(t: Column) -> Column:
+        mapped = F.coalesce(m[t], empty)
+        if keep_original:
+            return F.concat(F.array(t), mapped)
+        # replace-mode: original survives only when unmapped
+        return F.when(F.size(mapped) > 0, mapped).otherwise(F.array(t))
+
+    return F.transform(tokens_col, expand)

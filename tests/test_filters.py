@@ -1,0 +1,154 @@
+"""Analysis filters (analysis/common re-expressions): goldens matching
+the reference filters' documented behavior, all-JVM column functions.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.analysis.filters import (
+    ascii_fold,
+    char_ngrams,
+    edge_ngrams,
+    keyword_token,
+    length_filter,
+    shingles,
+    synonym_expand,
+    trim_filter,
+    whitespace_tokens,
+)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def _toks(spark, *tokens):
+    return F.array(*[F.lit(t) for t in tokens])
+
+
+def test_whitespace_tokens(spark):
+    df = spark.createDataFrame([("Foo  Bar\tbaz ",), ("",)], ["t"]).select(
+        whitespace_tokens(F.col("t")).alias("v")
+    )
+    rows = [r["v"] for r in df.collect()]
+    # no lowercasing (WhitespaceAnalyzer), whitespace runs collapse
+    assert rows[0] == ["Foo", "Bar", "baz"]
+    assert rows[1] == []
+
+
+def test_keyword_token(spark):
+    df = spark.createDataFrame([("New York",), ("",), (None,)], ["t"]).select(
+        keyword_token(F.col("t")).alias("v")
+    )
+    rows = [r["v"] for r in df.collect()]
+    assert rows[0] == ["New York"]
+    assert rows[1] == [] and rows[2] == []
+
+
+def test_length_and_trim_filters(spark):
+    got = _one(
+        spark, length_filter(_toks(spark, "a", "ab", "abc", "abcd"), 2, 3)
+    )
+    assert got == ["ab", "abc"]
+    got = _one(spark, trim_filter(_toks(spark, " a ", "b\t")))
+    assert got == ["a", "b"]
+
+
+def test_shingles_bigram_default(spark):
+    # ShingleFilter javadoc example: "please divide this sentence"
+    # -> bigrams "please divide", "divide this", "this sentence"
+    toks = _toks(spark, "please", "divide", "this", "sentence")
+    assert _one(spark, shingles(toks)) == [
+        "please divide",
+        "divide this",
+        "this sentence",
+    ]
+
+
+def test_shingles_with_unigrams_and_trigram(spark):
+    toks = _toks(spark, "a", "b", "c")
+    got = _one(spark, shingles(toks, 2, 3, output_unigrams=True))
+    # stream order: per start position, unigram then sizes ascending
+    assert got == ["a", "a b", "a b c", "b", "b c", "c"]
+    # shorter than min_shingle: unigrams only
+    assert _one(spark, shingles(_toks(spark, "x"), 2, 3, output_unigrams=True)) == ["x"]
+    assert _one(spark, shingles(_toks(spark, "x"), 2, 3)) == []
+
+
+def test_edge_ngrams(spark):
+    got = _one(spark, edge_ngrams(_toks(spark, "spark", "io"), 2, 3))
+    assert got == ["sp", "spa", "io"]
+    # tokens shorter than min_gram are dropped
+    assert _one(spark, edge_ngrams(_toks(spark, "a"), 2, 3)) == []
+    # preserve_original re-emits long tokens whole
+    got = _one(spark, edge_ngrams(_toks(spark, "spark"), 2, 3, preserve_original=True))
+    assert got == ["sp", "spa", "spark"]
+
+
+def test_char_ngrams(spark):
+    # sizes ascending, offsets ascending within a size
+    assert _one(spark, char_ngrams(_toks(spark, "abc"), 1, 2)) == [
+        "a", "b", "c", "ab", "bc",
+    ]
+    assert _one(spark, char_ngrams(_toks(spark, "ab"), 3, 3)) == []
+
+
+def test_ascii_fold(spark):
+    df = spark.createDataFrame(
+        [("Crème Brûlée à São-Paulo ĄĆĘŁŃ œuf straße Þing",)], ["t"]
+    ).select(ascii_fold(F.col("t")).alias("v"))
+    assert (
+        df.collect()[0]["v"]
+        == "Creme Brulee a Sao-Paulo ACELN oeuf strasse THing"
+    )
+
+
+def test_ascii_fold_identity_on_ascii(spark):
+    s = "plain ascii stays 123 !?"
+    df = spark.createDataFrame([(s,)], ["t"]).select(ascii_fold(F.col("t")).alias("v"))
+    assert df.collect()[0]["v"] == s
+
+
+def test_synonym_expand_keep_original(spark):
+    got = _one(
+        spark,
+        synonym_expand(
+            _toks(spark, "fast", "car"), {"fast": ["quick", "rapid"]}
+        ),
+    )
+    # posIncrement-0 stacking: position 0 holds original + synonyms
+    assert got == [["fast", "quick", "rapid"], ["car"]]
+
+
+def test_synonym_expand_replace_mode(spark):
+    got = _one(
+        spark,
+        synonym_expand(
+            _toks(spark, "colour", "car"),
+            {"colour": ["color"]},
+            keep_original=False,
+        ),
+    )
+    assert got == [["color"], ["car"]]
+
+
+def test_shingle_index_roundtrip(spark):
+    """Shingled text indexes through the normal build path: a bigram
+    'hash join' becomes ONE term — the index-time phrase speedup
+    ShingleFilter exists for."""
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.search import IndexSearcher, TermQuery
+
+    docs = spark.createDataFrame(
+        [(0, "hash join wins"), (1, "join hash loses"), (2, "hash join again")],
+        ["doc_id", "text"],
+    )
+    sh = docs.select(
+        "doc_id",
+        F.array_join(
+            shingles(whitespace_tokens(F.col("text")), 2, 2, separator="_")
+        , " ").alias("text"),
+    )
+    idx = InvertedIndex.build(sh, analyzer="simple", docs_per_segment=16)
+    hits = IndexSearcher(idx).search(TermQuery("hash_join"), k=10)
+    assert {r["doc_id"] for r in hits.collect()} == {0, 2}
