@@ -23,6 +23,8 @@ from lucene_spark.search.parity import (
     dismax_f64,
     oracle_bm25_sql,
     oracle_dismax_sql,
+    oracle_feature_sql,
+    oracle_rescore_sql,
     oracle_phrase_sql,
     oracle_search_after_sql,
     oracle_synonym_sql,
@@ -268,6 +270,8 @@ _DRIVER_PRIORITY = [
     "intervals_maxgaps", "intervals_containing",
     "geo_box", "geo_distance", "geo_nearest",
     "shingle_top", "edge_ngram_terms",
+    "rescore_phrase", "feature_saturation",
+    "facet_taxonomy_children", "suggest_infix", "index_sorted_topk",
     # round-1 driver-unseen (past the r01 window)
     "dedup_clusters", "simhash", "simhash_near_dups",
     "embedding_cosine_topk", "embedding_lsh_topk", "embedding_ivf_topk",
@@ -618,6 +622,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["shingle_top"] = shingle_top
     out["edge_ngram_terms"] = edge_ngram_terms
+
+    # --- two-phase retrieval: QueryRescorer + FeatureField signals
+    def rescore_phrase(spark, sf):
+        from lucene_spark.search.rescore import rescore_phrase_topk
+
+        return rescore_phrase_topk(
+            _index(spark, sf),
+            {"hash": 1.0, "join": 1.0},
+            ["hash", "join"],
+            window=40,
+            weight=2.0,
+            k=15,
+        )
+
+    def feature_saturation(spark, sf):
+        from lucene_spark.search.rescore import feature_bm25_topk, saturation
+
+        return feature_bm25_topk(
+            _index(spark, sf),
+            {"merge": 1.0, "sort": 1.0},
+            _docs(spark, sf).select("doc_id", "n_chars"),
+            saturation(F.col("n_chars"), 500.0),
+            weight=0.5,
+            k=20,
+        )
+
+    out["rescore_phrase"] = rescore_phrase
+    out["feature_saturation"] = feature_saturation
+
+    # --- taxonomy facets (hierarchical dimension lang/source)
+    def facet_taxonomy_children(spark, sf):
+        from lucene_spark.search.facets import taxonomy_children
+
+        d = _docs(spark, sf).withColumn(
+            "cat", F.concat_ws("/", F.col("lang"), F.col("source"))
+        )
+        root = taxonomy_children(d, "cat").withColumn("path", F.lit(""))
+        under_en = taxonomy_children(d, "cat", ("en",)).withColumn(
+            "path", F.lit("en")
+        )
+        return root.unionByName(under_en).select("path", "child", "cnt")
+
+    out["facet_taxonomy_children"] = facet_taxonomy_children
+
+    # --- index sorting (IndexWriterConfig.setIndexSort): docIDs are
+    # (n_chars desc, orig asc) ranks, so sort-field top-k is ORDER BY
+    # doc_id LIMIT k — early termination, no field sort at query time
+    def index_sorted_topk(spark, sf):
+        from lucene_spark.index.sorting import sort_docs
+
+        if ("sorted", sf) not in _INDEX_CACHE:
+            srt = sort_docs(
+                _docs(spark, sf),
+                [F.col("n_chars").desc(), F.col("orig_doc_id").asc()],
+                num_partitions=16,
+            ).persist()
+            idx = InvertedIndex.build(srt, analyzer="simple", docs_per_segment=4096)
+            _INDEX_CACHE[("sorted", sf)] = (srt, idx)
+        srt, idx = _INDEX_CACHE[("sorted", sf)]
+        return (
+            _decode_postings(idx, ["hash"])
+            .select("doc_id")
+            .distinct()
+            .orderBy("doc_id")
+            .limit(10)
+            .join(srt.select("doc_id", "orig_doc_id", "n_chars"), "doc_id")
+            .select(F.col("orig_doc_id").alias("doc_id"), "n_chars")
+            .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        )
+
+    out["index_sorted_topk"] = index_sorted_topk
+
+    # --- AnalyzingInfixSuggester: fragment-anywhere, weight-ordered
+    def suggest_infix(spark, sf):
+        from lucene_spark.search.suggest import infix_suggest
+
+        return infix_suggest(_index(spark, sf), "ar", n=10)
+
+    out["suggest_infix"] = suggest_infix
 
     # monitor module analog: reverse search (which saved query fires per doc)
     def monitor_percolate(spark, sf):
@@ -1304,6 +1387,29 @@ g AS (
 )
 SELECT gram, count(*) AS nterms FROM g
 GROUP BY gram ORDER BY gram LIMIT 500
+"""
+    out["rescore_phrase"] = oracle_rescore_sql(
+        {"hash": 1.0, "join": 1.0}, ["hash", "join"], window=40, weight=2.0, k=15
+    )
+    out["feature_saturation"] = oracle_feature_sql(
+        {"merge": 1.0, "sort": 1.0}, "n_chars / (n_chars + 500.0)", weight=0.5, k=20
+    )
+    out["facet_taxonomy_children"] = """
+SELECT '' AS path, lang AS child, count(*) AS cnt FROM documents GROUP BY lang
+UNION ALL
+SELECT 'en' AS path, source AS child, count(*) AS cnt FROM documents
+WHERE lang = 'en' GROUP BY source
+"""
+    out["suggest_infix"] = f"""
+WITH {TOK_CTE},
+t AS (SELECT term, count(DISTINCT doc_id) AS weight FROM tok GROUP BY term)
+SELECT term, weight FROM t WHERE term LIKE '%ar%'
+ORDER BY weight DESC, term ASC LIMIT 10
+"""
+    out["index_sorted_topk"] = """
+SELECT doc_id, n_chars FROM documents
+WHERE (' ' || text || ' ') LIKE '% hash %'
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10
 """
     out["prefix_query"] = _const_score_oracle("term LIKE 's%'")
     out["wildcard_query"] = _const_score_oracle("regexp_matches(term, '^j.*n$')")

@@ -14,6 +14,7 @@ from lucene_spark.index.deletes import (
     update_document,
 )
 from lucene_spark.index.resumable import load_resumable, resumable_build
+from lucene_spark.index.sorting import sort_docs
 
 __all__ = [
     "BLOCKS_SCHEMA",
@@ -28,5 +29,6 @@ __all__ = [
     "load_resumable",
     "reclaimable_segments",
     "resumable_build",
+    "sort_docs",
     "update_document",
 ]

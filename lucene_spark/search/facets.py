@@ -1,0 +1,67 @@
+"""Hierarchical (taxonomy) facets.
+
+`facet/src/java/org/apache/lucene/facet/taxonomy/TaxonomyFacetIntAssociations.java`
+and `FastTaxonomyFacetCounts` count, for a match set, the child
+categories directly under a given path of a hierarchical dimension
+(e.g. Location=Europe/France/Paris), supporting getTopChildren +
+drill-down. Lucene materializes the hierarchy in a side-car taxonomy
+index mapping paths to ordinals; the Spark re-expression needs no
+side-car — the path is a column, prefix predicates replace ordinal
+lookups, and counts are partial-aggregated ``groupBy`` over the next
+path component:
+
+- child counts = filter rows under the path prefix, group by the next
+  component — one partial-agg shuffle, skew-safe (category cardinality
+  is tiny relative to docs);
+- drill-down = a prefix predicate, pushable to the scan when the table
+  is partitioned by the leading component(s) — Hive/Iceberg-style
+  partition directories ARE a materialized taxonomy level, so
+  drill-down prunes files exactly like the taxonomy index prunes
+  ordinals.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["taxonomy_children", "drill_down"]
+
+_SEP = "/"
+
+
+def _parts(path_col: str):
+    return F.split(F.col(path_col), _SEP)
+
+
+def drill_down(df: DataFrame, path_col: str, path: Sequence[str]) -> DataFrame:
+    """Rows whose `path_col` lies under `path` (DrillDownQuery on a
+    hierarchical dimension): component-wise prefix match."""
+    parts = _parts(path_col)
+    cond = F.lit(True)
+    for i, comp in enumerate(path):
+        # F.get: NULL (not an error) past the end — short paths filter out
+        cond = cond & (F.get(parts, i) == comp)
+    return df.filter(cond)
+
+
+def taxonomy_children(
+    df: DataFrame,
+    path_col: str,
+    path: Sequence[str] = (),
+    top_n: int | None = None,
+) -> DataFrame:
+    """(child, cnt) for categories directly under `path`
+    (`FacetsCollector` + `getTopChildren`): count desc, child asc,
+    optionally limited to top_n."""
+    depth = len(path)
+    parts = _parts(path_col)
+    children = (
+        drill_down(df, path_col, path)
+        .filter(F.size(parts) > depth)
+        .groupBy(F.get(parts, depth).alias("child"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("child").asc())
+    )
+    return children.limit(top_n) if top_n is not None else children

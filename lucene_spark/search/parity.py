@@ -658,3 +658,100 @@ scores AS (
 SELECT doc_id, round(s, 4) AS score FROM scores
 ORDER BY s DESC, doc_id ASC LIMIT {k}
 """
+
+
+# --- rescorer / feature-field oracles ---------------------------------------
+
+
+def _bm25_scored_ctes(term_boosts: Dict[str, float], table: str = "documents") -> str:
+    """Shared CTE chain ending in ``first(doc_id, s)`` — the raw
+    first-pass disjunction scores :func:`oracle_bm25_sql` wraps."""
+    terms_in = ", ".join(f"'{t}'" for t in term_boosts)
+    boost_rows = ", ".join(f"('{t}', {b!r})" for t, b in term_boosts.items())
+    return f"""tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}
+  ) WHERE term <> ''
+),
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM {table}
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sttf FROM dl),
+dlq AS (SELECT doc_id, {_DLQ_SQL} AS dl_q FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM tok
+  WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+boosts(term, boost) AS (VALUES {boost_rows}),
+first AS (
+  SELECT tf.doc_id,
+         sum(boost * ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+             * freq / (freq + {K1} * (1 - {B} + {B} * dl_q / (sttf * 1.0 / n_docs)))) AS s
+  FROM tf
+  JOIN df USING (term) JOIN boosts USING (term) JOIN dlq USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)"""
+
+
+def oracle_rescore_sql(
+    first_pass: Dict[str, float],
+    phrase: list,
+    window: int = 50,
+    weight: float = 2.0,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL mirroring :func:`lucene_spark.search.rescore.rescore_phrase_topk`."""
+    m = len(phrase)
+    conds = " AND ".join(f"l[i + {j}] = '{t}'" for j, t in enumerate(phrase))
+    idfs = " + ".join(
+        f"(SELECT ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5)) "
+        f"FROM pdf, stats WHERE term = '{t}')"
+        for t in dict.fromkeys(phrase)
+    )
+    return f"""
+WITH {_bm25_scored_ctes(first_pass, table)},
+win AS (SELECT doc_id, s FROM first ORDER BY s DESC, doc_id ASC LIMIT {window}),
+pdf AS (
+  SELECT term, count(DISTINCT doc_id) AS doc_freq
+  FROM (SELECT doc_id, unnest(l) AS term FROM toks) GROUP BY term
+),
+occ AS (
+  SELECT doc_id, count(*) AS freq
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - {m - 1})) AS i)
+  WHERE {conds}
+  GROUP BY doc_id
+),
+ps AS (
+  SELECT occ.doc_id,
+         ({idfs}) * freq
+           / (freq + {K1} * (1 - {B} + {B} * dl_q / (sttf * 1.0 / n_docs))) AS ps
+  FROM occ JOIN dlq USING (doc_id) CROSS JOIN stats
+)
+SELECT win.doc_id,
+       round(win.s + {weight!r} * coalesce(ps.ps, 0), 4) AS score
+FROM win LEFT JOIN ps ON win.doc_id = ps.doc_id
+ORDER BY win.s + {weight!r} * coalesce(ps.ps, 0) DESC, win.doc_id ASC LIMIT {k}
+"""
+
+
+def oracle_feature_sql(
+    term_boosts: Dict[str, float],
+    feature_sql: str,
+    weight: float = 1.0,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL mirroring :func:`lucene_spark.search.rescore.feature_bm25_topk`;
+    `feature_sql` is the f(v) expression over `{table}` columns, e.g.
+    ``n_chars / (n_chars + 500.0)``."""
+    return f"""
+WITH {_bm25_scored_ctes(term_boosts, table)}
+SELECT first.doc_id,
+       round(first.s + {weight!r} * ({feature_sql}), 4) AS score
+FROM first JOIN {table} d ON first.doc_id = d.doc_id
+ORDER BY first.s + {weight!r} * ({feature_sql}) DESC, first.doc_id ASC LIMIT {k}
+"""

@@ -75,8 +75,16 @@ _FREQ_SCHEMA = T.StructType(
 )
 
 
-def decode_positions(index: InvertedIndex, terms: List[str]) -> DataFrame:
-    """Decode (doc_id, term, freq, norm, positions) for the given terms."""
+def decode_positions(
+    index: InvertedIndex, terms: List[str], doc_range=None
+) -> DataFrame:
+    """Decode (doc_id, term, freq, norm, positions) for the given terms.
+
+    ``doc_range=(lo, hi)`` prunes posting blocks whose
+    [first_doc, max_doc] does not overlap the range BEFORE the Python
+    decode — the skip-list advance (`Lucene103PostingsReader` skip
+    data) for consumers that only need a docID window (e.g. rescoring
+    a first-pass top-N)."""
     if not index.has_positions:
         raise ValueError("index was built without positions=True")
 
@@ -113,11 +121,20 @@ def decode_positions(index: InvertedIndex, terms: List[str]) -> DataFrame:
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return (
-        index.blocks.filter(F.col("term").isin(list(set(terms))))
-        .select("term", "docs_packed", "freqs_packed", "norms_raw", "positions_packed")
-        .mapInPandas(fn, _POS_SCHEMA)
-    )
+    blocks = index.blocks.filter(F.col("term").isin(list(set(terms))))
+    if doc_range is not None:
+        lo, hi = doc_range
+        blocks = blocks.filter(
+            (F.col("max_doc") >= int(lo)) & (F.col("first_doc") <= int(hi))
+        )
+    decoded = blocks.select(
+        "term", "docs_packed", "freqs_packed", "norms_raw", "positions_packed"
+    ).mapInPandas(fn, _POS_SCHEMA)
+    if doc_range is not None:
+        decoded = decoded.filter(
+            (F.col("doc_id") >= int(lo)) & (F.col("doc_id") <= int(hi))
+        )
+    return decoded
 
 
 def _exact_phrase_kernel(pos_cols: List[np.ndarray], offsets: List[int]) -> float:
@@ -170,7 +187,7 @@ def _sloppy_phrase_kernel(pos_cols: List[np.ndarray], offsets: List[int], slop: 
 
 
 def phrase_freqs(
-    index: InvertedIndex, phrase: List[str], slop: int = 0
+    index: InvertedIndex, phrase: List[str], slop: int = 0, doc_range=None
 ) -> DataFrame:
     """DataFrame(doc_id, freq double, norm) of phrase occurrences.
 
@@ -181,11 +198,11 @@ def phrase_freqs(
     phrases use the Arrow-batched greedy matcher.
     """
     if slop == 0:
-        norms = decode_positions(index, [phrase[0]]).select("doc_id", "norm")
+        norms = decode_positions(index, [phrase[0]], doc_range).select("doc_id", "norm")
         anchors = None
         for i, t in enumerate(phrase):
             slot = (
-                decode_positions(index, [t])
+                decode_positions(index, [t], doc_range)
                 .select("doc_id", F.explode("positions").alias("p"))
                 .select("doc_id", (F.col("p") - F.lit(i)).alias("p"))
             )
@@ -205,12 +222,12 @@ def phrase_freqs(
     # per-term decode: the term filter prunes blocks BEFORE the Python
     # decode (filtering a shared multi-term decode would re-run the
     # whole decode once per join branch)
-    base = decode_positions(index, [distinct[0]]).select(
+    base = decode_positions(index, [distinct[0]], doc_range).select(
         "doc_id", "norm", F.col("positions").alias("p0")
     )
     for i, t in enumerate(distinct[1:], start=1):
         base = base.join(
-            decode_positions(index, [t]).select(
+            decode_positions(index, [t], doc_range).select(
                 "doc_id", F.col("positions").alias(f"p{i}")
             ),
             "doc_id",
