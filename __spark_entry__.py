@@ -23,6 +23,7 @@ from lucene_spark.search.parity import (
     dismax_f64,
     oracle_bm25_sql,
     oracle_dismax_sql,
+    oracle_collapse_sql,
     oracle_feature_sql,
     oracle_rescore_sql,
     oracle_phrase_sql,
@@ -272,6 +273,8 @@ _DRIVER_PRIORITY = [
     "shingle_top", "edge_ngram_terms",
     "rescore_phrase", "feature_saturation",
     "facet_taxonomy_children", "suggest_infix", "index_sorted_topk",
+    "best_passage", "covering_query", "trending_terms",
+    "collapse_top_per_lang",
     # round-1 driver-unseen (past the r01 window)
     "dedup_clusters", "simhash", "simhash_near_dups",
     "embedding_cosine_topk", "embedding_lsh_topk", "embedding_ivf_topk",
@@ -693,6 +696,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["index_sorted_topk"] = index_sorted_topk
+
+    # --- UnifiedHighlighter analog: best idf-weighted passage per doc
+    def best_passage(spark, sf):
+        from lucene_spark.search.highlight import best_passages
+
+        return (
+            best_passages(_docs(spark, sf), ["hash", "join"], window=8, quantize=6)
+            .orderBy(F.col("passage_score").desc(), F.col("doc_id").asc())
+            .limit(25)
+        )
+
+    out["best_passage"] = best_passage
+
+    # --- CoveringQuery: per-doc minimumNumberMatch from a value source
+    def covering_query(spark, sf):
+        from lucene_spark.search.covering import covering_matches
+
+        th = _docs(spark, sf).select(
+            "doc_id",
+            F.when(F.col("lang") == "en", F.lit(2)).otherwise(F.lit(3)).alias("min_match"),
+        )
+        return (
+            covering_matches(_index(spark, sf), ["hash", "join", "merge"], th)
+            .orderBy("doc_id")
+            .limit(300)
+        )
+
+    out["covering_query"] = covering_query
+
+    # --- trending terms per event-time window (stream-safe agg +
+    # per-trigger rank); deterministic synthetic ts from doc_id
+    def trending_terms_gate(spark, sf):
+        from lucene_spark.streaming.windows import (
+            top_terms_per_window,
+            trending_terms,
+        )
+
+        d = _docs(spark, sf).withColumn(
+            "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60)
+        )
+        ranked = top_terms_per_window(trending_terms(d, "ts", "text", "1 hour"), 3)
+        return (
+            ranked.select(
+                F.unix_timestamp("win_start").alias("win_epoch"), "term", "cnt"
+            )
+            .orderBy("win_epoch", "term")
+            .limit(1000)
+        )
+
+    out["trending_terms"] = trending_terms_gate
+
+    # --- field collapsing: best hit per lang inside one top-k
+    def collapse_top_per_lang(spark, sf):
+        from lucene_spark.search.collapse import collapse_topk
+
+        return collapse_topk(
+            _index(spark, sf),
+            {"hash": 1.0, "join": 1.0},
+            _docs(spark, sf),
+            "lang",
+            k=10,
+        ).withColumnRenamed("group", "grp")
+
+    out["collapse_top_per_lang"] = collapse_top_per_lang
 
     # --- AnalyzingInfixSuggester: fragment-anywhere, weight-ordered
     def suggest_infix(spark, sf):
@@ -1411,6 +1478,71 @@ SELECT doc_id, n_chars FROM documents
 WHERE (' ' || text || ' ') LIKE '% hash %'
 ORDER BY n_chars DESC, doc_id ASC LIMIT 10
 """
+    # idf weights quantized to 1e-6 units (summed as integers) so the
+    # passage ranking is order-independent — mirrors quantize=6
+    out["best_passage"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfq AS (
+  SELECT term, CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000) AS BIGINT) AS w
+  FROM (
+    SELECT term, count(*) AS df FROM (
+      SELECT DISTINCT doc_id, unnest(l) AS term FROM toks
+    ) WHERE term IN ('hash', 'join') GROUP BY term
+  ) CROSS JOIN n
+),
+hits AS (
+  SELECT doc_id, CAST(((i - 1) // 8) * 8 + 1 AS INT) AS wstart, l[i] AS term
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
+  WHERE l[i] IN ('hash', 'join')
+),
+scored AS (
+  SELECT doc_id, wstart, sum(w) AS q FROM hits JOIN dfq USING (term)
+  GROUP BY doc_id, wstart
+),
+best AS (
+  SELECT doc_id, wstart, q,
+         row_number() OVER (PARTITION BY doc_id ORDER BY q DESC, wstart ASC) AS rn
+  FROM scored
+)
+SELECT b.doc_id, b.wstart AS passage_start,
+       round(b.q / 1000000.0, 4) AS passage_score,
+       array_to_string(t.l[b.wstart : b.wstart + 7], ' ') AS passage
+FROM best b JOIN toks t USING (doc_id)
+WHERE rn = 1
+ORDER BY round(b.q / 1000000.0, 4) DESC, b.doc_id ASC LIMIT 25
+"""
+    out["covering_query"] = f"""
+WITH {TOK_CTE},
+m AS (
+  SELECT doc_id, count(DISTINCT term) AS nmatch FROM tok
+  WHERE term IN ('hash', 'join', 'merge') GROUP BY doc_id
+),
+t AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 2 ELSE 3 END AS mm FROM documents)
+SELECT m.doc_id, nmatch FROM m JOIN t USING (doc_id)
+WHERE nmatch >= mm ORDER BY doc_id LIMIT 300
+"""
+    out["trending_terms"] = """
+WITH d AS (
+  SELECT CAST(floor((1704067200 + doc_id * 60) / 3600) * 3600 AS BIGINT) AS win_epoch,
+         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS l
+  FROM documents
+),
+t AS (SELECT win_epoch, unnest(l) AS term FROM d),
+c AS (SELECT win_epoch, term, count(*) AS cnt FROM t GROUP BY 1, 2),
+r AS (
+  SELECT win_epoch, term, cnt,
+         row_number() OVER (PARTITION BY win_epoch ORDER BY cnt DESC, term ASC) AS rn
+  FROM c
+)
+SELECT win_epoch, term, cnt FROM r WHERE rn <= 3
+ORDER BY win_epoch, term LIMIT 1000
+"""
+    out["collapse_top_per_lang"] = oracle_collapse_sql(
+        {"hash": 1.0, "join": 1.0}, "lang", k=10
+    )
     out["prefix_query"] = _const_score_oracle("term LIKE 's%'")
     out["wildcard_query"] = _const_score_oracle("regexp_matches(term, '^j.*n$')")
     out["fuzzy_query"] = _const_score_oracle(

@@ -25,7 +25,11 @@ from lucene_spark.search.geo import (
     haversine_meters,
     nearest_k,
 )
+from lucene_spark.search.collapse import collapse_topk
+from lucene_spark.search.covering import covering_matches
+from lucene_spark.search.querycache import LRUQueryCache
 from lucene_spark.search.facets import drill_down, taxonomy_children
+from lucene_spark.search.highlight import best_passages
 from lucene_spark.search.queryparser import QueryParseError, parse_query
 from lucene_spark.search.rescore import (
     feature_bm25_topk,
@@ -52,6 +56,10 @@ __all__ = [
     "nearest_k",
     "QueryParseError",
     "parse_query",
+    "collapse_topk",
+    "covering_matches",
+    "LRUQueryCache",
+    "best_passages",
     "drill_down",
     "taxonomy_children",
     "feature_bm25_topk",

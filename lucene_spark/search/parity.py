@@ -755,3 +755,27 @@ SELECT first.doc_id,
 FROM first JOIN {table} d ON first.doc_id = d.doc_id
 ORDER BY first.s + {weight!r} * ({feature_sql}) DESC, first.doc_id ASC LIMIT {k}
 """
+
+
+def oracle_collapse_sql(
+    term_boosts: Dict[str, float],
+    group_col: str,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL mirroring :func:`lucene_spark.search.collapse.collapse_topk`
+    (output column ``grp`` to dodge SQL keyword quoting)."""
+    return f"""
+WITH {_bm25_scored_ctes(term_boosts, table)},
+keyed AS (
+  SELECT first.doc_id, s, d.{group_col} AS grp
+  FROM first JOIN {table} d ON first.doc_id = d.doc_id
+),
+best AS (
+  SELECT grp, doc_id, s,
+         row_number() OVER (PARTITION BY grp ORDER BY s DESC, doc_id ASC) AS rn
+  FROM keyed
+)
+SELECT grp, doc_id, round(s, 4) AS score FROM best WHERE rn = 1
+ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""

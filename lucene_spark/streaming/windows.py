@@ -18,7 +18,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["windowed_event_counts"]
+__all__ = ["windowed_event_counts", "trending_terms", "top_terms_per_window"]
 
 
 def windowed_event_counts(
@@ -52,4 +52,53 @@ def windowed_event_counts(
             "cnt",
             "sum_value",
         )
+    )
+
+
+def trending_terms(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per event-time window, term document-counts — the stream-safe
+    aggregation half of a "trending terms" dashboard.
+
+    Emits (win_start timestamp, term, cnt). Works identically on batch
+    and ``readStream`` inputs (watermark bounds state on streams); the
+    per-window top-N rank is :func:`top_terms_per_window`, a separate
+    batch / `foreachBatch` step, because a rank-within-window is not an
+    incrementalizable streaming aggregation (Spark would reject it in
+    append mode) — the counts stream is the state, the rank is a cheap
+    per-trigger view over it.
+    """
+    src = docs.withColumn("_ts", F.col(ts_col).cast("timestamp"))
+    if docs.isStreaming:
+        src = src.withWatermark("_ts", watermark)
+    win = F.window(F.col("_ts"), window_duration)
+    return (
+        src.select(
+            win.alias("win"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+                )
+            ).alias("term"),
+        )
+        .groupBy(F.col("win.start").alias("win_start"), "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def top_terms_per_window(term_counts: DataFrame, top_n: int = 3) -> DataFrame:
+    """Top-`top_n` terms per window (cnt desc, term asc) from
+    :func:`trending_terms` output — batch or `foreachBatch`."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("win_start").orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return (
+        term_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .drop("rn")
     )

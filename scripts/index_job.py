@@ -94,7 +94,9 @@ def main() -> None:
                 "layout": LAYOUT,
                 "build_secs": round(secs, 3),
                 "docs_per_sec": round(DOCS / secs, 1),
-                "postings_per_sec": idx.metrics.get("postings_per_sec"),
+                # derive from the SAME best-of-reps secs as docs_per_sec
+                # (idx.metrics' rate uses only the last rep's clock)
+                "postings_per_sec": round(idx.sum_total_term_freq / secs, 1),
                 "num_blocks": idx.metrics.get("num_blocks"),
                 "sum_total_term_freq": idx.sum_total_term_freq,
             }
