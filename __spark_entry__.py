@@ -274,7 +274,7 @@ _DRIVER_PRIORITY = [
     "rescore_phrase", "feature_saturation",
     "facet_taxonomy_children", "suggest_infix", "index_sorted_topk",
     "best_passage", "covering_query", "trending_terms",
-    "collapse_top_per_lang",
+    "collapse_top_per_lang", "query_count",
     # round-1 driver-unseen (past the r01 window)
     "dedup_clusters", "simhash", "simhash_near_dups",
     "embedding_cosine_topk", "embedding_lsh_topk", "embedding_ivf_topk",
@@ -760,6 +760,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumnRenamed("group", "grp")
 
     out["collapse_top_per_lang"] = collapse_top_per_lang
+
+    # --- IndexSearcher.count: docFreq/numDocs shortcuts + match-set counts
+    def query_count(spark, sf):
+        from lucene_spark.search import MatchAllDocsQuery, parse_query
+
+        s = IndexSearcher(_index(spark, sf))
+        rows = [
+            ("match_all", s.count(MatchAllDocsQuery())),
+            ("term_hash", s.count(TermQuery("hash"))),
+            ("hash_and_join", s.count(parse_query("hash AND join"))),
+            ("hash_or_join", s.count(parse_query("hash OR join"))),
+            ("hash_not_join", s.count(parse_query("hash -join"))),
+        ]
+        return spark.createDataFrame(rows, "query string, cnt long")
+
+    out["query_count"] = query_count
 
     # --- AnalyzingInfixSuggester: fragment-anywhere, weight-ordered
     def suggest_infix(spark, sf):
@@ -1543,6 +1559,18 @@ ORDER BY win_epoch, term LIMIT 1000
     out["collapse_top_per_lang"] = oracle_collapse_sql(
         {"hash": 1.0, "join": 1.0}, "lang", k=10
     )
+    out["query_count"] = f"""
+WITH {TOK_CTE},
+t AS (SELECT doc_id, list(DISTINCT term) AS terms FROM tok GROUP BY doc_id)
+SELECT 'match_all' AS query, (SELECT count(*) FROM documents) AS cnt
+UNION ALL SELECT 'term_hash', count(*) FROM t WHERE list_contains(terms, 'hash')
+UNION ALL SELECT 'hash_and_join', count(*) FROM t
+  WHERE list_contains(terms, 'hash') AND list_contains(terms, 'join')
+UNION ALL SELECT 'hash_or_join', count(*) FROM t
+  WHERE list_contains(terms, 'hash') OR list_contains(terms, 'join')
+UNION ALL SELECT 'hash_not_join', count(*) FROM t
+  WHERE list_contains(terms, 'hash') AND NOT list_contains(terms, 'join')
+"""
     out["prefix_query"] = _const_score_oracle("term LIKE 's%'")
     out["wildcard_query"] = _const_score_oracle("regexp_matches(term, '^j.*n$')")
     out["fuzzy_query"] = _const_score_oracle(

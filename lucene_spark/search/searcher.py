@@ -212,6 +212,143 @@ class IndexSearcher:
             .limit(k)
         )
 
+    def count(self, query: Query) -> int:
+        """Number of live matching documents (`IndexSearcher.count`).
+
+        Constant-time shortcuts mirror `IndexSearcher.java:740-766`:
+        MatchAllDocsQuery without deletes → ``numDocs``; a single term
+        without deletes → its docFreq straight from the term dictionary
+        (zero posting decode); everything else counts the match set.
+        """
+        q = rewrite(query, self.index.terms)
+        while isinstance(q, (BoostQuery, ConstantScoreQuery)):
+            q = q.query
+        ctx = self._bind(q)
+        if self.index.num_deleted == 0:
+            if isinstance(q, MatchAllDocsQuery):
+                return self.index.doc_count
+            if isinstance(q, TermQuery):
+                st = ctx.term_stats.get(q.term)
+                return int(st[0]) if st else 0
+        return self._live(self._matching_docs(q, ctx)).distinct().count()
+
+    def explain(self, query: Query, doc_id: int) -> dict:
+        """Score breakdown of one document (`IndexSearcher.explain` /
+        `BM25Similarity.explain`), as a nested Explanation dict
+        (match/value/description/details), float32-identical to
+        ``search()``'s score for term and flat-boolean queries.
+
+        Like the reference, this seeks the doc's postings directly
+        (driver-side decode of the few blocks whose docID range covers
+        `doc_id`) — no distributed job.
+        """
+        q = rewrite(query, self.index.terms)
+        ctx = self._bind(q)
+        g = None
+        if isinstance(q, BooleanQuery):
+            flat = self._flat_term_clauses(q)
+            if flat is not None:
+                g = {
+                    t: b
+                    for occur, grp in flat
+                    if occur in (Occur.SHOULD, Occur.MUST)
+                    for t, b in grp.items()
+                }
+        else:
+            g = self._term_group(q, 1.0)
+        if g is None:
+            raise NotImplementedError(
+                "explain supports term and flat term-boolean queries"
+            )
+        dels = self.index.deletes
+        if (
+            dels is not None
+            and self.index.num_deleted > 0
+            and dels.filter(F.col("doc_id") == int(doc_id)).limit(1).count() > 0
+        ):
+            return {
+                "match": False,
+                "value": 0.0,
+                "description": f"doc {doc_id} is deleted",
+                "details": [],
+            }
+        details = []
+        total = 0.0
+        for term in sorted(g):
+            hit = self._doc_freq_norm(term, int(doc_id))
+            if hit is None:
+                continue
+            freq, norm = hit
+            sc = ctx.scorer(term, g[term])
+            val = float(sc.score([freq], [norm])[0])
+            total += val
+            tf_val = val / float(sc.weight) if float(sc.weight) else 0.0
+            df_, _ = ctx.term_stats[term]
+            details.append(
+                {
+                    "match": True,
+                    "value": val,
+                    "description": f"weight({term} in {doc_id}) [BM25Similarity]",
+                    "details": [
+                        {
+                            "match": True,
+                            "value": float(sc.boost),
+                            "description": "boost",
+                            "details": [],
+                        },
+                        {
+                            "match": True,
+                            "value": float(sc.idf),
+                            "description": (
+                                "idf, computed as log(1 + (N - n + 0.5) / "
+                                f"(n + 0.5)) with n={df_}, N={self.index.doc_count}"
+                            ),
+                            "details": [],
+                        },
+                        {
+                            "match": True,
+                            "value": tf_val,
+                            "description": (
+                                "tf, computed as freq / (freq + k1 * (1 - b "
+                                f"+ b * dl / avgdl)) with freq={freq}, "
+                                f"norm_byte={norm}, avgdl={float(sc.avgdl)!r}"
+                            ),
+                            "details": [],
+                        },
+                    ],
+                }
+            )
+        return {
+            "match": bool(details),
+            # float32 of the float64 clause sum — exactly search()'s
+            # groupBy-sum-then-cast rounding
+            "value": float(np.float32(total)),
+            "description": "sum of:",
+            "details": details,
+        }
+
+    def _doc_freq_norm(self, term: str, doc_id: int) -> Optional[Tuple[int, int]]:
+        """(freq, norm_byte) of `doc_id` in `term`'s postings, from the
+        block(s) whose [first_doc, max_doc] covers it (skip-list seek)."""
+        rows = (
+            self.index.blocks.filter(
+                (F.col("term") == term)
+                & (F.col("first_doc") <= doc_id)
+                & (F.col("max_doc") >= doc_id)
+            )
+            .select("docs_packed", "freqs_packed", "norms_raw")
+            .collect()
+        )
+        for r in rows:
+            docs = delta_decode(for_decode(bytes(r["docs_packed"])))
+            idx = np.where(docs == doc_id)[0]
+            if idx.size:
+                freqs = pfor_decode(bytes(r["freqs_packed"]))
+                norms = np.frombuffer(bytes(r["norms_raw"]), dtype=np.uint8)
+                i = int(idx[0])
+                return int(freqs[i]), int(norms[i])
+        return None
+
     # -- weight resolution ---------------------------------------------
     def _collect_terms(self, q: Query) -> List[str]:
         if isinstance(q, TermQuery):
