@@ -41,7 +41,10 @@ def get_spark() -> SparkSession:
         .appName("lucene_spark_bench")
         .config("spark.sql.shuffle.partitions", str(CPUS))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
+        # 16g, not 48g: an oversized heap turns the post-shuffle full
+        # GCs into multi-second pauses that poison every later leg
+        # (measured: merge_round 16.6s at 48g vs 3.3s at 16g, same box)
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
