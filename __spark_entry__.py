@@ -275,6 +275,7 @@ _DRIVER_PRIORITY = [
     "facet_taxonomy_children", "suggest_infix", "index_sorted_topk",
     "best_passage", "covering_query", "trending_terms",
     "collapse_top_per_lang", "query_count",
+    "hash_sample", "stratified_sample", "pack_sequences",
     # round-1 driver-unseen (past the r01 window)
     "dedup_clusters", "simhash", "simhash_near_dups",
     "embedding_cosine_topk", "embedding_lsh_topk", "embedding_ivf_topk",
@@ -776,6 +777,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(rows, "query string, cnt long")
 
     out["query_count"] = query_count
+
+    # --- deterministic sampling / data mixing / sequence packing
+    def hash_sample_docs(spark, sf):
+        from lucene_spark.pipeline.sampling import hash_sample
+
+        return (
+            hash_sample(_docs(spark, sf), 0.25, seed=7)
+            .select("doc_id")
+            .orderBy("doc_id")
+            .limit(3000)
+        )
+
+    def stratified_sample_docs(spark, sf):
+        from lucene_spark.pipeline.sampling import stratified_sample
+
+        return (
+            stratified_sample(
+                _docs(spark, sf), {"en": 0.5, "de": 0.1}, strata_col="lang", seed=3
+            )
+            .select("doc_id", "lang")
+            .orderBy("doc_id")
+            .limit(3000)
+        )
+
+    def pack_sequences_shards(spark, sf):
+        from lucene_spark.pipeline.sampling import pack_sequences
+
+        d = _docs(spark, sf).withColumn(
+            "n_tokens",
+            F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")),
+        )
+        return (
+            pack_sequences(d, 50_000, "n_tokens", "doc_id", num_partitions=16)
+            .select("doc_id", "shard")
+            .orderBy("doc_id")
+            .limit(10000)
+        )
+
+    out["hash_sample"] = hash_sample_docs
+    out["stratified_sample"] = stratified_sample_docs
+    out["pack_sequences"] = pack_sequences_shards
 
     # --- AnalyzingInfixSuggester: fragment-anywhere, weight-ordered
     def suggest_infix(spark, sf):
@@ -1570,6 +1612,37 @@ UNION ALL SELECT 'hash_or_join', count(*) FROM t
   WHERE list_contains(terms, 'hash') OR list_contains(terms, 'join')
 UNION ALL SELECT 'hash_not_join', count(*) FROM t
   WHERE list_contains(terms, 'hash') AND NOT list_contains(terms, 'join')
+"""
+    _BUCKET = (
+        "('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        " % 1000000"
+    )
+    out["hash_sample"] = f"""
+SELECT doc_id FROM documents
+WHERE {_BUCKET.format(seed=7)} < 250000
+ORDER BY doc_id LIMIT 3000
+"""
+    out["stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_BUCKET.format(seed=3)} <
+  CASE WHEN lang = 'en' THEN 500000 WHEN lang = 'de' THEN 100000 ELSE 0 END
+ORDER BY doc_id LIMIT 3000
+"""
+    out["pack_sequences"] = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tokens_before
+  FROM t
+)
+SELECT doc_id, CAST(floor(tokens_before / 50000) AS BIGINT) AS shard
+FROM c ORDER BY doc_id LIMIT 10000
 """
     out["prefix_query"] = _const_score_oracle("term LIKE 's%'")
     out["wildcard_query"] = _const_score_oracle("regexp_matches(term, '^j.*n$')")

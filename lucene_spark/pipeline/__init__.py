@@ -8,6 +8,11 @@ from lucene_spark.pipeline.dedup import (
     simhash_near_dups,
     word_shingles,
 )
+from lucene_spark.pipeline.sampling import (
+    hash_sample,
+    pack_sequences,
+    stratified_sample,
+)
 from lucene_spark.pipeline.similarity import (
     ivf_assign,
     ivf_topk,
@@ -26,6 +31,9 @@ from lucene_spark.pipeline.textstats import (
 
 __all__ = [
     "cosine_topk",
+    "hash_sample",
+    "pack_sequences",
+    "stratified_sample",
     "embedding_near_dups",
     "exact_duplicates",
     "fingerprint_md5",
