@@ -13,6 +13,11 @@ from lucene_spark.pipeline.sampling import (
     pack_sequences,
     stratified_sample,
 )
+from lucene_spark.pipeline.urls import (
+    canonicalize_url,
+    registered_domain,
+    url_host,
+)
 from lucene_spark.pipeline.similarity import (
     ivf_assign,
     ivf_topk,
@@ -34,6 +39,9 @@ __all__ = [
     "hash_sample",
     "pack_sequences",
     "stratified_sample",
+    "canonicalize_url",
+    "registered_domain",
+    "url_host",
     "embedding_near_dups",
     "exact_duplicates",
     "fingerprint_md5",
