@@ -23,6 +23,8 @@ from lucene_spark.search.parity import (
     dismax_f64,
     oracle_bm25_sql,
     oracle_dismax_sql,
+    blended_fuzzy_f64,
+    oracle_blended_fuzzy_sql,
     oracle_collapse_sql,
     oracle_feature_sql,
     oracle_rescore_sql,
@@ -276,6 +278,7 @@ _DRIVER_PRIORITY = [
     "best_passage", "covering_query", "trending_terms",
     "collapse_top_per_lang", "query_count",
     "hash_sample", "stratified_sample", "pack_sequences",
+    "fuzzy_blended_topk",
     # round-1 driver-unseen (past the r01 window)
     "dedup_clusters", "simhash", "simhash_near_dups",
     "embedding_cosine_topk", "embedding_lsh_topk", "embedding_ivf_topk",
@@ -814,6 +817,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
             .limit(10000)
         )
+
+    # FuzzyQuery's real scoring default: top-terms expansion with
+    # blended (max) docFreq, summed BM25
+    out["fuzzy_blended_topk"] = lambda spark, sf: blended_fuzzy_f64(
+        _index(spark, sf), "quer", max_edits=1, k=20
+    )
 
     out["hash_sample"] = hash_sample_docs
     out["stratified_sample"] = stratified_sample_docs
@@ -1613,6 +1622,7 @@ UNION ALL SELECT 'hash_or_join', count(*) FROM t
 UNION ALL SELECT 'hash_not_join', count(*) FROM t
   WHERE list_contains(terms, 'hash') AND NOT list_contains(terms, 'join')
 """
+    out["fuzzy_blended_topk"] = oracle_blended_fuzzy_sql("quer", max_edits=1, k=20)
     _BUCKET = (
         "('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
         " % 1000000"

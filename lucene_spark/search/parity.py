@@ -779,3 +779,90 @@ best AS (
 SELECT grp, doc_id, round(s, 4) AS score FROM best WHERE rn = 1
 ORDER BY s DESC, doc_id ASC LIMIT {k}
 """
+
+
+def blended_fuzzy_f64(
+    index: InvertedIndex,
+    term: str,
+    max_edits: int = 1,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """FuzzyQuery with its real scoring default
+    (`search/TopTermsRewrite.java` + `search/BlendedTermQuery.java`):
+    expand to the top `max_expansions` dictionary terms within
+    Damerau-Levenshtein `max_edits` (best docFreq first), then score
+    each expanded term as a TermQuery whose docFreq is BLENDED to the
+    maximum across the set, summed per doc (SHOULD semantics). The
+    constant-score gates cover the match set; this covers ranking.
+    """
+    from lucene_spark.search.query import FuzzyQuery
+
+    spark = index.spark
+    exp = (
+        index.terms.filter(FuzzyQuery(term, max_edits).term_filter())
+        .select("term", "doc_freq")
+        .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(max_expansions)
+        .collect()
+    )
+    if not exp:
+        return spark.createDataFrame([], "doc_id long, score double")
+    terms = [r["term"] for r in exp]
+    bdf = max(int(r["doc_freq"]) for r in exp)
+    n, sttf = index.doc_count, index.sum_total_term_freq
+    weight = _f64_idf(bdf, n)
+    posts = _decode_postings(index, terms).join(_dlq_col(spark, index), "norm")
+    scored = (
+        posts.withColumn("s", _f64_score_col(weight, n, sttf))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("s"))
+    )
+    return (
+        scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round(F.col("s"), 4).alias("score"))
+    )
+
+
+def oracle_blended_fuzzy_sql(
+    term: str,
+    max_edits: int = 1,
+    k: int = 10,
+    max_expansions: int = 50,
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL mirroring :func:`blended_fuzzy_f64` (same length
+    window + Damerau expansion + blended-max docFreq)."""
+    L = len(term)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}
+  ) WHERE term <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sttf FROM dl),
+dlq AS (SELECT doc_id, {_DLQ_SQL} AS dl_q FROM dl),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+e AS (
+  SELECT term, df FROM dict
+  WHERE length(term) BETWEEN {L - max_edits} AND {L + max_edits}
+    AND damerau_levenshtein(term, '{term}') <= {max_edits}
+  ORDER BY df DESC, term ASC LIMIT {max_expansions}
+),
+b AS (SELECT max(df) AS bdf FROM e),
+tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM tok
+  WHERE term IN (SELECT term FROM e) GROUP BY doc_id, term
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (n_docs - bdf + 0.5) / (bdf + 0.5))
+             * freq / (freq + {K1} * (1 - {B} + {B} * dl_q / (sttf * 1.0 / n_docs)))) AS s
+  FROM tf JOIN dlq USING (doc_id) CROSS JOIN stats CROSS JOIN b
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
