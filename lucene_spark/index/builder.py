@@ -254,6 +254,8 @@ def _segment_build_kernel(analyzer: str, positions: bool):
                     toks = std_analyze(text)
                 elif analyzer == "english":
                     toks = english_analyze(text)
+                elif callable(analyzer):
+                    toks = list(analyzer(text))
                 else:
                     toks = [(t, p) for p, t in enumerate(text.split(" ")) if t]
                 if not toks:
@@ -273,6 +275,10 @@ def _segment_build_kernel(analyzer: str, positions: bool):
                     cnt, dl = std_term_freqs(text)
                 elif analyzer == "english":
                     cnt, dl = english_term_freqs(text)
+                elif callable(analyzer):
+                    toks = list(analyzer(text))
+                    cnt = Counter(t for t, _ in toks)
+                    dl = len(toks)
                 else:
                     cnt = Counter(text.split(" "))
                     cnt.pop("", None)
@@ -474,7 +480,11 @@ class InvertedIndex:
         t0 = time.time()
         doc_id = F.col(doc_id_col).cast("long").alias("doc_id")
 
-        if analyzer not in ("standard", "simple", "english"):
+        if not callable(analyzer) and analyzer not in (
+            "standard",
+            "simple",
+            "english",
+        ):
             raise ValueError(f"unknown analyzer {analyzer!r}")
 
         # One segment = one task = one kernel call (a DWPT flush). The

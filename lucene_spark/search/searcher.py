@@ -327,6 +327,24 @@ class IndexSearcher:
             "details": details,
         }
 
+    def search_with_collector(self, query: Query, collector):
+        """Custom collector surface (`search/Collector.java` /
+        `IndexSearcher.search(Query, CollectorManager)`).
+
+        `collector` is any callable ``DataFrame -> result``; it
+        receives the full live scored match frame (doc_id, score
+        double) — the stream a LeafCollector would see doc-by-doc —
+        and reduces it however it likes (histogram, count, custom
+        top-k, side-output). Scoring is exhaustive: pruned strategies
+        skip exactly the docs a non-top-k collector needs, the same
+        reason Lucene disables WAND once a collector demands
+        ``ScoreMode.COMPLETE``.
+        """
+        q = rewrite(query, self.index.terms)
+        ctx = self._bind(q)
+        scored = self._eval(q, ctx, boost=1.0)
+        return collector(self._live(scored))
+
     def _doc_freq_norm(self, term: str, doc_id: int) -> Optional[Tuple[int, int]]:
         """(freq, norm_byte) of `doc_id` in `term`'s postings, from the
         block(s) whose [first_doc, max_doc] covers it (skip-list seek)."""
