@@ -278,7 +278,7 @@ _DRIVER_PRIORITY = [
     "best_passage", "covering_query", "trending_terms",
     "collapse_top_per_lang", "query_count",
     "hash_sample", "stratified_sample", "pack_sequences",
-    "fuzzy_blended_topk",
+    "fuzzy_blended_topk", "reader_stats", "docs_only_topk",
     # round-1 driver-unseen (past the r01 window)
     "dedup_clusters", "simhash", "simhash_near_dups",
     "embedding_cosine_topk", "embedding_lsh_topk", "embedding_ivf_topk",
@@ -823,6 +823,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fuzzy_blended_topk"] = lambda spark, sf: blended_fuzzy_f64(
         _index(spark, sf), "quer", max_edits=1, k=20
     )
+
+    # IndexReader/Terms stats surface (Terms.java: size/getSumDocFreq/
+    # getSumTotalTermFreq + reader maxDoc): aggs over the term dictionary
+    def reader_stats(spark, sf):
+        idx = _index(spark, sf)
+        agg = idx.terms.agg(
+            F.count(F.lit(1)).alias("unique_terms"),
+            F.sum("doc_freq").alias("sum_doc_freq"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [
+                (
+                    int(idx.doc_count),
+                    int(idx.sum_total_term_freq),
+                    int(agg["unique_terms"]),
+                    int(agg["sum_doc_freq"]),
+                )
+            ],
+            "max_doc long, sum_ttf long, unique_terms long, sum_doc_freq long",
+        )
+
+    out["reader_stats"] = reader_stats
+
+    # IndexOptions.DOCS: freq clamps to 1, dl = unique-term count,
+    # sumTotalTermFreq == sumDocFreq — keyword/id-field scoring
+    def docs_only_topk(spark, sf):
+        if ("docs_only", sf) not in _INDEX_CACHE:
+            _INDEX_CACHE[("docs_only", sf)] = InvertedIndex.build(
+                _docs(spark, sf),
+                analyzer="simple",
+                docs_per_segment=4096,
+                index_options="docs",
+            )
+        return bm25_topk_f64(
+            _INDEX_CACHE[("docs_only", sf)], {"hash": 1.0, "join": 1.0}, k=20
+        )
+
+    out["docs_only_topk"] = docs_only_topk
 
     out["hash_sample"] = hash_sample_docs
     out["stratified_sample"] = stratified_sample_docs
@@ -1623,6 +1661,32 @@ UNION ALL SELECT 'hash_not_join', count(*) FROM t
   WHERE list_contains(terms, 'hash') AND NOT list_contains(terms, 'join')
 """
     out["fuzzy_blended_topk"] = oracle_blended_fuzzy_sql("quer", max_edits=1, k=20)
+    out["reader_stats"] = f"""
+WITH {TOK_CTE},
+d AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf FROM tok GROUP BY term)
+SELECT (SELECT count(*) FROM documents) AS max_doc,
+       sum(ttf) AS sum_ttf,
+       count(*) AS unique_terms,
+       sum(df) AS sum_doc_freq
+FROM d
+"""
+    out["docs_only_topk"] = f"""
+WITH {TOK_CTE},
+dl AS (SELECT doc_id, count(DISTINCT term) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sttf FROM dl),
+dlq AS (SELECT doc_id, {_DLQ_CASE} AS dl_q FROM dl),
+tf AS (SELECT DISTINCT doc_id, term FROM tok WHERE term IN ('hash', 'join')),
+df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+             * 1.0 / (1.0 + 1.2 * (1 - 0.75 + 0.75 * dl_q / (sttf * 1.0 / n_docs)))) AS s
+  FROM tf JOIN df USING (term) JOIN dlq USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY s DESC, doc_id ASC LIMIT 20
+"""
     _BUCKET = (
         "('0x' || substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
         " % 1000000"

@@ -213,7 +213,9 @@ def _encode_term_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(_blocks_from_arrays(seg, term, docs, freqs, norms, positions))
 
 
-def _segment_build_kernel(analyzer: str, positions: bool):
+def _segment_build_kernel(
+    analyzer: str, positions: bool, docs_only: bool = False, omit_norms: bool = False
+):
     """applyInPandas kernel: one segment's (doc_id, text) rows → blocks.
 
     The Spark analog of one DWPT flush
@@ -290,8 +292,26 @@ def _segment_build_kernel(analyzer: str, positions: bool):
                     tdocs.setdefault(term, []).append(i)
                     tfreqs.setdefault(term, []).append(f)
 
+        if docs_only:
+            # IndexOptions.DOCS (`index/IndexOptions.java`): frequencies
+            # are not stored — every posting scores freq=1 and
+            # totalTermFreq == docFreq, so dl becomes the doc's unique
+            # term count (keeps sumTotalTermFreq == sumDocFreq)
+            for term in tfreqs:
+                tfreqs[term] = [1] * len(tfreqs[term])
+            uniq = np.zeros_like(dls)
+            for term in tdocs:
+                for i_doc in tdocs[term]:
+                    uniq[i_doc] += 1
+            dls = np.where(dls > 0, uniq, 0)
         live = dls > 0
-        norm_bytes = int_to_byte4(dls).astype(np.uint8)
+        if omit_norms:
+            # omitNorms: the norm byte encodes length 1 for every doc
+            # (BM25Similarity then scores with dl=1); collection stats
+            # (the NORMS_TERM freq) still carry the true lengths
+            norm_bytes = int_to_byte4(np.where(live, 1, 0)).astype(np.uint8)
+        else:
+            norm_bytes = int_to_byte4(dls).astype(np.uint8)
         rows: list = []
         # pseudo-term norms rows: one "posting" per live doc, freq = dl
         if live.any():
@@ -322,7 +342,9 @@ def _segment_build_kernel(analyzer: str, positions: bool):
     return kernel
 
 
-def _aligned_build_kernel(analyzer: str, positions: bool):
+def _aligned_build_kernel(
+    analyzer: str, positions: bool, docs_only: bool = False, omit_norms: bool = False
+):
     """mapInPandas wrapper for the ZERO-SHUFFLE aligned build path:
     each Arrow batch is grouped by segment_id in pandas and fed to the
     same per-segment kernel. Valid when the input is range-partitioned
@@ -334,7 +356,7 @@ def _aligned_build_kernel(analyzer: str, positions: bool):
     ``first_doc``, never by flush arrival, exactly like Lucene readers
     tolerate multiple flushed segments before a merge folds them.
     """
-    seg_kernel = _segment_build_kernel(analyzer, positions)
+    seg_kernel = _segment_build_kernel(analyzer, positions, docs_only, omit_norms)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -452,6 +474,8 @@ class InvertedIndex:
         shuffle_partitions: Optional[int] = None,
         positions: bool = False,
         layout: str = "hash",
+        index_options: str = "docs_and_freqs",
+        omit_norms: bool = False,
     ) -> "InvertedIndex":
         """Build posting blocks from a corpus DataFrame.
 
@@ -475,6 +499,14 @@ class InvertedIndex:
         BENCH.md). Segments cut by partition boundaries produce
         partial flushes with disjoint doc ranges, which every reader
         path tolerates (blocks order by first_doc, not flush arrival).
+
+        index_options='docs' (`IndexOptions.DOCS`) stores freq=1 for
+        every posting — totalTermFreq == docFreq, dl = unique-term
+        count — the keyword/id-field configuration; incompatible with
+        positions (as in Lucene, positions require freqs).
+        omit_norms=True encodes norm length 1 for every doc (scoring
+        ignores field length) while collection statistics keep the
+        true lengths, matching omitNorms semantics.
         """
         spark = corpus.sparkSession
         t0 = time.time()
@@ -486,6 +518,11 @@ class InvertedIndex:
             "english",
         ):
             raise ValueError(f"unknown analyzer {analyzer!r}")
+        if index_options not in ("docs_and_freqs", "docs"):
+            raise ValueError(f"unknown index_options {index_options!r}")
+        docs_only = index_options == "docs"
+        if docs_only and positions:
+            raise ValueError("index_options='docs' cannot store positions")
 
         # One segment = one task = one kernel call (a DWPT flush). The
         # corpus shuffle that forms segments is the build's only wide
@@ -502,7 +539,10 @@ class InvertedIndex:
             # segments inside the Arrow batches
             full = (
                 src.sortWithinPartitions("doc_id")
-                .mapInPandas(_aligned_build_kernel(analyzer, positions), schema)
+                .mapInPandas(
+                    _aligned_build_kernel(analyzer, positions, docs_only, omit_norms),
+                    schema,
+                )
                 .persist()
             )
         else:
@@ -519,7 +559,10 @@ class InvertedIndex:
             src = src.repartition(n_part, "segment_id")
             full = (
                 src.groupBy("segment_id")
-                .applyInPandas(_segment_build_kernel(analyzer, positions), schema)
+                .applyInPandas(
+                    _segment_build_kernel(analyzer, positions, docs_only, omit_norms),
+                    schema,
+                )
                 .persist()
             )
 
