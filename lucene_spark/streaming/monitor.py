@@ -161,6 +161,22 @@ def match_monitor_queries(
     """
     qlist = list(queries)
     needs_positions = _any_phrase(qlist)
+    # Presearcher (`monitor/TermFilteredPresearcher.java:60-120`): index
+    # the registered queries by a required-term signature so each doc
+    # only evaluates queries that COULD match — per-doc cost scales
+    # with candidate queries, not registered queries. Queries whose
+    # match set isn't term-bounded (MatchAll, prefix/wildcard/fuzzy/
+    # range patterns) fall into the always-evaluate bucket, the
+    # reference's ANYTOKEN field.
+    term_map: dict = {}
+    always: list = []
+    for i, (_, q) in enumerate(qlist):
+        req = _required_terms(q)
+        if req is None:
+            always.append(i)
+        else:
+            for t in req:
+                term_map.setdefault(t, []).append(i)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -175,13 +191,55 @@ def match_monitor_queries(
                 tf: dict = {}
                 for t, _ in toks:
                     tf[t] = tf.get(t, 0) + 1
-                for qid, q in qlist:
+                cand = set(always)
+                for t in tf:
+                    cand.update(term_map.get(t, ()))
+                for i in sorted(cand):
+                    qid, q = qlist[i]
                     if _matches(q, tf, toks if needs_positions else []):
                         out_docs.append(int(doc_id))
                         out_qids.append(qid)
             yield pd.DataFrame({"doc_id": out_docs, "query_id": out_qids})
 
     return docs.select(doc_id_col, text_col).mapInPandas(fn, _MATCH_SCHEMA)
+
+
+def _required_terms(q):
+    """A term set of which a matching doc must contain AT LEAST ONE, or
+    None when no such bound exists (query goes to the always bucket).
+
+    Sound over-approximation rules (never prunes a true match):
+    Term → {term}; Phrase → {first term} (a match needs every term);
+    Boolean: a MUST/FILTER clause's set alone suffices (conjunction);
+    pure-SHOULD needs the union of all clause sets — if any SHOULD
+    clause is unbounded the whole query is. MUST_NOT never bounds.
+    """
+    if isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        return _required_terms(q.query)
+    if isinstance(q, TermQuery):
+        return frozenset([q.term])
+    if isinstance(q, PhraseQuery):
+        return frozenset([q.terms[0]]) if q.terms else None
+    if isinstance(q, TermInSetQuery):
+        return frozenset(q.terms)
+    if isinstance(q, BooleanQuery):
+        musts = [c.query for c in q.clauses if c.occur in (Occur.MUST, Occur.FILTER)]
+        for m in musts:
+            req = _required_terms(m)
+            if req is not None:
+                return req
+        if musts:
+            return None  # conjunction exists but no clause is bounded
+        union: set = set()
+        for c in q.clauses:
+            if c.occur != Occur.SHOULD:
+                continue
+            req = _required_terms(c.query)
+            if req is None:
+                return None
+            union.update(req)
+        return frozenset(union) if union else None
+    return None
 
 
 def _any_phrase(qlist) -> bool:
