@@ -258,41 +258,38 @@ _NORM_BYTE_CASE = (
 
 
 # The driver evaluates (at most) the FIRST ~50 queries() entries per
-# round. Order the registry so everything without prior driver evidence
-# comes first: the round-2 additions, the 12 pipeline ops the round-1
-# window missed, and the two round-1 fixes — then a representative
-# spread of r01-green families fills the window; the rest keep their
-# r01 evidence.
+# round. Order the registry so everything without fully-green driver
+# evidence comes first: positions 1-4 are the four gates the round-2
+# verdict flagged (three oracle-typing hash-reds, now CAST-fixed, plus
+# search_after whose r2 fix was never re-run), then every round-3
+# addition, then a representative spread of already-green families.
 _DRIVER_PRIORITY = [
-    # round-2 additions
-    "search_with_deletes", "delete_reclaim_stats", "term_topk_after_reclaim",
-    "porter_stem_tokens", "english_term_topk", "english_term_stats",
-    "fuzzy_transpositions", "hyphen_term_query",
-    "span_near_ordered", "span_near_unordered", "span_first",
-    "filtered_knn", "regexp_query", "ngram_phrase", "spellcheck",
-    "intervals_maxgaps", "intervals_containing",
-    "geo_box", "geo_distance", "geo_nearest",
-    "shingle_top", "edge_ngram_terms",
-    "rescore_phrase", "feature_saturation",
-    "facet_taxonomy_children", "suggest_infix", "index_sorted_topk",
+    # needs fresh driver evidence (r2 verdict "What's wrong" #1/#3)
+    "reader_stats", "delete_reclaim_stats", "collection_stats",
+    "search_after",
+    # round-3 additions
+    "prefix_semijoin_topk", "classic_term_topk", "lmdirichlet_topk",
+    "boolean_sim_topk", "lmjm_topk", "tfidf_doc_topk",
+    "geo_polygon", "simple_parse_match", "sloppy_parse_match",
+    "payload_avg_score", "soft_deletes_search", "bm25f_weighted",
+    "block_join_children", "dfr_topk", "axiomatic_topk",
+    "uax29_tokens", "uax29_url_email",
+    # representative green spread (r01/r02 evidence exists; re-affirm)
+    "search_with_deletes", "term_topk_after_reclaim",
+    "porter_stem_tokens", "english_term_topk",
+    "fuzzy_transpositions", "span_near_ordered",
+    "filtered_knn", "regexp_query", "ngram_phrase",
+    "intervals_maxgaps", "geo_box", "shingle_top",
+    "rescore_phrase", "facet_taxonomy_children", "index_sorted_topk",
     "best_passage", "covering_query", "trending_terms",
     "collapse_top_per_lang", "query_count",
-    "hash_sample", "stratified_sample", "pack_sequences",
-    "fuzzy_blended_topk", "reader_stats", "docs_only_topk",
-    # round-1 driver-unseen (past the r01 window)
-    "dedup_clusters", "simhash", "simhash_near_dups",
-    "embedding_cosine_topk", "embedding_lsh_topk", "embedding_ivf_topk",
-    "embedding_near_dups", "lang_id", "quality_score", "token_counts",
-    "fingerprint_md5", "rolling_fingerprint",
-    # fixed in round 2 (need fresh driver evidence)
-    "collection_stats", "search_after",
-    # representative r01-green spread
-    "term_topk", "bool_should_topk", "bool_msm2", "bool_must",
-    "bool_must_not", "bool_filter", "prefix_query", "wildcard_query",
-    "fuzzy_query", "phrase_bm25", "phrase_bm25_tri", "synonym_query",
-    "dismax_query", "more_like_this", "classic_parse_match",
-    "monitor_percolate", "combined_field", "events_windowed",
-    "term_stats",
+    "hash_sample", "pack_sequences", "fuzzy_blended_topk",
+    "docs_only_topk", "dedup_clusters", "simhash_near_dups",
+    "embedding_cosine_topk", "embedding_ivf_topk", "embedding_near_dups",
+    "lang_id", "token_counts", "rolling_fingerprint",
+    "term_topk", "bool_should_topk", "bool_must", "phrase_bm25",
+    "synonym_query", "dismax_query", "classic_parse_match",
+    "monitor_percolate", "combined_field", "term_stats",
 ]
 
 
@@ -1665,9 +1662,9 @@ UNION ALL SELECT 'hash_not_join', count(*) FROM t
 WITH {TOK_CTE},
 d AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf FROM tok GROUP BY term)
 SELECT (SELECT count(*) FROM documents) AS max_doc,
-       sum(ttf) AS sum_ttf,
+       CAST(sum(ttf) AS BIGINT) AS sum_ttf,
        count(*) AS unique_terms,
-       sum(df) AS sum_doc_freq
+       CAST(sum(df) AS BIGINT) AS sum_doc_freq
 FROM d
 """
     out["docs_only_topk"] = f"""
@@ -1798,7 +1795,7 @@ FROM hits JOIN documents d USING (doc_id) ORDER BY d.doc_id
     out["collection_stats"] = f"""
 WITH {TOK_CTE},
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
-SELECT count(*) AS doc_count, sum(dl) AS sttf,
+SELECT count(*) AS doc_count, CAST(sum(dl) AS BIGINT) AS sttf,
        sum(dl) * 1.0 / count(*) AS avgdl
 FROM dl
 """
@@ -1821,7 +1818,7 @@ ORDER BY doc_freq DESC, term ASC LIMIT 10
 WITH tok AS (SELECT doc_id, term FROM (SELECT doc_id,
   unnest(string_split(text, ' ')) AS term FROM {_SURVIVORS}) WHERE term <> ''),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
-SELECT count(*) AS doc_count, sum(dl) AS sttf,
+SELECT count(*) AS doc_count, CAST(sum(dl) AS BIGINT) AS sttf,
        sum(dl) * 1.0 / count(*) AS avgdl
 FROM dl
 """

@@ -262,4 +262,7 @@ def interval_matches(index: InvertedIndex, src: IntervalsSource) -> DataFrame:
                 columns=["doc_id", "n_intervals", "first_start", "last_end"],
             )
 
-    return per_doc.mapInPandas(fn, _IV_SCHEMA)
+    out = per_doc.mapInPandas(fn, _IV_SCHEMA)
+    if index.deletes is not None and index.num_deleted > 0:
+        out = out.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
+    return out

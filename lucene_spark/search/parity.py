@@ -487,21 +487,39 @@ def search_after_f64(
     results so the collected anchor and the filter see identical bits.
     """
     scored = _bm25_scored_f64(index, term_boosts)
+    spark = scored.sparkSession
     full = (
         scored.orderBy(F.col("s").desc(), F.col("doc_id").asc()).limit(2 * k).persist()
     )
-    rows = full.orderBy(F.col("s").desc(), F.col("doc_id").asc()).collect()
-    if len(rows) <= k:
-        return full.limit(0).select("doc_id", F.col("s").alias("score"))
-    anchor_s, anchor_d = float(rows[k - 1]["s"]), int(rows[k - 1]["doc_id"])
-    return (
-        full.filter(
-            (F.col("s") < anchor_s)
-            | ((F.col("s") == anchor_s) & (F.col("doc_id") > anchor_d))
-        )
-        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
-        .select("doc_id", F.round(F.col("s"), 4).alias("score"))
+    try:
+        rows = full.orderBy(F.col("s").desc(), F.col("doc_id").asc()).collect()
+        if len(rows) <= k:
+            page = []
+        else:
+            anchor_s = float(rows[k - 1]["s"])
+            anchor_d = int(rows[k - 1]["doc_id"])
+            # Page 2 materializes off the SAME cached frame (Spark-side
+            # rounding included) so anchor and filter see identical
+            # float64 bits; then the cache is released — the page is at
+            # most k rows, so the local relation is trivially small.
+            page = (
+                full.filter(
+                    (F.col("s") < anchor_s)
+                    | ((F.col("s") == anchor_s) & (F.col("doc_id") > anchor_d))
+                )
+                .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+                .select("doc_id", F.round(F.col("s"), 4).alias("score"))
+                .collect()
+            )
+    finally:
+        full.unpersist()
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("score", T.DoubleType(), True),
+        ]
     )
+    return spark.createDataFrame(page, schema)
 
 
 def oracle_search_after_sql(term_boosts: Dict[str, float], k: int = 10) -> str:

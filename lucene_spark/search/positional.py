@@ -9,12 +9,14 @@ Spark re-expressions of Lucene's positional and multi-term scorers:
   of the per-term idfs** (double-accumulated, cast to float —
   `similarities/BM25Similarity.java:161-170`) and scored against the
   doc's norm like a single pseudo-term.
-- **Sloppy phrase** (`search/SloppyPhraseMatcher.java:54`): we
-  implement the common no-repeated-terms case — a match is an
-  alignment whose span slack ≤ slop, with sloppy freq
-  ``Σ 1/(1+matchLength)`` over the greedy minimal alignments; for
-  phrases with repeated terms we fall back to match-only semantics
-  (documented approximation, differential-tested).
+- **Sloppy phrase** (`search/SloppyPhraseMatcher.java:54`): a match is
+  an alignment whose span slack ≤ slop, with sloppy freq
+  ``Σ 1/(1+matchLength)`` over the greedy minimal alignments. Phrases
+  with repeated terms use the exact branch-and-bound kernel further
+  down this module (one anchor per leftmost occurrence, distinct
+  positions per repeat group) — the same semantics as Lucene's
+  repeats-handling matcher, differential-tested against a brute-force
+  alignment oracle.
 - **SynonymQuery** (`search/SynonymQuery.java:212-231`): scored as ONE
   pseudo-term with docFreq = max over terms, totalTermFreq = sum, and
   per-doc freq = sum of the per-term freqs (boost-weighted,

@@ -36,9 +36,11 @@ class LRUQueryCache:
         self.hits = 0
         self.misses = 0
 
-    @staticmethod
-    def _key(query: Query) -> str:
-        return repr(rewrite(query))
+    def _key(self, query: Query) -> str:
+        # Rewrite WITH the terms table so MultiTermQueries (prefix /
+        # wildcard / fuzzy / regexp) — the filter-like queries this
+        # cache exists for — expand instead of raising.
+        return repr(rewrite(query, self._searcher.index.terms))
 
     def matching_docs(self, query: Query) -> DataFrame:
         """doc_ids matching `query` (constant-score semantics), served

@@ -66,38 +66,50 @@ def rescore_phrase_topk(
         .limit(window)
         .persist()
     )
-    # window docID bounds: a k-bounded driver action, the in-RAM
-    # TopDocs Lucene's rescorer iterates anyway
-    bounds = win.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-    ).collect()[0]
-    if bounds["lo"] is None:
-        return spark.createDataFrame([], "doc_id long, score double")
+    try:
+        # window docID bounds: a k-bounded driver action, the in-RAM
+        # TopDocs Lucene's rescorer iterates anyway
+        bounds = win.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return spark.createDataFrame([], "doc_id long, score double")
 
-    stats = {
-        r["term"]: int(r["doc_freq"])
-        for r in index.terms.filter(F.col("term").isin(list(set(phrase)))).collect()
-    }
-    if all(t in stats for t in set(phrase)):
-        n, sttf = index.doc_count, index.sum_total_term_freq
-        p_weight = sum(_f64_idf(stats[t], n) for t in dict.fromkeys(phrase))
-        second = (
-            phrase_freqs(index, phrase, doc_range=(bounds["lo"], bounds["hi"]))
-            .join(F.broadcast(win.select("doc_id")), "doc_id")
-            .join(_dlq_col(spark, index), "norm")
-            .withColumn("ps", _f64_score_col(p_weight, n, sttf))
-            .select("doc_id", "ps")
+        stats = {
+            r["term"]: int(r["doc_freq"])
+            for r in index.terms.filter(
+                F.col("term").isin(list(set(phrase)))
+            ).collect()
+        }
+        if all(t in stats for t in set(phrase)):
+            n, sttf = index.doc_count, index.sum_total_term_freq
+            p_weight = sum(_f64_idf(stats[t], n) for t in dict.fromkeys(phrase))
+            second = (
+                phrase_freqs(index, phrase, doc_range=(bounds["lo"], bounds["hi"]))
+                .join(F.broadcast(win.select("doc_id")), "doc_id")
+                .join(_dlq_col(spark, index), "norm")
+                .withColumn("ps", _f64_score_col(p_weight, n, sttf))
+                .select("doc_id", "ps")
+            )
+            combined = win.join(second, "doc_id", "left").withColumn(
+                "c",
+                F.col("s")
+                + F.lit(float(weight)) * F.coalesce(F.col("ps"), F.lit(0.0)),
+            )
+        else:  # phrase has an unindexed term: second pass matches nothing
+            combined = win.withColumn("c", F.col("s"))
+        # Materialize the k result rows off the still-cached window,
+        # then release it (r2 advice: no persisted blocks outlive the
+        # query).
+        rows = (
+            combined.orderBy(F.col("c").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .select("doc_id", F.round(F.col("c"), 4).alias("score"))
+            .collect()
         )
-        combined = win.join(second, "doc_id", "left").withColumn(
-            "c", F.col("s") + F.lit(float(weight)) * F.coalesce(F.col("ps"), F.lit(0.0))
-        )
-    else:  # phrase has an unindexed term: second pass matches nothing
-        combined = win.withColumn("c", F.col("s"))
-    return (
-        combined.orderBy(F.col("c").desc(), F.col("doc_id").asc())
-        .limit(k)
-        .select("doc_id", F.round(F.col("c"), 4).alias("score"))
-    )
+    finally:
+        win.unpersist()
+    return spark.createDataFrame(rows, "doc_id long, score double")
 
 
 def saturation(v: Column, pivot: float) -> Column:

@@ -34,16 +34,24 @@ from lucene_spark.search.positional import decode_positions
 __all__ = ["span_near_docs", "span_first_docs"]
 
 
+def _live(index: InvertedIndex, docs: DataFrame) -> DataFrame:
+    """Drop tombstoned docs (same anti-join as IndexSearcher._live)."""
+    if index.deletes is None or index.num_deleted == 0:
+        return docs
+    return docs.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
+
+
 def _slots(index: InvertedIndex, terms: List[str]) -> List[DataFrame]:
-    """One (doc_id, p{i}) frame per clause, in clause order."""
-    pos = decode_positions(index, list(set(terms))).persist()
-    out = []
-    for i, t in enumerate(terms):
-        out.append(
-            pos.filter(F.col("term") == t)
-            .select("doc_id", F.explode("positions").alias(f"p{i}"))
-        )
-    return out
+    """One (doc_id, p{i}) frame per clause, in clause order.
+
+    Decodes per UNIQUE term (repeated clauses share one decode plan),
+    so each decode only reads that term's blocks — no persist needed,
+    nothing left cached after the query (the r2 advice leak)."""
+    decoded = {t: decode_positions(index, [t]) for t in set(terms)}
+    return [
+        decoded[t].select("doc_id", F.explode("positions").alias(f"p{i}"))
+        for i, t in enumerate(terms)
+    ]
 
 
 def span_near_docs(
@@ -71,16 +79,17 @@ def span_near_docs(
             for j in range(i + 1, n):
                 joined = joined.filter(pcols[i] != pcols[j])
         width = F.greatest(*pcols) - F.least(*pcols) + 1 - n
-    return joined.filter(width <= slop).select("doc_id").distinct()
+    return _live(index, joined.filter(width <= slop).select("doc_id").distinct())
 
 
 def span_first_docs(index: InvertedIndex, term: str, end: int) -> DataFrame:
     """Docs where `term` occurs within the first `end` positions
     (`SpanFirstQuery`: span.end <= end; width-1 span ⇒ p + 1 <= end)."""
-    return (
+    return _live(
+        index,
         decode_positions(index, [term])
         .select("doc_id", F.explode("positions").alias("p"))
         .filter(F.col("p") + 1 <= end)
         .select("doc_id")
-        .distinct()
+        .distinct(),
     )
