@@ -20,6 +20,8 @@ from pyspark.sql import Window
 from lucene_spark.index import InvertedIndex
 from lucene_spark.search.parity import (
     bm25_topk_f64,
+    oracle_similarity_sql,
+    similarity_topk_f64,
     dismax_f64,
     oracle_bm25_sql,
     oracle_dismax_sql,
@@ -43,6 +45,7 @@ from lucene_spark.search import (
     ConstantScoreQuery,
     FuzzyQuery,
     IndexSearcher,
+    MultiTermFilterDocsQuery,
     Occur,
     PrefixQuery,
     TermInSetQuery,
@@ -121,6 +124,35 @@ WITH {TOK_CTE}
 SELECT DISTINCT doc_id, 1.0 AS score FROM tok WHERE {term_pred}
 ORDER BY doc_id LIMIT {k}
 """
+
+
+# Pluggable-similarity gates (engine + oracle generated from the same
+# Similarity object, `search/similarities/`): one two-term disjunction
+# scored under each built-in family.
+_SIM_TERMS = {"hash": 1.0, "join": 1.5}
+
+
+def _similarity_gates():
+    from lucene_spark.search.similarity import (
+        AxiomaticF2EXP,
+        BooleanSimilarity,
+        ClassicSimilarity,
+        DFRInL2Similarity,
+        LMDirichletSimilarity,
+        LMJelinekMercerSimilarity,
+    )
+
+    return {
+        "classic_term_topk": ClassicSimilarity,
+        "lmdirichlet_topk": LMDirichletSimilarity,
+        "lmjm_topk": LMJelinekMercerSimilarity,
+        "boolean_sim_topk": BooleanSimilarity,
+        "dfr_topk": DFRInL2Similarity,
+        "axiomatic_topk": AxiomaticF2EXP,
+    }
+
+
+_SIMILARITY_GATES = _similarity_gates()
 
 
 # BM25 gate query parameter sets (engine + oracle generated from these)
@@ -338,6 +370,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["term_in_set"] = lambda spark, sf: _const_score_docs(
         spark, sf, TermInSetQuery(("spark", "flink", "duck"))
     )
+    # --- above-cap multi-term query: DISTRIBUTED constant-score route.
+    # Every 3rd doc gains 9 unique "id{doc}x{j}" tokens, so
+    # PrefixQuery("id") matches ~3*n_docs dictionary terms — above the
+    # 1024 maxClauseCount at sf>=0.01 — and must rewrite to the
+    # semi-join MultiTermFilterDocsQuery (asserted), never a collected
+    # term list (`search/MultiTermQuery.java:39-103`).
+    def _wide_index(spark, sf):
+        if ("wide", sf) not in _INDEX_CACHE:
+            extra = F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit("id"), F.col("doc_id"), F.lit(f"x{j}"))
+                    for j in range(9)
+                ],
+            )
+            corpus = _docs(spark, sf).withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 3 == 0, F.concat_ws(" ", "text", extra)
+                ).otherwise(F.col("text")),
+            )
+            _INDEX_CACHE[("wide", sf)] = InvertedIndex.build(
+                corpus, analyzer="simple", docs_per_segment=2048
+            )
+        return _INDEX_CACHE[("wide", sf)]
+
+    def prefix_semijoin_topk(spark, sf):
+        idx = _wide_index(spark, sf)
+        searcher = IndexSearcher(idx)
+        rw = rewrite(PrefixQuery("id"), idx.terms)
+        assert isinstance(rw.query, MultiTermFilterDocsQuery), (
+            "expected the distributed above-cap route at this scale"
+        )
+        ctx = searcher._bind(rw)
+        return (
+            searcher._matching_docs(rw, ctx)
+            .distinct()
+            .select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id")
+            .limit(2000)
+        )
+
+    out["prefix_semijoin_topk"] = prefix_semijoin_topk
+
+    # --- pluggable similarities: same index, swapped scoring formula
+    for _gate, _sim_f in _SIMILARITY_GATES.items():
+        out[_gate] = (
+            lambda spark, sf, _s=_sim_f: similarity_topk_f64(
+                _index(spark, sf), _SIM_TERMS, _s(), k=20
+            )
+        )
+
     out["term_range"] = lambda spark, sf: _const_score_docs(
         spark, sf, TermRangeQuery("query", "sort")
     )
@@ -1725,6 +1809,15 @@ FROM c ORDER BY doc_id LIMIT 10000
     )
     out["term_in_set"] = _const_score_oracle("term IN ('spark', 'flink', 'duck')")
     out["term_range"] = _const_score_oracle("term BETWEEN 'query' AND 'sort'")
+    # the augmented "id..." tokens exist exactly on doc_id % 3 == 0 docs
+    # (no base-vocab word starts with "id"), so the above-cap semi-join
+    # match set is that residue class
+    out["prefix_semijoin_topk"] = """
+SELECT doc_id, 1.0 AS score FROM documents
+WHERE doc_id % 3 = 0 ORDER BY doc_id LIMIT 2000
+"""
+    for _gate, _sim_f in _SIMILARITY_GATES.items():
+        out[_gate] = oracle_similarity_sql(_SIM_TERMS, _sim_f(), k=20)
 
     out["phrase_query"] = """
 SELECT doc_id, 1.0 AS score FROM documents

@@ -188,6 +188,111 @@ def bm25_topk_f64(
     )
 
 
+# --- pluggable-similarity scoring ------------------------------------------
+
+
+def similarity_topk_f64(
+    index: InvertedIndex,
+    term_boosts: Dict[str, float],
+    similarity,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k disjunction scored by a pluggable :class:`Similarity`
+    (`search/similarities/Similarity.java`): per-doc score is the sum
+    of per-term ``similarity.score_col`` over matching terms.
+
+    Same physical shape as the BM25 path — one decode pass, 256-row
+    norm→length broadcast, per-term stats broadcast, JVM-side score
+    expression, partial-agg'd groupBy, TakeOrderedAndProject top-k —
+    so swapping the formula swaps zero physical strategy.
+    """
+    spark = index.spark
+    terms = sorted(set(term_boosts))
+    posts = _decode_postings(index, terms)
+    dlq = spark.createDataFrame(
+        [(int(i), int(byte4_to_int(np.int64(i)))) for i in range(256)],
+        "norm int, dl_q int",
+    )
+    stats = {
+        r["term"]: (int(r["doc_freq"]), int(r["total_term_freq"]))
+        for r in index.terms.filter(F.col("term").isin(terms)).collect()
+    }
+    present = [t for t in terms if t in stats]
+    n, sttf = index.doc_count, index.sum_total_term_freq
+    tb = spark.createDataFrame(
+        [
+            (t, float(term_boosts[t]), stats[t][0], stats[t][1])
+            for t in present
+        ]
+        or [("", 0.0, 0, 0)],
+        "term string, boost double, doc_freq long, ttf long",
+    )
+    cols = {
+        "freq": F.col("freq").cast("double"),
+        "dl": F.col("dl_q").cast("double"),
+        "doc_freq": F.col("doc_freq").cast("double"),
+        "ttf": F.col("ttf").cast("double"),
+        "n_docs": F.lit(float(n)),
+        "sttf": F.lit(float(sttf)),
+        "boost": F.col("boost"),
+    }
+    scored = (
+        posts.filter(F.col("term").isin(present) if present else F.lit(False))
+        .join(F.broadcast(dlq), "norm")
+        .join(F.broadcast(tb), "term")
+        .withColumn("s", similarity.score_col(cols))
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("s"))
+    )
+    if index.deletes is not None and index.num_deleted > 0:
+        scored = scored.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
+    return (
+        scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round(F.col("s"), 4).alias("score"))
+    )
+
+
+def oracle_similarity_sql(
+    term_boosts: Dict[str, float], similarity, k: int = 10, table: str = "documents"
+) -> str:
+    """DuckDB SQL mirroring :func:`similarity_topk_f64`: binds freq,
+    dl, doc_freq, ttf, n_docs, sttf, boost into the similarity's
+    ``score_sql`` expression."""
+    terms_in = ", ".join(f"'{t}'" for t in term_boosts)
+    boost_rows = ", ".join(f"('{t}', {b!r})" for t, b in term_boosts.items())
+    expr = similarity.score_sql()
+    return f"""
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}
+  ) WHERE term <> ''
+),
+dl0 AS (SELECT doc_id, count(*) AS dl0 FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, CAST(sum(dl0) AS DOUBLE) AS sttf FROM dl0),
+dlq AS (SELECT doc_id, CAST({_DLQ_SQL.replace("dl", "dl0")} AS DOUBLE) AS dl FROM dl0),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS freq FROM tok
+  WHERE term IN ({terms_in}) GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS doc_freq,
+         CAST(sum(freq) AS DOUBLE) AS ttf
+  FROM tf GROUP BY term
+),
+boosts(term, boost) AS (VALUES {boost_rows}),
+scores AS (
+  SELECT tf.doc_id, sum({expr}) AS s
+  FROM tf
+  JOIN df USING (term) JOIN boosts USING (term) JOIN dlq USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY s DESC, doc_id ASC LIMIT {k}
+"""
+
+
 # --- DuckDB oracle generation ----------------------------------------------
 
 _DLQ_SQL = """

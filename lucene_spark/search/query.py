@@ -42,8 +42,32 @@ __all__ = [
     "TermInSetQuery",
     "TermRangeQuery",
     "PhraseQuery",
+    "MultiTermFilterDocsQuery",
+    "TooManyClauses",
     "rewrite",
+    "get_max_clause_count",
+    "set_max_clause_count",
 ]
+
+
+class TooManyClauses(Exception):
+    """`IndexSearcher$TooManyClauses`: a multi-term query expanded to
+    more than the clause cap under a boolean rewrite method."""
+
+
+_MAX_CLAUSE_COUNT = 1024  # IndexSearcher.maxClauseCount default
+
+
+def get_max_clause_count() -> int:
+    return _MAX_CLAUSE_COUNT
+
+
+def set_max_clause_count(n: int) -> None:
+    """`IndexSearcher.setMaxClauseCount` analog (process-wide)."""
+    global _MAX_CLAUSE_COUNT
+    if n < 1:
+        raise ValueError("max clause count must be >= 1")
+    _MAX_CLAUSE_COUNT = int(n)
 
 
 class Occur(Enum):
@@ -114,7 +138,24 @@ class BooleanQuery(Query):
 
 @dataclass(frozen=True)
 class MultiTermQuery(Query):
-    """Base: expands against the terms table (term dictionary)."""
+    """Base: expands against the terms table (term dictionary).
+
+    ``rewrite_method`` mirrors `search/MultiTermQuery.java:39-103`:
+
+    - ``"constant_score"`` (default, CONSTANT_SCORE_REWRITE): at most
+      :func:`get_max_clause_count` matched terms expand to a
+      constant-score term disjunction; ABOVE the cap the expansion
+      stays distributed — a :class:`MultiTermFilterDocsQuery` whose
+      matched-term set is a DataFrame semi-joined against the posting
+      blocks, never collected to the driver.
+    - ``"constant_score_boolean"`` / ``"scoring_boolean"``
+      (CONSTANT_SCORE_BOOLEAN_REWRITE / SCORING_BOOLEAN_REWRITE):
+      always expand to clauses; raise :class:`TooManyClauses` above
+      the cap, like Lucene. ``scoring_boolean`` keeps per-term BM25
+      scoring instead of the constant-score wrap.
+    """
+
+    rewrite_method: str = field(default="constant_score", kw_only=True)
 
     def term_filter(self):  # Column predicate over F.col("term")
         raise NotImplementedError
@@ -250,6 +291,23 @@ class TermRangeQuery(MultiTermQuery):
 
 
 @dataclass(frozen=True)
+class MultiTermFilterDocsQuery(Query):
+    """Distributed CONSTANT_SCORE expansion of a multi-term query that
+    matched more than the clause cap.
+
+    The matched-term set is re-derived lazily as
+    ``terms.filter(source.term_filter())`` and SEMI-JOINED against the
+    posting blocks by the searcher — the term list never materializes
+    on the driver and the plan carries no per-term literal, so a
+    ``PrefixQuery("s")`` over a web-scale dictionary stays a
+    distributed join (`MultiTermQuery.java` CONSTANT_SCORE_REWRITE via
+    MultiTermQueryConstantScoreWrapper, which likewise scores from the
+    postings without building a boolean query)."""
+
+    source: "MultiTermQuery"
+
+
+@dataclass(frozen=True)
 class PhraseQuery(Query):
     """Phrase query over an index built with ``positions=True``
     (`search/PhraseQuery.java:71-152`); exact when slop=0, sloppy
@@ -272,13 +330,35 @@ def rewrite(query: Query, terms_df: Optional[DataFrame] = None) -> Query:
 
 
 def _expand_terms(q: MultiTermQuery, terms_df: DataFrame) -> Query:
-    """CONSTANT_SCORE_REWRITE: matched terms → constant-score SHOULD."""
-    matched = [r["term"] for r in terms_df.filter(q.term_filter()).select("term").collect()]
+    """Multi-term rewrite with the maxClauseCount guard.
+
+    The probe collect is BOUNDED at cap+1 rows regardless of how many
+    dictionary terms match, so rewriting never ships an unbounded term
+    list to the driver."""
+    cap = _MAX_CLAUSE_COUNT
+    matched = [
+        r["term"]
+        for r in terms_df.filter(q.term_filter())
+        .select("term")
+        .limit(cap + 1)
+        .collect()
+    ]
     if not matched:
         return MatchNoDocsQuery("no matching terms")
+    if len(matched) > cap:
+        if q.rewrite_method in ("constant_score_boolean", "scoring_boolean"):
+            raise TooManyClauses(
+                f"multi-term query matched > {cap} terms under "
+                f"{q.rewrite_method} rewrite (IndexSearcher.TooManyClauses); "
+                "raise set_max_clause_count or use the default "
+                "constant_score rewrite"
+            )
+        return ConstantScoreQuery(MultiTermFilterDocsQuery(q))
     inner = BooleanQuery(
         tuple(BooleanClause(TermQuery(t), Occur.SHOULD) for t in sorted(matched))
     )
+    if q.rewrite_method == "scoring_boolean":
+        return inner
     return ConstantScoreQuery(inner)
 
 

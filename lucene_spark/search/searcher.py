@@ -57,6 +57,7 @@ from lucene_spark.search.query import (
     DisjunctionMaxQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
+    MultiTermFilterDocsQuery,
     MultiTermQuery,
     Occur,
     PhraseQuery,
@@ -445,6 +446,18 @@ class IndexSearcher:
                 return spark.createDataFrame([], _DOCS_SCHEMA)
             return (
                 self._term_blocks([q.term])
+                .select("docs_packed")
+                .mapInPandas(_decode_docs_udf(), _DOCS_SCHEMA)
+            )
+        if isinstance(q, MultiTermFilterDocsQuery):
+            # Above-cap multi-term expansion: the matched-term set
+            # stays a DataFrame and SEMI-JOINS the posting blocks — no
+            # driver-side term list, no isin() literal. At 100 TB the
+            # join shuffles on the term key (or broadcasts when the
+            # matched set is small — AQE decides from runtime stats).
+            matched = self.index.terms.filter(q.source.term_filter()).select("term")
+            return (
+                self.index.blocks.join(matched, "term", "semi")
                 .select("docs_packed")
                 .mapInPandas(_decode_docs_udf(), _DOCS_SCHEMA)
             )
