@@ -414,6 +414,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["prefix_semijoin_topk"] = prefix_semijoin_topk
 
+    # --- UAX#29 StandardTokenizer chain over an adversarial template
+    # (emoji modifier sequence, Thai run, Han per-char, Hebrew
+    # gershayim, MidNumLet, ExtendNumLet, stopword position increment);
+    # the oracle enumerates the expected (term, pos) stream per doc.
+    def uax29_tokens(spark, sf):
+        from lucene_spark.analysis import standard_analyzer_udf
+
+        base = _docs(spark, sf).select("doc_id").orderBy("doc_id").limit(50)
+        text = F.concat(
+            F.lit("The Quick can't 3.14 doc"),
+            F.col("doc_id"),
+            F.lit(' มาก 東京 👍🏽 מנכ"ל x_1'),
+        )
+        toks = base.select(
+            "doc_id", standard_analyzer_udf()(text).alias("toks")
+        ).select("doc_id", F.explode("toks").alias("t"))
+        return toks.select(
+            "doc_id", F.col("t.term").alias("term"), F.col("t.pos").alias("pos")
+        ).orderBy("doc_id", "pos")
+
+    out["uax29_tokens"] = uax29_tokens
+
+    # --- UAX29URLEmailTokenizer analog: URLs/emails stay single tokens
+    def uax29_url_email(spark, sf):
+        from lucene_spark.analysis import url_email_tokenizer_udf
+
+        _tok = url_email_tokenizer_udf()
+        base = _docs(spark, sf).select("doc_id").orderBy("doc_id").limit(50)
+        text = F.concat(
+            F.lit("visit https://site"),
+            F.col("doc_id"),
+            F.lit(".example.com/p?q="),
+            F.col("doc_id"),
+            F.lit(" or mail user"),
+            F.col("doc_id"),
+            F.lit("@host"),
+            F.col("doc_id"),
+            F.lit(".org now"),
+        )
+        return (
+            base.select("doc_id", F.posexplode(_tok(text)).alias("pos", "term"))
+            .select("doc_id", "term", "pos")
+            .orderBy("doc_id", "pos")
+        )
+
+    out["uax29_url_email"] = uax29_url_email
+
     # --- pluggable similarities: same index, swapped scoring formula
     for _gate, _sim_f in _SIMILARITY_GATES.items():
         out[_gate] = (
@@ -1818,6 +1865,43 @@ WHERE doc_id % 3 = 0 ORDER BY doc_id LIMIT 2000
 """
     for _gate, _sim_f in _SIMILARITY_GATES.items():
         out[_gate] = oracle_similarity_sql(_SIM_TERMS, _sim_f(), k=20)
+
+    # expected (term, pos) stream of the adversarial template: 'the'
+    # (pos 0) is stopped but keeps its position increment
+    _UAX_ROWS = [
+        ("quick", 1), ("can''t", 2), ("3.14", 3), (None, 4),  # doc{d}
+        ("มาก", 5), ("東", 6), ("京", 7), ("👍🏽", 8), ('מנכ"ל', 9), ("x_1", 10),
+    ]
+    _uax_parts = []
+    for _t, _p in _UAX_ROWS:
+        _term = f"'doc' || CAST(doc_id AS VARCHAR)" if _t is None else f"'{_t}'"
+        _uax_parts.append(
+            f"SELECT doc_id, {_term} AS term, {_p} AS pos FROM d"
+        )
+    out["uax29_tokens"] = (
+        "WITH d AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50)\n"
+        + "\nUNION ALL ".join(_uax_parts)
+        + "\nORDER BY doc_id, pos"
+    )
+
+    _URL_ROWS = [
+        ("'visit'", 0),
+        ("'https://site' || d || '.example.com/p?q=' || d", 1),
+        ("'or'", 2),
+        ("'mail'", 3),
+        ("'user' || d || '@host' || d || '.org'", 4),
+        ("'now'", 5),
+    ]
+    _url_parts = [
+        f"SELECT doc_id, {expr} AS term, {p} AS pos FROM d"
+        for expr, p in _URL_ROWS
+    ]
+    out["uax29_url_email"] = (
+        "WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS d "
+        "FROM documents ORDER BY doc_id LIMIT 50)\n"
+        + "\nUNION ALL ".join(_url_parts)
+        + "\nORDER BY doc_id, pos"
+    )
 
     out["phrase_query"] = """
 SELECT doc_id, 1.0 AS score FROM documents

@@ -8,8 +8,8 @@ Re-creates the semantics of Lucene's default chain
    with MidLetter ``' ’ :`` joins between letters and MidNum ``. ,``
    joins between digits, MidNumLet ``.`` between letters, ExtendNumLet
    ``_``), per-character IDEOGRAPHIC and HIRAGANA tokens, KATAKANA and
-   HANGUL runs, single-scalar EMOJI tokens; tokens longer than
-   ``max_token_length=255`` are **split**, not dropped
+   HANGUL runs, EMOJI sequences (UTS#51), Southeast-Asian runs; tokens
+   longer than ``max_token_length=255`` are **split**, not dropped
    (`StandardTokenizer.java:152-168`).
 2. **LowerCaseFilter** — per-codepoint simple lowercase mapping,
    matching Java ``Character.toLowerCase(int)``
@@ -24,9 +24,11 @@ Re-creates the semantics of Lucene's default chain
    their pre-stop position ordinal, and the field length used for norms
    counts only surviving tokens (`index/IndexingChain.java:1154-1160`).
 
-Known approximations vs full UAX#29 (documented, covered by goldens for
-what we implement): combining marks outside ``str.isalnum()`` break
-tokens; regional-indicator/ZWJ emoji sequences tokenize per scalar.
+Round 3: tokenization follows the rule-level UAX#29 scanner in
+:mod:`lucene_spark.analysis.uax29` (WB4 mark absorption, emoji
+ZWJ/flag/keycap sequences, Southeast-Asian runs, Hebrew quote rules);
+remaining divergences from the reference's generated JFlex tables are
+documented in that module and pinned by golden tests.
 
 Everything is exposed two ways:
 
@@ -40,7 +42,6 @@ Everything is exposed two ways:
 
 from __future__ import annotations
 
-import re
 import sys
 from collections import Counter
 from functools import lru_cache
@@ -57,6 +58,7 @@ __all__ = [
     "tokenize",
     "analyze",
     "standard_analyzer_udf",
+    "url_email_tokenizer_udf",
     "term_freq_udf",
     "tokens_simple_col",
     "extract_text_col",
@@ -98,41 +100,17 @@ def simple_lowercase(s: str) -> str:
 
 
 # --- tokenizer ------------------------------------------------------------
-# Script ranges (BMP + common supplementary) for per-char CJK semantics.
-_CJK = "⺀-⻿㐀-䶿一-鿿豈-﫿\U00020000-\U0002a6df"
-_HIRA = "ぁ-ゟ"
-_KATA = "゠-ヿㇰ-ㇿｦ-ﾝ"
-_HANG = "ᄀ-ᇿ㄰-㆏가-힯"
-_EMOJI = (
-    "☀-➿⬀-⯿\U0001f000-\U0001f02f\U0001f300-\U0001f5ff"
-    "\U0001f600-\U0001f64f\U0001f680-\U0001f6ff\U0001f900-\U0001f9ff\U0001fa70-\U0001faff"
-)
-_SCRIPTS = _CJK + _HIRA + _KATA + _HANG + _EMOJI
-
-# A "word char" is any \w (letters, digits, marks-in-alnum, underscore)
-# that is not one of the specially-tokenized scripts above.
-_W = rf"(?:(?![{_SCRIPTS}])\w)"
-_LETTER = r"[^\W\d_]"  # unicode letter
-# MidLetter/MidNumLet between letters; MidNum/MidNumLet between digits
-# (UAX#29 WB6/WB7/WB11/WB12; StandardTokenizerImpl grammar).
-_MID = rf"(?:(?<={_LETTER})['’:.](?={_LETTER})|(?<=\d)[.,](?=\d))"
-
-_TOKEN_RE = re.compile(
-    rf"[{_KATA}]+"  # KATAKANA runs
-    rf"|[{_HANG}]+"  # HANGUL runs
-    rf"|[{_HIRA}]"  # HIRAGANA per char
-    rf"|[{_CJK}]"  # IDEOGRAPHIC per char
-    rf"|[{_EMOJI}]"  # EMOJI per scalar
-    rf"|{_W}+(?:{_MID}{_W}+)*",  # ALPHANUM with mid joins
-    re.UNICODE,
-)
+# Round 3: the regex approximation was replaced by a rule-level UAX#29
+# scanner (see analysis/uax29.py) - emoji ZWJ/flag/keycap sequences,
+# Southeast-Asian runs, Hebrew quote rules and WB4 mark absorption now
+# follow the spec instead of per-scalar heuristics.
+from lucene_spark.analysis.uax29 import uax29_tokenize
 
 
 def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> List[str]:
-    """UAX#29-style word segmentation with the 255-char split rule."""
+    """UAX#29 word segmentation with the 255-char split rule."""
     out: List[str] = []
-    for m in _TOKEN_RE.finditer(text):
-        tok = m.group(0)
+    for tok in uax29_tokenize(text):
         if len(tok) <= max_token_length:
             out.append(tok)
         else:  # StandardTokenizer *splits* over-long tokens (:152-168)
@@ -165,13 +143,14 @@ def term_freqs(text: str, stopwords: frozenset = ENGLISH_STOP_WORDS):
     """(term→freq dict, dl) with no per-token Python — the hot path.
 
     Equivalent to ``Counter(t for t, _ in analyze(text))`` but built
-    from three C-level passes: whole-string ``str.translate`` lowercase
-    (safe to hoist before tokenization — UAX#29 word-break classes are
-    case-insensitive), ``findall``, ``Counter``. Verified identical to
-    :func:`analyze` in tests. dl counts surviving tokens only
+    from whole-string passes: one ``str.translate`` lowercase (safe to
+    hoist before tokenization — UAX#29 word-break classes are
+    case-insensitive), one segmentation pass (C-level ``findall`` for
+    ASCII text), ``Counter``. Verified identical to :func:`analyze` in
+    tests. dl counts surviving tokens only
     (`index/IndexingChain.java:1154-1160`).
     """
-    toks = _TOKEN_RE.findall(text.translate(_simple_lower_table()))
+    toks = uax29_tokenize(text.translate(_simple_lower_table()))
     cnt = Counter(toks)
     dl = len(toks)
     # over-long tokens split, not dropped (StandardTokenizer:152-168)
@@ -204,6 +183,21 @@ def standard_analyzer_udf():
             yield s.map(lambda t: analyze(t) if isinstance(t, str) else [])
 
     return _analyze
+
+
+def url_email_tokenizer_udf():
+    """pandas_udf: text → array<string> raw UAX29URLEmailTokenizer
+    tokens (URLs/emails kept whole, no lowercase/stop)."""
+    from lucene_spark.analysis.uax29 import uax29_url_email_tokenize
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _tok(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(
+                lambda t: uax29_url_email_tokenize(t) if isinstance(t, str) else []
+            )
+
+    return _tok
 
 
 def term_freq_udf(analyzer: str = "standard", positions: bool = False):

@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 from lucene_spark.analysis.analyzer import (
     ENGLISH_STOP_WORDS,
     _simple_lower_table,
-    _TOKEN_RE,
     simple_lowercase,
     tokenize,
 )
@@ -241,7 +240,9 @@ def english_term_freqs(text: str, stopwords: frozenset = ENGLISH_STOP_WORDS):
     plus one memoized stem per unique token (see module docstring)."""
     from lucene_spark.analysis.analyzer import MAX_TOKEN_LENGTH
 
-    toks = _TOKEN_RE.findall(text.translate(_simple_lower_table()))
+    from lucene_spark.analysis.uax29 import uax29_tokenize
+
+    toks = uax29_tokenize(text.translate(_simple_lower_table()))
     cnt = Counter(toks)
     # over-long tokens split, not dropped (StandardTokenizer:152-168)
     for t in [t for t in cnt if len(t) > MAX_TOKEN_LENGTH]:
