@@ -171,6 +171,12 @@ class IndexSearcher:
         self._impact_cache: Dict[str, dict] = {}
 
     _IMPACT_HEADS = 4
+    # lead-driven conjunction pruning guards: the lead group's decoded
+    # postings are collected + broadcast (bounded by its doc_freq), so
+    # cap it, and require the prune to promise a real decode reduction
+    # (rest-of-query df ≫ lead df) before paying the lead pre-decode.
+    _PRUNE_MAX_LEAD_DOCS = 1_000_000
+    _PRUNE_MIN_RATIO = 4.0
 
     # ------------------------------------------------------------------
     def _live(self, df: DataFrame) -> DataFrame:
@@ -418,8 +424,18 @@ class IndexSearcher:
     def _term_blocks(self, terms: List[str]) -> DataFrame:
         return self.index.blocks.filter(F.col("term").isin(terms))
 
-    def _scored_terms(self, ctx: _Ctx, term_boosts: Dict[str, float]) -> DataFrame:
-        """One decode+score pass over all blocks of the given terms."""
+    def _scored_terms(
+        self,
+        ctx: _Ctx,
+        term_boosts: Dict[str, float],
+        blocks: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """One decode+score pass over all blocks of the given terms.
+
+        `blocks` overrides the block set (conjunction pruning passes a
+        metadata-filtered frame); it must already be restricted to the
+        given terms.
+        """
         weights = {}
         for term, boost in term_boosts.items():
             s = ctx.scorer(term, boost)
@@ -427,7 +443,8 @@ class IndexSearcher:
                 weights[term] = (s.weight, s.cache)
         if not weights:
             return self.index.spark.createDataFrame([], _SCORED_SCHEMA)
-        blocks = self._term_blocks(list(weights))
+        if blocks is None:
+            blocks = self._term_blocks(list(weights))
         return blocks.select(
             "term", "docs_packed", "freqs_packed", "norms_raw"
         ).mapInPandas(_decode_score_udf(weights), _SCORED_SCHEMA)
@@ -640,7 +657,8 @@ class IndexSearcher:
         for o, g in flat:
             for t in g:
                 all_terms.setdefault(t, 1.0)
-        scored = self._scored_terms(ctx, all_terms)
+        pruned = self._conjunction_pruned_blocks(ctx, flat, list(all_terms))
+        scored = self._scored_terms(ctx, all_terms, blocks=pruned)
 
         in_ = lambda ts: F.col("term").isin(list(ts)) if ts else F.lit(False)
         aggs = [
@@ -671,6 +689,69 @@ class IndexSearcher:
             cond = cond & (n_should >= need)
         return agg.filter(cond).select(
             "doc_id", F.coalesce(F.col("score"), F.lit(0.0)).alias("score")
+        )
+
+    def _conjunction_pruned_blocks(
+        self, ctx: _Ctx, flat, all_terms: List[str]
+    ) -> Optional[DataFrame]:
+        """Block-max conjunction pruning
+        (`search/BlockMaxConjunctionBulkScorer.java`, selected at
+        `BooleanScorerSupplier.java:393-413`; lead-advance semantics of
+        `ConjunctionDISI.java`): the cheapest required clause drives.
+
+        Decodes ONLY the lead group's postings (df-capped), broadcasts
+        the sorted candidate doc array, and filters every term's block
+        METADATA with a vectorized searchsorted containment test on
+        [first_doc, max_doc] — blocks that cannot contain a
+        conjunction survivor are never decoded. Exact: any doc that
+        survives the required flags is itself a lead candidate, so
+        every block containing it is kept; SHOULD score contributions
+        and MUST_NOT vetoes for non-candidates are moot because those
+        docs fail the required-presence filter anyway.
+
+        Returns None (no pruning) when there is no required group or
+        the guards say the prune won't pay; callers then decode the
+        full block set as before.
+        """
+        req = [g for o, g in flat if o in (Occur.MUST, Occur.FILTER)]
+        if not req:
+            return None
+        df_of = lambda g: sum(
+            ctx.term_stats[t][0] for t in g if t in ctx.term_stats
+        )
+        lead = min(req, key=df_of)
+        lead_df = df_of(lead)
+        rest_df = sum(
+            ctx.term_stats[t][0] for t in all_terms if t in ctx.term_stats
+        ) - lead_df
+        if not (0 < lead_df <= self._PRUNE_MAX_LEAD_DOCS):
+            return None
+        if rest_df < self._PRUNE_MIN_RATIO * lead_df:
+            return None
+        lead_terms = [t for t in lead if t in ctx.term_stats]
+        cand = (
+            self._term_blocks(lead_terms)
+            .select("docs_packed")
+            .mapInPandas(_decode_docs_udf(), _DOCS_SCHEMA)
+            .toPandas()["doc_id"]
+            .to_numpy()
+        )
+        cand = np.unique(cand)  # multi-member lead groups can overlap
+        bc = self.index.spark.sparkContext.broadcast(cand)
+
+        @F.pandas_udf("boolean")
+        def _covers(first: pd.Series, last: pd.Series) -> pd.Series:
+            c = bc.value
+            if c.size == 0:
+                return pd.Series(np.zeros(len(first), dtype=bool))
+            lo = np.searchsorted(c, first.to_numpy(), side="left")
+            hit = (lo < c.size) & (
+                c[np.minimum(lo, c.size - 1)] <= last.to_numpy()
+            )
+            return pd.Series(hit)
+
+        return self._term_blocks(all_terms).filter(
+            _covers(F.col("first_doc"), F.col("max_doc"))
         )
 
     def _eval_boolean(self, q: BooleanQuery, ctx: _Ctx, boost: float) -> DataFrame:
