@@ -305,7 +305,7 @@ _DRIVER_PRIORITY = [
     "geo_polygon", "simple_parse_match", "sloppy_parse_match",
     "payload_avg_score", "soft_deletes_search", "bm25f_weighted",
     "block_join_children", "dfr_topk", "axiomatic_topk",
-    "uax29_tokens", "uax29_url_email",
+    "uax29_tokens", "uax29_url_email", "surround_near_match",
     # representative green spread (r01/r02 evidence exists; re-affirm)
     "search_with_deletes", "term_topk_after_reclaim",
     "porter_stem_tokens", "english_term_topk",
@@ -548,6 +548,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _const_score_docs(spark, sf, parse_query("hash-join"), k=100)
 
     out["hyphen_term_query"] = hyphen_term_query
+
+    # --- queryparser dialects end-to-end (simple / classic-sloppy /
+    # surround), all through rewrite + IndexSearcher._matching_docs
+    def simple_parse_match(spark, sf):
+        from lucene_spark.search import simple_parse
+
+        # (phrase OR prefix) AND (wrapped -scan): exercises the lenient
+        # state machine's op-change wrap + negation-as-subquery
+        return _const_score_docs(
+            spark, sf, simple_parse('"hash join" | merg* + -scan'), k=100
+        )
+
+    out["simple_parse_match"] = simple_parse_match
+
+    def sloppy_parse_match(spark, sf):
+        from lucene_spark.search import parse_query
+
+        return _const_score_docs(spark, sf, parse_query('"hash join"~2'), k=150)
+
+    out["sloppy_parse_match"] = sloppy_parse_match
+
+    def surround_near_match(spark, sf):
+        from lucene_spark.search import surround_parse
+
+        # 2W → SpanNear(slop=1, ordered) per DistanceQuery.java:96
+        return _const_score_docs(spark, sf, surround_parse("hash 2w join"), k=150)
+
+    out["surround_near_match"] = surround_near_match
 
     # --- span queries (queries/spans: SpanNear ordered/unordered, SpanFirst)
     def _span_gate(fn_docs):
@@ -1539,6 +1567,37 @@ p2 AS (SELECT doc_id, i AS j FROM toks,
 SELECT DISTINCT doc_id, 1.0 AS score FROM p1 JOIN p2 USING (doc_id)
 WHERE j > i AND j - i - 1 <= 2
 ORDER BY doc_id LIMIT 200
+"""
+    out["simple_parse_match"] = f"""
+WITH {TOK_CTE}
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok
+WHERE (doc_id IN (SELECT doc_id FROM documents
+                  WHERE (' ' || text || ' ') LIKE '% hash join %')
+       OR doc_id IN (SELECT doc_id FROM tok WHERE term LIKE 'merg%'))
+  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'scan')
+ORDER BY doc_id LIMIT 100
+"""
+    # two-term sloppy phrase: minimal move distance = |j - i - 1|
+    # (reversed-adjacent costs 2), matches the exact sloppy kernel
+    out["sloppy_parse_match"] = f"""
+WITH {_POS_CTE},
+p1 AS (SELECT doc_id, i FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'hash'),
+p2 AS (SELECT doc_id, i AS j FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'join')
+SELECT DISTINCT doc_id, 1.0 AS score FROM p1 JOIN p2 USING (doc_id)
+WHERE abs(j - i - 1) <= 2
+ORDER BY doc_id LIMIT 150
+"""
+    out["surround_near_match"] = f"""
+WITH {_POS_CTE},
+p1 AS (SELECT doc_id, i FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'hash'),
+p2 AS (SELECT doc_id, i AS j FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'join')
+SELECT DISTINCT doc_id, 1.0 AS score FROM p1 JOIN p2 USING (doc_id)
+WHERE j > i AND j - i - 1 <= 1
+ORDER BY doc_id LIMIT 150
 """
     out["span_near_unordered"] = f"""
 WITH {_POS_CTE},

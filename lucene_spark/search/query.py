@@ -42,6 +42,7 @@ __all__ = [
     "TermInSetQuery",
     "TermRangeQuery",
     "PhraseQuery",
+    "SpanNearQuery",
     "MultiTermFilterDocsQuery",
     "TooManyClauses",
     "rewrite",
@@ -315,6 +316,19 @@ class PhraseQuery(Query):
 
     terms: tuple
     slop: int = 0
+
+
+@dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """SpanNear over term clauses (`queries/spans/SpanNearQuery.java`):
+    docs with a window of the terms at width-minus-terms <= slop,
+    strictly ordered when ``in_order``. Evaluated via
+    :func:`lucene_spark.search.spans.span_near_docs` (constant-score
+    match semantics, like the span gates)."""
+
+    terms: tuple
+    slop: int = 0
+    in_order: bool = True
 
 
 # --- rewrite ---------------------------------------------------------------

@@ -62,6 +62,7 @@ from lucene_spark.search.query import (
     Occur,
     PhraseQuery,
     Query,
+    SpanNearQuery,
     TermQuery,
     rewrite,
 )
@@ -482,6 +483,12 @@ class IndexSearcher:
             from lucene_spark.search.positional import phrase_freqs
 
             return phrase_freqs(self.index, list(q.terms), slop=q.slop).select("doc_id")
+        if isinstance(q, SpanNearQuery):
+            from lucene_spark.search.spans import span_near_docs
+
+            return span_near_docs(
+                self.index, list(q.terms), q.slop, q.in_order
+            )
         if isinstance(q, DisjunctionMaxQuery):
             union = None
             for sub in q.queries:
@@ -544,6 +551,10 @@ class IndexSearcher:
             return self._eval(q.query, ctx, boost * q.boost)
         if isinstance(q, ConstantScoreQuery):
             docs = self._matching_docs(q.query, ctx).distinct()
+            return docs.select("doc_id", F.lit(float(np.float32(boost))).alias("score"))
+        if isinstance(q, SpanNearQuery):
+            # span match set, constant-scored (the span gates' semantics)
+            docs = self._matching_docs(q, ctx).distinct()
             return docs.select("doc_id", F.lit(float(np.float32(boost))).alias("score"))
         if isinstance(q, TermQuery):
             return self._scored_terms(ctx, {q.term: boost}).select("doc_id", "score")

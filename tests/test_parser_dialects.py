@@ -1,0 +1,210 @@
+"""SimpleQueryParser + surround parser batteries.
+
+Tree-shape tests mirror the operator examples in the reference
+javadocs (`queryparser/simple/SimpleQueryParser.java:47-104`,
+`queryparser/surround/parser/QueryParser.jj:55-75`), plus one
+end-to-end search per dialect.
+"""
+
+import pandas as pd
+import pytest
+
+from lucene_spark.index import InvertedIndex
+from lucene_spark.search import (
+    BooleanQuery,
+    FuzzyQuery,
+    IndexSearcher,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    QueryParseError,
+    SpanNearQuery,
+    TermQuery,
+    WildcardQuery,
+    simple_parse,
+    surround_parse,
+)
+
+
+def occurs(q):
+    assert isinstance(q, BooleanQuery)
+    return [(c.occur, c.query) for c in q.clauses]
+
+
+class TestSimpleParser:
+    def test_and(self):
+        q = simple_parse("token1+token2")
+        assert occurs(q) == [
+            (Occur.MUST, TermQuery("token1")),
+            (Occur.MUST, TermQuery("token2")),
+        ]
+
+    def test_or_default(self):
+        q = simple_parse("token1 token2")
+        assert [o for o, _ in occurs(q)] == [Occur.SHOULD, Occur.SHOULD]
+
+    def test_right_to_left_precedence(self):
+        # "token1 | token2 + token3": (t1 OR t2) AND t3
+        q = simple_parse("token1 | token2 + token3")
+        cl = occurs(q)
+        assert cl[0][0] == Occur.MUST and cl[1][0] == Occur.MUST
+        inner = cl[0][1]
+        assert [o for o, _ in occurs(inner)] == [Occur.SHOULD, Occur.SHOULD]
+        assert cl[1][1] == TermQuery("token3")
+
+    def test_negation_wrap(self):
+        q = simple_parse("-token0")
+        cl = occurs(q)
+        assert (Occur.MUST_NOT, TermQuery("token0")) in cl
+        assert (Occur.SHOULD, MatchAllDocsQuery()) in cl
+
+    def test_double_negation(self):
+        assert simple_parse("--token0") == TermQuery("token0")
+
+    def test_phrase_and_near(self):
+        assert simple_parse('"quick brown fox"') == PhraseQuery(
+            ("quick", "brown", "fox"), 0
+        )
+        assert simple_parse('"term1 term2"~5') == PhraseQuery(
+            ("term1", "term2"), 5
+        )
+
+    def test_prefix_fuzzy(self):
+        assert simple_parse("term*") == PrefixQuery("term")
+        assert simple_parse("term~1") == FuzzyQuery("term", 1)
+        assert simple_parse("term~") == FuzzyQuery("term", 2)
+        assert simple_parse("term~0") == TermQuery("term")
+        # fuzziness above the automaton max clamps to 2
+        assert simple_parse("term~9") == FuzzyQuery("term", 2)
+
+    def test_match_all_star(self):
+        assert simple_parse("*") == MatchAllDocsQuery()
+        assert isinstance(simple_parse("   "), MatchNoDocsQuery)
+
+    def test_lenient_unbalanced(self):
+        # never raises: '(' and '"' without closers are extraneous
+        q = simple_parse("(token1 token2")
+        assert [o for o, _ in occurs(q)] == [Occur.SHOULD, Occur.SHOULD]
+        q2 = simple_parse('"token1 token2')
+        assert [o for o, _ in occurs(q2)] == [Occur.SHOULD, Occur.SHOULD]
+
+    def test_escaped_minus_is_term(self):
+        # \-term1 searches the term, not a negation
+        q = simple_parse(r"\-term1")
+        assert not isinstance(q, BooleanQuery) or all(
+            o != Occur.MUST_NOT for o, _ in occurs(q)
+        )
+
+    def test_precedence_groups(self):
+        q = simple_parse("token1 + (token2 | token3)")
+        cl = occurs(q)
+        assert cl[0] == (Occur.MUST, TermQuery("token1"))
+        assert [o for o, _ in occurs(cl[1][1])] == [Occur.SHOULD, Occur.SHOULD]
+
+    def test_empty_group_resets_operation(self):
+        q = simple_parse("token1 + () token2")
+        # "()" resets the pending MUST; default OR applies
+        assert [o for o, _ in occurs(q)] == [Occur.SHOULD, Occur.SHOULD]
+
+
+class TestSurroundParser:
+    def test_infix_distance(self):
+        assert surround_parse("hash 3W join") == SpanNearQuery(
+            ("hash", "join"), slop=2, in_order=True
+        )
+        assert surround_parse("hash N join") == SpanNearQuery(
+            ("hash", "join"), slop=0, in_order=False
+        )
+
+    def test_prefix_distance(self):
+        assert surround_parse("3w(a, b, c)") == SpanNearQuery(
+            ("a", "b", "c"), slop=2, in_order=True
+        )
+        assert surround_parse("20n(a, b)") == SpanNearQuery(
+            ("a", "b"), slop=19, in_order=False
+        )
+
+    def test_flat_infix_chain(self):
+        # one flat operand list per level, last distance token wins
+        assert surround_parse("a 3W b 3W c") == SpanNearQuery(
+            ("a", "b", "c"), slop=2, in_order=True
+        )
+
+    def test_boolean_precedence(self):
+        # OR binds loosest: a AND b OR c == (a AND b) OR c
+        q = surround_parse("a and b or c")
+        cl = occurs(q)
+        assert cl[0][0] == Occur.SHOULD and cl[1][0] == Occur.SHOULD
+        assert [o for o, _ in occurs(cl[0][1])] == [Occur.MUST, Occur.MUST]
+
+    def test_not(self):
+        q = surround_parse("a not b")
+        assert occurs(q) == [
+            (Occur.MUST, TermQuery("a")),
+            (Occur.MUST_NOT, TermQuery("b")),
+        ]
+
+    def test_prefix_bool(self):
+        q = surround_parse("or(a, b, and(c, d))")
+        cl = occurs(q)
+        assert [o for o, _ in cl] == [Occur.SHOULD] * 3
+        assert [o for o, _ in occurs(cl[2][1])] == [Occur.MUST, Occur.MUST]
+
+    def test_truncation(self):
+        assert surround_parse("journal*") == PrefixQuery("journal")
+        assert surround_parse("te?t") == WildcardQuery("te?t")
+        with pytest.raises(QueryParseError):
+            surround_parse("jo*")  # MINIMUM_PREFIX_LENGTH = 3
+
+    def test_rejects_bad_input(self):
+        for bad in ["(a", "a 3w", "w(a)", "not(a, b)", "3w(a or b, c)"]:
+            with pytest.raises(QueryParseError):
+                surround_parse(bad)
+
+
+def _mini_index(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "hash join is fast",
+                "join the hash set",
+                "merge sort scan",
+                "hash partition join",
+            ],
+        }
+    )
+    return InvertedIndex.build(
+        spark.createDataFrame(pdf),
+        analyzer="simple",
+        docs_per_segment=4,
+        positions=True,
+    )
+
+
+def test_simple_parse_end_to_end(spark):
+    idx = _mini_index(spark)
+    s = IndexSearcher(idx)
+    hits = {
+        r["doc_id"]
+        for r in s.search(simple_parse("hash + join + -sort"), k=10).collect()
+    }
+    assert hits == {0, 1, 3}
+
+
+def test_surround_end_to_end(spark):
+    idx = _mini_index(spark)
+    s = IndexSearcher(idx)
+    # ordered adjacency: only doc 0 has "hash join" adjacent in order
+    hits = {
+        r["doc_id"] for r in s.search(surround_parse("hash w join"), k=10).collect()
+    }
+    assert hits == {0}
+    # within 3 positions, unordered: docs 0, 1, 3
+    hits = {
+        r["doc_id"]
+        for r in s.search(surround_parse("3n(hash, join)"), k=10).collect()
+    }
+    assert hits == {0, 1, 3}
