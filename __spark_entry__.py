@@ -155,6 +155,17 @@ def _similarity_gates():
 _SIMILARITY_GATES = _similarity_gates()
 
 
+# LatLonShape polygon gate: vertices sit at .005 offsets so no corpus
+# point (two-decimal grid) lands exactly on an edge — engine and
+# oracle evaluate the identical even-odd expression away from ties
+_POLYGON = [
+    (35.005, -10.005),
+    (60.005, -5.005),
+    (55.005, 30.005),
+    (40.005, 25.005),
+    (30.005, 10.005),
+]
+
 # BM25 gate query parameter sets (engine + oracle generated from these)
 _BM25_QUERIES = {
     "term_topk": dict(term_boosts={"spark": 1.0}, k=20),
@@ -744,6 +755,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from lucene_spark.search.geo import nearest_k
 
         return nearest_k(_geo_points(spark, sf), -33.8688, 151.2093, k=20)
+
+    def geo_polygon(spark, sf):
+        from lucene_spark.search.geo import polygon_query
+
+        return (
+            polygon_query(_geo_points(spark, sf), _POLYGON)
+            .select(
+                "doc_id",
+                F.round("lat", 2).alias("lat"),
+                F.round("lon", 2).alias("lon"),
+            )
+            .orderBy("doc_id")
+            .limit(400)
+        )
+
+    out["geo_polygon"] = geo_polygon
 
     out["geo_box"] = geo_box
     out["geo_distance"] = geo_distance
@@ -1711,6 +1738,14 @@ ORDER BY doc_id LIMIT 300
 WITH {_GEO_CTE}
 SELECT doc_id, round(lat, 2) AS lat, round(lon, 2) AS lon FROM pts
 WHERE lat BETWEEN 10.0 AND 45.0 AND lon BETWEEN -30.0 AND 60.0
+ORDER BY doc_id LIMIT 400
+"""
+    from lucene_spark.search.geo import polygon_contains_sql
+
+    out["geo_polygon"] = f"""
+WITH {_GEO_CTE}
+SELECT doc_id, round(lat, 2) AS lat, round(lon, 2) AS lon FROM pts
+WHERE {polygon_contains_sql(_POLYGON)}
 ORDER BY doc_id LIMIT 400
 """
     out["geo_distance"] = f"""

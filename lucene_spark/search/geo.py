@@ -35,6 +35,8 @@ __all__ = [
     "distance_query",
     "nearest_k",
     "geohash_cell",
+    "polygon_query",
+    "polygon_contains_sql",
 ]
 
 EARTH_MEAN_RADIUS_METERS = 6371008.7714
@@ -131,6 +133,75 @@ def nearest_k(
         .limit(k)
         .select(id_col, F.round("distance_m", 3).alias("distance_m"))
     )
+
+
+def _polygon_edges(vertices):
+    """Per-edge (y1, y2, x1, slope) with the slope precomputed in
+    Python so engine and oracle fold the SAME double constants."""
+    n = len(vertices)
+    if n < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    edges = []
+    for i in range(n):
+        y1, x1 = float(vertices[i][0]), float(vertices[i][1])
+        y2, x2 = (
+            float(vertices[(i + 1) % n][0]),
+            float(vertices[(i + 1) % n][1]),
+        )
+        slope = (x2 - x1) / (y2 - y1) if y2 != y1 else 0.0
+        edges.append((y1, y2, x1, slope))
+    return edges
+
+
+def polygon_query(
+    df: DataFrame,
+    vertices,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Points inside a simple polygon (`document/LatLonShape.java`
+    point-in-polygon semantics; `geo/Polygon2D` even-odd crossing
+    rule): ray-cast parity, unrolled over the polygon's edges as one
+    JVM boolean expression — no UDF — behind a bounding-box
+    pre-filter that pushes to the scan (the Component2D bounding-box
+    fast-reject).
+
+    `vertices` is [(lat, lon), ...] in order (either winding); the
+    closing edge is implicit. Horizontal edges never cross the
+    half-open ray test, matching the standard even-odd rule.
+    """
+    lats = [v[0] for v in vertices]
+    lons = [v[1] for v in vertices]
+    boxed = box_query(
+        df, min(lats), max(lats), min(lons), max(lons), lat_col, lon_col
+    )
+    y, x = F.col(lat_col), F.col(lon_col)
+    crossings = None
+    for y1, y2, x1, slope in _polygon_edges(vertices):
+        straddles = (F.lit(y1) > y) != (F.lit(y2) > y)
+        cross = F.when(
+            straddles & (x < (y - F.lit(y1)) * F.lit(slope) + F.lit(x1)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        crossings = cross if crossings is None else crossings + cross
+    return boxed.filter(crossings % 2 == 1)
+
+
+def polygon_contains_sql(
+    vertices, lat_expr: str = "lat", lon_expr: str = "lon"
+) -> str:
+    """The SAME even-odd test as :func:`polygon_query`, as an ANSI SQL
+    boolean expression (for DuckDB oracles): identical constants,
+    identical arithmetic shape, so engine and oracle agree bit-exactly
+    away from polygon boundaries."""
+    parts = []
+    for y1, y2, x1, slope in _polygon_edges(vertices):
+        parts.append(
+            f"(CASE WHEN (({y1!r} > {lat_expr}) <> ({y2!r} > {lat_expr})) "
+            f"AND ({lon_expr} < ({lat_expr} - {y1!r}) * {slope!r} + {x1!r}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(parts) + ") % 2 = 1"
 
 
 _BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"

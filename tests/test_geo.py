@@ -145,3 +145,76 @@ def test_nearby_points_share_geohash_cell(spark):
     g = [r["g"] for r in df.collect()]
     assert g[0] == g[1]
     assert g[0] != g[2]
+
+
+def test_polygon_query_square(spark):
+    from lucene_spark.search.geo import polygon_query
+
+    # unit square (10,10)-(20,20); includes strictly-inside points,
+    # excludes outside and the classic concave cases
+    square = [(10.0, 10.0), (20.0, 10.0), (20.0, 20.0), (10.0, 20.0)]
+    pts = [
+        (0, 15.0, 15.0, True),
+        (1, 10.5, 19.5, True),
+        (2, 25.0, 15.0, False),
+        (3, 15.0, 25.0, False),
+        (4, -15.0, -15.0, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, la, lo, _ in pts], ["doc_id", "lat", "lon"]
+    )
+    got = {r["doc_id"] for r in polygon_query(df, square).collect()}
+    assert got == {i for i, _, _, want in pts if want}
+
+
+def test_polygon_query_concave(spark):
+    from lucene_spark.search.geo import polygon_query
+
+    # concave "C" shape: the notch (right-middle) is OUTSIDE
+    poly = [
+        (0.0, 0.0),
+        (10.0, 0.0),
+        (10.0, 10.0),
+        (6.0, 10.0),
+        (6.0, 4.0),
+        (4.0, 4.0),
+        (4.0, 10.0),
+        (0.0, 10.0),
+    ]
+    pts = [
+        (0, 5.0, 2.0, True),   # inside the spine
+        (1, 5.0, 7.0, False),  # inside the notch -> outside polygon
+        (2, 8.0, 7.0, True),   # upper arm
+        (3, 2.0, 7.0, True),   # lower arm
+        (4, 11.0, 5.0, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, la, lo, _ in pts], ["doc_id", "lat", "lon"]
+    )
+    got = {r["doc_id"] for r in polygon_query(df, poly).collect()}
+    assert got == {i for i, _, _, want in pts if want}
+
+
+def test_polygon_sql_matches_engine(spark):
+    import duckdb
+
+    from lucene_spark.search.geo import polygon_contains_sql, polygon_query
+
+    rng_pts = [
+        (i, ((i * 7919) % 18000) / 100.0 - 90.0, ((i * 104729) % 36000) / 100.0 - 180.0)
+        for i in range(2000)
+    ]
+    poly = [(35.005, -10.005), (60.005, -5.005), (55.005, 30.005),
+            (40.005, 25.005), (30.005, 10.005)]
+    df = spark.createDataFrame(rng_pts, ["doc_id", "lat", "lon"])
+    got = sorted(r["doc_id"] for r in polygon_query(df, poly).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts(doc_id BIGINT, lat DOUBLE, lon DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?, ?)", rng_pts)
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM pts WHERE {polygon_contains_sql(poly)} ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 0
