@@ -1080,6 +1080,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["combined_field"] = combined_field
+
+    # BM25F with non-uniform field weights tilted toward the keyword
+    # field (CombinedFieldQuery per-field weight surface,
+    # `search/CombinedFieldQuery.java:139-150` Builder.addField(w))
+    def bm25f_weighted(spark, sf):
+        from lucene_spark.search.parity import combined_field_f64
+
+        return combined_field_f64(
+            _index(spark, sf), _docs(spark, sf), "src2", w_text=0.75, w_kw=3.0, k=25
+        )
+
+    out["bm25f_weighted"] = bm25f_weighted
     # and a term that lives in the text field (kw side contributes 0)
     out["combined_field_text"] = lambda spark, sf: __import__(
         "lucene_spark.search.parity", fromlist=["combined_field_f64"]
@@ -1170,6 +1182,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["search_with_deletes"] = search_with_deletes
+
+    # soft-delete lifecycle: hide 'scan' docs, revive the doc_id%3==0
+    # subset, search — hidden docs leave results but still count in
+    # stats (SoftDeletesDirectoryReaderWrapper semantics)
+    def soft_deletes_search(spark, sf):
+        from lucene_spark.index import soft_delete_by_query, undelete
+        from lucene_spark.search import TermQuery
+
+        idx = soft_delete_by_query(_index(spark, sf), TermQuery("scan"))
+        idx = undelete(
+            idx, idx.soft_deletes.filter(F.col("doc_id") % 3 == 0)
+        )
+        return bm25_topk_f64(idx, {"hash": 1.0}, k=20)
+
+    out["soft_deletes_search"] = soft_deletes_search
+
+    # payload scoring (PayloadScoreQuery + DelimitedPayloadTokenFilter):
+    # rewrite each token to "tok|<split-index>" so every occurrence
+    # carries a varying float payload, then rank docs by the
+    # AveragePayloadFunction over 'hash' occurrences
+    def payload_avg_score(spark, sf):
+        from lucene_spark.analysis.filters import delimited_payload_analyzer
+        from lucene_spark.search.payloads import payload_score_topk
+
+        docs = _docs(spark, sf).withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(split(text, ' '), "
+                    "(t, i) -> concat(t, '|', cast(i AS string)))"
+                ),
+            ),
+        )
+        idx = InvertedIndex.build(
+            docs,
+            analyzer=delimited_payload_analyzer(),
+            positions=True,
+            payloads=True,
+            docs_per_segment=2048,
+        )
+        return payload_score_topk(idx, "hash", func="avg", k=20).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
+    out["payload_avg_score"] = payload_avg_score
 
     def _reclaimed(spark, sf):
         # separate build: apply_deletes rewrites blocks and releases the
@@ -1324,6 +1382,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["block_join_orders"] = block_join_orders
+
+    # ToChildBlockJoinQuery analog (`join/ToChildBlockJoinQuery.java`):
+    # the parent query selects orders; the result set is their CHILD
+    # rows. Children co-join the (small) matched-parent set broadcast.
+    def block_join_children(spark, sf):
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        items = spark.read.parquet(f"{sf}/lineitem.parquet")
+        parents = orders.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 250000)
+        )
+        return (
+            items.join(
+                F.broadcast(parents.select("o_orderkey")),
+                items.l_orderkey == F.col("o_orderkey"),
+            )
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                F.round("l_extendedprice", 4).alias("price"),
+            )
+            .orderBy("l_orderkey", "l_linenumber")
+            .limit(200)
+        )
+
+    out["block_join_children"] = block_join_children
 
     # JoinUtil analog: query-time join customer → orders
     def join_customer_orders(spark, sf):
@@ -1566,6 +1649,14 @@ ORDER BY doc_id LIMIT 100
     from lucene_spark.search.parity import oracle_combined_field_sql
 
     out["combined_field"] = oracle_combined_field_sql("src1", 1.0, 2.0, k=25)
+    out["bm25f_weighted"] = oracle_combined_field_sql("src2", 0.75, 3.0, k=25)
+    out["block_join_children"] = """
+SELECT l.l_orderkey, l.l_linenumber, round(l.l_extendedprice, 4) AS price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 250000
+ORDER BY l.l_orderkey, l.l_linenumber LIMIT 200
+"""
     out["combined_field_text"] = oracle_combined_field_sql("hash", 1.0, 2.0, k=25)
     out["monitor_percolate"] = f"""
 WITH {TOK_CTE},
@@ -2080,6 +2171,26 @@ ORDER BY doc_freq DESC, term ASC LIMIT 10
     out["search_with_deletes"] = oracle_bm25_sql(
         {"hash": 1.0}, k=20, must_not_terms=["join"]
     )
+    out["soft_deletes_search"] = oracle_bm25_sql(
+        {"hash": 1.0},
+        k=20,
+        hide_doc_pred="term = 'scan' AND doc_id % 3 <> 0",
+    )
+    # payload = the token's split index; AveragePayloadFunction ≡ the
+    # mean 0-based position of 'hash' per doc
+    out["payload_avg_score"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+pos AS (
+  SELECT doc_id, i - 1 AS p, l[i] AS term
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
+),
+s AS (
+  SELECT doc_id, avg(CAST(p AS DOUBLE)) AS a
+  FROM pos WHERE term = 'hash' GROUP BY doc_id
+)
+SELECT doc_id, round(a, 4) AS score FROM s
+ORDER BY a DESC, doc_id ASC LIMIT 20
+"""
     _SURVIVORS = (
         "(SELECT * FROM documents WHERE doc_id NOT IN ("
         "SELECT doc_id FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term "

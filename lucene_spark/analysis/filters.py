@@ -55,6 +55,7 @@ __all__ = [
     "char_ngrams",
     "ascii_fold",
     "synonym_expand",
+    "delimited_payload_analyzer",
 ]
 
 
@@ -235,3 +236,43 @@ def synonym_expand(
         return F.when(F.size(mapped) > 0, mapped).otherwise(F.array(t))
 
     return F.transform(tokens_col, expand)
+
+
+def delimited_payload_analyzer(delimiter: str = "|", lowercase: bool = False):
+    """Analyzer callable: ``"term|payload"`` tokens → (term, position,
+    float payload) triples.
+
+    The Python-side analog of WhitespaceTokenizer +
+    DelimitedPayloadTokenFilter with the float encoder
+    (`analysis/common/src/java/org/apache/lucene/analysis/payloads/
+    DelimitedPayloadTokenFilter.java`, `payloads/FloatEncoder.java`):
+    each whitespace token is split at the LAST delimiter; the suffix
+    parses as the position's payload (missing/empty/unparsable suffix →
+    payload 0.0, matching an absent PayloadAttribute read back as
+    zeros). Positions are the raw split indexes, matching the 'simple'
+    analyzer, so payload-indexed and plain positional builds of the
+    same corpus align doc-for-doc.
+
+    Pass the result as ``InvertedIndex.build(..., analyzer=...,
+    positions=True, payloads=True)``. It runs inside the build kernel's
+    Arrow batches (per-doc Python, not per-row Spark UDF).
+    """
+
+    def analyze(text: str):
+        out = []
+        for pos, raw in enumerate(text.split(" ")):
+            if not raw:
+                continue
+            term, sep, suffix = raw.rpartition(delimiter)
+            if not sep:
+                term, suffix = raw, ""
+            if not term:
+                continue
+            try:
+                pay = float(suffix) if suffix else 0.0
+            except ValueError:
+                pay = 0.0
+            out.append((term.lower() if lowercase else term, pos, pay))
+        return out
+
+    return analyze

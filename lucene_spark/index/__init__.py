@@ -10,7 +10,11 @@ from lucene_spark.index.deletes import (
     delete_by_ids,
     delete_by_query,
     delete_documents,
+    prune_soft_deletes,
     reclaimable_segments,
+    soft_delete_by_ids,
+    soft_delete_by_query,
+    undelete,
     update_document,
 )
 from lucene_spark.index.resumable import load_resumable, resumable_build
@@ -27,8 +31,12 @@ __all__ = [
     "delete_by_query",
     "delete_documents",
     "load_resumable",
+    "prune_soft_deletes",
     "reclaimable_segments",
     "resumable_build",
+    "soft_delete_by_ids",
+    "soft_delete_by_query",
     "sort_docs",
+    "undelete",
     "update_document",
 ]

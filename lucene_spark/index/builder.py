@@ -61,7 +61,13 @@ from lucene_spark.functions.forutil import (
 )
 from lucene_spark.functions.smallfloat import int_to_byte4
 
-__all__ = ["InvertedIndex", "assign_doc_ids", "BLOCKS_SCHEMA", "BLOCKS_SCHEMA_POS"]
+__all__ = [
+    "InvertedIndex",
+    "assign_doc_ids",
+    "BLOCKS_SCHEMA",
+    "BLOCKS_SCHEMA_POS",
+    "BLOCKS_SCHEMA_PAY",
+]
 
 
 # One row per (segment, term, block). `docs_packed` is delta+FOR,
@@ -97,6 +103,17 @@ NORMS_TERM = ""
 # `Lucene103PostingsFormat.java:225-250`); per-posting lengths = freqs.
 BLOCKS_SCHEMA_POS = T.StructType(
     BLOCKS_SCHEMA.fields + [T.StructField("positions_packed", T.BinaryType(), False)]
+)
+
+# Payload variant: one float32 payload per position, concatenated in
+# doc order aligned with `positions_packed` (lengths = freqs) — the
+# .pay-file analog of `Lucene103PostingsWriter` payload writing.
+# Lucene payloads are arbitrary byte[]; the dominant production use is
+# the float encoding of `DelimitedPayloadTokenFilter` + `FloatEncoder`
+# (term weighting via PayloadScoreQuery), which is what this stores.
+BLOCKS_SCHEMA_PAY = T.StructType(
+    BLOCKS_SCHEMA_POS.fields
+    + [T.StructField("payloads_packed", T.BinaryType(), False)]
 )
 
 
@@ -162,6 +179,7 @@ def _blocks_from_arrays(
     freqs: np.ndarray,
     norms: np.ndarray,
     positions=None,
+    payloads=None,
 ) -> list:
     """Sorted per-term postings arrays → list of block row dicts."""
     rows = []
@@ -196,6 +214,14 @@ def _blocks_from_arrays(
             row["positions_packed"] = for_encode_stream(
                 np.concatenate(deltas) if deltas else np.empty(0, dtype=np.int64)
             )
+        if payloads is not None:
+            chunks = [
+                np.asarray(p, dtype=np.float32)
+                for p in payloads[start : start + BLOCK_SIZE]
+            ]
+            row["payloads_packed"] = (
+                np.concatenate(chunks) if chunks else np.empty(0, dtype=np.float32)
+            ).tobytes()
         rows.append(row)
     return rows
 
@@ -210,11 +236,18 @@ def _encode_term_group(pdf: pd.DataFrame) -> pd.DataFrame:
     freqs = pdf["freq"].values[order].astype(np.int64)
     norms = pdf["norm"].values[order].astype(np.uint8)
     positions = pdf["positions"].values[order] if "positions" in pdf.columns else None
-    return pd.DataFrame(_blocks_from_arrays(seg, term, docs, freqs, norms, positions))
+    payloads = pdf["payloads"].values[order] if "payloads" in pdf.columns else None
+    return pd.DataFrame(
+        _blocks_from_arrays(seg, term, docs, freqs, norms, positions, payloads)
+    )
 
 
 def _segment_build_kernel(
-    analyzer: str, positions: bool, docs_only: bool = False, omit_norms: bool = False
+    analyzer: str,
+    positions: bool,
+    docs_only: bool = False,
+    omit_norms: bool = False,
+    payloads: bool = False,
 ):
     """applyInPandas kernel: one segment's (doc_id, text) rows → blocks.
 
@@ -246,6 +279,7 @@ def _segment_build_kernel(
         tdocs: dict = {}
         tfreqs: dict = {}
         tpos: dict = {}
+        tpay: dict = {}
         dls = np.zeros(len(doc_ids), dtype=np.int64)
         for i in range(len(doc_ids)):
             text = texts[i]
@@ -264,12 +298,26 @@ def _segment_build_kernel(
                     continue
                 dls[i] = len(toks)
                 acc: dict = {}
-                for term, pos in toks:
-                    acc.setdefault(term, []).append(pos)
-                for term, ps in acc.items():
-                    tdocs.setdefault(term, []).append(i)
-                    tfreqs.setdefault(term, []).append(len(ps))
-                    tpos.setdefault(term, []).append(ps)
+                if payloads:
+                    # analysis chain yields (term, pos, payload) triples
+                    # (PayloadAttribute set by e.g. the delimited-payload
+                    # filter); payloads ride positions 1:1
+                    for term, pos, pay in toks:
+                        ps_ws = acc.setdefault(term, ([], []))
+                        ps_ws[0].append(pos)
+                        ps_ws[1].append(pay)
+                    for term, (ps, ws) in acc.items():
+                        tdocs.setdefault(term, []).append(i)
+                        tfreqs.setdefault(term, []).append(len(ps))
+                        tpos.setdefault(term, []).append(ps)
+                        tpay.setdefault(term, []).append(ws)
+                else:
+                    for term, pos in toks:
+                        acc.setdefault(term, []).append(pos)
+                    for term, ps in acc.items():
+                        tdocs.setdefault(term, []).append(i)
+                        tfreqs.setdefault(term, []).append(len(ps))
+                        tpos.setdefault(term, []).append(ps)
             else:
                 # freq-only hot path: C-level tokenize+count, no
                 # per-token Python (see analyzer.term_freqs)
@@ -315,6 +363,7 @@ def _segment_build_kernel(
         rows: list = []
         # pseudo-term norms rows: one "posting" per live doc, freq = dl
         if live.any():
+            n_live = int(live.sum())
             rows.extend(
                 _blocks_from_arrays(
                     seg,
@@ -322,7 +371,8 @@ def _segment_build_kernel(
                     doc_ids[live],
                     dls[live],
                     norm_bytes[live],
-                    positions=[[] for _ in range(int(live.sum()))] if positions else None,
+                    positions=[[] for _ in range(n_live)] if positions else None,
+                    payloads=[[] for _ in range(n_live)] if payloads else None,
                 )
             )
         for term in tdocs:
@@ -335,6 +385,7 @@ def _segment_build_kernel(
                     np.asarray(tfreqs[term], dtype=np.int64),
                     norm_bytes[idx],
                     positions=tpos[term] if positions else None,
+                    payloads=tpay[term] if payloads else None,
                 )
             )
         return pd.DataFrame(rows)
@@ -343,7 +394,11 @@ def _segment_build_kernel(
 
 
 def _aligned_build_kernel(
-    analyzer: str, positions: bool, docs_only: bool = False, omit_norms: bool = False
+    analyzer: str,
+    positions: bool,
+    docs_only: bool = False,
+    omit_norms: bool = False,
+    payloads: bool = False,
 ):
     """mapInPandas wrapper for the ZERO-SHUFFLE aligned build path:
     each Arrow batch is grouped by segment_id in pandas and fed to the
@@ -356,7 +411,9 @@ def _aligned_build_kernel(
     ``first_doc``, never by flush arrival, exactly like Lucene readers
     tolerate multiple flushed segments before a merge folds them.
     """
-    seg_kernel = _segment_build_kernel(analyzer, positions, docs_only, omit_norms)
+    seg_kernel = _segment_build_kernel(
+        analyzer, positions, docs_only, omit_norms, payloads
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -447,6 +504,10 @@ class InvertedIndex:
     num_segments: int
     metrics: dict
     has_positions: bool = False
+    # per-position float32 payloads stored alongside positions
+    # (`payloads_packed` column; DelimitedPayloadTokenFilter/FloatEncoder
+    # semantics — see BLOCKS_SCHEMA_PAY)
+    has_payloads: bool = False
     # the persisted DataFrame backing `blocks` (blocks may be a filter
     # of it); unpersisting a derived child is a no-op, so holders of
     # the cache root track it explicitly for release on merge/close
@@ -456,11 +517,35 @@ class InvertedIndex:
     # reclaims the segments (Lucene's docFreq-counts-deletes semantics)
     deletes: Optional[DataFrame] = None
     num_deleted: int = 0
+    # soft-deleted doc_ids (soft-deletes doc-values field analog,
+    # `index/SoftDeletesRetentionMergePolicy.java` /
+    # `SoftDeletesDirectoryReaderWrapper.java`): hidden from searches
+    # like tombstones, but RETAINED through merge/reclaim and revivable
+    # via undelete() until prune_soft_deletes hardens them
+    soft_deletes: Optional[DataFrame] = None
+    num_soft_deleted: int = 0
 
     @property
     def num_docs(self) -> int:
-        """Live doc count (`IndexReader.numDocs` = maxDoc - deletions)."""
-        return self.doc_count - self.num_deleted
+        """Live doc count (`IndexReader.numDocs` = maxDoc - deletions;
+        a soft-deletes-aware reader hides soft-deleted docs too)."""
+        return self.doc_count - self.num_deleted - self.num_soft_deleted
+
+    @property
+    def hidden_docs(self) -> Optional[DataFrame]:
+        """doc_ids hidden from searches — hard tombstones ∪ soft
+        deletes — or None when every doc is visible. The single
+        liveDocs source every search path anti-joins."""
+        parts = []
+        if self.deletes is not None and self.num_deleted > 0:
+            parts.append(self.deletes.select("doc_id"))
+        if self.soft_deletes is not None and self.num_soft_deleted > 0:
+            parts.append(self.soft_deletes.select("doc_id"))
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return parts[0]
+        return parts[0].unionByName(parts[1]).distinct()
 
     # ------------------------------------------------------------------
     @classmethod
@@ -476,6 +561,7 @@ class InvertedIndex:
         layout: str = "hash",
         index_options: str = "docs_and_freqs",
         omit_norms: bool = False,
+        payloads: bool = False,
     ) -> "InvertedIndex":
         """Build posting blocks from a corpus DataFrame.
 
@@ -523,6 +609,19 @@ class InvertedIndex:
         docs_only = index_options == "docs"
         if docs_only and positions:
             raise ValueError("index_options='docs' cannot store positions")
+        if payloads:
+            # DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS-style constraint:
+            # payloads ride positions (`index/FieldInfo.java` payload
+            # flag requires positions), and only the analysis chain can
+            # set them — a payload-yielding analyzer returns triples
+            if not positions:
+                raise ValueError("payloads=True requires positions=True")
+            if not callable(analyzer):
+                raise ValueError(
+                    "payloads=True needs a callable analyzer yielding "
+                    "(term, position, payload) triples — e.g. "
+                    "lucene_spark.analysis.filters.delimited_payload_analyzer()"
+                )
 
         # One segment = one task = one kernel call (a DWPT flush). The
         # corpus shuffle that forms segments is the build's only wide
@@ -532,7 +631,12 @@ class InvertedIndex:
         src = corpus.select(doc_id, F.col(text_col).alias("text")).withColumn(
             "segment_id", (F.col("doc_id") / F.lit(docs_per_segment)).cast("long")
         )
-        schema = BLOCKS_SCHEMA_POS if positions else BLOCKS_SCHEMA
+        if payloads:
+            schema = BLOCKS_SCHEMA_PAY
+        elif positions:
+            schema = BLOCKS_SCHEMA_POS
+        else:
+            schema = BLOCKS_SCHEMA
         if layout == "aligned":
             # zero-shuffle ingest: partitions already hold contiguous
             # docID ranges; sort within each (no exchange) and group
@@ -540,7 +644,9 @@ class InvertedIndex:
             full = (
                 src.sortWithinPartitions("doc_id")
                 .mapInPandas(
-                    _aligned_build_kernel(analyzer, positions, docs_only, omit_norms),
+                    _aligned_build_kernel(
+                        analyzer, positions, docs_only, omit_norms, payloads
+                    ),
                     schema,
                 )
                 .persist()
@@ -560,7 +666,9 @@ class InvertedIndex:
             full = (
                 src.groupBy("segment_id")
                 .applyInPandas(
-                    _segment_build_kernel(analyzer, positions, docs_only, omit_norms),
+                    _segment_build_kernel(
+                        analyzer, positions, docs_only, omit_norms, payloads
+                    ),
                     schema,
                 )
                 .persist()
@@ -593,6 +701,7 @@ class InvertedIndex:
                 + F.length("freqs_packed")
                 + F.length("norms_raw")
                 + (F.length("positions_packed") if positions else F.lit(0))
+                + (F.length("payloads_packed") if payloads else F.lit(0))
             ).alias("payload_bytes"),
         ).collect()[0]
         n_blocks = int(size_row["n_blocks"] or 0)
@@ -620,6 +729,7 @@ class InvertedIndex:
             num_segments=num_segments,
             metrics=metrics,
             has_positions=positions,
+            has_payloads=payloads,
             persisted_root=full,
         )
 
@@ -653,6 +763,10 @@ class InvertedIndex:
             self.deletes.write.mode("overwrite").parquet(
                 os.path.join(index_dir, "deletes")
             )
+        if self.soft_deletes is not None and self.num_soft_deleted > 0:
+            self.soft_deletes.write.mode("overwrite").parquet(
+                os.path.join(index_dir, "soft_deletes")
+            )
         manifest = {
             "format": "lucene_spark.v1",
             "doc_count": self.doc_count,
@@ -661,7 +775,9 @@ class InvertedIndex:
             "num_segments": self.num_segments,
             "metrics": self.metrics,
             "has_positions": self.has_positions,
+            "has_payloads": self.has_payloads,
             "num_deleted": self.num_deleted,
+            "num_soft_deleted": self.num_soft_deleted,
             "committed_at": time.time(),
         }
         os.makedirs(index_dir, exist_ok=True)
@@ -680,9 +796,17 @@ class InvertedIndex:
             if n_del > 0
             else None
         )
+        n_soft = int(m.get("num_soft_deleted", 0))
+        soft = (
+            spark.read.parquet(os.path.join(index_dir, "soft_deletes"))
+            if n_soft > 0
+            else None
+        )
         return cls(
             deletes=dels,
             num_deleted=n_del,
+            soft_deletes=soft,
+            num_soft_deleted=n_soft,
             spark=spark,
             blocks=spark.read.parquet(os.path.join(index_dir, "blocks")),
             terms=spark.read.parquet(os.path.join(index_dir, "terms")),
@@ -693,4 +817,5 @@ class InvertedIndex:
             num_segments=m["num_segments"],
             metrics=m.get("metrics", {}),
             has_positions=m.get("has_positions", False),
+            has_payloads=m.get("has_payloads", False),
         )

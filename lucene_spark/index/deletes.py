@@ -47,6 +47,7 @@ from lucene_spark.functions.forutil import (
 )
 from lucene_spark.index.builder import (
     BLOCKS_SCHEMA,
+    BLOCKS_SCHEMA_PAY,
     BLOCKS_SCHEMA_POS,
     NORMS_TERM,
     InvertedIndex,
@@ -60,6 +61,10 @@ __all__ = [
     "update_document",
     "apply_deletes",
     "reclaimable_segments",
+    "soft_delete_by_ids",
+    "soft_delete_by_query",
+    "undelete",
+    "prune_soft_deletes",
 ]
 
 _IDS_SCHEMA = "doc_id long"
@@ -91,10 +96,39 @@ def _with_deletes(index: InvertedIndex, new_ids: DataFrame) -> InvertedIndex:
         num_segments=index.num_segments,
         metrics=index.metrics,
         has_positions=index.has_positions,
+        has_payloads=index.has_payloads,
         persisted_root=index.persisted_root,
     )
     out.deletes = dels
     out.num_deleted = int(n)
+    out.soft_deletes = index.soft_deletes
+    out.num_soft_deleted = index.num_soft_deleted
+    return out
+
+
+def _with_soft(index: InvertedIndex, soft: Optional[DataFrame]) -> InvertedIndex:
+    """Copy of `index` with `soft` as the (already distinct/persisted
+    or None) soft-delete set; hard tombstones carried unchanged."""
+    out = InvertedIndex(
+        spark=index.spark,
+        blocks=index.blocks,
+        terms=index.terms,
+        norms=index.norms,
+        doc_count=index.doc_count,
+        sum_total_term_freq=index.sum_total_term_freq,
+        docs_per_segment=index.docs_per_segment,
+        num_segments=index.num_segments,
+        metrics=index.metrics,
+        has_positions=index.has_positions,
+        has_payloads=index.has_payloads,
+        persisted_root=index.persisted_root,
+    )
+    out.deletes = index.deletes
+    out.num_deleted = index.num_deleted
+    if soft is not None:
+        soft = soft.persist()
+        out.soft_deletes = soft
+        out.num_soft_deleted = int(soft.count())
     return out
 
 
@@ -151,6 +185,8 @@ def update_document(
     # append_batch builds a fresh InvertedIndex; carry tombstones over
     out.deletes = deleted.deletes
     out.num_deleted = deleted.num_deleted
+    out.soft_deletes = deleted.soft_deletes
+    out.num_soft_deleted = deleted.num_soft_deleted
     return out
 
 
@@ -169,9 +205,13 @@ _POSTING_ROWS_SCHEMA_POS = T.StructType(
     _POSTING_ROWS_SCHEMA.fields
     + [T.StructField("positions", T.ArrayType(T.LongType()), False)]
 )
+_POSTING_ROWS_SCHEMA_PAY = T.StructType(
+    _POSTING_ROWS_SCHEMA_POS.fields
+    + [T.StructField("payloads", T.ArrayType(T.FloatType()), False)]
+)
 
 
-def _explode_blocks_udf(with_pos: bool):
+def _explode_blocks_udf(with_pos: bool, with_pay: bool = False):
     """mapInPandas kernel: block rows → per-posting rows (the merge
     decoder, factored so reclaim can anti-join deleted postings)."""
 
@@ -197,6 +237,8 @@ def _explode_blocks_udf(with_pos: bool):
                     term = pdf["term"].values[i]
                     if term == NORMS_TERM:
                         out["positions"] = [[] for _ in range(len(docs))]
+                        if with_pay:
+                            out["payloads"] = [[] for _ in range(len(docs))]
                     else:
                         stream = for_decode_stream(
                             bytes(pdf["positions_packed"].values[i])
@@ -205,6 +247,12 @@ def _explode_blocks_udf(with_pos: bool):
                         out["positions"] = [
                             np.cumsum(chunk) for chunk in np.split(stream, bounds)
                         ]
+                        if with_pay:
+                            pay = np.frombuffer(
+                                bytes(pdf["payloads_packed"].values[i]),
+                                dtype=np.float32,
+                            )
+                            out["payloads"] = list(np.split(pay, bounds))
                 outs.append(out)
             if outs:
                 yield pd.concat(outs, ignore_index=True)
@@ -273,14 +321,21 @@ def apply_deletes(
         untouched = None
 
     with_pos = index.has_positions
-    schema = BLOCKS_SCHEMA_POS if with_pos else BLOCKS_SCHEMA
-    rows_schema = _POSTING_ROWS_SCHEMA_POS if with_pos else _POSTING_ROWS_SCHEMA
-    cols = ["segment_id", "term", "docs_packed", "freqs_packed", "norms_raw"] + (
-        ["positions_packed"] if with_pos else []
+    with_pay = index.has_payloads
+    if with_pay:
+        schema, rows_schema = BLOCKS_SCHEMA_PAY, _POSTING_ROWS_SCHEMA_PAY
+    elif with_pos:
+        schema, rows_schema = BLOCKS_SCHEMA_POS, _POSTING_ROWS_SCHEMA_POS
+    else:
+        schema, rows_schema = BLOCKS_SCHEMA, _POSTING_ROWS_SCHEMA
+    cols = (
+        ["segment_id", "term", "docs_packed", "freqs_packed", "norms_raw"]
+        + (["positions_packed"] if with_pos else [])
+        + (["payloads_packed"] if with_pay else [])
     )
     live_rows = (
         touched.select(*cols)
-        .mapInPandas(_explode_blocks_udf(with_pos), rows_schema)
+        .mapInPandas(_explode_blocks_udf(with_pos, with_pay), rows_schema)
         .join(dels.select("doc_id"), "doc_id", "left_anti")
     )
     re_encoded = live_rows.groupBy("segment_id", "term").applyInPandas(
@@ -332,10 +387,129 @@ def apply_deletes(
         num_segments=index.num_segments,
         metrics=metrics,
         has_positions=with_pos,
+        has_payloads=with_pay,
         persisted_root=new_blocks,
     )
     if remaining is not None:
         rem = remaining.persist()
         out.deletes = rem
         out.num_deleted = int(rem.count())
+    # soft deletes are NOT reclaimed (retention semantics): their
+    # postings/norms just got rewritten along with everything live,
+    # and the soft set carries over revivable
+    out.soft_deletes = index.soft_deletes
+    out.num_soft_deleted = index.num_soft_deleted
+    return out
+
+
+# --- soft deletes -----------------------------------------------------------
+#
+# Soft deletes (`index/SoftDeletesRetentionMergePolicy.java`,
+# `index/SoftDeletesDirectoryReaderWrapper.java`) mark docs in a
+# doc-values field instead of removing them: a soft-deletes-aware
+# reader hides them like tombstones, but merges RETAIN their postings
+# (apply_deletes only reclaims hard tombstones here), so they can be
+# revived (undelete) — the machinery behind replication / rollback
+# retention. prune_soft_deletes is the retention-policy step: soft
+# deletes NOT protected by the retention query harden into ordinary
+# tombstones and become reclaimable.
+
+
+def soft_delete_by_ids(index: InvertedIndex, doc_ids) -> InvertedIndex:
+    """Soft-delete explicit doc_ids (list or DataFrame with doc_id)."""
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select("doc_id")
+    else:
+        ids = index.spark.createDataFrame(
+            [(int(d),) for d in doc_ids], _IDS_SCHEMA
+        )
+    ids = ids.select(F.col("doc_id").cast("long").alias("doc_id")).join(
+        index.norms.select("doc_id"), "doc_id", "semi"
+    )
+    cur = index.soft_deletes
+    soft = (ids if cur is None else cur.unionByName(ids)).distinct()
+    return _with_soft(index, soft)
+
+
+def soft_delete_by_query(index: InvertedIndex, query) -> InvertedIndex:
+    """Soft-delete the query's match set (constant-score evaluation,
+    `IndexWriter.softUpdateDocument`'s delete side)."""
+    from lucene_spark.search.query import rewrite
+    from lucene_spark.search.searcher import IndexSearcher
+
+    searcher = IndexSearcher(index)
+    q = rewrite(query, index.terms)
+    ctx = searcher._bind(q)
+    return soft_delete_by_ids(
+        index, searcher._matching_docs(q, ctx).distinct()
+    )
+
+
+def undelete(index: InvertedIndex, doc_ids=None) -> InvertedIndex:
+    """Revive soft-deleted docs: all (doc_ids=None) or a subset.
+
+    Possible precisely BECAUSE soft deletes never touch postings —
+    reviving is dropping rows from the soft set. Hard tombstones
+    cannot be undeleted once their segment reclaims.
+    """
+    if index.soft_deletes is None or index.num_soft_deleted == 0:
+        return index
+    if doc_ids is None:
+        out = _with_soft(index, None)
+        index.soft_deletes.unpersist()
+        return out
+    if isinstance(doc_ids, DataFrame):
+        revive = doc_ids.select("doc_id")
+    else:
+        revive = index.spark.createDataFrame(
+            [(int(d),) for d in doc_ids], _IDS_SCHEMA
+        )
+    remaining = index.soft_deletes.join(
+        revive.select("doc_id"), "doc_id", "left_anti"
+    ).distinct()
+    out = _with_soft(index, remaining)
+    if out.num_soft_deleted == 0:
+        out.soft_deletes.unpersist()
+        out.soft_deletes = None
+    index.soft_deletes.unpersist()
+    return out
+
+
+def prune_soft_deletes(
+    index: InvertedIndex, retention_query=None
+) -> InvertedIndex:
+    """Harden soft deletes into tombstones, except those the retention
+    query still protects (`SoftDeletesRetentionMergePolicy.keepFully
+    DeletedSegment` semantics: soft-deleted docs MATCHING the retention
+    query are kept soft/revivable; the rest become reclaimable hard
+    deletes). retention_query=None hardens everything."""
+    if index.soft_deletes is None or index.num_soft_deleted == 0:
+        return index
+    soft = index.soft_deletes
+    if retention_query is None:
+        kept = None
+        harden = soft
+    else:
+        from lucene_spark.search.query import rewrite
+        from lucene_spark.search.searcher import IndexSearcher
+
+        searcher = IndexSearcher(index)
+        q = rewrite(retention_query, index.terms)
+        ctx = searcher._bind(q)
+        protected = searcher._matching_docs(q, ctx).distinct()
+        harden = soft.join(protected, "doc_id", "left_anti")
+        kept = soft.join(protected, "doc_id", "semi")
+    out = _with_deletes(index, harden)  # unions into hard tombstones
+    if out.soft_deletes is not None:  # replace the carried soft set
+        out.soft_deletes.unpersist()
+    if kept is not None:
+        kept = kept.persist()
+        n = int(kept.count())
+        out.soft_deletes = kept if n > 0 else None
+        out.num_soft_deleted = n
+        if n == 0:
+            kept.unpersist()
+    else:
+        out.soft_deletes = None
+        out.num_soft_deleted = 0
     return out

@@ -135,8 +135,9 @@ def _merge_term_group(pdf: pd.DataFrame) -> pd.DataFrame:
     from lucene_spark.functions.forutil import for_decode_stream
 
     with_pos = "positions_packed" in pdf.columns
+    with_pay = "payloads_packed" in pdf.columns
     order = np.argsort(pdf["first_doc"].values, kind="stable")
-    docs_parts, freq_parts, norm_parts, pos_parts = [], [], [], []
+    docs_parts, freq_parts, norm_parts, pos_parts, pay_parts = [], [], [], [], []
     for i in order:
         docs_parts.append(delta_decode(for_decode(bytes(pdf["docs_packed"].values[i]))))
         freqs = pfor_decode(bytes(pdf["freqs_packed"].values[i]))
@@ -150,6 +151,11 @@ def _merge_term_group(pdf: pd.DataFrame) -> pd.DataFrame:
             pos_parts.extend(
                 np.cumsum(chunk) for chunk in np.split(stream, bounds)
             )
+            if with_pay:
+                pay = np.frombuffer(
+                    bytes(pdf["payloads_packed"].values[i]), dtype=np.float32
+                )
+                pay_parts.extend(np.split(pay, bounds))
     flat = pd.DataFrame(
         {
             "segment_id": int(pdf["target_seg"].iloc[0]),
@@ -161,6 +167,8 @@ def _merge_term_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
     if with_pos:
         flat["positions"] = pos_parts
+    if with_pay:
+        flat["payloads"] = pay_parts
     return _encode_term_group(flat)
 
 
@@ -185,9 +193,14 @@ def merge_segments(
     )
     merged_src = index.blocks.join(map_df, "segment_id")
     untouched = index.blocks.join(map_df.select("segment_id"), "segment_id", "left_anti")
-    from lucene_spark.index.builder import BLOCKS_SCHEMA_POS
+    from lucene_spark.index.builder import BLOCKS_SCHEMA_PAY, BLOCKS_SCHEMA_POS
 
-    schema = BLOCKS_SCHEMA_POS if index.has_positions else BLOCKS_SCHEMA
+    if index.has_payloads:
+        schema = BLOCKS_SCHEMA_PAY
+    elif index.has_positions:
+        schema = BLOCKS_SCHEMA_POS
+    else:
+        schema = BLOCKS_SCHEMA
     re_encoded = merged_src.groupBy("target_seg", "term").applyInPandas(
         _merge_term_group, schema
     )
@@ -223,9 +236,12 @@ def merge_segments(
         num_segments=index.num_segments - sum(len(g) - 1 for g in plan),
         metrics=metrics,
         has_positions=index.has_positions,
+        has_payloads=index.has_payloads,
         persisted_root=new_blocks,
         deletes=index.deletes,
         num_deleted=index.num_deleted,
+        soft_deletes=index.soft_deletes,
+        num_soft_deleted=index.num_soft_deleted,
     )
 
 

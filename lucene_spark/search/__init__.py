@@ -45,6 +45,7 @@ from lucene_spark.search.rescore import (
     saturation,
     sigmoid,
 )
+from lucene_spark.search.payloads import decode_payloads, payload_score_topk
 from lucene_spark.search.suggest import infix_suggest, prefix_suggest
 from lucene_spark.search.searcher import IndexSearcher
 from lucene_spark.search.positional import (
@@ -77,6 +78,8 @@ __all__ = [
     "rescore_phrase_topk",
     "saturation",
     "sigmoid",
+    "decode_payloads",
+    "payload_score_topk",
     "infix_suggest",
     "prefix_suggest",
     "decode_positions",

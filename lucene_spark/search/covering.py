@@ -48,6 +48,7 @@ def covering_matches(
     out = nmatch.join(
         thresholds.select("doc_id", F.col(threshold_col).alias("_min")), "doc_id"
     ).filter(F.col("nmatch") >= F.col("_min"))
-    if index.deletes is not None and index.num_deleted > 0:
-        out = out.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
+    hidden = index.hidden_docs
+    if hidden is not None:
+        out = out.join(hidden, "doc_id", "left_anti")
     return out.select("doc_id", "nmatch")

@@ -263,6 +263,7 @@ def interval_matches(index: InvertedIndex, src: IntervalsSource) -> DataFrame:
             )
 
     out = per_doc.mapInPandas(fn, _IV_SCHEMA)
-    if index.deletes is not None and index.num_deleted > 0:
-        out = out.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
+    hidden = index.hidden_docs
+    if hidden is not None:
+        out = out.join(hidden, "doc_id", "left_anti")
     return out

@@ -153,8 +153,9 @@ def _bm25_scored_f64(
         )
     # liveDocs: tombstoned docs leave results but (like Lucene) stats
     # above still count them until apply_deletes reclaims the segments
-    if index.deletes is not None and index.num_deleted > 0:
-        scored = scored.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
+    hidden = index.hidden_docs
+    if hidden is not None:
+        scored = scored.join(hidden, "doc_id", "left_anti")
     return scored.select("doc_id", "s")
 
 
@@ -244,8 +245,9 @@ def similarity_topk_f64(
         .groupBy("doc_id")
         .agg(F.sum("s").alias("s"))
     )
-    if index.deletes is not None and index.num_deleted > 0:
-        scored = scored.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
+    hidden = index.hidden_docs
+    if hidden is not None:
+        scored = scored.join(hidden, "doc_id", "left_anti")
     return (
         scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
         .limit(k)
@@ -311,8 +313,14 @@ def oracle_bm25_sql(
     must_not_terms: Optional[list] = None,
     filter_terms: Optional[list] = None,
     table: str = "documents",
+    hide_doc_pred: Optional[str] = None,
 ) -> str:
-    """DuckDB SQL mirroring :func:`bm25_topk_f64` on the same table."""
+    """DuckDB SQL mirroring :func:`bm25_topk_f64` on the same table.
+
+    `hide_doc_pred` is a raw predicate over `tok` rows whose matching
+    doc_ids are excluded from RESULTS but still count in stats — the
+    liveDocs/soft-delete oracle shape.
+    """
     terms_in = ", ".join(f"'{t}'" for t in term_boosts)
     boost_rows = ", ".join(f"('{t}', {b!r})" for t, b in term_boosts.items())
     req = list(must_terms or []) + list(filter_terms or [])
@@ -323,6 +331,10 @@ def oracle_bm25_sql(
         f"\n  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = '{t}')"
         for t in (must_not_terms or [])
     )
+    if hide_doc_pred:
+        not_clauses += (
+            f"\n  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE {hide_doc_pred})"
+        )
     msm = f"\n  AND nmatch >= {min_should_match}" if min_should_match > 0 else ""
     return f"""
 WITH tok AS (
@@ -715,7 +727,10 @@ def combined_field_f64(
     @F.pandas_udf("long")
     def comb_dlq(norm: pd.Series) -> pd.Series:
         dl_text = byte4_to_int(norm.values.astype(np.int64))
-        comb = np.rint(w_text * dl_text + w_kw * 1.0).astype(np.int64)
+        # Math.round semantics (floor(x+0.5), half UP) as in
+        # MultiNormsLeafSimScorer's norm combination — np.rint would
+        # round half-to-even and diverge for fractional weights
+        comb = np.floor(w_text * dl_text + w_kw * 1.0 + 0.5).astype(np.int64)
         return pd.Series(byte4_to_int(int_to_byte4(comb)))
 
     scored = base.withColumn("dl_q", comb_dlq("norm")).withColumn(

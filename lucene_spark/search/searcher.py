@@ -187,10 +187,10 @@ class IndexSearcher:
         zero plan nodes. Scores of surviving docs are NOT affected:
         stats still count deleted docs until reclaim, as in Lucene.
         """
-        dels = self.index.deletes
-        if dels is None or self.index.num_deleted == 0:
+        hidden = self.index.hidden_docs
+        if hidden is None:
             return df
-        return df.join(dels.select("doc_id"), "doc_id", "left_anti")
+        return df.join(hidden, "doc_id", "left_anti")
 
     def search(self, query: Query, k: int = 10, mode: str = "auto") -> DataFrame:
         """Top-k (doc_id, score) ordered by score desc, doc_id asc."""
@@ -232,7 +232,7 @@ class IndexSearcher:
         while isinstance(q, (BoostQuery, ConstantScoreQuery)):
             q = q.query
         ctx = self._bind(q)
-        if self.index.num_deleted == 0:
+        if self.index.hidden_docs is None:
             if isinstance(q, MatchAllDocsQuery):
                 return self.index.doc_count
             if isinstance(q, TermQuery):
@@ -268,11 +268,10 @@ class IndexSearcher:
             raise NotImplementedError(
                 "explain supports term and flat term-boolean queries"
             )
-        dels = self.index.deletes
+        hidden = self.index.hidden_docs
         if (
-            dels is not None
-            and self.index.num_deleted > 0
-            and dels.filter(F.col("doc_id") == int(doc_id)).limit(1).count() > 0
+            hidden is not None
+            and hidden.filter(F.col("doc_id") == int(doc_id)).limit(1).count() > 0
         ):
             return {
                 "match": False,
@@ -829,9 +828,7 @@ class IndexSearcher:
         θ valid for live docs.
         """
         per_term = min(max(1, math.ceil(k / 128) + 1), self._IMPACT_HEADS)
-        has_deletes = (
-            self.index.deletes is not None and self.index.num_deleted > 0
-        )
+        has_deletes = self.index.hidden_docs is not None
         head_rows = [r for t in scorers for r in heads[t]["heads"][:per_term]]
         if not head_rows:
             return 0.0

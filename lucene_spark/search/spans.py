@@ -36,9 +36,10 @@ __all__ = ["span_near_docs", "span_first_docs"]
 
 def _live(index: InvertedIndex, docs: DataFrame) -> DataFrame:
     """Drop tombstoned docs (same anti-join as IndexSearcher._live)."""
-    if index.deletes is None or index.num_deleted == 0:
+    hidden = index.hidden_docs
+    if hidden is None:
         return docs
-    return docs.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
+    return docs.join(hidden, "doc_id", "left_anti")
 
 
 def _slots(index: InvertedIndex, terms: List[str]) -> List[DataFrame]:

@@ -48,6 +48,7 @@ def append_batch(
         analyzer=analyzer,
         docs_per_segment=index.docs_per_segment,
         positions=index.has_positions,
+        payloads=index.has_payloads,
     )
     blocks = index.blocks.unionByName(delta.blocks)
     terms = (
@@ -70,8 +71,11 @@ def append_batch(
         num_segments=index.num_segments + delta.num_segments,
         metrics={**index.metrics, "last_append_docs": delta.doc_count},
         has_positions=index.has_positions,
+        has_payloads=index.has_payloads,
         deletes=index.deletes,
         num_deleted=index.num_deleted,
+        soft_deletes=index.soft_deletes,
+        num_soft_deleted=index.num_soft_deleted,
     )
 
 
