@@ -6,6 +6,7 @@ from lucene_spark.pipeline.dedup import (
     ngram_jaccard_pairs,
     simhash,
     simhash_near_dups,
+    simhash_pairs_from_hashes,
     word_shingles,
 )
 from lucene_spark.pipeline.sampling import (
@@ -55,6 +56,7 @@ __all__ = [
     "rolling_fingerprint",
     "simhash",
     "simhash_near_dups",
+    "simhash_pairs_from_hashes",
     "token_counts",
     "word_shingles",
 ]

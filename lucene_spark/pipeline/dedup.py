@@ -17,11 +17,11 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
 __all__ = [
@@ -33,6 +33,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_dups",
+    "simhash_pairs_from_hashes",
 ]
 
 
@@ -276,31 +277,74 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(F.col(id_col).alias("doc_id"), _udf(F.col(text_col)).alias("simhash"))
 
 
-def simhash_near_dups(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+def simhash_near_dups(
+    df: DataFrame, max_hamming: int = 3, n_blocks: Optional[int] = None, **kw
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Candidate generation: split the 64-bit hash into (max_hamming + 1)
-    contiguous chunks — with at most max_hamming differing bits, the
-    pigeonhole principle guarantees the pair agrees on at least one
-    whole chunk, so an equi-join per chunk finds all candidates without
-    a cross join. The chunk count tracks the parameter (a fixed count
-    would silently lose pairs for larger budgets).
+    Candidate generation by pigeonhole: split the 64-bit hash into
+    ``n_blocks`` contiguous blocks; a pair within ``max_hamming`` has
+    differing bits in at most ``max_hamming`` blocks, so it agrees
+    EXACTLY on some combination of ``n_blocks - max_hamming`` whole
+    blocks — equi-joining once per combination finds every true pair
+    with no cross join.
+
+    ``n_blocks`` tunes the key width / fan-out trade (the
+    block-permutation design of Manku, Jain & Das Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW 2007 §3):
+
+    - ``n_blocks = max_hamming + 1`` (1 block per key): minimal
+      fan-out (h+1 keys/doc) but narrow keys — e.g. 16-bit keys at
+      h=3, so buckets hold ~N/65536 docs and the within-bucket
+      self-join grows quadratically past ~10^8 docs.
+    - larger ``n_blocks`` (keys concatenate ``n_blocks - max_hamming``
+      blocks): C(n_blocks, max_hamming) keys per doc but exponentially
+      wider keys — ``n_blocks=8, h=3`` gives 56 keys of ~40 bits, so
+      expected bucket width stays O(1) up to ~10^11 docs. That is the
+      100 TB configuration; the default keeps the minimal-fan-out
+      shape for small corpora.
+
+    Candidates are verified with an exact popcount on the full hash
+    either way, so ``n_blocks`` affects cost only, never the result.
     """
-    sh = simhash(df, **kw)
-    n_chunks = max_hamming + 1
-    # contiguous chunk boundaries covering all 64 bits (widths differ by
-    # at most 1 when 64 % n_chunks != 0)
-    bounds = [round(64 * c / n_chunks) for c in range(n_chunks + 1)]
-    chunk_structs = []
-    for c in range(n_chunks):
+    return simhash_pairs_from_hashes(
+        simhash(df, **kw), max_hamming=max_hamming, n_blocks=n_blocks
+    )
+
+
+def simhash_pairs_from_hashes(
+    sh: DataFrame, max_hamming: int = 3, n_blocks: Optional[int] = None
+) -> DataFrame:
+    """Hamming-near pairs from a precomputed (doc_id, simhash int64)
+    DataFrame — the candidate-generation + exact-verify stage of
+    :func:`simhash_near_dups`, exposed so stored signatures can be
+    re-queried without re-hashing the corpus."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks <= max_hamming:
+        raise ValueError("n_blocks must exceed max_hamming")
+    # contiguous block boundaries covering all 64 bits (widths differ by
+    # at most 1 when 64 % n_blocks != 0)
+    bounds = [round(64 * c / n_blocks) for c in range(n_blocks + 1)]
+
+    def block_col(c: int) -> Column:
         lo, hi = bounds[c], bounds[c + 1]
-        width = hi - lo
-        mask = (1 << width) - 1
+        mask = (1 << (hi - lo)) - 1
+        return F.shiftrightunsigned("simhash", lo).bitwiseAND(F.lit(mask))
+
+    from itertools import combinations
+
+    keep = n_blocks - max_hamming
+    chunk_structs = []
+    for ci, combo in enumerate(combinations(range(n_blocks), keep)):
+        # concatenate the chosen blocks into one packed key (each block
+        # is at most ceil(64/n_blocks) bits wide)
+        slot = (64 // n_blocks) + 1
+        key = F.lit(0).cast("long")
+        for j, c in enumerate(combo):
+            key = key.bitwiseOR(F.shiftleft(block_col(c), j * slot))
         chunk_structs.append(
-            F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftrightunsigned("simhash", lo).bitwiseAND(F.lit(mask)).alias("key"),
-            )
+            F.struct(F.lit(ci).alias("chunk"), key.alias("key"))
         )
     chunks = sh.select(
         "doc_id",

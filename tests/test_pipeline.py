@@ -371,3 +371,53 @@ def test_ppm_stream_frame_sampling(spark):
     assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 2, 4]
     arr, _ = decode_image(bytes(frames[0]["frame"]))
     assert arr.shape == (4, 4, 3)
+
+
+def test_simhash_multiblock_index_exact_recall(spark):
+    """Manku-style widened index (n_blocks > h+1): candidate
+    generation over C(n_blocks, keep) concatenated-block keys finds
+    EXACTLY the pairs the minimal-fan-out default finds — pigeonhole
+    guarantees recall for any block count, and the popcount verify
+    fixes precision."""
+    import random
+
+    from lucene_spark.pipeline.dedup import simhash_pairs_from_hashes
+
+    rng = random.Random(7)
+    rows = []
+    doc_id = 0
+    for base_i in range(40):
+        base = rng.getrandbits(64)
+        rows.append((doc_id, base - (1 << 64) if base >= (1 << 63) else base))
+        doc_id += 1
+        # perturbed copies at hamming 1..5 (some beyond the h=3 budget)
+        for h in (1, 2, 3, 4, 5):
+            v = base
+            for bit in rng.sample(range(64), h):
+                v ^= 1 << bit
+            rows.append((doc_id, v - (1 << 64) if v >= (1 << 63) else v))
+            doc_id += 1
+    sh = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    def pairset(**kw):
+        return {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_pairs_from_hashes(sh, max_hamming=3, **kw).collect()
+        }
+
+    narrow = pairset()  # n_blocks = 4 (16-bit keys)
+    wide8 = pairset(n_blocks=8)  # 56 keys of ~40 bits — the scale path
+    wide6 = pairset(n_blocks=6)
+    assert narrow == wide8 == wide6
+    # sanity: every planted <=3 pair is present
+    assert all(h <= 3 for _, _, h in narrow) and len(narrow) >= 40 * 3
+
+
+def test_simhash_multiblock_rejects_bad_blocks(spark):
+    import pytest as _pytest
+
+    from lucene_spark.pipeline.dedup import simhash_pairs_from_hashes
+
+    sh = spark.createDataFrame([(0, 5)], "doc_id long, simhash long")
+    with _pytest.raises(ValueError):
+        simhash_pairs_from_hashes(sh, max_hamming=3, n_blocks=3).collect()
