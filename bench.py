@@ -195,9 +195,13 @@ def main() -> None:
         "[merge TO sort]",
         "(hash OR sort) AND join^2",
     ]
+    # per-query median of REPS (single-rep legs were noise-limited on
+    # the shared box: BENCH.md records 2.3x run-to-run swing)
     lat = []
     for qs in ref_queries:
-        lat.append(timed(lambda q=parse_query(qs): searcher.search(q, 10).collect(), 1))
+        lat.append(
+            timed(lambda q=parse_query(qs): searcher.search(q, 10).collect(), REPS)
+        )
     lat.sort()
     queries["q_ref_set_p50"] = round(lat[len(lat) // 2], 3)
     queries["q_ref_set_max"] = round(lat[-1], 3)
@@ -209,16 +213,22 @@ def main() -> None:
         timed(lambda: cosine_topk(emb, qvec, k=10).collect(), REPS), 3
     )
     # filter, not LIMIT: a global limit coalesces everything downstream
-    # onto one partition, serializing the shingle/minhash stages
-    queries["q_minhash_dedup"] = round(
-        timed(
-            lambda: minhash_lsh_pairs(
-                docs.filter(F.col("doc_id") < 2000), n=3, num_hashes=16, bands=4, threshold=0.8
-            ).count(),
-            1,
-        ),
-        3,
-    )
+    # onto one partition, serializing the shingle/minhash stages.
+    # minhash persists its shingle frame, and Spark's CacheManager
+    # matches canonical plans — identical reps would read the previous
+    # rep's cache and time nothing, so clear between reps (this is the
+    # final leg; no later leg depends on cached frames).
+    def _minhash_rep():
+        spark.catalog.clearCache()
+        return minhash_lsh_pairs(
+            docs.filter(F.col("doc_id") < 2000),
+            n=3,
+            num_hashes=16,
+            bands=4,
+            threshold=0.8,
+        ).count()
+
+    queries["q_minhash_dedup"] = round(timed(_minhash_rep, REPS), 3)
 
     total = round(time.time() - t_suite, 3)
     out = {
