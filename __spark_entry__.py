@@ -317,6 +317,7 @@ _DRIVER_PRIORITY = [
     "payload_avg_score", "soft_deletes_search", "bm25f_weighted",
     "block_join_children", "dfr_topk", "axiomatic_topk",
     "uax29_tokens", "uax29_url_email", "surround_near_match",
+    "cjk_bigram_terms",
     # representative green spread (r01/r02 evidence exists; re-affirm)
     "search_with_deletes", "term_topk_after_reclaim",
     "porter_stem_tokens", "english_term_topk",
@@ -471,6 +472,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["uax29_url_email"] = uax29_url_email
+
+    # --- CJKAnalyzer (width fold → UAX#29 → CJK bigrams → stop):
+    # deterministically map the ASCII corpus onto Han codepoints, build
+    # with the CJK chain, and rank bigram terms by docFreq. The same
+    # translate() runs in the oracle, whose substr pairs mirror the
+    # bigram filter over space-separated runs.
+    def cjk_bigram_terms(spark, sf):
+        from lucene_spark.analysis.cjk import cjk_analyze
+
+        han = "".join(chr(0x4E00 + i) for i in range(26))
+        docs = _docs(spark, sf).withColumn(
+            "text", F.translate("text", "abcdefghijklmnopqrstuvwxyz", han)
+        )
+        idx = InvertedIndex.build(
+            docs, analyzer=cjk_analyze, docs_per_segment=2048
+        )
+        return (
+            idx.terms.select("term", F.col("doc_freq").cast("long").alias("doc_freq"))
+            .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+            .limit(20)
+        )
+
+    out["cjk_bigram_terms"] = cjk_bigram_terms
 
     # --- pluggable similarities: same index, swapped scoring formula
     for _gate, _sim_f in _SIMILARITY_GATES.items():
@@ -2087,6 +2111,26 @@ WHERE doc_id % 3 = 0 ORDER BY doc_id LIMIT 2000
         + "\nUNION ALL ".join(_url_parts)
         + "\nORDER BY doc_id, pos"
     )
+
+    _HAN26 = "".join(chr(0x4E00 + i) for i in range(26))
+    out["cjk_bigram_terms"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split(translate(text, 'abcdefghijklmnopqrstuvwxyz', '{_HAN26}'), ' '),
+           x -> x <> '')) AS tok
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN length(tok) = 1 THEN tok ELSE substr(tok, i, 2) END AS term
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(tok) - 1, 1))) AS i)
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM grams GROUP BY term
+ORDER BY doc_freq DESC, term ASC LIMIT 20
+"""
 
     out["phrase_query"] = """
 SELECT doc_id, 1.0 AS score FROM documents

@@ -44,7 +44,7 @@ import unicodedata
 from functools import lru_cache
 from typing import List
 
-__all__ = ["uax29_tokenize", "uax29_url_email_tokenize"]
+__all__ = ["uax29_tokenize", "uax29_tokenize_spans", "uax29_url_email_tokenize"]
 
 # --- explicit ranges (public UCD data) -------------------------------------
 
@@ -367,13 +367,19 @@ _ASCII_WORD = re.compile(
 )
 
 
-def uax29_tokenize(text: str) -> List[str]:
-    """Segment `text` into StandardTokenizer-equivalent tokens
-    (type tags dropped — the chain only consumes the text)."""
+def uax29_tokenize_spans(text: str):
+    """Segment `text` into (token, start, end, rule) tuples — the
+    offset/type surface consumers like the CJK bigram filter need
+    (StandardTokenizer exposes the same via Offset/TypeAttribute).
+    `rule` is the matched rule key: 'word', 'emoji', 'sea', 'han'
+    (single IDEOGRAPHIC codepoint), or 'hira'."""
     if text.isascii():
-        return _ASCII_WORD.findall(text)
+        return [
+            (m.group(0), m.start(), m.end(), "word")
+            for m in _ASCII_WORD.finditer(text)
+        ]
     r = _rules()
-    out: List[str] = []
+    out = []
     pos, n = 0, len(text)
     while pos < n:
         m_skip = r["skip"].match(text, pos)
@@ -382,19 +388,27 @@ def uax29_tokenize(text: str) -> List[str]:
             continue
         # JFlex longest-match approximation: emoji vs word can overlap
         # (keycap digits); everything else is class-disjoint
-        best = None
+        best, best_key = None, None
         for key in ("emoji", "word", "sea", "han", "hira"):
             m = r[key].match(text, pos)
             if m and m.end() > pos and (best is None or m.end() > best.end()):
-                best = m
+                best, best_key = m, key
             if best is not None and key == "word":
                 break  # sea/han/hira are disjoint from word+emoji starts
         if best is None:
             pos += 1
             continue
-        out.append(best.group(0))
+        out.append((best.group(0), pos, best.end(), best_key))
         pos = best.end()
     return out
+
+
+def uax29_tokenize(text: str) -> List[str]:
+    """Segment `text` into StandardTokenizer-equivalent tokens
+    (type tags dropped — the chain only consumes the text)."""
+    if text.isascii():
+        return _ASCII_WORD.findall(text)
+    return [t for t, _, _, _ in uax29_tokenize_spans(text)]
 
 
 # --- UAX29URLEmailTokenizer analog -----------------------------------------
