@@ -137,7 +137,9 @@ def _similarity_gates():
         AxiomaticF2EXP,
         BooleanSimilarity,
         ClassicSimilarity,
+        DFIChiSquared,
         DFRInL2Similarity,
+        IBLLSimilarity,
         LMDirichletSimilarity,
         LMJelinekMercerSimilarity,
     )
@@ -149,6 +151,8 @@ def _similarity_gates():
         "boolean_sim_topk": BooleanSimilarity,
         "dfr_topk": DFRInL2Similarity,
         "axiomatic_topk": AxiomaticF2EXP,
+        "dfi_topk": DFIChiSquared,
+        "ib_ll_topk": IBLLSimilarity,
     }
 
 
@@ -316,6 +320,7 @@ _DRIVER_PRIORITY = [
     "geo_polygon", "simple_parse_match", "sloppy_parse_match",
     "payload_avg_score", "soft_deletes_search", "bm25f_weighted",
     "block_join_children", "dfr_topk", "axiomatic_topk",
+    "dfi_topk", "ib_ll_topk",
     "uax29_tokens", "uax29_url_email", "surround_near_match",
     "cjk_bigram_terms",
     # representative green spread (r01/r02 evidence exists; re-affirm)

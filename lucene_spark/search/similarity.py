@@ -65,6 +65,8 @@ __all__ = [
     "LMJelinekMercerSimilarity",
     "DFRInL2Similarity",
     "AxiomaticF2EXP",
+    "DFIChiSquared",
+    "IBLLSimilarity",
     "ExpressionSimilarity",
 ]
 
@@ -215,6 +217,60 @@ class AxiomaticF2EXP(Similarity):
             f"boost * pow(n_docs * 1.0 / doc_freq, {k}) * freq "
             f"/ (freq + {s} + {s} * dl / (sttf * 1.0 / n_docs))"
         )
+
+
+@dataclass(frozen=True)
+class DFIChiSquared(Similarity):
+    """Divergence From Independence with the chi-squared measure
+    (`similarities/DFISimilarity.java:70-80`,
+    `IndependenceChiSquared.java:33-35`): expected = (ttf+1)·dl/(sttf+1);
+    freq <= expected scores 0; else boost · log2(χ² + 1) with
+    χ² = (freq − expected)²/expected. (Computed in float64 end-to-end;
+    the reference narrows intermediate stats to float.)"""
+
+    def score_col(self, c):
+        expected = (c["ttf"] + F.lit(1.0)) * c["dl"] / (c["sttf"] + F.lit(1.0))
+        chi2 = (c["freq"] - expected) * (c["freq"] - expected) / expected
+        raw = F.log(chi2 + F.lit(1.0)) / F.lit(_LN2)
+        return F.when(c["freq"] <= expected, F.lit(0.0)).otherwise(
+            c["boost"] * raw
+        )
+
+    def score_sql(self):
+        ln2 = repr(_LN2)
+        exp = "((ttf + 1.0) * dl / (sttf + 1.0))"
+        chi2 = f"((freq - {exp}) * (freq - {exp}) / {exp})"
+        return (
+            f"CASE WHEN freq <= {exp} THEN 0.0 "
+            f"ELSE boost * (ln({chi2} + 1.0) / {ln2}) END"
+        )
+
+
+@dataclass(frozen=True)
+class IBLLSimilarity(Similarity):
+    """Information-based model with log-logistic distribution, docFreq
+    lambda, and H2 normalization (`similarities/IBSimilarity.java:115-118`
+    composing `DistributionLL.java:34` −ln(λ/(tfn+λ)),
+    `LambdaDF.java:33` λ=(df+1)/(N+1), `NormalizationH2.java`
+    tfn = freq·log2(1 + c·avgdl/dl)). Float64 end-to-end, same note as
+    :class:`DFIChiSquared`."""
+
+    c: float = 1.0
+
+    def score_col(self, c):
+        avgdl = c["sttf"] / c["n_docs"]
+        tfn = c["freq"] * (
+            F.log(F.lit(1.0) + F.lit(self.c) * avgdl / c["dl"]) / F.lit(_LN2)
+        )
+        lam = (c["doc_freq"] + F.lit(1.0)) / (c["n_docs"] + F.lit(1.0))
+        return c["boost"] * -F.log(lam / (tfn + lam))
+
+    def score_sql(self):
+        cc = repr(float(self.c))
+        ln2 = repr(_LN2)
+        tfn = f"(freq * (ln(1.0 + {cc} * (sttf * 1.0 / n_docs) / dl) / {ln2}))"
+        lam = "((doc_freq + 1.0) / (n_docs + 1.0))"
+        return f"boost * -ln({lam} / ({tfn} + {lam}))"
 
 
 @dataclass(frozen=True)

@@ -22,8 +22,10 @@ from lucene_spark.search.similarity import (
     BM25Similarity,
     BooleanSimilarity,
     ClassicSimilarity,
+    DFIChiSquared,
     DFRInL2Similarity,
     ExpressionSimilarity,
+    IBLLSimilarity,
     LMDirichletSimilarity,
     LMJelinekMercerSimilarity,
 )
@@ -36,6 +38,8 @@ SIMS = [
     LMJelinekMercerSimilarity(),
     DFRInL2Similarity(),
     AxiomaticF2EXP(),
+    DFIChiSquared(),
+    IBLLSimilarity(),
 ]
 
 N_DOCS, STTF = 1000.0, 25000.0  # collection stats for the grid
