@@ -322,7 +322,7 @@ _DRIVER_PRIORITY = [
     "block_join_children", "dfr_topk", "axiomatic_topk",
     "dfi_topk", "ib_ll_topk",
     "uax29_tokens", "uax29_url_email", "surround_near_match",
-    "cjk_bigram_terms",
+    "cjk_bigram_terms", "embedding_hnsw_topk",
     # representative green spread (r01/r02 evidence exists; re-affirm)
     "search_with_deletes", "term_topk_after_reclaim",
     "porter_stem_tokens", "english_term_topk",
@@ -1609,6 +1609,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(spark, sf), _qvec(spark, sf), k=15
     )  # engine-only: approximate (recall vs brute force tested in pytest)
 
+    # per-segment HNSW graphs + merged top-k (KnnFloatVectorQuery
+    # shape). With ef >= rows_per_segment the beam covers each
+    # segment, so the result is value-exact vs the brute-force oracle;
+    # the approximate (small-ef) regime is recall-tested in pytest.
+    def embedding_hnsw_topk(spark, sf):
+        from lucene_spark.search.hnsw import build_hnsw_segments, hnsw_topk
+
+        graphs = build_hnsw_segments(
+            _emb(spark, sf), rows_per_segment=256, m=16, beam_width=100
+        )
+        return hnsw_topk(graphs, _qvec(spark, sf), k=15, ef=256)
+
+    out["embedding_hnsw_topk"] = embedding_hnsw_topk
+
     def embedding_ivf_topk(spark, sf):
         # IVF with all lists probed == exact brute force (oracle-safe)
         from lucene_spark.pipeline import ivf_assign, ivf_topk
@@ -2465,6 +2479,8 @@ ORDER BY dot / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC LIMIT 15
     # IVF with n_probes == n_lists degenerates to exact search, so the
     # brute-force oracle applies (the pruned variant is pytest-tested)
     out["embedding_ivf_topk"] = out["embedding_cosine_topk"]
+    # HNSW with ef >= segment size covers every segment → exact
+    out["embedding_hnsw_topk"] = out["embedding_cosine_topk"]
     out["embedding_near_dups"] = """
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
 z AS (
