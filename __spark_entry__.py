@@ -322,7 +322,7 @@ _DRIVER_PRIORITY = [
     "block_join_children", "dfr_topk", "axiomatic_topk",
     "dfi_topk", "ib_ll_topk",
     "uax29_tokens", "uax29_url_email", "surround_near_match",
-    "cjk_bigram_terms", "embedding_hnsw_topk",
+    "cjk_bigram_terms", "embedding_hnsw_topk", "freetext_suggest",
     # representative green spread (r01/r02 evidence exists; re-affirm)
     "search_with_deletes", "term_topk_after_reclaim",
     "porter_stem_tokens", "english_term_topk",
@@ -500,6 +500,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["cjk_bigram_terms"] = cjk_bigram_terms
+
+    # FreeTextSuggester: stupid-backoff bigram+unigram completion of
+    # the partial last token ("hash s…"); oracle mirrors the backoff
+    def freetext_suggest_gate(spark, sf):
+        from lucene_spark.search.suggest import (
+            build_freetext_model,
+            freetext_suggest,
+        )
+
+        model = build_freetext_model(_docs(spark, sf), n=2)
+        return freetext_suggest(model, "hash s", k=10)
+
+    out["freetext_suggest"] = freetext_suggest_gate
 
     # --- pluggable similarities: same index, swapped scoring formula
     for _gate, _sim_f in _SIMILARITY_GATES.items():
@@ -2130,6 +2143,39 @@ WHERE doc_id % 3 = 0 ORDER BY doc_id LIMIT 2000
         + "\nUNION ALL ".join(_url_parts)
         + "\nORDER BY doc_id, pos"
     )
+
+    out["freetext_suggest"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+uni AS (
+  SELECT l[i] AS term, count(*) AS c
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
+  GROUP BY term
+),
+tot AS (SELECT sum(c) AS t FROM uni),
+big AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2, count(*) AS c
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i)
+  GROUP BY w1, w2
+),
+lvl1 AS (
+  SELECT 'hash ' || w2 AS suggestion, w2 AS last_tok,
+         c * 1.0 / (SELECT c FROM uni WHERE term = 'hash') AS score
+  FROM big WHERE w1 = 'hash' AND w2 LIKE 's%'
+),
+lvl0 AS (
+  SELECT 'hash ' || term AS suggestion, term AS last_tok,
+         0.4 * c / (SELECT t FROM tot) AS score
+  FROM uni
+  WHERE term LIKE 's%' AND term NOT IN (SELECT last_tok FROM lvl1)
+)
+SELECT suggestion, round(score, 6) AS score
+FROM (SELECT suggestion, score FROM lvl1
+      UNION ALL SELECT suggestion, score FROM lvl0)
+ORDER BY score DESC, suggestion ASC LIMIT 10
+"""
 
     _HAN26 = "".join(chr(0x4E00 + i) for i in range(26))
     out["cjk_bigram_terms"] = f"""

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from lucene_spark.index.builder import InvertedIndex
 
-__all__ = ["prefix_suggest", "infix_suggest"]
+__all__ = ["prefix_suggest", "infix_suggest", "build_freetext_model", "freetext_suggest"]
 
 
 def prefix_suggest(index: InvertedIndex, prefix: str, n: int = 10) -> DataFrame:
@@ -46,4 +46,130 @@ def infix_suggest(index: InvertedIndex, fragment: str, n: int = 10) -> DataFrame
         .select("term", F.col("doc_freq").alias("weight"))
         .orderBy(F.col("weight").desc(), F.col("term").asc())
         .limit(n)
+    )
+
+
+# --- FreeTextSuggester (n-gram stupid-backoff LM) --------------------------
+
+
+def build_freetext_model(
+    df: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """N-gram counts for FreeTextSuggester
+    (`suggest/analyzing/FreeTextSuggester.java:93-126`): all grams of
+    order 1..n over each doc's whitespace token stream (the reference
+    runs a 1..n ShingleFilter), space-separated.
+
+    Returns (gram string, ord int, cnt long) — one partial-agg'd
+    groupBy, persistable as the suggester's "FST" analog. The model is
+    a plain table, so at 100 TB it builds like any facet agg and the
+    lookup is metadata-light prefix filtering.
+    """
+    toks = F.split(F.col(text_col), " ")
+    toks = F.filter(toks, lambda t: t != F.lit(""))
+
+    def joiner(o):
+        # single-arg lambda: a two-arg lambda would receive the array
+        # INDEX as its second parameter (F.transform's signature)
+        return lambda i: F.array_join(F.slice(toks, i, o), " ")
+
+    levels = []
+    for order in range(1, n + 1):
+        shingle = F.when(
+            F.size(toks) >= order,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (order - 1)),
+                joiner(order),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        levels.append(
+            df.select(F.explode(shingle).alias("gram")).withColumn(
+                "ord", F.lit(order)
+            )
+        )
+    grams = levels[0]
+    for lv in levels[1:]:
+        grams = grams.unionByName(lv)
+    return grams.groupBy("gram", "ord").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def freetext_suggest(
+    model: DataFrame, key: str, k: int = 10, alpha: float = 0.4
+) -> DataFrame:
+    """Stupid-backoff completion of `key`'s last (possibly partial)
+    token (`FreeTextSuggester.java:520-710`; Brants et al. 2007).
+
+    For gram order g+1 from highest down: context = last g completed
+    tokens, candidates = (g+1)-grams extending "context prefix…";
+    score = alpha^backoffs · cnt(gram)/cnt(context) (totTokens for
+    unigrams). A last-token suggested by a higher-order level is
+    excluded from lower levels. One documented departure from the
+    reference: the exclusion covers ALL higher-level candidates, not
+    just the top-k that fit Lucene's bounded TopNSearcher queue —
+    deterministic and expressible in the SQL oracle.
+
+    Returns (suggestion, score): full completions (context + token),
+    score desc / suggestion asc, limit k.
+    """
+    max_order = model.agg(F.max("ord")).collect()[0][0] or 1
+    parts = key.split(" ")
+    prefix = parts[-1]
+    context_all = [t for t in parts[:-1] if t]
+    tot = (
+        model.filter(F.col("ord") == 1).agg(F.sum("cnt")).collect()[0][0] or 1
+    )
+
+    levels = []
+    backoff = 1.0
+    for g in range(min(max_order - 1, len(context_all)), -1, -1):
+        ctx = context_all[len(context_all) - g :]
+        ctx_str = " ".join(ctx)
+        if g > 0:
+            row = model.filter(
+                (F.col("ord") == g) & (F.col("gram") == ctx_str)
+            ).collect()
+            if not row:
+                backoff *= alpha
+                continue
+            denom = float(row[0]["cnt"])
+            gram_prefix = ctx_str + " " + prefix
+        else:
+            denom = float(tot)
+            gram_prefix = prefix
+        cand = model.filter(
+            (F.col("ord") == g + 1) & F.col("gram").startswith(gram_prefix)
+        ).select(
+            F.element_at(F.split(F.col("gram"), " "), -1).alias("last_tok"),
+            (F.lit(backoff) * F.col("cnt") / F.lit(denom)).alias("score"),
+        )
+        levels.append((ctx_str, cand))
+        backoff *= alpha
+
+    if not levels:
+        spark = model.sparkSession
+        return spark.createDataFrame([], "suggestion string, score double")
+
+    full_ctx = " ".join(context_all)
+    out = None
+    seen = None
+    for ctx_str, cand in levels:
+        if seen is not None:
+            cand = cand.join(seen, "last_tok", "left_anti")
+        cand = cand.persist()
+        seen = (
+            cand.select("last_tok").distinct()
+            if seen is None
+            else seen.unionByName(cand.select("last_tok")).distinct()
+        )
+        scored = cand.select(
+            (
+                F.concat(F.lit(full_ctx + " " if full_ctx else ""), F.col("last_tok"))
+            ).alias("suggestion"),
+            "score",
+        )
+        out = scored if out is None else out.unionByName(scored)
+    return (
+        out.orderBy(F.col("score").desc(), F.col("suggestion").asc())
+        .limit(k)
+        .select("suggestion", F.round("score", 6).alias("score"))
     )

@@ -89,3 +89,57 @@ def test_infix_suggest(index):
     assert set(got[1:]) == {("garden", 2), ("market", 2), ("share", 2), ("sharp", 2)}
     terms = [t for t, _ in got[1:]]
     assert terms == sorted(terms)
+
+
+# --- FreeTextSuggester (stupid-backoff ngram LM) ---------------------------
+
+
+def test_freetext_backoff_scores(spark):
+    import pandas as pd
+
+    from lucene_spark.search.suggest import build_freetext_model, freetext_suggest
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "text": [
+                    "hash join fast hash join slow",
+                    "hash jump table",
+                    "merge join hash",
+                    "jolly jam",
+                ]
+            }
+        )
+    )
+    m = build_freetext_model(docs, n=3).persist()
+    # bigram level: hash->join 2/4, hash->jump 1/4; unigram backoff
+    # 0.4*cnt/14 for unseen last tokens
+    got = [
+        (r["suggestion"], r["score"])
+        for r in freetext_suggest(m, "hash j", k=5).collect()
+    ]
+    assert got[0] == ("hash join", 0.5)
+    assert got[1] == ("hash jump", 0.25)
+    assert ("hash jam", round(0.4 * 1 / 14, 6)) in got[2:]
+    # trigram context: fast hash -> join is deterministic 1/1
+    tri = freetext_suggest(m, "fast hash j", k=3).collect()
+    assert (tri[0]["suggestion"], tri[0]["score"]) == ("fast hash join", 1.0)
+    # unseen context backs off straight to unigrams with alpha applied
+    z = freetext_suggest(m, "zzz j", k=3).collect()
+    assert z[0]["suggestion"] == "zzz join"
+    assert z[0]["score"] == round(0.4 * 3 / 14, 6)
+    m.unpersist()
+
+
+def test_freetext_dedup_across_levels(spark):
+    import pandas as pd
+
+    from lucene_spark.search.suggest import build_freetext_model, freetext_suggest
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"text": ["a b", "a b", "c b", "a d"]})
+    )
+    m = build_freetext_model(docs, n=2)
+    rows = freetext_suggest(m, "a ", k=10).collect()
+    # 'b' suggested once (bigram level), not re-added by unigrams
+    assert [r["suggestion"] for r in rows].count("a b") == 1
