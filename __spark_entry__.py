@@ -323,6 +323,7 @@ _DRIVER_PRIORITY = [
     "dfi_topk", "ib_ll_topk",
     "uax29_tokens", "uax29_url_email", "surround_near_match",
     "cjk_bigram_terms", "embedding_hnsw_topk", "freetext_suggest",
+    "complex_phrase_match",
     # representative green spread (r01/r02 evidence exists; re-affirm)
     "search_with_deletes", "term_topk_after_reclaim",
     "porter_stem_tokens", "english_term_topk",
@@ -513,6 +514,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return freetext_suggest(model, "hash s", k=10)
 
     out["freetext_suggest"] = freetext_suggest_gate
+
+    # ComplexPhraseQueryParser: wildcard slot inside a quoted phrase
+    # rewrites to SpanNear(SpanOr(expanded), 'join'), ordered slop 0
+    def complex_phrase_match(spark, sf):
+        from lucene_spark.search.complexphrase import complex_phrase_docs
+
+        return (
+            complex_phrase_docs(_index(spark, sf), "ha* join")
+            .select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id")
+            .limit(200)
+        )
+
+    out["complex_phrase_match"] = complex_phrase_match
 
     # --- pluggable similarities: same index, swapped scoring formula
     for _gate, _sim_f in _SIMILARITY_GATES.items():
@@ -2143,6 +2158,17 @@ WHERE doc_id % 3 = 0 ORDER BY doc_id LIMIT 2000
         + "\nUNION ALL ".join(_url_parts)
         + "\nORDER BY doc_id, pos"
     )
+
+    out["complex_phrase_match"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+)
+SELECT DISTINCT doc_id, 1.0 AS score
+FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i)
+WHERE l[i] LIKE 'ha%' AND l[i + 1] = 'join'
+ORDER BY doc_id LIMIT 200
+"""
 
     out["freetext_suggest"] = """
 WITH toks AS (

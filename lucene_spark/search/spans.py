@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 from lucene_spark.index.builder import InvertedIndex
 from lucene_spark.search.positional import decode_positions
 
-__all__ = ["span_near_docs", "span_first_docs"]
+__all__ = ["span_near_docs", "span_near_multi_docs", "span_first_docs"]
 
 
 def _live(index: InvertedIndex, docs: DataFrame) -> DataFrame:
@@ -76,6 +76,46 @@ def span_near_docs(
         width = pcols[-1] - pcols[0] + 1 - n
     else:
         # distinct positions per clause (spans must not overlap), any order
+        for i in range(n):
+            for j in range(i + 1, n):
+                joined = joined.filter(pcols[i] != pcols[j])
+        width = F.greatest(*pcols) - F.least(*pcols) + 1 - n
+    return _live(index, joined.filter(width <= slop).select("doc_id").distinct())
+
+
+def span_near_multi_docs(
+    index: InvertedIndex,
+    slot_terms: List[List[str]],
+    slop: int,
+    in_order: bool,
+) -> DataFrame:
+    """SpanNear over multi-term slots — each slot is a SpanOr of
+    SpanTermQueries (the shape `ComplexPhraseQueryParser` rewrites
+    wildcard/fuzzy/alternation phrase elements into). A slot's
+    positions frame is the union of its terms' decoded positions; the
+    near-join itself is identical to :func:`span_near_docs`."""
+    if len(slot_terms) < 2:
+        raise ValueError("span_near needs >= 2 clauses")
+    n = len(slot_terms)
+    slots = []
+    for i, terms in enumerate(slot_terms):
+        if not terms:
+            # a slot with no matching terms ⇒ no spans at all
+            return index.spark.createDataFrame([], "doc_id long")
+        slots.append(
+            decode_positions(index, list(terms)).select(
+                "doc_id", F.explode("positions").alias(f"p{i}")
+            )
+        )
+    joined = slots[0]
+    for i in range(1, n):
+        joined = joined.join(slots[i], "doc_id")
+        if in_order:
+            joined = joined.filter(F.col(f"p{i}") > F.col(f"p{i-1}"))
+    pcols = [F.col(f"p{i}") for i in range(n)]
+    if in_order:
+        width = pcols[-1] - pcols[0] + 1 - n
+    else:
         for i in range(n):
             for j in range(i + 1, n):
                 joined = joined.filter(pcols[i] != pcols[j])

@@ -208,3 +208,57 @@ def test_surround_end_to_end(spark):
         for r in s.search(surround_parse("3n(hash, join)"), k=10).collect()
     }
     assert hits == {0, 1, 3}
+
+
+# --- ComplexPhraseQueryParser ----------------------------------------------
+
+
+def test_complex_phrase(spark):
+    import pandas as pd
+
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.search.complexphrase import (
+        complex_phrase_docs,
+        parse_complex_phrase,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(5),
+                "text": [
+                    "hash join fast",
+                    "hashing join",
+                    "hash merge",
+                    "fast hash join",
+                    "join hash",
+                ],
+            }
+        )
+    )
+    idx = InvertedIndex.build(
+        docs, analyzer="simple", docs_per_segment=4, positions=True
+    )
+    assert parse_complex_phrase("ha* (join OR merge) slow") == [
+        ["ha*"],
+        ["join", "merge"],
+        ["slow"],
+    ]
+    got = lambda p, **kw: sorted(
+        r["doc_id"] for r in complex_phrase_docs(idx, p, **kw).collect()
+    )
+    assert got("ha* join") == [0, 1, 3]           # wildcard slot
+    assert got("hash (join merge)") == [0, 2, 3]  # alternation slot
+    assert got("join hash", in_order=False) == [0, 3, 4]
+    assert got("hashing~1 join") == [1]           # fuzzy slot
+    assert got("hash fast", slop=1) == [0]        # one gap allowed
+    assert got("zzz* join") == []                 # empty expansion
+
+
+def test_complex_phrase_unbalanced_raises(spark):
+    import pytest as _pytest
+
+    from lucene_spark.search.complexphrase import parse_complex_phrase
+
+    with _pytest.raises(ValueError):
+        parse_complex_phrase("(a b")
