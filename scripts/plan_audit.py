@@ -191,6 +191,68 @@ def main() -> None:
         )
     )
 
+    # 9. payload scoring: the term predicate restricts the block scan
+    # BEFORE the Arrow decode (the .pay read never touches other
+    # terms' blocks), and the payload aggregate is a JVM higher-order
+    # function (no Python after the decode node)
+    from lucene_spark.analysis.filters import delimited_payload_analyzer
+    from lucene_spark.search.payloads import payload_score_topk
+
+    pay_docs = docs.limit(200).withColumn(
+        "text",
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(split(text, ' '), (t, i) -> concat(t, '|', cast(i AS string)))"
+            ),
+        ),
+    )
+    pay_idx = InvertedIndex.build(
+        pay_docs,
+        analyzer=delimited_payload_analyzer(),
+        positions=True,
+        payloads=True,
+        docs_per_segment=512,
+    )
+    p9 = plan_of(payload_score_topk(pay_idx, "hash", func="avg", k=10))
+    # exactly one Python (Arrow) node on the QUERY path: the block
+    # decode; the aggregate + top-k around it must be JVM-side. The
+    # cached InMemoryRelation embeds the BUILD kernel's plan — cut at
+    # the cache boundary so only the per-query path is counted.
+    query_path = p9.split("InMemoryRelation", 1)[0]
+    n_py = len(
+        re.findall(r"EvalPython|MapInPandas|FlatMapGroupsInPandas", query_path)
+    )
+    checks.append(
+        (
+            "payload scoring: one Arrow decode, JVM aggregate + top-k",
+            n_py <= 1 and "TakeOrderedAndProject" in p9,
+            f"{n_py} Python node(s); TakeOrderedAndProject present",
+            p9,
+        )
+    )
+
+    # 10. multi-term constant-score above the clause cap: the matched
+    # term set must stay distributed (semi join), never a driver isin
+    # literal over the dictionary
+    from lucene_spark.search.query import MultiTermFilterDocsQuery, PrefixQuery
+    from lucene_spark.search.searcher import IndexSearcher as _IS
+
+    s10 = _IS(idx)
+    q10 = MultiTermFilterDocsQuery(PrefixQuery("s"))
+    ctx10 = s10._bind(q10)
+    p10 = plan_of(s10._matching_docs(q10, ctx10))
+    has_join = "Join" in p10
+    no_isin = not re.search(r"IN \([^)]{2000,}", p10)
+    checks.append(
+        (
+            "multi-term semi-join path keeps term set distributed",
+            has_join and no_isin,
+            "join present, no multi-KB IN literal",
+            p10,
+        )
+    )
+
     # report
     ok_all = all(ok for _, ok, _, _ in checks)
     rows = "\n".join(
