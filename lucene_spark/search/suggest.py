@@ -155,7 +155,10 @@ def freetext_suggest(
     for ctx_str, cand in levels:
         if seen is not None:
             cand = cand.join(seen, "last_tok", "left_anti")
-        cand = cand.persist()
+        # no persist: each level is a narrow filtered agg over the
+        # model and is recomputed at most once for the seen-set union
+        # (persisting here would leak cache across calls — the same
+        # pattern the round-2 advice flagged in search_after)
         seen = (
             cand.select("last_tok").distinct()
             if seen is None
