@@ -58,7 +58,7 @@ _VIOLATION_SCHEMA = T.StructType(
 )
 
 
-def _decode_checks(has_positions: bool):
+def _decode_checks(has_positions: bool, has_payloads: bool = False):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -104,6 +104,11 @@ def _decode_checks(has_positions: bool):
                             if np.any(np.diff(p) <= 0):
                                 bad("positions_lengths", i, "positions not increasing")
                                 break
+                if has_payloads and pdf["term"].values[i] != NORMS_TERM:
+                    # .pay alignment: one float32 per position
+                    pay_len = len(bytes(pdf["payloads_packed"].values[i]))
+                    if pay_len != 4 * int(freqs.sum()):
+                        bad("payloads_lengths", i, "payload bytes != 4 * Σ freqs")
             yield pd.DataFrame(rows, columns=[f.name for f in _VIOLATION_SCHEMA.fields])
 
     return fn
@@ -127,9 +132,12 @@ def check_index(index: InvertedIndex) -> Dict[str, int]:
         "impact_norms",
         "max_freq",
         "sum_freq",
-    ] + (["positions_packed"] if index.has_positions else [])
+    ] + (["positions_packed"] if index.has_positions else []) + (
+        ["payloads_packed"] if index.has_payloads else []
+    )
     decode_viol = blocks.select(*cols).mapInPandas(
-        _decode_checks(index.has_positions), _VIOLATION_SCHEMA
+        _decode_checks(index.has_positions, index.has_payloads),
+        _VIOLATION_SCHEMA,
     )
 
     # block_chain: within (segment, term), doc ranges ordered by
@@ -191,6 +199,7 @@ def check_index(index: InvertedIndex) -> Dict[str, int]:
         "impacts_cover": decode_counts.get("impacts_cover", 0),
         "term_stats_block": decode_counts.get("term_stats", 0),
         "positions_lengths": decode_counts.get("positions_lengths", 0),
+        "payloads_lengths": decode_counts.get("payloads_lengths", 0),
         "block_chain": int(chain_viol),
         "segment_bounds": int(seg_viol),
         "term_stats": int(stats_viol),

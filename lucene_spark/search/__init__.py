@@ -46,7 +46,13 @@ from lucene_spark.search.rescore import (
     sigmoid,
 )
 from lucene_spark.search.payloads import decode_payloads, payload_score_topk
-from lucene_spark.search.suggest import infix_suggest, prefix_suggest
+from lucene_spark.search.complexphrase import complex_phrase_docs, parse_complex_phrase
+from lucene_spark.search.suggest import (
+    build_freetext_model,
+    freetext_suggest,
+    infix_suggest,
+    prefix_suggest,
+)
 from lucene_spark.search.searcher import IndexSearcher
 from lucene_spark.search.positional import (
     decode_positions,
@@ -80,6 +86,10 @@ __all__ = [
     "sigmoid",
     "decode_payloads",
     "payload_score_topk",
+    "complex_phrase_docs",
+    "parse_complex_phrase",
+    "build_freetext_model",
+    "freetext_suggest",
     "infix_suggest",
     "prefix_suggest",
     "decode_positions",

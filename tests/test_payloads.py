@@ -141,3 +141,12 @@ def test_missing_payload_defaults_zero(spark):
     assert rows[0] == [0.0, 2.0]
     join_rows = decode_payloads(idx, ["join"]).collect()
     assert list(join_rows[0]["payloads"]) == [0.0]
+
+
+def test_checkindex_payload_alignment(spark):
+    from lucene_spark.index.check import check_index
+
+    idx = _build(spark)
+    counts = check_index(idx)
+    assert counts["payloads_lengths"] == 0
+    assert all(v == 0 for k, v in counts.items() if k != "_df")
