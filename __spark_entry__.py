@@ -323,7 +323,7 @@ _DRIVER_PRIORITY = [
     "dfi_topk", "ib_ll_topk",
     "uax29_tokens", "uax29_url_email", "surround_near_match",
     "cjk_bigram_terms", "embedding_hnsw_topk", "freetext_suggest",
-    "complex_phrase_match",
+    "complex_phrase_match", "xml_parse_match",
     # representative green spread (r01/r02 evidence exists; re-affirm)
     "search_with_deletes", "term_topk_after_reclaim",
     "porter_stem_tokens", "english_term_topk",
@@ -607,6 +607,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["classic_parse_match"] = classic_parse_match
+
+    # XML CoreParser dialect end-to-end: same semantics as
+    # classic_parse_match, expressed as a query-DSL tree
+    def xml_parse_match(spark, sf):
+        from lucene_spark.search.xmlparser import xml_parse
+
+        q = xml_parse(
+            """
+<BooleanQuery>
+  <Clause occurs="must">
+    <BooleanQuery>
+      <Clause occurs="should"><TermQuery>hash</TermQuery></Clause>
+      <Clause occurs="should"><TermQuery>sort</TermQuery></Clause>
+    </BooleanQuery>
+  </Clause>
+  <Clause occurs="must"><TermQuery>join</TermQuery></Clause>
+  <Clause occurs="mustNot"><TermQuery>scan</TermQuery></Clause>
+</BooleanQuery>"""
+        )
+        return _const_score_docs(spark, sf, q, k=100)
+
+    out["xml_parse_match"] = xml_parse_match
 
     # hyphenated words are ONE term token (QueryParser.jj _TERM_CHAR),
     # analyzed into a SHOULD group — not hash AND NOT join
@@ -1717,6 +1739,7 @@ WHERE doc_id IN (SELECT doc_id FROM tok WHERE term IN ('hash', 'sort'))
   AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'scan')
 ORDER BY doc_id LIMIT 100
 """
+    out["xml_parse_match"] = out["classic_parse_match"]
     from lucene_spark.search.parity import oracle_combined_field_sql
 
     out["combined_field"] = oracle_combined_field_sql("src1", 1.0, 2.0, k=25)

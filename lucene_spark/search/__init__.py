@@ -38,6 +38,7 @@ from lucene_spark.search.highlight import best_passages
 from lucene_spark.search.queryparser import QueryParseError, parse_query
 from lucene_spark.search.simpleparser import simple_parse
 from lucene_spark.search.surround import surround_parse
+from lucene_spark.search.xmlparser import xml_parse
 from lucene_spark.search.rescore import (
     feature_bm25_topk,
     log_feature,
@@ -72,6 +73,7 @@ __all__ = [
     "parse_query",
     "simple_parse",
     "surround_parse",
+    "xml_parse",
     "SpanNearQuery",
     "collapse_topk",
     "covering_matches",

@@ -262,3 +262,85 @@ def test_complex_phrase_unbalanced_raises(spark):
 
     with _pytest.raises(ValueError):
         parse_complex_phrase("(a b")
+
+
+# --- XML CoreParser dialect ------------------------------------------------
+
+
+def test_xml_parse_tree():
+    from lucene_spark.search.query import (
+        BooleanQuery,
+        BoostQuery,
+        DisjunctionMaxQuery,
+        MatchAllDocsQuery,
+        Occur,
+        SpanNearQuery,
+        TermQuery,
+        TermRangeQuery,
+    )
+    from lucene_spark.search.xmlparser import xml_parse
+
+    q = xml_parse(
+        '<BooleanQuery minimumNumberShouldMatch="1" boost="2.0">'
+        '<Clause occurs="must"><TermQuery>hash</TermQuery></Clause>'
+        '<Clause occurs="should"><TermQuery boost="1.5">join</TermQuery></Clause>'
+        '<Clause occurs="mustNot"><TermQuery>scan</TermQuery></Clause>'
+        "</BooleanQuery>"
+    )
+    assert isinstance(q, BoostQuery) and q.boost == 2.0
+    bq = q.query
+    assert isinstance(bq, BooleanQuery)
+    assert bq.minimum_number_should_match == 1
+    assert [c.occur for c in bq.clauses] == [Occur.MUST, Occur.SHOULD, Occur.MUST_NOT]
+    assert isinstance(bq.clauses[1].query, BoostQuery)
+
+    sn = xml_parse(
+        "<SpanNear slopNum='2' inOrder='true'>"
+        "<SpanTerm>hash</SpanTerm><SpanTerm>join</SpanTerm></SpanNear>"
+    )
+    assert sn == SpanNearQuery(("hash", "join"), slop=2, in_order=True)
+
+    rq = xml_parse("<RangeQuery lowerTerm='merge' upperTerm='sort' includeUpper='false'/>")
+    assert isinstance(rq, TermRangeQuery) and not rq.include_upper
+
+    assert isinstance(xml_parse("<MatchAllDocsQuery/>"), MatchAllDocsQuery)
+    dm = xml_parse(
+        "<DisjunctionMaxQuery tieBreaker='0.3'>"
+        "<TermQuery>a</TermQuery><TermQuery>b</TermQuery></DisjunctionMaxQuery>"
+    )
+    assert isinstance(dm, DisjunctionMaxQuery) and dm.tie_breaker == 0.3
+    # UserQuery = classic parser passthrough
+    uq = xml_parse("<UserQuery>hash AND join</UserQuery>")
+    assert isinstance(uq, BooleanQuery)
+
+
+def test_xml_parse_errors():
+    import pytest as _pytest
+
+    from lucene_spark.search.xmlparser import xml_parse
+
+    with _pytest.raises(ValueError, match="malformed"):
+        xml_parse("<BooleanQuery>")
+    with _pytest.raises(ValueError, match="unsupported"):
+        xml_parse("<NoSuchQuery/>")
+    with _pytest.raises(ValueError, match="occurs"):
+        xml_parse(
+            "<BooleanQuery><Clause occurs='perhaps'><TermQuery>x</TermQuery>"
+            "</Clause></BooleanQuery>"
+        )
+    with _pytest.raises(ValueError, match="slopNum"):
+        xml_parse("<SpanNear><SpanTerm>a</SpanTerm><SpanTerm>b</SpanTerm></SpanNear>")
+
+
+def test_xml_query_executes(spark, documents):
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search.xmlparser import xml_parse
+
+    idx = InvertedIndex.build(documents, analyzer="simple", docs_per_segment=256)
+    q = xml_parse(
+        "<BooleanQuery><Clause occurs='must'><TermQuery>hash</TermQuery></Clause>"
+        "<Clause occurs='mustNot'><TermQuery>scan</TermQuery></Clause></BooleanQuery>"
+    )
+    rows = IndexSearcher(idx).search(q, k=10).collect()
+    assert rows and all(r["score"] > 0 for r in rows)
