@@ -110,25 +110,33 @@ _KANA_NORM = [
 
 def cjk_width_fold(text: str) -> str:
     """Fullwidth ASCII → Latin; halfwidth Katakana → standard, with
-    voiced-mark composition (NFC). Char-level, so it can run before
-    tokenization (`cjk/CJKWidthCharFilter.java` placement)."""
-    out = []
-    dirty = False
+    voiced-mark composition. Char-level, so it can run before
+    tokenization (`cjk/CJKWidthCharFilter.java` placement).
+
+    Composition is applied ONLY to the kana + combining-voiced-mark
+    pairs this fold itself produced — exactly the filter's
+    dakuten/handakuten table (NFC of the pair). A whole-text NFC would
+    also normalize unrelated characters, making identical inputs index
+    differently depending on whether they happen to contain halfwidth
+    kana."""
+    out: list = []
     for ch in text:
         cp = ord(ch)
         if 0xFF01 <= cp <= 0xFF5E:
             out.append(chr(cp - 0xFEE0))
-        elif 0xFF65 <= cp <= 0xFF9F:
-            out.append(chr(_KANA_NORM[cp - 0xFF65]))
-            dirty = True
-        elif cp == 0x3000:  # ideographic space → space
+            continue
+        if cp == 0x3000:  # ideographic space → space
             out.append(" ")
-        else:
-            out.append(ch)
-    folded = "".join(out)
-    # compose ka + U+3099 → ga etc.; NFC's canonical compositions are
-    # exactly the filter's dakuten/handakuten table
-    return unicodedata.normalize("NFC", folded) if dirty else folded
+            continue
+        if 0xFF65 <= cp <= 0xFF9F:
+            ch = chr(_KANA_NORM[cp - 0xFF65])
+            if ch in ("\u3099", "\u309A") and out:
+                composed = unicodedata.normalize("NFC", out[-1] + ch)
+                if len(composed) == 1:
+                    out[-1] = composed
+                    continue
+        out.append(ch)
+    return "".join(out)
 
 
 def cjk_bigram_tokens(

@@ -75,6 +75,11 @@ def _with_deletes(index: InvertedIndex, new_ids: DataFrame) -> InvertedIndex:
 
     Only ids that exist in the index count toward num_deleted (Lucene's
     tryDeleteDocument returns -1 for absent docs).
+
+    Invariant maintained: the hard and soft sets stay DISJOINT — a
+    hard delete of a soft-deleted doc hardens it (drops it from the
+    soft set; it is no longer revivable), so num_docs never
+    double-subtracts a doc hidden by both.
     """
     ids = new_ids.select(F.col("doc_id").cast("long").alias("doc_id")).join(
         index.norms.select("doc_id"), "doc_id", "semi"
@@ -101,8 +106,16 @@ def _with_deletes(index: InvertedIndex, new_ids: DataFrame) -> InvertedIndex:
     )
     out.deletes = dels
     out.num_deleted = int(n)
-    out.soft_deletes = index.soft_deletes
-    out.num_soft_deleted = index.num_soft_deleted
+    soft = index.soft_deletes
+    if soft is not None and index.num_soft_deleted > 0:
+        remaining = soft.join(dels, "doc_id", "left_anti").persist()
+        n_soft = int(remaining.count())
+        soft.unpersist()
+        if n_soft == 0:
+            remaining.unpersist()
+            out.soft_deletes, out.num_soft_deleted = None, 0
+        else:
+            out.soft_deletes, out.num_soft_deleted = remaining, n_soft
     return out
 
 
@@ -416,7 +429,12 @@ def apply_deletes(
 
 
 def soft_delete_by_ids(index: InvertedIndex, doc_ids) -> InvertedIndex:
-    """Soft-delete explicit doc_ids (list or DataFrame with doc_id)."""
+    """Soft-delete explicit doc_ids (list or DataFrame with doc_id).
+
+    Ids already hard-tombstoned are skipped (a tombstone cannot become
+    revivable — the disjoint-sets invariant of `_with_deletes`);
+    the superseded soft set's cache is released once the new set is
+    materialized."""
     if isinstance(doc_ids, DataFrame):
         ids = doc_ids.select("doc_id")
     else:
@@ -426,9 +444,14 @@ def soft_delete_by_ids(index: InvertedIndex, doc_ids) -> InvertedIndex:
     ids = ids.select(F.col("doc_id").cast("long").alias("doc_id")).join(
         index.norms.select("doc_id"), "doc_id", "semi"
     )
+    if index.deletes is not None and index.num_deleted > 0:
+        ids = ids.join(index.deletes.select("doc_id"), "doc_id", "left_anti")
     cur = index.soft_deletes
     soft = (ids if cur is None else cur.unionByName(ids)).distinct()
-    return _with_soft(index, soft)
+    out = _with_soft(index, soft)  # persists + counts the new set
+    if cur is not None:
+        cur.unpersist()
+    return out
 
 
 def soft_delete_by_query(index: InvertedIndex, query) -> InvertedIndex:

@@ -27,7 +27,7 @@ from lucene_spark.search.query import (
     FuzzyQuery,
     TooManyClauses,
     WildcardQuery,
-    _MAX_CLAUSE_COUNT,
+    probe_term_set,
 )
 from lucene_spark.search.spans import span_near_multi_docs
 
@@ -67,7 +67,9 @@ def parse_complex_phrase(phrase: str) -> List[List[str]]:
 
 
 def _expand_element(index: InvertedIndex, el: str) -> List[str]:
-    """One raw phrase element → matching dictionary terms (bounded)."""
+    """One raw phrase element → matching dictionary terms, via the
+    SAME bounded probe the multi-term rewrite uses
+    (:func:`lucene_spark.search.query.probe_term_set`)."""
     m = _FUZZY.match(el)
     if m and not ("*" in el or "?" in el):
         q = FuzzyQuery(m.group("t"), max_edits=int(m.group("n") or 2))
@@ -75,15 +77,12 @@ def _expand_element(index: InvertedIndex, el: str) -> List[str]:
         q = WildcardQuery(el)
     else:
         return [el]
-    cap = _MAX_CLAUSE_COUNT
-    rows = (
-        index.terms.filter(q.term_filter()).select("term").limit(cap + 1).collect()
-    )
-    if len(rows) > cap:
+    matched = probe_term_set(q, index.terms)
+    if matched is None:
         raise TooManyClauses(
-            f"complex-phrase element {el!r} matched > {cap} terms"
+            f"complex-phrase element {el!r} matched > maxClauseCount terms"
         )
-    return sorted(r["term"] for r in rows)
+    return sorted(matched)
 
 
 def complex_phrase_docs(

@@ -232,7 +232,6 @@ def hnsw_topk(
     query_vec,
     k: int = 10,
     ef: Optional[int] = None,
-    dim: Optional[int] = None,
 ) -> DataFrame:
     """KnnFloatVectorQuery analog: search every segment graph
     (mapInPandas over the graph rows), then merge with one global
@@ -265,9 +264,16 @@ def hnsw_topk(
                     normed, g["neighbors"], q32, eps, ef, 0
                 )
                 cand = np.asarray(cand[: max(ef, k)], dtype=np.int64)
-                # exact float64 cosine over raw vectors for the merge
+                # exact float64 cosine over raw vectors for the merge;
+                # zero-norm vectors (or query) score 0, never NaN —
+                # Spark orders NaN above every double, which would
+                # rank a zero vector first
                 v64 = raw[cand].astype(np.float64)
-                cos = (v64 @ q64) / (np.linalg.norm(v64, axis=1) * qn)
+                den = np.linalg.norm(v64, axis=1) * qn
+                dots = v64 @ q64
+                cos = np.divide(
+                    dots, den, out=np.zeros_like(dots), where=den != 0
+                )
                 outs.append(pd.DataFrame({"vec_id": ids[cand], "cos": cos}))
             if outs:
                 yield pd.concat(outs, ignore_index=True)

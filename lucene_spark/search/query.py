@@ -46,6 +46,7 @@ __all__ = [
     "MultiTermFilterDocsQuery",
     "TooManyClauses",
     "rewrite",
+    "probe_term_set",
     "get_max_clause_count",
     "set_max_clause_count",
 ]
@@ -322,13 +323,28 @@ class PhraseQuery(Query):
 class SpanNearQuery(Query):
     """SpanNear over term clauses (`queries/spans/SpanNearQuery.java`):
     docs with a window of the terms at width-minus-terms <= slop,
-    strictly ordered when ``in_order``. Evaluated via
-    :func:`lucene_spark.search.spans.span_near_docs` (constant-score
-    match semantics, like the span gates)."""
+    strictly ordered when ``in_order``. Each element of ``terms`` is a
+    term string, or a tuple of alternative terms for that slot (a
+    SpanOr clause, `queries/spans/SpanOrQuery.java`). Evaluated via
+    :func:`lucene_spark.search.spans.span_near_docs` /
+    ``span_near_multi_docs`` (constant-score match semantics, like the
+    span gates)."""
 
     terms: tuple
     slop: int = 0
     in_order: bool = True
+
+    @property
+    def slot_lists(self):
+        """terms normalized to one list of alternatives per slot."""
+        return [
+            list(t) if isinstance(t, (tuple, list)) else [t]
+            for t in self.terms
+        ]
+
+    @property
+    def has_multi_slots(self) -> bool:
+        return any(isinstance(t, (tuple, list)) for t in self.terms)
 
 
 # --- rewrite ---------------------------------------------------------------
@@ -343,12 +359,14 @@ def rewrite(query: Query, terms_df: Optional[DataFrame] = None) -> Query:
     return query
 
 
-def _expand_terms(q: MultiTermQuery, terms_df: DataFrame) -> Query:
-    """Multi-term rewrite with the maxClauseCount guard.
+def probe_term_set(q: MultiTermQuery, terms_df: DataFrame):
+    """Bounded dictionary probe shared by every multi-term consumer
+    (rewrite, complex phrases): collect at most cap+1 matching terms.
 
-    The probe collect is BOUNDED at cap+1 rows regardless of how many
-    dictionary terms match, so rewriting never ships an unbounded term
-    list to the driver."""
+    Returns the matched list, or None when MORE than maxClauseCount
+    matched (callers choose the distributed route or raise). The
+    collect is BOUNDED at cap+1 rows regardless of dictionary size, so
+    no caller ever ships an unbounded term list to the driver."""
     cap = _MAX_CLAUSE_COUNT
     matched = [
         r["term"]
@@ -357,9 +375,16 @@ def _expand_terms(q: MultiTermQuery, terms_df: DataFrame) -> Query:
         .limit(cap + 1)
         .collect()
     ]
-    if not matched:
+    return None if len(matched) > cap else matched
+
+
+def _expand_terms(q: MultiTermQuery, terms_df: DataFrame) -> Query:
+    """Multi-term rewrite with the maxClauseCount guard."""
+    cap = _MAX_CLAUSE_COUNT
+    matched = probe_term_set(q, terms_df)
+    if matched is not None and not matched:
         return MatchNoDocsQuery("no matching terms")
-    if len(matched) > cap:
+    if matched is None:
         if q.rewrite_method in ("constant_score_boolean", "scoring_boolean"):
             raise TooManyClauses(
                 f"multi-term query matched > {cap} terms under "

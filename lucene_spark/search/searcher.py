@@ -483,8 +483,15 @@ class IndexSearcher:
 
             return phrase_freqs(self.index, list(q.terms), slop=q.slop).select("doc_id")
         if isinstance(q, SpanNearQuery):
-            from lucene_spark.search.spans import span_near_docs
+            from lucene_spark.search.spans import (
+                span_near_docs,
+                span_near_multi_docs,
+            )
 
+            if q.has_multi_slots:
+                return span_near_multi_docs(
+                    self.index, q.slot_lists, q.slop, q.in_order
+                )
             return span_near_docs(
                 self.index, list(q.terms), q.slop, q.in_order
             )

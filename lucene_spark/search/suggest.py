@@ -111,27 +111,42 @@ def freetext_suggest(
     Returns (suggestion, score): full completions (context + token),
     score desc / suggestion asc, limit k.
     """
-    max_order = model.agg(F.max("ord")).collect()[0][0] or 1
+    # one agg for (max order, unigram total), one bounded collect for
+    # every context gram's count — not one job per level (the model is
+    # deliberately unpersisted, so each extra job would recompute the
+    # full 1..n-gram aggregation)
+    stats = model.agg(
+        F.max("ord").alias("mo"),
+        F.sum(F.when(F.col("ord") == 1, F.col("cnt"))).alias("tot"),
+    ).collect()[0]
+    max_order = int(stats["mo"] or 1)
+    tot = int(stats["tot"] or 1)
     parts = key.split(" ")
     prefix = parts[-1]
     context_all = [t for t in parts[:-1] if t]
-    tot = (
-        model.filter(F.col("ord") == 1).agg(F.sum("cnt")).collect()[0][0] or 1
-    )
+
+    top_g = min(max_order - 1, len(context_all))
+    ctx_of = {
+        g: " ".join(context_all[len(context_all) - g :])
+        for g in range(1, top_g + 1)
+    }
+    ctx_counts = {}
+    if ctx_of:
+        for r in model.filter(
+            F.col("gram").isin(list(ctx_of.values()))
+        ).collect():
+            ctx_counts[(int(r["ord"]), r["gram"])] = int(r["cnt"])
 
     levels = []
     backoff = 1.0
-    for g in range(min(max_order - 1, len(context_all)), -1, -1):
-        ctx = context_all[len(context_all) - g :]
-        ctx_str = " ".join(ctx)
+    for g in range(top_g, -1, -1):
+        ctx_str = ctx_of.get(g, "")
         if g > 0:
-            row = model.filter(
-                (F.col("ord") == g) & (F.col("gram") == ctx_str)
-            ).collect()
-            if not row:
+            denom_i = ctx_counts.get((g, ctx_str))
+            if denom_i is None:
                 backoff *= alpha
                 continue
-            denom = float(row[0]["cnt"])
+            denom = float(denom_i)
             gram_prefix = ctx_str + " " + prefix
         else:
             denom = float(tot)

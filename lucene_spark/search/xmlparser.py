@@ -67,18 +67,30 @@ def _boost(e: ET.Element, q: Query) -> Query:
     return BoostQuery(q, b) if b != 1.0 else q
 
 
-def _span_terms(e: ET.Element) -> list:
-    """Flatten SpanTerm leaves of a span element (SpanOr nesting ok)."""
+def _span_slot(e: ET.Element):
+    """One span child element → a SpanNear slot: a single term string
+    (SpanTerm) or a tuple of alternative terms (SpanOr/SpanOrTerms).
+    A SpanOr is ONE slot of alternatives — flattening it into separate
+    clauses would turn alternation into conjunction."""
     tag = e.tag
     if tag == "SpanTerm":
-        return [(e.text or "").strip()]
-    if tag in ("SpanOr", "SpanNear"):
-        out = []
+        return (e.text or "").strip()
+    if tag == "SpanOr":
+        alts = []
         for c in e:
-            out.extend(_span_terms(c))
-        return out
+            s = _span_slot(c)
+            if isinstance(s, tuple):
+                alts.extend(s)
+            else:
+                alts.append(s)
+        if not alts:
+            raise ValueError("empty <SpanOr>")
+        return tuple(alts)
     if tag == "SpanOrTerms":
-        return (e.text or "").split()
+        toks = (e.text or "").split()
+        if not toks:
+            raise ValueError("empty <SpanOrTerms>")
+        return tuple(toks)
     raise ValueError(f"unsupported span element <{tag}>")
 
 
@@ -136,11 +148,8 @@ def _build(e: ET.Element) -> Query:
         slop_attr = e.get("slopNum", e.get("slop"))
         if slop_attr is None:
             raise ValueError("SpanNear requires a slopNum attribute")
-        terms = []
-        for c in e:
-            terms.extend(_span_terms(c))
         return SpanNearQuery(
-            tuple(terms),
+            tuple(_span_slot(c) for c in e),
             slop=int(slop_attr),
             in_order=e.get("inOrder", "false").lower() == "true",
         )

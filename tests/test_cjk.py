@@ -89,3 +89,12 @@ def test_build_and_search_cjk(spark):
         for r in IndexSearcher(idx).search(TermQuery("京タ"), k=10).collect()
     }
     assert tower == {0}
+
+
+def test_width_fold_does_not_normalize_unrelated_text():
+    """Composition touches only the kana+voiced-mark pairs the fold
+    produced; pre-decomposed Latin stays byte-identical whether or not
+    halfwidth kana is present (review finding)."""
+    decomposed = "cafe\u0301"  # e + combining acute, NOT U+00E9
+    assert cjk_width_fold(decomposed) == decomposed
+    assert cjk_width_fold(decomposed + " \uff8a\uff9e") == decomposed + " \u30d0"

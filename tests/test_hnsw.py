@@ -78,3 +78,20 @@ def test_graphs_persist_roundtrip(spark, emb, tmp_path):
     q = [float(np.sin(i)) for i in range(16)]
     got = [(r["vec_id"], r["cos"]) for r in hnsw_topk(loaded, q, k=10, ef=128).collect()]
     assert got == _brute(emb, q, 10)
+
+
+def test_zero_vectors_score_zero_not_nan(spark):
+    """Zero-norm embeddings must score 0.0, not NaN (Spark sorts NaN
+    above every double — a NaN would rank first; review finding)."""
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2],
+            "embedding": [[0.0] * 8, [1.0] * 8, [0.5] * 8],
+        }
+    )
+    emb0 = spark.createDataFrame(pdf)
+    graphs = build_hnsw_segments(emb0, rows_per_segment=10, m=4, beam_width=16)
+    rows = hnsw_topk(graphs, [1.0] * 8, k=3, ef=16).collect()
+    by_id = {r["vec_id"]: r["cos"] for r in rows}
+    assert by_id[0] == 0.0
+    assert rows[0]["vec_id"] in (1, 2) and rows[0]["cos"] == 1.0

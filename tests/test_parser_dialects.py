@@ -344,3 +344,39 @@ def test_xml_query_executes(spark, documents):
     )
     rows = IndexSearcher(idx).search(q, k=10).collect()
     assert rows and all(r["score"] > 0 for r in rows)
+
+
+def test_xml_spanor_is_one_slot(spark):
+    """<SpanOr> inside <SpanNear> is ONE slot of alternatives, not
+    extra conjunctive clauses (review finding)."""
+    import pandas as pd
+
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search.query import SpanNearQuery
+    from lucene_spark.search.xmlparser import xml_parse
+
+    q = xml_parse(
+        "<SpanNear slopNum='0' inOrder='true'>"
+        "<SpanOr><SpanTerm>fast</SpanTerm><SpanTerm>slow</SpanTerm></SpanOr>"
+        "<SpanTerm>join</SpanTerm></SpanNear>"
+    )
+    assert q == SpanNearQuery((("fast", "slow"), "join"), slop=0, in_order=True)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(4),
+                "text": [
+                    "slow join now",     # matches (slow join), no 'fast'
+                    "fast join here",    # matches (fast join)
+                    "fast slow merge",   # no 'join' adjacency
+                    "join fast",         # wrong order
+                ],
+            }
+        )
+    )
+    idx = InvertedIndex.build(
+        docs, analyzer="simple", docs_per_segment=4, positions=True
+    )
+    got = sorted(r["doc_id"] for r in IndexSearcher(idx).search(q, k=10).collect())
+    assert got == [0, 1]

@@ -111,3 +111,23 @@ def test_prune_all_then_save_load(spark, tmp_path):
     assert _hits(loaded, "scan") == _hits(idx, "scan") - {2, 7}
     hardened = prune_soft_deletes(loaded)
     assert hardened.num_soft_deleted == 0 and hardened.num_deleted == 2
+
+
+def test_hard_and_soft_sets_stay_disjoint(spark):
+    """A doc in both sets must count once (hard wins; review finding)."""
+    idx = _index(spark)
+    base = idx.num_docs
+    # soft then hard: hard delete hardens the soft entry
+    both = delete_by_ids(soft_delete_by_ids(idx, [0, 2]), [2, 5])
+    assert both.num_deleted == 2 and both.num_soft_deleted == 1
+    assert both.num_docs == base - 3
+    # hard then soft: soft-deleting a tombstone is a no-op for that id
+    both2 = soft_delete_by_ids(delete_by_ids(idx, [1]), [1, 3])
+    assert both2.num_deleted == 1 and both2.num_soft_deleted == 1
+    assert both2.num_docs == base - 2
+    # reclaim after overlap: no stranded revivable entries
+    reclaimed = apply_deletes(both)
+    assert reclaimed.num_soft_deleted == 1
+    assert 2 not in {
+        r["doc_id"] for r in (reclaimed.soft_deletes or reclaimed.norms.limit(0)).collect()
+    }
