@@ -77,49 +77,69 @@ _FREQ_SCHEMA = T.StructType(
 )
 
 
+_PAY_SCHEMA = T.StructType(
+    _POS_SCHEMA.fields
+    + [T.StructField("payloads", T.ArrayType(T.FloatType()), False)]
+)
+
+
 def decode_positions(
-    index: InvertedIndex, terms: List[str], doc_range=None
+    index: InvertedIndex,
+    terms: List[str],
+    doc_range=None,
+    with_payloads: bool = False,
 ) -> DataFrame:
-    """Decode (doc_id, term, freq, norm, positions) for the given terms.
+    """Decode (doc_id, term, freq, norm, positions[, payloads]) for the
+    given terms — the single posting-block read path every positional
+    consumer shares (phrases, spans, rescore, payload scoring).
 
     ``doc_range=(lo, hi)`` prunes posting blocks whose
     [first_doc, max_doc] does not overlap the range BEFORE the Python
     decode — the skip-list advance (`Lucene103PostingsReader` skip
     data) for consumers that only need a docID window (e.g. rescoring
-    a first-pass top-N)."""
+    a first-pass top-N). ``with_payloads=True`` (PostingsEnum's
+    PAYLOADS flag) adds the per-position float32 payload arrays."""
     if not index.has_positions:
         raise ValueError("index was built without positions=True")
+    if with_payloads and not index.has_payloads:
+        raise ValueError("index was built without payloads=True")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
-            for term, docs_b, freqs_b, norms_b, pos_b in zip(
-                pdf["term"].values,
-                pdf["docs_packed"].values,
-                pdf["freqs_packed"].values,
-                pdf["norms_raw"].values,
-                pdf["positions_packed"].values,
-            ):
-                docs = delta_decode(for_decode(bytes(docs_b)))
-                freqs = pfor_decode(bytes(freqs_b))
-                norms = np.frombuffer(bytes(norms_b), dtype=np.uint8).astype(np.int32)
-                stream = for_decode_stream(bytes(pos_b))
+            for i in range(len(pdf)):
+                term = pdf["term"].values[i]
+                docs = delta_decode(
+                    for_decode(bytes(pdf["docs_packed"].values[i]))
+                )
+                freqs = pfor_decode(bytes(pdf["freqs_packed"].values[i]))
+                norms = np.frombuffer(
+                    bytes(pdf["norms_raw"].values[i]), dtype=np.uint8
+                ).astype(np.int32)
+                stream = for_decode_stream(
+                    bytes(pdf["positions_packed"].values[i])
+                )
                 bounds = np.cumsum(freqs)[:-1]
                 positions = [
                     np.cumsum(chunk).astype(np.int32)
                     for chunk in np.split(stream, bounds)
                 ]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "doc_id": docs,
-                            "term": term,
-                            "freq": freqs.astype(np.int32),
-                            "norm": norms,
-                            "positions": positions,
-                        }
-                    )
+                out = pd.DataFrame(
+                    {
+                        "doc_id": docs,
+                        "term": term,
+                        "freq": freqs.astype(np.int32),
+                        "norm": norms,
+                        "positions": positions,
+                    }
                 )
+                if with_payloads:
+                    pay = np.frombuffer(
+                        bytes(pdf["payloads_packed"].values[i]),
+                        dtype=np.float32,
+                    )
+                    out["payloads"] = list(np.split(pay, bounds))
+                outs.append(out)
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
@@ -129,9 +149,12 @@ def decode_positions(
         blocks = blocks.filter(
             (F.col("max_doc") >= int(lo)) & (F.col("first_doc") <= int(hi))
         )
-    decoded = blocks.select(
-        "term", "docs_packed", "freqs_packed", "norms_raw", "positions_packed"
-    ).mapInPandas(fn, _POS_SCHEMA)
+    cols = ["term", "docs_packed", "freqs_packed", "norms_raw", "positions_packed"]
+    if with_payloads:
+        cols.append("payloads_packed")
+    decoded = blocks.select(*cols).mapInPandas(
+        fn, _PAY_SCHEMA if with_payloads else _POS_SCHEMA
+    )
     if doc_range is not None:
         decoded = decoded.filter(
             (F.col("doc_id") >= int(lo)) & (F.col("doc_id") <= int(hi))
