@@ -323,7 +323,7 @@ _DRIVER_PRIORITY = [
     "dfi_topk", "ib_ll_topk",
     "uax29_tokens", "uax29_url_email", "surround_near_match",
     "cjk_bigram_terms", "embedding_hnsw_topk", "freetext_suggest",
-    "complex_phrase_match", "xml_parse_match",
+    "complex_phrase_match", "xml_parse_match", "span_not_match",
     # representative green spread (r01/r02 evidence exists; re-affirm)
     "search_with_deletes", "term_topk_after_reclaim",
     "porter_stem_tokens", "english_term_topk",
@@ -528,6 +528,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["complex_phrase_match"] = complex_phrase_match
+
+    # SpanNotQuery: ordered "hash join" spans with no 'fast' within
+    # one token before/after the span window
+    def span_not_match(spark, sf):
+        from lucene_spark.search.spans import span_not_docs
+
+        return (
+            span_not_docs(
+                _index(spark, sf), [["hash"], ["join"]], ["fast"], pre=1, post=1
+            )
+            .select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id")
+            .limit(200)
+        )
+
+    out["span_not_match"] = span_not_match
 
     # --- pluggable similarities: same index, swapped scoring formula
     for _gate, _sim_f in _SIMILARITY_GATES.items():
@@ -2181,6 +2197,29 @@ WHERE doc_id % 3 = 0 ORDER BY doc_id LIMIT 2000
         + "\nUNION ALL ".join(_url_parts)
         + "\nORDER BY doc_id, pos"
     )
+
+    # span window [i, i+2); exclusion widened by pre=1/post=1 → a
+    # 'fast' at any position p with p+1 > i-1 and p < i+3 kills it
+    out["span_not_match"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+m AS (
+  SELECT doc_id, i
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i)
+  WHERE l[i] = 'hash' AND l[i + 1] = 'join'
+),
+ok AS (
+  SELECT m.doc_id, m.i FROM m JOIN toks USING (doc_id)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM (SELECT unnest(generate_series(1, len(toks.l))) AS p)
+    WHERE toks.l[p] = 'fast' AND p + 1 > m.i - 1 AND p < m.i + 3
+  )
+)
+SELECT DISTINCT doc_id, 1.0 AS score FROM ok
+ORDER BY doc_id LIMIT 200
+"""
 
     out["complex_phrase_match"] = """
 WITH toks AS (

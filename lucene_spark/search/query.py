@@ -43,6 +43,7 @@ __all__ = [
     "TermRangeQuery",
     "PhraseQuery",
     "SpanNearQuery",
+    "SpanNotQuery",
     "MultiTermFilterDocsQuery",
     "TooManyClauses",
     "rewrite",
@@ -345,6 +346,20 @@ class SpanNearQuery(Query):
     @property
     def has_multi_slots(self) -> bool:
         return any(isinstance(t, (tuple, list)) for t in self.terms)
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(Query):
+    """SpanNot (`queries/spans/SpanNotQuery.java:34-71`): include
+    SpanNear matches with no exclude-term occurrence overlapping the
+    span widened by ``pre`` tokens before / ``post`` after. Evaluated
+    via :func:`lucene_spark.search.spans.span_not_docs`
+    (constant-score match semantics)."""
+
+    include: SpanNearQuery
+    exclude_terms: tuple
+    pre: int = 0
+    post: int = 0
 
 
 # --- rewrite ---------------------------------------------------------------

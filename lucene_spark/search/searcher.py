@@ -63,6 +63,7 @@ from lucene_spark.search.query import (
     PhraseQuery,
     Query,
     SpanNearQuery,
+    SpanNotQuery,
     TermQuery,
     rewrite,
 )
@@ -495,6 +496,18 @@ class IndexSearcher:
             return span_near_docs(
                 self.index, list(q.terms), q.slop, q.in_order
             )
+        if isinstance(q, SpanNotQuery):
+            from lucene_spark.search.spans import span_not_docs
+
+            return span_not_docs(
+                self.index,
+                q.include.slot_lists,
+                list(q.exclude_terms),
+                q.include.slop,
+                q.include.in_order,
+                pre=q.pre,
+                post=q.post,
+            )
         if isinstance(q, DisjunctionMaxQuery):
             union = None
             for sub in q.queries:
@@ -558,7 +571,7 @@ class IndexSearcher:
         if isinstance(q, ConstantScoreQuery):
             docs = self._matching_docs(q.query, ctx).distinct()
             return docs.select("doc_id", F.lit(float(np.float32(boost))).alias("score"))
-        if isinstance(q, SpanNearQuery):
+        if isinstance(q, (SpanNearQuery, SpanNotQuery)):
             # span match set, constant-scored (the span gates' semantics)
             docs = self._matching_docs(q, ctx).distinct()
             return docs.select("doc_id", F.lit(float(np.float32(boost))).alias("score"))

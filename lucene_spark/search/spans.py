@@ -24,14 +24,14 @@ join never blows up. No Python in the matching path.
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 from pyspark.sql import DataFrame, functions as F
 
 from lucene_spark.index.builder import InvertedIndex
 from lucene_spark.search.positional import decode_positions
 
-__all__ = ["span_near_docs", "span_near_multi_docs", "span_first_docs"]
+__all__ = ["span_near_docs", "span_near_multi_docs", "span_not_docs", "span_first_docs"]
 
 
 def _live(index: InvertedIndex, docs: DataFrame) -> DataFrame:
@@ -121,6 +121,88 @@ def span_near_multi_docs(
                 joined = joined.filter(pcols[i] != pcols[j])
         width = F.greatest(*pcols) - F.least(*pcols) + 1 - n
     return _live(index, joined.filter(width <= slop).select("doc_id").distinct())
+
+
+def _near_match_windows(
+    index: InvertedIndex, slot_terms: List[List[str]], slop: int, in_order: bool
+) -> Optional[DataFrame]:
+    """(doc_id, start, end) of every SpanNear match window — the span
+    positions SpanNotQuery needs (end is exclusive, Lucene's span
+    convention). None when a slot has no matching terms."""
+    n = len(slot_terms)
+    slots = []
+    for i, terms in enumerate(slot_terms):
+        if not terms:
+            return None
+        slots.append(
+            decode_positions(index, list(terms)).select(
+                "doc_id", F.explode("positions").alias(f"p{i}")
+            )
+        )
+    if n == 1:
+        return slots[0].select(
+            "doc_id",
+            F.col("p0").alias("start"),
+            (F.col("p0") + 1).alias("end"),
+        )
+    joined = slots[0]
+    for i in range(1, n):
+        joined = joined.join(slots[i], "doc_id")
+        if in_order:
+            joined = joined.filter(F.col(f"p{i}") > F.col(f"p{i-1}"))
+    pcols = [F.col(f"p{i}") for i in range(n)]
+    if in_order:
+        start, top = pcols[0], pcols[-1]
+    else:
+        for i in range(n):
+            for j in range(i + 1, n):
+                joined = joined.filter(pcols[i] != pcols[j])
+        start, top = F.least(*pcols), F.greatest(*pcols)
+    width = top - start + 1 - n
+    return joined.filter(width <= slop).select(
+        "doc_id", start.alias("start"), (top + 1).alias("end")
+    )
+
+
+def span_not_docs(
+    index: InvertedIndex,
+    include_slots: List[List[str]],
+    exclude_terms: List[str],
+    slop: int = 0,
+    in_order: bool = True,
+    pre: int = 0,
+    post: int = 0,
+) -> DataFrame:
+    """SpanNotQuery (`queries/spans/SpanNotQuery.java:34-71`): docs
+    with an include SpanNear match that does NOT overlap any exclude
+    term occurrence within ``pre`` tokens before or ``post`` tokens
+    after the include span (negative pre/post permit partial overlap,
+    as in the reference).
+
+    Plan: include windows (doc_id, start, end) left-anti-joined
+    against exploded exclude positions on doc_id plus the overlap
+    range predicate — Catalyst extracts the doc_id equi-key, so the
+    join hashes on docs and the range test runs in codegen.
+    """
+    inc = _near_match_windows(index, include_slots, slop, in_order)
+    if inc is None:
+        return index.spark.createDataFrame([], "doc_id long")
+    exc = (
+        decode_positions(index, list(set(exclude_terms)))
+        .select("doc_id", F.explode("positions").alias("pe"))
+        .withColumnRenamed("doc_id", "e_doc")
+    )
+    # width-1 exclude span [pe, pe+1) overlaps the widened include
+    # window [start - pre, end + post) iff pe >= start - pre - 0 is
+    # wrong at the left edge: overlap requires pe + 1 > start - pre
+    # and pe < end + post
+    cond = (
+        (F.col("e_doc") == F.col("doc_id"))
+        & (F.col("pe") + 1 > F.col("start") - F.lit(int(pre)))
+        & (F.col("pe") < F.col("end") + F.lit(int(post)))
+    )
+    survivors = inc.join(exc, cond, "left_anti")
+    return _live(index, survivors.select("doc_id").distinct())
 
 
 def span_first_docs(index: InvertedIndex, term: str, end: int) -> DataFrame:

@@ -25,6 +25,8 @@ element                   maps to
 ``SpanOr`` / ``SpanNear`` SpanNearQuery over SpanTerm leaves; ``slop``
                           (SpanNear's required attribute),
                           ``inOrder`` (default false, as the builder's)
+``SpanNot``               Include SpanNear minus Exclude span terms;
+                          ``pre``/``post`` widen the exclusion window
 ``UserQuery``             classic QueryParser passthrough
                           (`UserInputQueryBuilder`)
 ========================  =================================================
@@ -48,6 +50,7 @@ from lucene_spark.search.query import (
     Occur,
     Query,
     SpanNearQuery,
+    SpanNotQuery,
     TermQuery,
     TermRangeQuery,
 )
@@ -152,6 +155,24 @@ def _build(e: ET.Element) -> Query:
             tuple(_span_slot(c) for c in e),
             slop=int(slop_attr),
             in_order=e.get("inOrder", "false").lower() == "true",
+        )
+    if tag == "SpanNot":
+        inc = [c for c in e if c.tag == "Include"]
+        exc = [c for c in e if c.tag == "Exclude"]
+        if len(inc) != 1 or len(exc) != 1:
+            raise ValueError("SpanNot needs one <Include> and one <Exclude>")
+        inc_q = [_build(c) for c in inc[0]]
+        if len(inc_q) != 1 or not isinstance(inc_q[0], SpanNearQuery):
+            raise ValueError("SpanNot <Include> must hold one SpanNear")
+        exc_terms = []
+        for c in exc[0]:
+            slot = _span_slot(c)
+            exc_terms.extend(slot if isinstance(slot, tuple) else (slot,))
+        return SpanNotQuery(
+            include=inc_q[0],
+            exclude_terms=tuple(exc_terms),
+            pre=int(e.get("pre", "0")),
+            post=int(e.get("post", "0")),
         )
     if tag == "UserQuery":
         from lucene_spark.search.queryparser import parse_query

@@ -144,3 +144,70 @@ def test_filtered_knn_restricts_candidates(spark):
     # scores descending, ties by id
     cos = [r["cos"] for r in hits]
     assert cos == sorted(cos, reverse=True)
+
+
+# --- SpanNotQuery ----------------------------------------------------------
+
+
+def test_span_not(spark):
+    import pandas as pd
+
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search.query import SpanNearQuery, SpanNotQuery
+    from lucene_spark.search.spans import span_not_docs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(5),
+                "text": [
+                    "hash join slow",      # include at [0,2), no fast
+                    "fast hash join",      # fast 1 token before -> pre=1 kills
+                    "hash join fast",      # fast right after -> post=1 kills
+                    "hash join x fast",    # fast outside the widened window
+                    "hash fast join",      # no adjacent include match
+                ],
+            }
+        )
+    )
+    idx = InvertedIndex.build(
+        docs, analyzer="simple", docs_per_segment=8, positions=True
+    )
+    slots = [["hash"], ["join"]]
+    base = sorted(
+        r["doc_id"] for r in span_not_docs(idx, slots, ["fast"]).collect()
+    )
+    assert base == [0, 1, 2, 3]  # zero-width exclusion never overlaps
+    tight = sorted(
+        r["doc_id"]
+        for r in span_not_docs(idx, slots, ["fast"], pre=1, post=1).collect()
+    )
+    assert tight == [0, 3]
+    # through the query node + searcher
+    q = SpanNotQuery(
+        include=SpanNearQuery(("hash", "join"), slop=0, in_order=True),
+        exclude_terms=("fast",),
+        pre=1,
+        post=1,
+    )
+    got = sorted(r["doc_id"] for r in IndexSearcher(idx).search(q, k=10).collect())
+    assert got == [0, 3]
+
+
+def test_span_not_xml_round_trip(spark):
+    from lucene_spark.search.query import SpanNearQuery, SpanNotQuery
+    from lucene_spark.search.xmlparser import xml_parse
+
+    q = xml_parse(
+        "<SpanNot pre='1' post='1'>"
+        "<Include><SpanNear slopNum='0' inOrder='true'>"
+        "<SpanTerm>hash</SpanTerm><SpanTerm>join</SpanTerm></SpanNear></Include>"
+        "<Exclude><SpanTerm>fast</SpanTerm></Exclude></SpanNot>"
+    )
+    assert q == SpanNotQuery(
+        include=SpanNearQuery(("hash", "join"), slop=0, in_order=True),
+        exclude_terms=("fast",),
+        pre=1,
+        post=1,
+    )
