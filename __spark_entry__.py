@@ -323,7 +323,7 @@ _DRIVER_PRIORITY = [
     "dfi_topk", "ib_ll_topk",
     "uax29_tokens", "uax29_url_email", "surround_near_match",
     "cjk_bigram_terms", "embedding_hnsw_topk", "freetext_suggest",
-    "complex_phrase_match", "xml_parse_match", "span_not_match",
+    "complex_phrase_match", "xml_parse_match", "span_not_match", "span_position_range",
     # representative green spread (r01/r02 evidence exists; re-affirm)
     "search_with_deletes", "term_topk_after_reclaim",
     "porter_stem_tokens", "english_term_topk",
@@ -544,6 +544,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["span_not_match"] = span_not_match
+
+    # SpanPositionRangeQuery: 'join' occurrences within positions [3, 10)
+    def span_position_range(spark, sf):
+        from lucene_spark.search.spans import span_position_range_docs
+
+        return (
+            span_position_range_docs(_index(spark, sf), "join", 3, 10)
+            .select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id")
+            .limit(300)
+        )
+
+    out["span_position_range"] = span_position_range
 
     # --- pluggable similarities: same index, swapped scoring formula
     for _gate, _sim_f in _SIMILARITY_GATES.items():
@@ -2197,6 +2210,18 @@ WHERE doc_id % 3 = 0 ORDER BY doc_id LIMIT 2000
         + "\nUNION ALL ".join(_url_parts)
         + "\nORDER BY doc_id, pos"
     )
+
+    # 1-based list index i ↔ 0-based position i-1: p ∈ [3,10) ⇔ i ∈ [4,11)
+    out["span_position_range"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+)
+SELECT DISTINCT doc_id, 1.0 AS score
+FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
+WHERE l[i] = 'join' AND i >= 4 AND i < 11
+ORDER BY doc_id LIMIT 300
+"""
 
     # span window [i, i+2); exclusion widened by pre=1/post=1 → a
     # 'fast' at any position p with p+1 > i-1 and p < i+3 kills it

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 from lucene_spark.index.builder import InvertedIndex
 from lucene_spark.search.positional import decode_positions
 
-__all__ = ["span_near_docs", "span_near_multi_docs", "span_not_docs", "span_first_docs"]
+__all__ = ["span_near_docs", "span_near_multi_docs", "span_not_docs", "span_first_docs", "span_position_range_docs"]
 
 
 def _live(index: InvertedIndex, docs: DataFrame) -> DataFrame:
@@ -208,11 +208,20 @@ def span_not_docs(
 def span_first_docs(index: InvertedIndex, term: str, end: int) -> DataFrame:
     """Docs where `term` occurs within the first `end` positions
     (`SpanFirstQuery`: span.end <= end; width-1 span ⇒ p + 1 <= end)."""
+    return span_position_range_docs(index, term, 0, end)
+
+
+def span_position_range_docs(
+    index: InvertedIndex, term: str, start: int, end: int
+) -> DataFrame:
+    """Docs where `term` occurs inside the position window
+    (`queries/spans/SpanPositionRangeQuery.java`: span.start >= start
+    AND span.end <= end; SpanFirst is the start=0 special case)."""
     return _live(
         index,
         decode_positions(index, [term])
         .select("doc_id", F.explode("positions").alias("p"))
-        .filter(F.col("p") + 1 <= end)
+        .filter((F.col("p") >= int(start)) & (F.col("p") + 1 <= int(end)))
         .select("doc_id")
         .distinct(),
     )
