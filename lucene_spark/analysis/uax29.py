@@ -31,9 +31,15 @@ pathological overlaps like digits absorbing a following keycap mark
 into a NUMERIC run.
 
 ASCII inputs take a single-regex fast path (one C-level ``findall``),
-byte-equivalent to the full scanner on ASCII — web text is mostly
-ASCII, so the slow per-position scanner only runs on the minority of
-documents that need it.
+byte-equivalent to the full scanner on ASCII. Mixed documents use
+STRETCH DISPATCH (round 4): non-ASCII runs are expanded to the nearest
+ASCII-whitespace boundaries ("islands"); the per-position rule scanner
+runs only inside islands, while the pure-ASCII text between islands
+keeps the C-level regex. ASCII whitespace is an unconditional break
+point (no word-break rule's character class contains it, so no token
+can span it), which makes the dispatch token-exact — a mostly-ASCII
+web document with a few non-ASCII words tokenizes at near fast-path
+throughput instead of falling off the ~21x per-position cliff.
 """
 
 from __future__ import annotations
@@ -248,6 +254,23 @@ def _esc(cp: int) -> str:
 
 @lru_cache(maxsize=1)
 def _classes() -> dict:
+    """class name → regex character-class body.
+
+    Loads the precomputed tables (`_uax29_tables.py`, generated by
+    `scripts/gen_uax29_tables.py`) when the shipped UCD version
+    matches, avoiding a ~4s full-Unicode derivation pass per executor
+    Python worker; otherwise derives from `unicodedata` directly."""
+    try:
+        from lucene_spark.analysis import _uax29_tables as t
+
+        if t.UNIDATA_VERSION == unicodedata.unidata_version:
+            return dict(t.CLASSES)
+    except ImportError:
+        pass
+    return _derive_classes()
+
+
+def _derive_classes() -> dict:
     """class name → regex character-class body, one pass over Unicode."""
     runs: dict = {}
     prev_cls, start = None, 0
@@ -367,22 +390,41 @@ _ASCII_WORD = re.compile(
 )
 
 
-def uax29_tokenize_spans(text: str):
-    """Segment `text` into (token, start, end, rule) tuples — the
-    offset/type surface consumers like the CJK bigram filter need
-    (StandardTokenizer exposes the same via Offset/TypeAttribute).
-    `rule` is the matched rule key: 'word', 'emoji', 'sea', 'han'
-    (single IDEOGRAPHIC codepoint), or 'hira'."""
-    if text.isascii():
-        return [
-            (m.group(0), m.start(), m.end(), "word")
-            for m in _ASCII_WORD.finditer(text)
-        ]
+# ASCII whitespace: every one of these maps to the scanner's
+# "other"/"brk" class and belongs to NO token character class, so no
+# word-break rule can join text across one — they are unconditional
+# break points and therefore safe stretch-dispatch boundaries.
+_ASCII_WS = " \t\n\r\f\v"
+_NONASCII_RUN = re.compile(r"[^\x00-\x7F]+")
+_WS_FWD = re.compile(f"[{_ASCII_WS}]")
+
+
+def _islands(text: str):
+    """Yield (start, end) spans covering every non-ASCII codepoint,
+    each expanded outward to the nearest ASCII-whitespace boundary
+    (or string edge). Spans are disjoint and ascending; the text
+    between consecutive spans is pure ASCII and whitespace-bounded."""
+    n = len(text)
+    prev_end = 0  # right boundary of the last emitted island
+    for m in _NONASCII_RUN.finditer(text):
+        s = m.start()
+        if s < prev_end:  # already inside the previous island
+            continue
+        a = max(text.rfind(ch, prev_end, s) for ch in _ASCII_WS) + 1
+        a = max(a, prev_end)
+        mw = _WS_FWD.search(text, m.end())
+        b = mw.start() if mw else n
+        yield (a, b)
+        prev_end = b
+
+
+def _rule_scan(text: str, pos: int, endpos: int):
+    """Run the full rule scanner over text[pos:endpos], returning
+    (token, start, end, rule) tuples with absolute offsets."""
     r = _rules()
     out = []
-    pos, n = 0, len(text)
-    while pos < n:
-        m_skip = r["skip"].match(text, pos)
+    while pos < endpos:
+        m_skip = r["skip"].match(text, pos, endpos)
         if m_skip:
             pos = m_skip.end()
             continue
@@ -390,7 +432,7 @@ def uax29_tokenize_spans(text: str):
         # (keycap digits); everything else is class-disjoint
         best, best_key = None, None
         for key in ("emoji", "word", "sea", "han", "hira"):
-            m = r[key].match(text, pos)
+            m = r[key].match(text, pos, endpos)
             if m and m.end() > pos and (best is None or m.end() > best.end()):
                 best, best_key = m, key
             if best is not None and key == "word":
@@ -403,12 +445,50 @@ def uax29_tokenize_spans(text: str):
     return out
 
 
+def uax29_tokenize_spans(text: str):
+    """Segment `text` into (token, start, end, rule) tuples — the
+    offset/type surface consumers like the CJK bigram filter need
+    (StandardTokenizer exposes the same via Offset/TypeAttribute).
+    `rule` is the matched rule key: 'word', 'emoji', 'sea', 'han'
+    (single IDEOGRAPHIC codepoint), or 'hira'."""
+    if text.isascii():
+        return [
+            (m.group(0), m.start(), m.end(), "word")
+            for m in _ASCII_WORD.finditer(text)
+        ]
+    out = []
+    prev = 0
+    for a, b in _islands(text):
+        if a > prev:
+            out.extend(
+                (m.group(0), m.start(), m.end(), "word")
+                for m in _ASCII_WORD.finditer(text, prev, a)
+            )
+        out.extend(_rule_scan(text, a, b))
+        prev = b
+    if prev < len(text):
+        out.extend(
+            (m.group(0), m.start(), m.end(), "word")
+            for m in _ASCII_WORD.finditer(text, prev, len(text))
+        )
+    return out
+
+
 def uax29_tokenize(text: str) -> List[str]:
     """Segment `text` into StandardTokenizer-equivalent tokens
     (type tags dropped — the chain only consumes the text)."""
     if text.isascii():
         return _ASCII_WORD.findall(text)
-    return [t for t, _, _, _ in uax29_tokenize_spans(text)]
+    out: List[str] = []
+    prev = 0
+    for a, b in _islands(text):
+        if a > prev:
+            out.extend(_ASCII_WORD.findall(text, prev, a))
+        out.extend(t for t, _, _, _ in _rule_scan(text, a, b))
+        prev = b
+    if prev < len(text):
+        out.extend(_ASCII_WORD.findall(text, prev, len(text)))
+    return out
 
 
 # --- UAX29URLEmailTokenizer analog -----------------------------------------

@@ -93,6 +93,29 @@ def test_ascii_fast_path_equivalent():
     check()
 
 
+def test_stretch_dispatch_equivalent_to_full_scan():
+    """The round-4 island dispatch (ASCII regex between whitespace-
+    expanded non-ASCII islands, rule scanner inside) must be
+    token-identical to running the rule scanner over the whole text —
+    the exact pre-dispatch behavior."""
+    from lucene_spark.analysis import uax29 as m
+
+    @settings(max_examples=400, deadline=None)
+    @given(
+        st.text(max_size=120),
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60),
+    )
+    def check(uni, asc):
+        text = asc + uni + " " + asc  # guarantee a mixed shape often
+        if text.isascii():
+            return
+        got = m.uax29_tokenize_spans(text)
+        want = m._rule_scan(text, 0, len(text))
+        assert got == want, (text, got, want)
+
+    check()
+
+
 def test_no_crash_on_arbitrary_unicode():
     @settings(max_examples=300, deadline=None)
     @given(st.text(max_size=80))
