@@ -81,6 +81,12 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("num_docs", T.IntegerType(), False),
         T.StructField("first_doc", T.LongType(), False),
         T.StructField("max_doc", T.LongType(), False),
+        # 64-bit occupancy bitmap over [first_doc, max_doc] split into
+        # 64 equal zones (bit i set ⇔ some posting's doc falls in zone
+        # i) — skip-list metadata that lets conjunction pruning test
+        # "does this block contain any lead-term doc" with pure-JVM
+        # integer ops instead of decoding postings
+        T.StructField("doc_zones", T.LongType(), False),
         T.StructField("docs_packed", T.BinaryType(), False),
         T.StructField("freqs_packed", T.BinaryType(), False),
         T.StructField("norms_raw", T.BinaryType(), False),
@@ -190,6 +196,9 @@ def _blocks_from_arrays(
         # competitive impacts: pareto frontier of (freq desc, norm asc)
         # — a pair dominates if freq >= and norm <= (CompetitiveImpactAccumulator)
         imp = _pareto_impacts(f, nb)
+        span = np.uint64(int(d[-1]) - int(d[0]) + 1)
+        zone_bits = ((d - d[0]).astype(np.uint64) * np.uint64(64)) // span
+        zones = np.bitwise_or.reduce(np.uint64(1) << zone_bits)
         row = {
             "segment_id": seg,
             "term": term,
@@ -197,6 +206,7 @@ def _blocks_from_arrays(
             "num_docs": int(len(d)),
             "first_doc": int(d[0]),
             "max_doc": int(d[-1]),
+            "doc_zones": int(zones.astype(np.int64)),
             "docs_packed": for_encode(delta_encode(d)),
             "freqs_packed": pfor_encode(f),
             "norms_raw": nb.tobytes(),

@@ -40,7 +40,6 @@ so builds are reproducible across runs and partition layouts.
 from __future__ import annotations
 
 import math
-import pickle
 from typing import Iterator, List, Optional
 
 import numpy as np
@@ -152,6 +151,91 @@ def _build_graph(vecs: np.ndarray, m: int, beam_width: int, seed: int):
     return levels, neighbors, entry, top
 
 
+def _pack_graph(neighbors, entry: int, top: int) -> bytes:
+    """Serialize the per-level adjacency as typed int32 CSR arrays.
+
+    Layout (little-endian int32 throughout):
+      [top, entry, n_levels] then per level:
+      [n_nodes] node_ids[n_nodes] indptr[n_nodes+1] flat[indptr[-1]]
+
+    A plain-binary format like the posting blocks: loading an index
+    directory from an untrusted source stays data, not code (pickle
+    here would be an arbitrary-code-execution hole)."""
+    parts = [np.array([top, entry, len(neighbors)], dtype=np.int32)]
+    for lv in neighbors:
+        node_ids = np.fromiter(lv.keys(), dtype=np.int32, count=len(lv))
+        counts = np.fromiter(
+            (len(v) for v in lv.values()), dtype=np.int32, count=len(lv)
+        )
+        indptr = np.zeros(len(lv) + 1, dtype=np.int32)
+        np.cumsum(counts, out=indptr[1:])
+        flat = (
+            np.concatenate([np.asarray(v, dtype=np.int32) for v in lv.values()])
+            if len(lv)
+            else np.empty(0, dtype=np.int32)
+        )
+        parts += [np.array([len(lv)], dtype=np.int32), node_ids, indptr, flat]
+    return b"".join(p.tobytes() for p in parts)
+
+
+def _unpack_graph(blob: bytes):
+    """Inverse of :func:`_pack_graph` → (neighbors, entry, top)."""
+    a = np.frombuffer(blob, dtype=np.int32)
+    top, entry, n_levels = int(a[0]), int(a[1]), int(a[2])
+    off = 3
+    neighbors = []
+    for _ in range(n_levels):
+        n_nodes = int(a[off]); off += 1
+        node_ids = a[off : off + n_nodes]; off += n_nodes
+        indptr = a[off : off + n_nodes + 1]; off += n_nodes + 1
+        total = int(indptr[-1]) if n_nodes else 0
+        flat = a[off : off + total]; off += total
+        neighbors.append(
+            {
+                int(node_ids[i]): flat[indptr[i] : indptr[i + 1]]
+                for i in range(n_nodes)
+            }
+        )
+    return neighbors, entry, top
+
+
+# --- scalar quantization (round 4) -----------------------------------------
+#
+# `Lucene99ScalarQuantizedVectorsFormat.java:34` semantics: per-segment
+# affine int8 quantization of the (cosine: pre-normalized) vectors with
+# a confidence-interval clip — quantiles at (1±ci)/2 over all component
+# values, default ci = 1 - 1/(dim+1) — codes in [0, 127], so traversal
+# storage is 1 byte/dim instead of 4 (plus the two float64 bounds per
+# segment). Lucene evaluates similarity as an integer dot product plus
+# per-vector correction constants; algebraically that equals the dot
+# product of the DEQUANTIZED vectors (x̂ = lo + δ·code, δ = (hi-lo)/127)
+# — the kernel reconstructs x̂ once per batch (vectorized) and reuses
+# the float32 traversal path, like Lucene's SIMD widening of int8
+# lanes. Raw float32 vectors stay in the row (Lucene keeps .vec on
+# disk alongside .veq) for the exact float64 re-rank of the ef
+# candidates, so top-k VALUES are exact whenever ef covers the true
+# neighbors — only the traversal is quantized.
+
+
+def _quantize_segment(normed: np.ndarray, confidence: Optional[float]):
+    """→ (codes uint8∈[0,127] as int8 bytes-compatible array, lo, hi)."""
+    d = normed.shape[1]
+    ci = confidence if confidence is not None else 1.0 - 1.0 / (d + 1)
+    vals = normed.ravel()
+    lo = float(np.quantile(vals, (1.0 - ci) / 2.0))
+    hi = float(np.quantile(vals, 1.0 - (1.0 - ci) / 2.0))
+    if hi <= lo:  # degenerate (constant components): one bucket
+        hi = lo + 1e-6
+    delta = (hi - lo) / 127.0
+    codes = np.clip(np.floor((normed - lo) / delta + 0.5), 0, 127)
+    return codes.astype(np.int8), lo, hi
+
+
+def _dequantize(codes: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    delta = (hi - lo) / 127.0
+    return (lo + codes.astype(np.float32) * np.float32(delta)).astype(np.float32)
+
+
 _GRAPH_SCHEMA = T.StructType(
     [
         T.StructField("segment_id", T.LongType(), False),
@@ -159,6 +243,17 @@ _GRAPH_SCHEMA = T.StructType(
         T.StructField("ids", T.BinaryType(), False),
         T.StructField("vecs", T.BinaryType(), False),
         T.StructField("graph", T.BinaryType(), False),
+    ]
+)
+
+# quantized variant: int8 codes replace float32 vecs for traversal;
+# raw vecs retained for exact re-rank (see _quantize_segment)
+_GRAPH_SCHEMA_Q = T.StructType(
+    _GRAPH_SCHEMA.fields
+    + [
+        T.StructField("qvecs", T.BinaryType(), False),
+        T.StructField("q_lo", T.DoubleType(), False),
+        T.StructField("q_hi", T.DoubleType(), False),
     ]
 )
 
@@ -171,6 +266,8 @@ def build_hnsw_segments(
     m: int = 16,
     beam_width: int = 100,
     seed: int = 42,
+    quantize: bool = False,
+    confidence: Optional[float] = None,
 ) -> DataFrame:
     """One HNSW graph per id-range segment → DataFrame of serialized
     graph rows (persistable as parquet like posting blocks). The
@@ -186,37 +283,36 @@ def build_hnsw_segments(
         norms[norms == 0] = 1.0
         normed = vecs / norms
         seg = int(pdf["_seg"].iloc[0])
+        row = {
+            "segment_id": seg,
+            "n": len(ids),
+            "ids": ids.tobytes(),
+            # store RAW vectors; normalization is re-derived at
+            # search time so exact float64 cosine can be
+            # recomputed for final scores
+            "vecs": vecs.tobytes(),
+        }
+        if quantize:
+            codes, lo, hi = _quantize_segment(normed, confidence)
+            # graph edges chosen under the SAME similarity the search
+            # traverses (the quantized one), as Lucene's quantized
+            # HNSW writer builds the graph over quantized scores
+            traverse = _dequantize(codes, lo, hi)
+            row.update(qvecs=codes.tobytes(), q_lo=lo, q_hi=hi)
+        else:
+            traverse = normed
         levels, neighbors, entry, top = _build_graph(
-            normed, m, beam_width, seed + seg
+            traverse, m, beam_width, seed + seg
         )
-        blob = pickle.dumps(
-            {
-                "levels": levels,
-                "neighbors": neighbors,
-                "entry": entry,
-                "top": top,
-            },
-            protocol=4,
-        )
-        return pd.DataFrame(
-            [
-                {
-                    "segment_id": seg,
-                    "n": len(ids),
-                    "ids": ids.tobytes(),
-                    # store RAW vectors; normalization is re-derived at
-                    # search time so exact float64 cosine can be
-                    # recomputed for final scores
-                    "vecs": vecs.tobytes(),
-                    "graph": blob,
-                }
-            ]
-        )
+        row["graph"] = _pack_graph(neighbors, entry, top)
+        return pd.DataFrame([row])
 
     src = emb.select(
         F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_vec")
     ).withColumn("_seg", (F.col("_id") / F.lit(rows_per_segment)).cast("long"))
-    return src.groupBy("_seg").applyInPandas(kernel, _GRAPH_SCHEMA)
+    return src.groupBy("_seg").applyInPandas(
+        kernel, _GRAPH_SCHEMA_Q if quantize else _GRAPH_SCHEMA
+    )
 
 
 _TOPK_SCHEMA = T.StructType(
@@ -245,6 +341,7 @@ def hnsw_topk(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            quantized = "qvecs" in pdf.columns
             outs = []
             for i in range(len(pdf)):
                 n = int(pdf["n"].values[i])
@@ -252,17 +349,33 @@ def hnsw_topk(
                 raw = np.frombuffer(
                     bytes(pdf["vecs"].values[i]), dtype=np.float32
                 ).reshape(n, -1)
-                g = pickle.loads(bytes(pdf["graph"].values[i]))
-                nrm = np.linalg.norm(raw, axis=1, keepdims=True)
-                nrm[nrm == 0] = 1.0
-                normed = raw / nrm
-                eps = [g["entry"]]
-                for level in range(g["top"], 0, -1):
-                    got, _ = _search_layer(normed, g["neighbors"], q32, eps, 1, level)
+                nbrs, entry, top = _unpack_graph(bytes(pdf["graph"].values[i]))
+                if quantized:
+                    lo = float(pdf["q_lo"].values[i])
+                    hi = float(pdf["q_hi"].values[i])
+                    codes = np.frombuffer(
+                        bytes(pdf["qvecs"].values[i]), dtype=np.int8
+                    ).reshape(n, -1)
+                    normed = _dequantize(codes, lo, hi)
+                    # the query is quantized with the segment's bounds
+                    # too (Lucene99ScalarQuantizedVectorsScorer
+                    # quantizes the query per-segment)
+                    qcodes = np.clip(
+                        np.floor((q32 - lo) / ((hi - lo) / 127.0) + 0.5),
+                        0,
+                        127,
+                    ).astype(np.int8)
+                    qt = _dequantize(qcodes, lo, hi)
+                else:
+                    nrm = np.linalg.norm(raw, axis=1, keepdims=True)
+                    nrm[nrm == 0] = 1.0
+                    normed = raw / nrm
+                    qt = q32
+                eps = [entry]
+                for level in range(top, 0, -1):
+                    got, _ = _search_layer(normed, nbrs, qt, eps, 1, level)
                     eps = got[:1] or eps
-                cand, _ = _search_layer(
-                    normed, g["neighbors"], q32, eps, ef, 0
-                )
+                cand, _ = _search_layer(normed, nbrs, qt, eps, ef, 0)
                 cand = np.asarray(cand[: max(ef, k)], dtype=np.int64)
                 # exact float64 cosine over raw vectors for the merge;
                 # zero-norm vectors (or query) score 0, never NaN —

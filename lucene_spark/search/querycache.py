@@ -37,10 +37,17 @@ class LRUQueryCache:
         self.misses = 0
 
     def _key(self, query: Query) -> str:
-        # Rewrite WITH the terms table so MultiTermQueries (prefix /
-        # wildcard / fuzzy / regexp) — the filter-like queries this
-        # cache exists for — expand instead of raising.
-        return repr(rewrite(query, self._searcher.index.terms))
+        # Key on the canonical UNEXPANDED query repr: expanding a
+        # MultiTermQuery needs a terms-table probe (a Spark job), and
+        # running one per lookup — hits included — would defeat the
+        # cache. Structural rewrites that need no dictionary (boolean
+        # simplification etc.) still canonicalize the key; the
+        # dictionary-dependent expansion happens once, on miss, inside
+        # search().
+        try:
+            return repr(rewrite(query, None))
+        except ValueError:  # tree contains a multi-term query
+            return repr(query)
 
     def matching_docs(self, query: Query) -> DataFrame:
         """doc_ids matching `query` (constant-score semantics), served

@@ -729,15 +729,19 @@ class IndexSearcher:
         `BooleanScorerSupplier.java:393-413`; lead-advance semantics of
         `ConjunctionDISI.java`): the cheapest required clause drives.
 
-        Decodes ONLY the lead group's postings (df-capped), broadcasts
-        the sorted candidate doc array, and filters every term's block
-        METADATA with a vectorized searchsorted containment test on
-        [first_doc, max_doc] — blocks that cannot contain a
-        conjunction survivor are never decoded. Exact: any doc that
-        survives the required flags is itself a lead candidate, so
-        every block containing it is kept; SHOULD score contributions
-        and MUST_NOT vetoes for non-candidates are moot because those
-        docs fail the required-presence filter anyway.
+        Pure-JVM shape (round 4 — no Python decode, no driver hop):
+        every term's block metadata is LEFT SEMI joined against the
+        broadcast lead group's block metadata on interval overlap AND
+        zone-bitmap intersection. Each block carries ``doc_zones``, a
+        64-bit occupancy bitmap over its [first_doc, max_doc] span
+        written at build time; the join keeps a block only if some
+        lead block has an occupied zone inside the block's doc range —
+        integer shift/mask arithmetic, whole-stage-codegen'd, resolving
+        lead docs to ~span/64 granularity. Exact (never drops a block
+        containing a conjunction survivor): a surviving doc is a lead
+        doc, its lead block overlaps the containing block's range, and
+        the doc's zone bit lies inside the masked range by
+        monotonicity of the zone function.
 
         Returns None (no pruning) when there is no required group or
         the guards say the prune won't pay; callers then decode the
@@ -759,29 +763,32 @@ class IndexSearcher:
         if rest_df < self._PRUNE_MIN_RATIO * lead_df:
             return None
         lead_terms = [t for t in lead if t in ctx.term_stats]
-        cand = (
+        lead_meta = (
             self._term_blocks(lead_terms)
-            .select("docs_packed")
-            .mapInPandas(_decode_docs_udf(), _DOCS_SCHEMA)
-            .toPandas()["doc_id"]
-            .to_numpy()
+            .select("first_doc", "max_doc", "doc_zones")
+            .alias("lb")
         )
-        cand = np.unique(cand)  # multi-member lead groups can overlap
-        bc = self.index.spark.sparkContext.broadcast(cand)
-
-        @F.pandas_udf("boolean")
-        def _covers(first: pd.Series, last: pd.Series) -> pd.Series:
-            c = bc.value
-            if c.size == 0:
-                return pd.Series(np.zeros(len(first), dtype=bool))
-            lo = np.searchsorted(c, first.to_numpy(), side="left")
-            hit = (lo < c.size) & (
-                c[np.minimum(lo, c.size - 1)] <= last.to_numpy()
-            )
-            return pd.Series(hit)
-
-        return self._term_blocks(all_terms).filter(
-            _covers(F.col("first_doc"), F.col("max_doc"))
+        # zone index of a doc d within lead block lb:
+        #   (d - lb.first_doc) * 64 DIV (lb.max_doc - lb.first_doc + 1)
+        # mask = bits [zlo, zhi] of the overlap subrange (zhi <= 63 by
+        # construction). Bits [0..zhi] via shiftrightunsigned(-1, 63-zhi)
+        # — no "2^(zhi+1) - 1" subtraction, which overflows under ANSI
+        # mode at zhi = 62 (Long.MIN_VALUE - 1).
+        cond = F.expr(
+            "ob.first_doc <= lb.max_doc AND ob.max_doc >= lb.first_doc AND "
+            "(lb.doc_zones & ("
+            "  shiftrightunsigned(CAST(-1 AS BIGINT),"
+            "      63 - CAST(((LEAST(ob.max_doc, lb.max_doc) - lb.first_doc) * 64)"
+            "                DIV (lb.max_doc - lb.first_doc + 1) AS INT))"
+            "  & shiftleft(CAST(-1 AS BIGINT),"
+            "      CAST(((GREATEST(ob.first_doc, lb.first_doc) - lb.first_doc) * 64)"
+            "           DIV (lb.max_doc - lb.first_doc + 1) AS INT))"
+            ")) != 0"
+        )
+        return (
+            self._term_blocks(all_terms)
+            .alias("ob")
+            .join(F.broadcast(lead_meta), on=cond, how="left_semi")
         )
 
     def _eval_boolean(self, q: BooleanQuery, ctx: _Ctx, boost: float) -> DataFrame:

@@ -204,9 +204,11 @@ class AxiomaticF2EXP(Similarity):
 
     def score_col(self, c):
         avgdl = c["sttf"] / c["n_docs"]
+        # idf = (N + 1) / df, per AxiomaticF2EXP.java:78 (idf(), which
+        # uses docCount + 1 in the numerator)
         return (
             c["boost"]
-            * F.pow(c["n_docs"] / c["doc_freq"], F.lit(self.k))
+            * F.pow((c["n_docs"] + F.lit(1.0)) / c["doc_freq"], F.lit(self.k))
             * c["freq"]
             / (c["freq"] + F.lit(self.s) + F.lit(self.s) * c["dl"] / avgdl)
         )
@@ -214,7 +216,7 @@ class AxiomaticF2EXP(Similarity):
     def score_sql(self):
         s, k = repr(float(self.s)), repr(float(self.k))
         return (
-            f"boost * pow(n_docs * 1.0 / doc_freq, {k}) * freq "
+            f"boost * pow((n_docs + 1.0) / doc_freq, {k}) * freq "
             f"/ (freq + {s} + {s} * dl / (sttf * 1.0 / n_docs))"
         )
 

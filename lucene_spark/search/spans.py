@@ -31,7 +31,19 @@ from pyspark.sql import DataFrame, functions as F
 from lucene_spark.index.builder import InvertedIndex
 from lucene_spark.search.positional import decode_positions
 
-__all__ = ["span_near_docs", "span_near_multi_docs", "span_not_docs", "span_first_docs", "span_position_range_docs"]
+__all__ = [
+    "span_near_docs",
+    "span_near_multi_docs",
+    "span_not_docs",
+    "span_first_docs",
+    "span_position_range_docs",
+    "term_or_spans",
+    "span_or",
+    "span_or_docs",
+    "span_near_over",
+    "span_containing_docs",
+    "span_within_docs",
+]
 
 
 def _live(index: InvertedIndex, docs: DataFrame) -> DataFrame:
@@ -61,8 +73,14 @@ def span_near_docs(
     """DataFrame(doc_id) of docs with a SpanNear match (constant score —
     span scoring uses sloppyFreq like phrases; the match set is the
     span semantics the gate verifies)."""
-    if len(terms) < 2:
-        raise ValueError("span_near needs >= 2 clauses")
+    if not terms:
+        raise ValueError("span_near needs >= 1 clause")
+    if len(terms) == 1:
+        # degenerate single-clause SpanNear ≡ the clause's term spans
+        # (the reference accepts one-clause SpanNearQuery)
+        return _live(
+            index, decode_positions(index, [terms[0]]).select("doc_id").distinct()
+        )
     slots = _slots(index, terms)
     n = len(terms)
     joined = slots[0]
@@ -94,8 +112,16 @@ def span_near_multi_docs(
     wildcard/fuzzy/alternation phrase elements into). A slot's
     positions frame is the union of its terms' decoded positions; the
     near-join itself is identical to :func:`span_near_docs`."""
-    if len(slot_terms) < 2:
-        raise ValueError("span_near needs >= 2 clauses")
+    if not slot_terms:
+        raise ValueError("span_near needs >= 1 clause")
+    if len(slot_terms) == 1:
+        # degenerate single-slot SpanNear ≡ the slot's term-match set
+        if not slot_terms[0]:
+            return index.spark.createDataFrame([], "doc_id long")
+        return _live(
+            index,
+            decode_positions(index, list(slot_terms[0])).select("doc_id").distinct(),
+        )
     n = len(slot_terms)
     slots = []
     for i, terms in enumerate(slot_terms):
@@ -203,6 +229,163 @@ def span_not_docs(
     )
     survivors = inc.join(exc, cond, "left_anti")
     return _live(index, survivors.select("doc_id").distinct())
+
+
+# --------------------------------------------------------------------------
+# general span algebra (round 4): every combinator consumes and produces
+# a *span frame* — DataFrame(doc_id, start, end), end exclusive — so
+# SpanOr / SpanNear / SpanContaining / SpanWithin compose arbitrarily,
+# the way the reference composes SpanQuery trees
+# (`queries/spans/SpanOrQuery.java:38`, `SpanContainQuery.java:30`,
+# `SpanContainingQuery.java:33`, `SpanWithinQuery.java:33`).
+
+
+def term_spans(index: InvertedIndex, term: str) -> DataFrame:
+    """Span frame of one SpanTermQuery: each occurrence is the width-1
+    span [p, p+1)."""
+    return term_or_spans(index, [term])
+
+
+def term_or_spans(index: InvertedIndex, terms: List[str]) -> DataFrame:
+    """Span frame of SpanOr(SpanTerm(t) for t in terms) — one decode
+    over the union of the terms' blocks (``decode_positions`` already
+    takes a term list), positions exploded to width-1 spans."""
+    if not terms:
+        raise ValueError("term_or_spans needs >= 1 term")
+    return decode_positions(index, list(dict.fromkeys(terms))).select(
+        "doc_id",
+        F.explode("positions").alias("start"),
+    ).withColumn("end", F.col("start") + 1)
+
+
+def span_or(span_frames: List[DataFrame]) -> DataFrame:
+    """SpanOrQuery (`queries/spans/SpanOrQuery.java:38`): the union of
+    the clause span enumerations. Duplicate (doc, start, end) spans
+    from different clauses collapse — OrSpans advances by position, a
+    span is emitted once."""
+    if not span_frames:
+        raise ValueError("span_or needs >= 1 clause")
+    out = span_frames[0]
+    for s in span_frames[1:]:
+        out = out.unionByName(s)
+    return out.distinct()
+
+
+def span_or_docs(index: InvertedIndex, span_frames: List[DataFrame]) -> DataFrame:
+    """Match set of a top-level SpanOrQuery."""
+    return _live(index, span_or(span_frames).select("doc_id").distinct())
+
+
+def span_near_over(
+    span_frames: List[DataFrame], slop: int, in_order: bool
+) -> DataFrame:
+    """SpanNear over arbitrary sub-span frames → the match-window span
+    frame (doc_id, start, end).
+
+    Ordered (`spans/NearSpansOrdered.java`): clause spans strictly in
+    order and non-overlapping (prev.end <= cur.start), total
+    intervening gap Σ (cur.start − prev.end) <= slop. For width-1 term
+    spans this reduces to the (pn − p1 + 1 − n) <= slop formula of
+    :func:`span_near_docs` (gap_i = p_{i+1} − p_i − 1).
+
+    Unordered (`spans/NearSpansUnordered.java`): one span per clause,
+    pairwise non-overlapping, covering width minus total span length
+    <= slop: (max end − min start) − Σ (end_i − start_i) <= slop.
+
+    Physical plan: doc-equi-joins (one shuffle key: doc_id) with the
+    position inequalities as codegen'd join residuals — identical
+    shape to the width-1 path, just on (start, end) pairs.
+    """
+    n = len(span_frames)
+    if n == 0:
+        raise ValueError("span_near needs >= 1 clause")
+    aliased = [
+        s.select(
+            "doc_id",
+            F.col("start").alias(f"s{i}"),
+            F.col("end").alias(f"e{i}"),
+        )
+        for i, s in enumerate(span_frames)
+    ]
+    if n == 1:
+        return aliased[0].select(
+            "doc_id", F.col("s0").alias("start"), F.col("e0").alias("end")
+        )
+    joined = aliased[0]
+    for i in range(1, n):
+        joined = joined.join(aliased[i], "doc_id")
+        if in_order:
+            # in order AND non-overlapping
+            joined = joined.filter(F.col(f"s{i}") >= F.col(f"e{i-1}"))
+    scols = [F.col(f"s{i}") for i in range(n)]
+    ecols = [F.col(f"e{i}") for i in range(n)]
+    if in_order:
+        gap = sum(
+            (scols[i] - ecols[i - 1] for i in range(1, n)), F.lit(0)
+        )
+        start, end = scols[0], ecols[-1]
+    else:
+        # pairwise non-overlap: spans i and j overlap iff s_i < e_j
+        # and s_j < e_i
+        for i in range(n):
+            for j in range(i + 1, n):
+                joined = joined.filter(
+                    (scols[i] >= ecols[j]) | (scols[j] >= ecols[i])
+                )
+        start, end = F.least(*scols), F.greatest(*ecols)
+        total_len = sum((ecols[i] - scols[i] for i in range(n)), F.lit(0))
+        gap = end - start - total_len
+    return (
+        joined.filter(gap <= slop)
+        .select("doc_id", start.alias("start"), end.alias("end"))
+        .distinct()
+    )
+
+
+def span_containing_docs(
+    index: InvertedIndex, big: DataFrame, little: DataFrame
+) -> DataFrame:
+    """SpanContainingQuery (`queries/spans/SpanContainingQuery.java:33`):
+    match set of BIG spans that contain at least one LITTLE span
+    (big.start <= little.start AND little.end <= big.end, same doc).
+
+    Plan: LEFT SEMI join on doc_id with the containment range as a
+    codegen residual — big spans stream through, little spans hash on
+    doc, nothing materializes beyond the survivors."""
+    lit = little.select(
+        F.col("doc_id").alias("l_doc"),
+        F.col("start").alias("l_start"),
+        F.col("end").alias("l_end"),
+    )
+    cond = (
+        (F.col("doc_id") == F.col("l_doc"))
+        & (F.col("start") <= F.col("l_start"))
+        & (F.col("l_end") <= F.col("end"))
+    )
+    return _live(index, big.join(lit, cond, "left_semi").select("doc_id").distinct())
+
+
+def span_within_docs(
+    index: InvertedIndex, big: DataFrame, little: DataFrame
+) -> DataFrame:
+    """SpanWithinQuery (`queries/spans/SpanWithinQuery.java:33`): match
+    set of LITTLE spans enclosed by a BIG span. Same containment
+    predicate as :func:`span_containing_docs` with the semi-join
+    direction flipped (the reference returns little's spans; the doc
+    match sets coincide, the enumerated spans differ)."""
+    bg = big.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("start").alias("b_start"),
+        F.col("end").alias("b_end"),
+    )
+    cond = (
+        (F.col("doc_id") == F.col("b_doc"))
+        & (F.col("b_start") <= F.col("start"))
+        & (F.col("end") <= F.col("b_end"))
+    )
+    return _live(
+        index, little.join(bg, cond, "left_semi").select("doc_id").distinct()
+    )
 
 
 def span_first_docs(index: InvertedIndex, term: str, end: int) -> DataFrame:
