@@ -36,6 +36,7 @@ from lucene_spark.search.parity import (
     phrase_bm25_f64,
     search_after_f64,
     synonym_bm25_f64,
+    _bm25_scored_ctes,
     _decode_postings,
 )
 from lucene_spark.search import (
@@ -311,7 +312,11 @@ _NORM_BYTE_CASE = (
 # search_after whose r2 fix was never re-run), then every round-3
 # addition, then a representative spread of already-green families.
 _DRIVER_PRIORITY = [
-    # needs fresh driver evidence (r2 verdict "What's wrong" #1/#3)
+    # round-4 additions (never driver-run — must land in the window)
+    "span_or_near", "span_containing", "range_field_overlap",
+    "function_score_topk", "boost_by_query", "search_after_sorted",
+    "suggest_fuzzy", "embedding_hnsw_quantized_topk",
+    # prior rounds' evidence spread
     "reader_stats", "delete_reclaim_stats", "collection_stats",
     "search_after",
     # round-3 additions
@@ -1752,6 +1757,129 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf).filter(F.col("doc_id") < 50)
     )  # oracle: Horner-nested polynomial hash per window position
 
+    # --- round-4 additions --------------------------------------------------
+
+    # SpanOr composed inside SpanNear (queries/spans/SpanOrQuery.java:38):
+    # near(ordered, slop=2) over [SpanOr(hash|merge), join]
+    def span_or_near(spark, sf):
+        from lucene_spark.search.spans import span_near_over, term_or_spans, term_spans
+
+        idx = _index(spark, sf)
+        frames = [term_or_spans(idx, ["hash", "merge"]), term_spans(idx, "join")]
+        return _span_gate(
+            span_near_over(frames, slop=2, in_order=True).select("doc_id").distinct()
+        )
+
+    out["span_or_near"] = span_or_near
+
+    # SpanContainingQuery (queries/spans/SpanContainingQuery.java:33):
+    # (hash .. join, slop<=3, ordered) windows containing a 'merge'
+    def span_containing(spark, sf):
+        from lucene_spark.search.spans import (
+            span_containing_docs,
+            span_near_over,
+            term_spans,
+        )
+
+        idx = _index(spark, sf)
+        big = span_near_over(
+            [term_spans(idx, "hash"), term_spans(idx, "join")], slop=6, in_order=True
+        )
+        return _span_gate(span_containing_docs(idx, big, term_spans(idx, "merge")))
+
+    out["span_containing"] = span_containing
+
+    # Range fields (document/IntRange.java:48 / RangeFieldQuery.java):
+    # per-relation match counts of derived event ranges vs query [3, 7]
+    def range_field_overlap(spark, sf):
+        from lucene_spark.search.rangefield import RELATIONS, range_relation_cond
+
+        ev = _events(spark, sf).select(
+            F.col("value").alias("rmin"),
+            (F.col("value") + (F.col("user_id") % 10) + F.lit(1.0)).alias("rmax"),
+        )
+        return ev.agg(
+            *[
+                F.sum(
+                    range_relation_cond(
+                        F.col("rmin"), F.col("rmax"), 3.0, 7.0, rel
+                    ).cast("long")
+                ).alias(rel)
+                for rel in RELATIONS
+            ]
+        )
+
+    out["range_field_overlap"] = range_field_overlap
+
+    # FunctionScoreQuery.boostByValue (queries/function/FunctionScoreQuery.java:64)
+    def function_score(spark, sf):
+        from lucene_spark.search.functionscore import function_score_topk
+
+        return function_score_topk(
+            _index(spark, sf),
+            {"hash": 1.0, "join": 0.5},
+            _docs(spark, sf),
+            F.col("n_chars") / (F.col("n_chars") + F.lit(100.0)),
+            mode="multiply",
+            k=12,
+        )
+
+    out["function_score_topk"] = function_score
+
+    # FunctionScoreQuery.boostByQuery (FunctionScoreQuery.java:78)
+    def boost_by_query(spark, sf):
+        from lucene_spark.search.functionscore import boost_by_query_topk
+
+        return boost_by_query_topk(
+            _index(spark, sf), {"hash": 1.0}, {"scan": 1.0}, boost_value=3.0, k=12
+        )
+
+    out["boost_by_query"] = boost_by_query
+
+    # searchAfter over a field Sort (search/IndexSearcher.java:698 +
+    # TopFieldCollector after-bottom): page 2 of (lang asc, n_chars desc)
+    def search_after_sorted_gate(spark, sf):
+        from lucene_spark.search.parity import search_after_sorted
+
+        d = _docs(spark, sf).select("doc_id", "lang", "n_chars")
+        spec = [("lang", "asc"), ("n_chars", "desc")]
+        p1 = search_after_sorted(d, spec, k=15).collect()
+        last = p1[-1]
+        anchor = {
+            "lang": last["lang"],
+            "n_chars": last["n_chars"],
+            "doc_id": last["doc_id"],
+        }
+        return search_after_sorted(d, spec, k=15, anchor=anchor)
+
+    out["search_after_sorted"] = search_after_sorted_gate
+
+    # FuzzySuggester (suggest/analyzing/FuzzySuggester.java:66)
+    def suggest_fuzzy(spark, sf):
+        from lucene_spark.search.suggest import fuzzy_suggest
+
+        return fuzzy_suggest(_index(spark, sf), "sparl", n=8, max_edits=2)
+
+    out["suggest_fuzzy"] = suggest_fuzzy
+
+    # Scalar-quantized int8 HNSW
+    # (codecs/lucene99/Lucene99ScalarQuantizedVectorsFormat.java:34 +
+    # Lucene99HnswScalarQuantizedVectorsFormat): int8 traversal, exact
+    # float64 re-rank; ef covers each segment so values are exact
+    def embedding_hnsw_quantized_topk(spark, sf):
+        from lucene_spark.search.hnsw import build_hnsw_segments, hnsw_topk
+
+        graphs = build_hnsw_segments(
+            _emb(spark, sf),
+            rows_per_segment=256,
+            m=16,
+            beam_width=100,
+            quantize=True,
+        )
+        return hnsw_topk(graphs, _qvec(spark, sf), k=15, ef=256)
+
+    out["embedding_hnsw_quantized_topk"] = embedding_hnsw_quantized_topk
+
     return _driver_order(out)
 
 
@@ -2730,4 +2858,83 @@ mn AS (SELECT doc_id, min(hv) AS rolling_fp FROM h GROUP BY doc_id)
 SELECT c.doc_id, coalesce(mn.rolling_fp, 0) AS rolling_fp
 FROM c LEFT JOIN mn ON c.doc_id = mn.doc_id
 """
+
+    # --- round-4 additions ---------------------------------------------------
+    out["span_or_near"] = f"""
+WITH {_POS_CTE},
+p1 AS (SELECT doc_id, i FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
+       WHERE l[i] IN ('hash', 'merge')),
+p2 AS (SELECT doc_id, i AS j FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'join')
+SELECT DISTINCT doc_id, 1.0 AS score FROM p1 JOIN p2 USING (doc_id)
+WHERE j > i AND j - i - 1 <= 2
+ORDER BY doc_id LIMIT 200
+"""
+    out["span_containing"] = f"""
+WITH {_POS_CTE},
+ph AS (SELECT doc_id, i FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'hash'),
+pj AS (SELECT doc_id, i AS j FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'join'),
+pm AS (SELECT doc_id, i AS m FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'merge'),
+big AS (SELECT doc_id, i, j FROM ph JOIN pj USING (doc_id)
+        WHERE j > i AND j - i - 1 <= 6)
+SELECT DISTINCT doc_id, 1.0 AS score FROM big
+WHERE EXISTS (SELECT 1 FROM pm WHERE pm.doc_id = big.doc_id
+              AND pm.m >= big.i AND pm.m <= big.j)
+ORDER BY doc_id LIMIT 200
+"""
+    out["range_field_overlap"] = """
+WITH r AS (
+  SELECT value AS rmin, value + (user_id % 10) + 1.0 AS rmax FROM events
+)
+SELECT
+  CAST(sum(CASE WHEN rmin <= 7.0 AND rmax >= 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS intersects,
+  CAST(sum(CASE WHEN 3.0 <= rmin AND rmax <= 7.0 THEN 1 ELSE 0 END) AS BIGINT) AS within,
+  CAST(sum(CASE WHEN rmin <= 3.0 AND 7.0 <= rmax THEN 1 ELSE 0 END) AS BIGINT) AS contains,
+  CAST(sum(CASE WHEN (rmin <= 7.0 AND rmax >= 3.0)
+             AND NOT (3.0 <= rmin AND rmax <= 7.0)
+             AND NOT (rmin <= 3.0 AND 7.0 <= rmax) THEN 1 ELSE 0 END) AS BIGINT) AS crosses
+FROM r
+"""
+    _fs_ctes = _bm25_scored_ctes({"hash": 1.0, "join": 0.5})
+    out["function_score_topk"] = f"""
+WITH {_fs_ctes}
+SELECT f.doc_id, round(f.s * (d.n_chars / (d.n_chars + 100.0)), 4) AS score
+FROM first f JOIN documents d USING (doc_id)
+ORDER BY f.s * (d.n_chars / (d.n_chars + 100.0)) DESC, f.doc_id ASC LIMIT 12
+"""
+    _bbq_ctes = _bm25_scored_ctes({"hash": 1.0})
+    out["boost_by_query"] = f"""
+WITH {_bbq_ctes},
+bq AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'scan')
+SELECT f.doc_id,
+       round(CASE WHEN f.doc_id IN (SELECT doc_id FROM bq)
+                  THEN f.s * 3.0 ELSE f.s END, 4) AS score
+FROM first f
+ORDER BY CASE WHEN f.doc_id IN (SELECT doc_id FROM bq)
+              THEN f.s * 3.0 ELSE f.s END DESC, f.doc_id ASC LIMIT 12
+"""
+    out["search_after_sorted"] = """
+SELECT doc_id, lang, n_chars FROM documents
+ORDER BY lang ASC, n_chars DESC, doc_id ASC LIMIT 15 OFFSET 15
+"""
+    # prefix lengths with |len - len(key)| <= max_edits can be within
+    # distance (DL >= length difference) — same bound the engine uses
+    out["suggest_fuzzy"] = f"""
+WITH {TOK_CTE},
+df AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term),
+cand AS (SELECT term, doc_freq FROM df
+         WHERE substr(term, 1, 1) = 's' AND length(term) >= 3),
+hit AS (
+  SELECT DISTINCT term, doc_freq FROM cand,
+  LATERAL (SELECT unnest(generate_series(3, least(length(term), 7))) AS plen)
+  WHERE damerau_levenshtein(substr(term, 1, plen), 'sparl') <= 2
+)
+SELECT term, doc_freq AS weight FROM hit
+ORDER BY weight DESC, term ASC LIMIT 8
+"""
+    out["embedding_hnsw_quantized_topk"] = out["embedding_cosine_topk"]
     return out

@@ -1,0 +1,100 @@
+"""FunctionScoreQuery: compose a query's match set with a
+DoubleValuesSource.
+
+Re-expression of
+`lucene/queries/src/java/org/apache/lucene/queries/function/FunctionScoreQuery.java:44-118`:
+
+- ``FunctionScoreQuery(in, source)`` — matches `in`'s docs, scores
+  each with the value source (which may itself read the wrapped
+  query's score via ``DoubleValuesSource.SCORES``).
+- ``boostByValue(in, boost)`` (`FunctionScoreQuery.java:64`) — score =
+  in.score * boost(doc), i.e. source = SCORES * boost.
+- ``boostByQuery(in, boostQuery, boostValue)``
+  (`FunctionScoreQuery.java:78`) — score multiplied by `boostValue`
+  only where `boostQuery` also matches (a QueryValueSource gate).
+
+Spark shape: a DoubleValuesSource over stored doc values is just a
+Column over the doc-values table, so FunctionScore = the scored match
+frame joined to doc values on doc_id (one equi-join; at scale the
+doc-values table shares the corpus partitioning, so the join is
+co-located) with the combined expression evaluated in codegen.
+Scores are float64 end-to-end, matching the parity scorer, so the
+DuckDB oracle hash-matches exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from lucene_spark.index.builder import InvertedIndex
+from lucene_spark.search.parity import _bm25_scored_f64
+
+__all__ = ["function_score_topk", "boost_by_query_topk"]
+
+
+def function_score_topk(
+    index: InvertedIndex,
+    term_boosts: Dict[str, float],
+    doc_values: DataFrame,
+    source: Column,
+    mode: str = "multiply",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k of FunctionScoreQuery over a BM25 boolean-SHOULD inner
+    query.
+
+    ``source`` is a Column over `doc_values` rows (the
+    DoubleValuesSource). ``mode='multiply'`` is boostByValue
+    (score = bm25 * source); ``mode='replace'`` is the raw
+    FunctionScoreQuery form (score = source, match set still the
+    query's). Returns (doc_id, score) rounded 4dp, score desc / doc_id
+    asc.
+    """
+    if mode not in ("multiply", "replace"):
+        raise ValueError("mode must be 'multiply' or 'replace'")
+    scored = _bm25_scored_f64(index, term_boosts)
+    vals = doc_values.select("doc_id", source.cast("double").alias("_fv"))
+    joined = scored.join(vals, "doc_id")
+    s = (
+        (F.col("s") * F.col("_fv"))
+        if mode == "multiply"
+        else F.col("_fv")
+    )
+    return (
+        joined.select("doc_id", s.alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round("s", 4).alias("score"))
+    )
+
+
+def boost_by_query_topk(
+    index: InvertedIndex,
+    term_boosts: Dict[str, float],
+    boost_terms: Dict[str, float],
+    boost_value: float,
+    k: int = 10,
+) -> DataFrame:
+    """FunctionScoreQuery.boostByQuery: base BM25 score multiplied by
+    `boost_value` on docs that ALSO match the boost query (any of
+    `boost_terms`), unchanged elsewhere (`FunctionScoreQuery.java:78`
+    — QueryValueSource yields boost where the sub-query matches, 1
+    otherwise)."""
+    scored = _bm25_scored_f64(index, term_boosts)
+    bmatch = (
+        _bm25_scored_f64(index, boost_terms)
+        .select("doc_id")
+        .withColumn("_b", F.lit(True))
+    )
+    joined = scored.join(bmatch, "doc_id", "left")
+    s = F.when(F.col("_b"), F.col("s") * F.lit(float(boost_value))).otherwise(
+        F.col("s")
+    )
+    return (
+        joined.select("doc_id", s.alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.round("s", 4).alias("score"))
+    )

@@ -644,6 +644,48 @@ def oracle_search_after_sql(term_boosts: Dict[str, float], k: int = 10) -> str:
     return f"SELECT * FROM ({inner}) OFFSET {k}"
 
 
+def search_after_sorted(
+    df: DataFrame,
+    sort_spec,
+    k: int = 10,
+    anchor=None,
+) -> DataFrame:
+    """searchAfter over an arbitrary field Sort
+    (`search/IndexSearcher.java:698` searchAfter(after, query, n,
+    Sort); `TopFieldCollector` after-bottom filtering): page through a
+    total order (field1, field2, ..., doc_id asc) by filtering rows
+    STRICTLY after the anchor tuple in that order, then top-k.
+
+    ``sort_spec`` = [(col, 'asc'|'desc'), ...]; doc_id asc is the
+    implicit final tiebreak (Lucene's docID tie-break within equal
+    sort values). ``anchor`` = the previous page's last row as a dict
+    {col: value, 'doc_id': id}; None returns page 1.
+
+    The after predicate is the lexicographic strict-after disjunction
+    — pure column comparisons, pushed into the scan by Catalyst — and
+    top-k is one TakeOrderedAndProject: no global sort, no OFFSET scan
+    of prior pages (classic deep-paging shape: each page is an
+    independent top-k over `after`-filtered rows, exactly why Lucene
+    recommends searchAfter over from+size).
+    Assumes non-null sort values (the reference needs an explicit
+    missingValue to sort nulls; pre-coalesce columns to use one here).
+    """
+    spec = list(sort_spec) + [("doc_id", "asc")]
+    order = [
+        F.col(c).asc() if d == "asc" else F.col(c).desc() for c, d in spec
+    ]
+    if anchor is not None:
+        after = F.lit(False)
+        eq_prefix = F.lit(True)
+        for c, d in spec:
+            a = F.lit(anchor[c])
+            strict = (F.col(c) > a) if d == "asc" else (F.col(c) < a)
+            after = after | (eq_prefix & strict)
+            eq_prefix = eq_prefix & (F.col(c) == a)
+        df = df.filter(after)
+    return df.orderBy(*order).limit(k)
+
+
 # --- CombinedFieldQuery (BM25F) --------------------------------------------
 
 

@@ -1,0 +1,70 @@
+"""Range fields: queries over indexed (min, max) interval columns.
+
+Re-expression of Lucene's range-field family
+(`lucene/core/src/java/org/apache/lucene/document/IntRange.java:48`,
+`LongRange.java`, `DoubleRange.java`, queried through
+`document/RangeFieldQuery.java:41-79`): a document stores an interval
+per dimension and queries relate it to a query interval with one of
+four relations (`RangeFieldQuery.QueryType`):
+
+- **INTERSECTS**: doc.min <= q.max AND doc.max >= q.min
+- **WITHIN**: q.min <= doc.min AND doc.max <= q.max
+- **CONTAINS**: doc.min <= q.min AND q.max <= doc.max
+- **CROSSES**: intersects but neither within nor contains
+  (`RangeFieldQuery.java` QueryType.CROSSES: INTERSECTS ∧ ¬WITHIN ∧
+  ¬CONTAINS)
+
+The reference answers these from a BKD tree over the 2·dims packed
+values; the Spark-native equivalent is two plain comparable columns —
+each relation is a conjunction of simple column/literal comparisons,
+so Catalyst pushes the whole predicate into the parquet scan
+(min/max row-group pruning on BOTH columns), which is the same
+coarse-prune + refine shape as BKD inner-node culling. No UDF, no
+shuffle; at 100 TB the scan prunes row groups whose [min(min_col),
+max(min_col)] × [min(max_col), max(max_col)] stats exclude the
+relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["range_relation_cond", "range_query", "RELATIONS"]
+
+RELATIONS = ("intersects", "within", "contains", "crosses")
+
+
+def range_relation_cond(
+    min_col: Column, max_col: Column, lo, hi, relation: str
+) -> Column:
+    """Boolean Column implementing one RangeFieldQuery.QueryType
+    relation between the stored interval [min_col, max_col] and the
+    query interval [lo, hi] (both closed, as in the reference)."""
+    lo, hi = F.lit(lo), F.lit(hi)
+    intersects = (min_col <= hi) & (max_col >= lo)
+    within = (lo <= min_col) & (max_col <= hi)
+    contains = (min_col <= lo) & (hi <= max_col)
+    if relation == "intersects":
+        return intersects
+    if relation == "within":
+        return within
+    if relation == "contains":
+        return contains
+    if relation == "crosses":
+        return intersects & ~within & ~contains
+    raise ValueError(f"unknown range relation {relation!r}; use one of {RELATIONS}")
+
+
+def range_query(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    lo,
+    hi,
+    relation: str = "intersects",
+) -> DataFrame:
+    """Rows of `df` whose stored range [min_col, max_col] stands in
+    `relation` to the query range [lo, hi]."""
+    return df.filter(
+        range_relation_cond(F.col(min_col), F.col(max_col), lo, hi, relation)
+    )

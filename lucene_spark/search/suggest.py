@@ -25,7 +25,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from lucene_spark.index.builder import InvertedIndex
 
-__all__ = ["prefix_suggest", "infix_suggest", "build_freetext_model", "freetext_suggest"]
+__all__ = [
+    "prefix_suggest",
+    "infix_suggest",
+    "fuzzy_suggest",
+    "build_freetext_model",
+    "freetext_suggest",
+]
 
 
 def prefix_suggest(index: InvertedIndex, prefix: str, n: int = 10) -> DataFrame:
@@ -44,6 +50,66 @@ def infix_suggest(index: InvertedIndex, fragment: str, n: int = 10) -> DataFrame
     return (
         index.terms.filter(F.col("term").contains(fragment))
         .select("term", F.col("doc_freq").alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("term").asc())
+        .limit(n)
+    )
+
+
+def fuzzy_suggest(
+    index: InvertedIndex,
+    key: str,
+    n: int = 10,
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+) -> DataFrame:
+    """FuzzySuggester
+    (`suggest/src/java/org/apache/lucene/search/suggest/analyzing/FuzzySuggester.java:66-118`):
+    completions tolerating typos in the typed key — a term is
+    suggested when SOME PREFIX of it is within Damerau-Levenshtein
+    distance ``max_edits`` of the key (the reference intersects the
+    key's Levenshtein automaton, suffixed with "anything", against the
+    suggest FST; "prefix within distance d" is exactly that automaton's
+    language). Reference defaults kept: the first
+    ``non_fuzzy_prefix`` characters must match exactly
+    (FuzzySuggester.java DEFAULT_NON_FUZZY_PREFIX=1) and keys shorter
+    than ``min_fuzzy_length`` fall back to exact prefix completion
+    (DEFAULT_MIN_FUZZY_LENGTH=3). Weight = doc_freq, weight desc /
+    term asc.
+
+    Plan: DL(p, key) >= |len(p) - len(key)|, so only prefixes with
+    length in [len(key)-max_edits, len(key)+max_edits] can qualify —
+    each dictionary term contributes at most 2·max_edits+1 candidate
+    prefixes (exploded JVM-side), and the Arrow-batched DL UDF runs
+    over that vocabulary-sized frame only, never the corpus (the same
+    dictionary-not-corpus shape as FuzzyQuery's rewrite).
+    """
+    if len(key) < min_fuzzy_length:
+        return prefix_suggest(index, key, n)
+    lk = len(key)
+    lo, hi = max(non_fuzzy_prefix, lk - max_edits), lk + max_edits
+    cand = index.terms.filter(
+        F.col("term").startswith(key[:non_fuzzy_prefix])
+        & (F.length("term") >= lo)
+    ).select("term", F.col("doc_freq").alias("weight"))
+    pref = cand.select(
+        "term",
+        "weight",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(lo), F.least(F.length("term"), F.lit(hi))
+                ),
+                lambda i: F.col("term").substr(F.lit(1), i),
+            )
+        ).alias("p"),
+    )
+    from lucene_spark.functions.editdist import damerau_within_udf
+
+    hit = pref.filter(damerau_within_udf(key, max_edits)(F.col("p")))
+    return (
+        hit.select("term", "weight")
+        .distinct()
         .orderBy(F.col("weight").desc(), F.col("term").asc())
         .limit(n)
     )

@@ -1,0 +1,76 @@
+"""Range fields (IntRange/LongRange/DoubleRange + RangeFieldQuery
+relations) vs a python brute-force oracle, plus relation algebra
+invariants."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lucene_spark.search.rangefield import RELATIONS, range_query
+
+
+@pytest.fixture(scope="module")
+def ranges(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(300):
+        a = int(rng.randint(0, 50))
+        b = a + int(rng.randint(0, 20))
+        rows.append((i, a, b))
+    return rows, spark.createDataFrame(rows, "id long, rmin int, rmax int")
+
+
+def _brute(rows, lo, hi, relation):
+    out = set()
+    for i, a, b in rows:
+        inter = a <= hi and b >= lo
+        within = lo <= a and b <= hi
+        contains = a <= lo and hi <= b
+        ok = {
+            "intersects": inter,
+            "within": within,
+            "contains": contains,
+            "crosses": inter and not within and not contains,
+        }[relation]
+        if ok:
+            out.add(i)
+    return out
+
+
+@pytest.mark.parametrize("relation", RELATIONS)
+@pytest.mark.parametrize("lo,hi", [(10, 30), (0, 5), (45, 70), (20, 20)])
+def test_range_relations(ranges, relation, lo, hi):
+    rows, df = ranges
+    got = {
+        r["id"] for r in range_query(df, "rmin", "rmax", lo, hi, relation).collect()
+    }
+    assert got == _brute(rows, lo, hi, relation)
+
+
+def test_relation_partition(ranges):
+    """within ∪ contains ∪ crosses partitions intersects (RangeFieldQuery
+    QueryType algebra: the three refined relations are disjoint and
+    exhaust intersection)."""
+    rows, df = ranges
+    lo, hi = 12, 28
+    inter = _brute(rows, lo, hi, "intersects")
+    w = _brute(rows, lo, hi, "within")
+    c = _brute(rows, lo, hi, "contains")
+    x = _brute(rows, lo, hi, "crosses")
+    assert w | c | x == inter
+    # pairwise disjoint except the degenerate doc-range == query-range
+    # case, which is both within and contains but never crosses
+    assert not (w & x) and not (c & x)
+    for i in w & c:
+        a, b = rows[i][1], rows[i][2]
+        assert (a, b) == (lo, hi)
+
+
+def test_bad_relation(ranges):
+    _, df = ranges
+    with pytest.raises(ValueError):
+        range_query(df, "rmin", "rmax", 0, 1, "overlapz")
