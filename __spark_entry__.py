@@ -298,6 +298,26 @@ _DLQ_CASE = (
     "CASE WHEN dl < 24 THEN dl WHEN (dl - 24) < 8 THEN dl "
     "ELSE 24 + (((dl - 24) >> (length(bin(dl - 24)) - 4)) << (length(bin(dl - 24)) - 4)) END"
 )
+# ICU folding gate vocabulary: (source token, UTR#30 folding). The
+# foldings are spec constants (public Unicode data); both engines see
+# the identical source stream (pure function of doc_id), the engine
+# folds with unicodedata, the oracle looks the folding up.
+_ICU_PAIRS = [
+    ("Résumé", "resume"),
+    ("NAÏVE", "naive"),
+    ("Café", "cafe"),
+    ("ZÜRICH", "zurich"),
+    ("ﬁnance", "finance"),
+    ("ＦＵＬＬ", "full"),
+    ("straße", "strasse"),
+    ("Σίσυφος", "σισυφοσ"),
+    ("İstanbul", "istanbul"),
+    ("Ⅻ", "xii"),
+    ("ﬂow", "flow"),
+    ("東京", "東京"),
+]
+_ICU_SRC_TOKENS = [s for s, _ in _ICU_PAIRS]
+
 _NORM_BYTE_CASE = (
     "CASE WHEN dl < 24 THEN dl WHEN (dl - 24) < 8 THEN dl "
     "ELSE 24 + (((dl - 24) >> (length(bin(dl - 24)) - 4)) % 8) "
@@ -316,6 +336,8 @@ _DRIVER_PRIORITY = [
     "span_or_near", "span_containing", "range_field_overlap",
     "function_score_topk", "boost_by_query", "search_after_sorted",
     "suggest_fuzzy", "embedding_hnsw_quantized_topk",
+    "blended_infix", "shape_box_relations", "icu_folding",
+    "pii_redact", "pii_count_audit",
     # prior rounds' evidence spread
     "reader_stats", "delete_reclaim_stats", "collection_stats",
     "search_after",
@@ -1880,7 +1902,153 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["embedding_hnsw_quantized_topk"] = embedding_hnsw_quantized_topk
 
+    # BlendedInfixSuggester (suggest/analyzing/BlendedInfixSuggester.java:56):
+    # infix lookup with position-blended weights (reciprocal blender)
+    def blended_infix(spark, sf):
+        from lucene_spark.search.suggest import blended_infix_suggest
+
+        sug = _docs(spark, sf).select(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 6), " ").alias(
+                "suggestion"
+            ),
+            F.col("n_chars").alias("weight"),
+        )
+        return blended_infix_suggest(sug, "mer", n=12, blender="reciprocal")
+
+    out["blended_infix"] = blended_infix
+
+    # LatLonShape box relations (document/LatLonShape.java:79 +
+    # ShapeField.QueryRelation): deterministic synthetic 4-vertex
+    # shapes on a 1/8° grid (exact doubles both engines), counted per
+    # relation; polygon INTERSECTS exercises the corner-in-polygon path
+    def shape_box_relations(spark, sf):
+        from lucene_spark.search.shape import (
+            line_box_relation,
+            polygon_box_relation,
+        )
+
+        box = (-2.0, 1.0, -1.0, 2.0)
+        d = (
+            _docs(spark, sf)
+            .select("doc_id")
+            .filter(F.col("doc_id") < 400)
+            .withColumn(
+                "lats",
+                F.expr(
+                    "transform(sequence(0, 3), j -> "
+                    "((doc_id * 37 + j * 59) % 40) / 8.0 - 2.5)"
+                ),
+            )
+            .withColumn(
+                "lons",
+                F.expr(
+                    "transform(sequence(0, 3), j -> "
+                    "((doc_id * 23 + j * 83) % 40) / 8.0 - 2.5)"
+                ),
+            )
+        )
+        return d.agg(
+            F.sum(
+                line_box_relation("lats", "lons", box, "intersects").cast("long")
+            ).alias("line_intersects"),
+            F.sum(
+                line_box_relation("lats", "lons", box, "within").cast("long")
+            ).alias("line_within"),
+            F.sum(
+                line_box_relation("lats", "lons", box, "disjoint").cast("long")
+            ).alias("line_disjoint"),
+            F.sum(
+                polygon_box_relation("lats", "lons", box, "intersects").cast("long")
+            ).alias("poly_intersects"),
+        )
+
+    out["shape_box_relations"] = shape_box_relations
+
+    # ICUFoldingFilter (analysis/icu/.../ICUFoldingFilter.java:64):
+    # UTR#30 folding (case + accents + width + compatibility composed
+    # with NFKC) over deterministic unicode tokens synthesized from
+    # doc_id; folded-term counts. The oracle maps each source token to
+    # its spec-derived folding (hand-derived from the public Unicode
+    # data, the Porter STEM_MAP precedent).
+    def icu_folding(spark, sf):
+        from lucene_spark.analysis.icu import icu_fold_tokens_udf
+
+        toks = F.array(*[F.lit(t) for t in _ICU_SRC_TOKENS])
+        d = (
+            _docs(spark, sf)
+            .select("doc_id")
+            .filter(F.col("doc_id") < 600)
+            .select(
+                F.element_at(
+                    toks, (F.col("doc_id") % len(_ICU_SRC_TOKENS) + 1).cast("int")
+                ).alias("tok")
+            )
+            .select(
+                F.element_at(
+                    icu_fold_tokens_udf()(F.array(F.col("tok"))), 1
+                ).alias("term")
+            )
+        )
+        return (
+            d.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("term")
+        )
+
+    out["icu_folding"] = icu_folding
+
+    # PII scrub (pipeline/redact.py): deterministic PII-bearing text
+    # synthesized from doc_id, masked by the JVM regex chain; a TRUE
+    # differential — Spark's Java regex vs DuckDB's RE2 must produce
+    # byte-identical masked text
+    def pii_redact(spark, sf):
+        from lucene_spark.pipeline.redact import redact_pii
+
+        return _pii_dirty(_docs(spark, sf)).select(
+            "doc_id", redact_pii(F.col("dirty")).alias("clean")
+        )
+
+    out["pii_redact"] = pii_redact
+
+    def pii_count_audit(spark, sf):
+        from lucene_spark.pipeline.redact import pii_counts
+
+        return pii_counts(
+            _pii_dirty(_docs(spark, sf)), text_col="dirty"
+        ).select(
+            F.col("n_email").cast("long").alias("n_email"),
+            F.col("n_ssn").cast("long").alias("n_ssn"),
+            F.col("n_ip").cast("long").alias("n_ip"),
+            F.col("n_phone").cast("long").alias("n_phone"),
+        )
+
+    out["pii_count_audit"] = pii_count_audit
+
     return _driver_order(out)
+
+
+def _pii_dirty(docs: DataFrame) -> DataFrame:
+    """Deterministic PII-bearing rows (pure function of doc_id; the
+    oracle builds the identical strings in SQL)."""
+    return docs.filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.concat(
+            F.lit("u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org call +1 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-1234 ip 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.9"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("dirty"),
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2937,4 +3105,85 @@ SELECT term, doc_freq AS weight FROM hit
 ORDER BY weight DESC, term ASC LIMIT 8
 """
     out["embedding_hnsw_quantized_topk"] = out["embedding_cosine_topk"]
+    out["blended_infix"] = """
+WITH s AS (
+  SELECT array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')
+           AS suggestion,
+         n_chars AS weight
+  FROM documents
+),
+m AS (
+  SELECT suggestion, weight,
+         (SELECT min(i) - 1
+          FROM (SELECT unnest(generate_series(1, len(string_split(suggestion, ' ')))) AS i)
+          WHERE substr(string_split(suggestion, ' ')[i], 1, 3) = 'mer') AS p
+  FROM s
+)
+SELECT suggestion,
+       CAST(trunc(weight * (1.0 / (p + 1.0))) AS BIGINT) AS score
+FROM m WHERE p IS NOT NULL
+ORDER BY score DESC, suggestion ASC LIMIT 12
+"""
+    from lucene_spark.search.shape import (
+        oracle_line_box_sql,
+        oracle_polygon_box_sql,
+    )
+
+    _box = (-2.0, 1.0, -1.0, 2.0)
+    out["shape_box_relations"] = f"""
+WITH shp AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 3),
+           j -> ((doc_id * 37 + j * 59) % 40) / 8.0 - 2.5) AS lats,
+         list_transform(generate_series(0, 3),
+           j -> ((doc_id * 23 + j * 83) % 40) / 8.0 - 2.5) AS lons
+  FROM documents WHERE doc_id < 400
+)
+SELECT
+  CAST(sum(CASE WHEN {oracle_line_box_sql('lats', 'lons', _box, 'intersects')}
+           THEN 1 ELSE 0 END) AS BIGINT) AS line_intersects,
+  CAST(sum(CASE WHEN {oracle_line_box_sql('lats', 'lons', _box, 'within')}
+           THEN 1 ELSE 0 END) AS BIGINT) AS line_within,
+  CAST(sum(CASE WHEN {oracle_line_box_sql('lats', 'lons', _box, 'disjoint')}
+           THEN 1 ELSE 0 END) AS BIGINT) AS line_disjoint,
+  CAST(sum(CASE WHEN {oracle_polygon_box_sql('lats', 'lons', _box, 'intersects')}
+           THEN 1 ELSE 0 END) AS BIGINT) AS poly_intersects
+FROM shp
+"""
+    _icu_case = " ".join(
+        f"WHEN {i} THEN '{folded}'" for i, (_, folded) in enumerate(_ICU_PAIRS)
+    )
+    out["icu_folding"] = f"""
+SELECT CASE (doc_id % {len(_ICU_PAIRS)}) {_icu_case} END AS term,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents WHERE doc_id < 600
+GROUP BY 1 ORDER BY 1
+"""
+    from lucene_spark.pipeline.redact import PII_PATTERNS
+
+    _dirty_sql = """
+SELECT doc_id,
+       'u' || doc_id || '@ex' || (doc_id % 7)
+         || '.org call +1 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         || '-1234 ip 10.' || (doc_id % 200) || '.0.9'
+         || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         || ' ' || text AS dirty
+FROM documents WHERE doc_id < 300
+"""
+    _clean_expr = "dirty"
+    for _, _pat, _tok in PII_PATTERNS:
+        _p = _pat.replace("'", "''")
+        _clean_expr = f"regexp_replace({_clean_expr}, '{_p}', '{_tok}', 'g')"
+    out["pii_redact"] = f"""
+WITH d AS ({_dirty_sql})
+SELECT doc_id, {_clean_expr} AS clean FROM d
+"""
+    _cnt_cols = ", ".join(
+        f"CAST(sum(len(regexp_extract_all(dirty, '{_pat.replace(chr(39), chr(39) * 2)}'))) AS BIGINT) AS n_{_name}"
+        for _name, _pat, _ in PII_PATTERNS
+    )
+    out["pii_count_audit"] = f"""
+WITH d AS ({_dirty_sql})
+SELECT {_cnt_cols} FROM d
+"""
     return out

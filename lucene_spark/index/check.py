@@ -26,6 +26,9 @@ Checks (name → what would break if violated):
   terms.total_term_freq == Σ block sum_freq per term.
 - ``positions_lengths`` (positional indexes): per-posting position
   count == freq, positions strictly increasing.
+- ``doc_zones``: the block's 64-bit zone-occupancy bitmap equals the
+  decoded docs' occupancy exactly (conjunction pruning would silently
+  drop blocks on a zeroed bitmap).
 """
 
 from __future__ import annotations
@@ -93,6 +96,20 @@ def _decode_checks(has_positions: bool, has_payloads: bool = False):
                     bad("impacts_cover", i, "max_freq not covered by impacts")
                 if int(freqs.sum()) != int(pdf["sum_freq"].values[i]):
                     bad("term_stats", i, "sum_freq != Σ freqs")
+                if len(docs):
+                    # doc_zones must be EXACTLY the occupancy bitmap of
+                    # the decoded docs (conjunction pruning relies on
+                    # every occupied zone being set; a zero bitmap
+                    # would silently drop blocks)
+                    span = np.uint64(int(docs[-1]) - int(docs[0]) + 1)
+                    zb = (
+                        (docs - docs[0]).astype(np.uint64) * np.uint64(64)
+                    ) // span
+                    want = int(
+                        np.bitwise_or.reduce(np.uint64(1) << zb).astype(np.int64)
+                    )
+                    if int(pdf["doc_zones"].values[i]) != want:
+                        bad("doc_zones", i, "zone bitmap != decoded occupancy")
                 if has_positions and pdf["term"].values[i] != NORMS_TERM:
                     stream = for_decode_stream(bytes(pdf["positions_packed"].values[i]))
                     if len(stream) != int(freqs.sum()):
@@ -126,6 +143,7 @@ def check_index(index: InvertedIndex) -> Dict[str, int]:
         "num_docs",
         "first_doc",
         "max_doc",
+        "doc_zones",
         "docs_packed",
         "freqs_packed",
         "impact_freqs",
@@ -200,6 +218,7 @@ def check_index(index: InvertedIndex) -> Dict[str, int]:
         "term_stats_block": decode_counts.get("term_stats", 0),
         "positions_lengths": decode_counts.get("positions_lengths", 0),
         "payloads_lengths": decode_counts.get("payloads_lengths", 0),
+        "doc_zones": decode_counts.get("doc_zones", 0),
         "block_chain": int(chain_viol),
         "segment_bounds": int(seg_viol),
         "term_stats": int(stats_viol),

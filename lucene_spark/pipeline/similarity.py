@@ -23,7 +23,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["cosine_topk", "lsh_signatures", "lsh_bucket_topk", "embedding_near_dups", "ivf_assign", "ivf_topk"]
+__all__ = [
+    "cosine_topk",
+    "lsh_signatures",
+    "lsh_bucket_topk",
+    "embedding_near_dups",
+    "ivf_assign",
+    "ivf_topk",
+    "ivf_quantize",
+    "ivf_quantized_topk",
+]
 
 
 def _cosine_col(vec_col, qvec: Sequence[float]):
@@ -272,6 +281,108 @@ def ivf_topk(
     qn = q / max(np.linalg.norm(q), 1e-12)
     probes = np.argsort(-(centroids @ qn))[:n_probes].tolist()
     cand = assigned.filter(F.col("ivf_list").isin([int(p) for p in probes]))
+    return (
+        cand.select(id_col, _cosine_col(F.col(vec_col), qvec).alias("cos"))
+        .withColumn("cos", F.round(F.col("cos"), 6))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_quantize(
+    assigned: DataFrame,
+    vec_col: str = "embedding",
+    confidence: float | None = None,
+    seed: int = 42,
+    max_sample_rows: int = 200_000,
+) -> tuple:
+    """Scalar int8 quantization for the IVF lists
+    (`codecs/lucene99/Lucene99ScalarQuantizedVectorsFormat.java:34`
+    semantics applied to the IVF layout): confidence-interval affine
+    bounds over the NORMALIZED component distribution (default ci =
+    1 - 1/(dim+1)), codes in [0, 127], one byte per component.
+
+    Bounds are estimated on a row-capped deterministic sample (the
+    same driver-budget discipline as the k-means training collect) and
+    broadcast; the codes column is produced by one Arrow-batched
+    matvec-free UDF. Returns (df + ``qcode: binary``, (lo, hi)). At
+    100 TB the qcode column is the one the probes scan — 4× less IO
+    than the float32 vectors, which are only touched by the top-R
+    refine.
+    """
+    from lucene_spark.search.hnsw import _quantize_segment
+
+    sample = np.array(
+        assigned.sample(fraction=0.2, seed=seed)
+        .select(vec_col)
+        .limit(max_sample_rows)
+        .toPandas()[vec_col]
+        .tolist(),
+        dtype=np.float32,
+    )
+    if not len(sample):
+        sample = np.array(
+            assigned.select(vec_col).limit(max_sample_rows).toPandas()[vec_col].tolist(),
+            dtype=np.float32,
+        )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    _, lo, hi = _quantize_segment(sample, confidence)
+    delta = (hi - lo) / 127.0
+
+    @F.pandas_udf(T.BinaryType())
+    def code_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            v = np.array(s.tolist(), dtype=np.float32)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            codes = np.clip(np.floor((v - lo) / delta + 0.5), 0, 127).astype(
+                np.int8
+            )
+            yield pd.Series([c.tobytes() for c in codes])
+
+    return assigned.withColumn("qcode", code_udf(F.col(vec_col))), (lo, hi)
+
+
+def ivf_quantized_topk(
+    assigned_q: DataFrame,
+    centroids: np.ndarray,
+    bounds,
+    qvec: Sequence[float],
+    k: int = 10,
+    n_probes: int = 4,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search over int8 codes: probe the nearest lists, rank by the
+    QUANTIZED dot product (one int8 matmul per Arrow batch — the scan
+    reads the 1-byte codes, not the floats), keep the top ``k*refine``,
+    then exact float64 cosine re-rank of those candidates only (the
+    float column is touched for ≤ k·refine rows)."""
+    lo, hi = bounds
+    delta = (hi - lo) / 127.0
+    q = np.asarray(qvec, dtype=np.float32)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(centroids @ qn))[:n_probes].tolist()
+    qcodes = np.clip(np.floor((qn - lo) / delta + 0.5), 0, 127).astype(np.int8)
+    # dequantized-query form: score ordering identical to Lucene's
+    # int-dot-plus-corrections (see search/hnsw.py quantization notes)
+    qd = (lo + qcodes.astype(np.float32) * np.float32(delta)).astype(np.float32)
+
+    @F.pandas_udf(T.FloatType())
+    def qscore(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            codes = np.frombuffer(
+                b"".join(s.tolist()), dtype=np.int8
+            ).reshape(len(s), -1)
+            deq = (lo + codes.astype(np.float32) * np.float32(delta))
+            yield pd.Series(deq @ qd)
+
+    cand = (
+        assigned_q.filter(F.col("ivf_list").isin([int(p) for p in probes]))
+        .withColumn("_qs", qscore(F.col("qcode")))
+        .orderBy(F.col("_qs").desc(), F.col(id_col).asc())
+        .limit(int(k * refine))
+    )
     return (
         cand.select(id_col, _cosine_col(F.col(vec_col), qvec).alias("cos"))
         .withColumn("cos", F.round(F.col("cos"), 6))

@@ -29,7 +29,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["range_relation_cond", "range_query", "RELATIONS"]
+__all__ = [
+    "range_relation_cond",
+    "range_query",
+    "range_relation_cond_multi",
+    "range_query_multi",
+    "RELATIONS",
+]
 
 RELATIONS = ("intersects", "within", "contains", "crosses")
 
@@ -68,3 +74,39 @@ def range_query(
     return df.filter(
         range_relation_cond(F.col(min_col), F.col(max_col), lo, hi, relation)
     )
+
+
+def _all(conds) -> Column:
+    out = None
+    for c in conds:
+        out = c if out is None else out & c
+    return out
+
+
+def range_relation_cond_multi(dims, relation: str) -> Column:
+    """Multi-dimensional relation (IntRange supports up to 4 dims —
+    `document/IntRange.java:48`; `RangeFieldQuery.java` relates every
+    dimension): ``dims`` = [(min_col_name, max_col_name, lo, hi), ...].
+
+    Per the reference's per-dim tests: INTERSECTS/WITHIN/CONTAINS hold
+    iff they hold on EVERY dimension; CROSSES = intersects in all dims
+    but neither within nor contains overall."""
+    cols = [(F.col(a), F.col(b), lo, hi) for a, b, lo, hi in dims]
+    inter = _all(range_relation_cond(a, b, lo, hi, "intersects") for a, b, lo, hi in cols)
+    within = _all(range_relation_cond(a, b, lo, hi, "within") for a, b, lo, hi in cols)
+    contains = _all(range_relation_cond(a, b, lo, hi, "contains") for a, b, lo, hi in cols)
+    if relation == "intersects":
+        return inter
+    if relation == "within":
+        return within
+    if relation == "contains":
+        return contains
+    if relation == "crosses":
+        return inter & ~within & ~contains
+    raise ValueError(f"unknown range relation {relation!r}; use one of {RELATIONS}")
+
+
+def range_query_multi(df: DataFrame, dims, relation: str = "intersects") -> DataFrame:
+    """Rows whose multi-dim stored range stands in `relation` to the
+    query hyper-rectangle."""
+    return df.filter(range_relation_cond_multi(dims, relation))

@@ -238,6 +238,14 @@ def span_not_docs(
 # the way the reference composes SpanQuery trees
 # (`queries/spans/SpanOrQuery.java:38`, `SpanContainQuery.java:30`,
 # `SpanContainingQuery.java:33`, `SpanWithinQuery.java:33`).
+#
+# FieldMaskingSpanQuery (`queries/spans/FieldMaskingSpanQuery.java:59`)
+# falls out structurally: a span frame carries only (doc_id, start,
+# end), so frames decoded from DIFFERENT single-field indexes over the
+# same doc ids compose in one span_near_over/span_containing_docs call
+# — which is exactly the reference's trick of lying about the field so
+# SpanNear accepts clauses from two fields (tested in
+# tests/test_span_algebra.py::test_field_masking_cross_index).
 
 
 def term_spans(index: InvertedIndex, term: str) -> DataFrame:

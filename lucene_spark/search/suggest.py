@@ -29,6 +29,7 @@ __all__ = [
     "prefix_suggest",
     "infix_suggest",
     "fuzzy_suggest",
+    "blended_infix_suggest",
     "build_freetext_model",
     "freetext_suggest",
 ]
@@ -51,6 +52,55 @@ def infix_suggest(index: InvertedIndex, fragment: str, n: int = 10) -> DataFrame
         index.terms.filter(F.col("term").contains(fragment))
         .select("term", F.col("doc_freq").alias("weight"))
         .orderBy(F.col("weight").desc(), F.col("term").asc())
+        .limit(n)
+    )
+
+
+def blended_infix_suggest(
+    suggestions: DataFrame,
+    fragment: str,
+    n: int = 10,
+    blender: str = "reciprocal",
+    linear_coef: float = 0.10,
+) -> DataFrame:
+    """BlendedInfixSuggester
+    (`suggest/src/java/org/apache/lucene/search/suggest/analyzing/BlendedInfixSuggester.java:56-214`):
+    infix lookup over multi-token suggestion strings where the stored
+    weight is BLENDED by the position of the first matching token
+    (`calculateCoefficient`):
+
+    - ``reciprocal`` (POSITION_RECIPROCAL): coef = 1 / (position + 1)
+    - ``linear`` (POSITION_LINEAR): coef = 1 − linear_coef · position
+      (no floor, as in the reference)
+
+    and the blended score is ``(long) (weight * coef)`` — the
+    reference truncates to long (`BlendedInfixSuggester.java` weight
+    recomputation), kept here for parity. A token matches when it
+    starts with `fragment` (the suggester indexes each token's edge
+    grams). ``suggestions`` = DataFrame(suggestion string,
+    weight long). Returns (suggestion, score long), score desc /
+    suggestion asc, limit n — all JVM higher-order functions, no UDF.
+    """
+    if blender not in ("reciprocal", "linear"):
+        raise ValueError("blender must be 'reciprocal' or 'linear'")
+    frag = fragment.replace("\\", "\\\\").replace("'", "\\'")
+    # 0-based position of the first token starting with the fragment
+    pos = F.expr(
+        "array_min(filter(transform(split(suggestion, ' '), (t, i) -> "
+        f"CASE WHEN substring(t, 1, {len(fragment)}) = '{frag}' THEN i END), "
+        "x -> x IS NOT NULL))"
+    )
+    matched = suggestions.withColumn("_p", pos).filter(F.col("_p").isNotNull())
+    if blender == "reciprocal":
+        coef = F.lit(1.0) / (F.col("_p") + F.lit(1.0))
+    else:
+        coef = F.lit(1.0) - F.lit(float(linear_coef)) * F.col("_p")
+    return (
+        matched.select(
+            "suggestion",
+            (F.col("weight") * coef).cast("long").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("suggestion").asc())
         .limit(n)
     )
 

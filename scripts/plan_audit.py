@@ -253,6 +253,53 @@ def main() -> None:
         )
     )
 
+    # 11. conjunction pruning is pure JVM: block metadata semi-joined
+    # against broadcast lead-block (interval ∧ zone-bitmap) — no Python
+    # eval node, no driver materialization of lead postings (round-4
+    # rework; previously the lead doc list round-tripped via toPandas)
+    from lucene_spark.search import BooleanClause, BooleanQuery, Occur
+
+    s11 = _IS(idx)
+    q11 = BooleanQuery.of(
+        BooleanClause(TermQuery("dup"), Occur.MUST),
+        BooleanClause(TermQuery("hash"), Occur.SHOULD),
+        BooleanClause(TermQuery("join"), Occur.SHOULD),
+    )
+    ctx11 = s11._bind(q11)
+    flat11 = [
+        (Occur.MUST, ["dup"]),
+        (Occur.SHOULD, ["hash"]),
+        (Occur.SHOULD, ["join"]),
+    ]
+    pruned11 = s11._conjunction_pruned_blocks(
+        ctx11, flat11, ["dup", "hash", "join"]
+    )
+    if pruned11 is None:
+        checks.append(
+            (
+                "conjunction prune: pure-JVM zone-bitmap semi-join",
+                False,
+                "guards declined to prune on the audit corpus",
+                "",
+            )
+        )
+    else:
+        p11 = plan_of(pruned11)
+        # the cached InMemoryRelation embeds the BUILD kernel's plan —
+        # cut at the cache boundary so only the per-query path counts
+        query_path11 = p11.split("InMemoryRelation", 1)[0]
+        n_py11 = len(
+            re.findall(r"EvalPython|MapInPandas|FlatMapGroupsInPandas", query_path11)
+        )
+        checks.append(
+            (
+                "conjunction prune: pure-JVM zone-bitmap semi-join",
+                n_py11 == 0 and "Join" in p11 and "Broadcast" in p11,
+                f"{n_py11} Python node(s); broadcast semi-join present",
+                p11,
+            )
+        )
+
     # report
     ok_all = all(ok for _, ok, _, _ in checks)
     rows = "\n".join(

@@ -165,6 +165,23 @@ def test_check_index_detects_corruption(spark, documents):
     assert report["impacts_cover"] > 0
 
 
+def test_check_index_detects_zone_corruption(spark, documents):
+    """A zeroed doc_zones bitmap (which would make conjunction pruning
+    silently drop blocks) is flagged."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.index.check import check_index
+
+    idx = InvertedIndex.build(documents, analyzer="simple", docs_per_segment=128)
+    idx.blocks = idx.blocks.withColumn(
+        "doc_zones",
+        F.when(F.col("term") == "spark", F.lit(0)).otherwise(F.col("doc_zones")),
+    )
+    report = check_index(idx)
+    assert report["doc_zones"] > 0
+
+
 def test_saved_index_full_query_battery(spark, documents, tmp_path):
     """Every query family must work identically on a reloaded index
     (parquet-backed blocks with predicate pushdown) as on the in-memory

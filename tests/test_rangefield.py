@@ -74,3 +74,55 @@ def test_bad_relation(ranges):
     _, df = ranges
     with pytest.raises(ValueError):
         range_query(df, "rmin", "rmax", 0, 1, "overlapz")
+
+
+# --- multi-dimension (IntRange up to 4 dims) --------------------------------
+
+
+@pytest.fixture(scope="module")
+def ranges2d(spark):
+    rng = np.random.RandomState(21)
+    rows = []
+    for i in range(300):
+        a = int(rng.randint(0, 40))
+        c = int(rng.randint(0, 40))
+        rows.append((i, a, a + int(rng.randint(0, 15)), c, c + int(rng.randint(0, 15))))
+    return rows, spark.createDataFrame(
+        rows, "id long, amin int, amax int, bmin int, bmax int"
+    )
+
+
+def _brute2d(rows, qa, qb, relation):
+    out = set()
+    for i, a1, a2, b1, b2 in rows:
+        per_dim = []
+        for (lo, hi), (x1, x2) in zip((qa, qb), ((a1, a2), (b1, b2))):
+            per_dim.append(
+                {
+                    "intersects": x1 <= hi and x2 >= lo,
+                    "within": lo <= x1 and x2 <= hi,
+                    "contains": x1 <= lo and hi <= x2,
+                }
+            )
+        inter = all(d["intersects"] for d in per_dim)
+        within = all(d["within"] for d in per_dim)
+        contains = all(d["contains"] for d in per_dim)
+        ok = {
+            "intersects": inter,
+            "within": within,
+            "contains": contains,
+            "crosses": inter and not within and not contains,
+        }[relation]
+        if ok:
+            out.add(i)
+    return out
+
+
+@pytest.mark.parametrize("relation", RELATIONS)
+def test_multi_dim_relations(ranges2d, relation):
+    from lucene_spark.search.rangefield import range_query_multi
+
+    rows, df = ranges2d
+    dims = [("amin", "amax", 10, 25), ("bmin", "bmax", 5, 30)]
+    got = {r["id"] for r in range_query_multi(df, dims, relation).collect()}
+    assert got == _brute2d(rows, (10, 25), (5, 30), relation)

@@ -9,6 +9,7 @@ from itertools import product
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -151,6 +152,44 @@ def test_span_or_dedups_shared_spans(corpus):
     u = span_or([term_spans(idx, "hash"), term_or_spans(idx, ["hash", "scan"])])
     plain = span_or([term_or_spans(idx, ["hash", "scan"])])
     assert sorted(map(tuple, u.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_field_masking_cross_index(spark):
+    """FieldMaskingSpanQuery analog: span frames from two different
+    single-field indexes (same doc ids) compose in one SpanNear —
+    positions are compared as if one field, the reference's semantics
+    (`queries/spans/FieldMaskingSpanQuery.java:59-77`)."""
+    rows = [
+        (0, "hash join scan", "merge sort scan"),
+        (1, "scan hash x y", "x merge y z"),
+        (2, "x y hash z", "merge x y z"),
+        (3, "join x y z", "x y merge z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, f1 string, f2 string")
+    idx1 = InvertedIndex.build(
+        docs.select("doc_id", F.col("f1").alias("text")),
+        analyzer="simple", docs_per_segment=4, positions=True,
+    )
+    idx2 = InvertedIndex.build(
+        docs.select("doc_id", F.col("f2").alias("text")),
+        analyzer="simple", docs_per_segment=4, positions=True,
+    )
+    # near(ordered, slop=1): 'hash' in f1 followed by 'merge' AS IF f1
+    got = {
+        r["doc_id"]
+        for r in span_near_over(
+            [term_spans(idx1, "hash"), term_spans(idx2, "merge")],
+            slop=1,
+            in_order=True,
+        ).collect()
+    }
+    want = set()
+    for d, f1, f2 in rows:
+        p1 = [i for i, t in enumerate(f1.split(" ")) if t == "hash"]
+        p2 = [i for i, t in enumerate(f2.split(" ")) if t == "merge"]
+        if any(j >= i + 1 and j - i - 1 <= 1 for i in p1 for j in p2):
+            want.add(d)
+    assert got == want
 
 
 def test_near_over_unordered_general_spans(corpus):
