@@ -337,7 +337,7 @@ _DRIVER_PRIORITY = [
     "function_score_topk", "boost_by_query", "search_after_sorted",
     "suggest_fuzzy", "embedding_hnsw_quantized_topk",
     "blended_infix", "shape_box_relations", "icu_folding",
-    "pii_redact", "pii_count_audit",
+    "pii_redact", "pii_count_audit", "embedding_ivf_quantized_topk",
     # prior rounds' evidence spread
     "reader_stats", "delete_reclaim_stats", "collection_stats",
     "search_after",
@@ -2024,6 +2024,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["pii_count_audit"] = pii_count_audit
 
+    # int8-quantized IVF (Lucene99 scalar quantization applied to the
+    # IVF layout): probes rank by the quantized dot over the 1-byte
+    # codes, exact float64 re-rank of the k·refine survivors. All
+    # lists probed + a refine window covering the sf0.01 corpus makes
+    # the result value-exact vs the brute-force cosine oracle.
+    def embedding_ivf_quantized_topk(spark, sf):
+        from lucene_spark.pipeline.similarity import (
+            ivf_assign,
+            ivf_quantize,
+            ivf_quantized_topk,
+        )
+
+        assigned, cent = ivf_assign(_emb(spark, sf), n_lists=8, seed=7)
+        q, bounds = ivf_quantize(assigned)
+        return ivf_quantized_topk(
+            q, cent, bounds, _qvec(spark, sf), k=15, n_probes=8, refine=40
+        ).select(F.col("vec_id"), F.col("cos"))
+
+    out["embedding_ivf_quantized_topk"] = embedding_ivf_quantized_topk
+
     return _driver_order(out)
 
 
@@ -3105,6 +3125,7 @@ SELECT term, doc_freq AS weight FROM hit
 ORDER BY weight DESC, term ASC LIMIT 8
 """
     out["embedding_hnsw_quantized_topk"] = out["embedding_cosine_topk"]
+    out["embedding_ivf_quantized_topk"] = out["embedding_cosine_topk"]
     out["blended_infix"] = """
 WITH s AS (
   SELECT array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')
