@@ -3083,8 +3083,7 @@ SELECT
   CAST(sum(CASE WHEN 3.0 <= rmin AND rmax <= 7.0 THEN 1 ELSE 0 END) AS BIGINT) AS within,
   CAST(sum(CASE WHEN rmin <= 3.0 AND 7.0 <= rmax THEN 1 ELSE 0 END) AS BIGINT) AS contains,
   CAST(sum(CASE WHEN (rmin <= 7.0 AND rmax >= 3.0)
-             AND NOT (3.0 <= rmin AND rmax <= 7.0)
-             AND NOT (rmin <= 3.0 AND 7.0 <= rmax) THEN 1 ELSE 0 END) AS BIGINT) AS crosses
+             AND NOT (3.0 <= rmin AND rmax <= 7.0) THEN 1 ELSE 0 END) AS BIGINT) AS crosses
 FROM r
 """
     _fs_ctes = _bm25_scored_ctes({"hash": 1.0, "join": 0.5})

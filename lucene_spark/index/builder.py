@@ -812,13 +812,21 @@ class InvertedIndex:
             if n_soft > 0
             else None
         )
+        blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+        if "doc_zones" not in blocks.columns:
+            # index persisted before the zone-bitmap format: backfill
+            # the all-ones sentinel — conjunction pruning degrades to
+            # interval-overlap only (mask & -1 != 0 whenever the doc
+            # ranges overlap), which is conservative and correct;
+            # CheckIndex skips the exact-occupancy check for -1
+            blocks = blocks.withColumn("doc_zones", F.lit(-1).cast("long"))
         return cls(
             deletes=dels,
             num_deleted=n_del,
             soft_deletes=soft,
             num_soft_deleted=n_soft,
             spark=spark,
-            blocks=spark.read.parquet(os.path.join(index_dir, "blocks")),
+            blocks=blocks,
             terms=spark.read.parquet(os.path.join(index_dir, "terms")),
             norms=spark.read.parquet(os.path.join(index_dir, "norms")),
             doc_count=m["doc_count"],

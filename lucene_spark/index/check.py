@@ -96,11 +96,14 @@ def _decode_checks(has_positions: bool, has_payloads: bool = False):
                     bad("impacts_cover", i, "max_freq not covered by impacts")
                 if int(freqs.sum()) != int(pdf["sum_freq"].values[i]):
                     bad("term_stats", i, "sum_freq != Σ freqs")
-                if len(docs):
+                if len(docs) and int(pdf["doc_zones"].values[i]) != -1:
                     # doc_zones must be EXACTLY the occupancy bitmap of
                     # the decoded docs (conjunction pruning relies on
                     # every occupied zone being set; a zero bitmap
-                    # would silently drop blocks)
+                    # would silently drop blocks). -1 is the legacy
+                    # backfill sentinel (pre-format indexes, see
+                    # InvertedIndex.load) — all-ones is conservative
+                    # for the prune, so it is exempt here.
                     span = np.uint64(int(docs[-1]) - int(docs[0]) + 1)
                     zb = (
                         (docs - docs[0]).astype(np.uint64) * np.uint64(64)

@@ -17,8 +17,9 @@ oracle can replay the exact transformation:
 - email: ``local@domain.tld`` per the practical RFC 5322 subset;
 - IPv4: four 1-3 digit octets (word-bounded);
 - phone: international/US-style sequences (``+1 555-123-4567``,
-  ``(555) 123 4567``) — ≥9 digits total so plain numbers in prose
-  survive;
+  ``(555) 123 4567``) — the shape requires ≥9 digits ending in a
+  4-digit group, so plain numbers in prose (years, 8-digit dates,
+  order ids) survive;
 - SSN-shaped: ``ddd-dd-dddd`` (word-bounded).
 
 Masking replaces each match with a typed sentinel (``<EMAIL>``,
@@ -41,7 +42,9 @@ PII_PATTERNS = [
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     (
         "phone",
-        r"(\+?\d{1,3}[ .-]?)?(\(\d{2,4}\)|\d{2,4})[ .-]?\d{3,4}[ .-]?\d{3,4}\b",
+        # final group fixed at 4 digits → minimum total is 9 digits
+        # (2+3+4), keeping 8-digit dates/order ids ('20250817') unmasked
+        r"(\+?\d{1,3}[ .-]?)?(\(\d{2,4}\)|\d{2,4})[ .-]?\d{3,4}[ .-]?\d{4}\b",
         "<PHONE>",
     ),
 ]

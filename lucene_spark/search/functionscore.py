@@ -55,8 +55,13 @@ def function_score_topk(
     if mode not in ("multiply", "replace"):
         raise ValueError("mode must be 'multiply' or 'replace'")
     scored = _bm25_scored_f64(index, term_boosts)
+    # LEFT join: the match set is the QUERY's. A doc with no doc-values
+    # row scores 0 (DoubleValues.advanceExact == false →
+    # FunctionScoreQuery keeps the doc at 0), it does not vanish.
     vals = doc_values.select("doc_id", source.cast("double").alias("_fv"))
-    joined = scored.join(vals, "doc_id")
+    joined = scored.join(vals, "doc_id", "left").withColumn(
+        "_fv", F.coalesce(F.col("_fv"), F.lit(0.0))
+    )
     s = (
         (F.col("s") * F.col("_fv"))
         if mode == "multiply"
@@ -82,10 +87,16 @@ def boost_by_query_topk(
     `boost_terms`), unchanged elsewhere (`FunctionScoreQuery.java:78`
     — QueryValueSource yields boost where the sub-query matches, 1
     otherwise)."""
+    from lucene_spark.search.parity import _decode_postings
+
     scored = _bm25_scored_f64(index, term_boosts)
+    # only PRESENCE of the boost query matters (QueryValueSource gate):
+    # decode the boost terms' postings to a distinct doc set instead of
+    # running the full scoring pipeline and discarding the scores
     bmatch = (
-        _bm25_scored_f64(index, boost_terms)
+        _decode_postings(index, list(boost_terms))
         .select("doc_id")
+        .distinct()
         .withColumn("_b", F.lit(True))
     )
     joined = scored.join(bmatch, "doc_id", "left")

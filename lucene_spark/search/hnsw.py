@@ -151,6 +151,9 @@ def _build_graph(vecs: np.ndarray, m: int, beam_width: int, seed: int):
     return levels, neighbors, entry, top
 
 
+_GRAPH_MAGIC = 0x48475331  # "HGS1" — packed-HNSW-graph format tag
+
+
 def _pack_graph(neighbors, entry: int, top: int) -> bytes:
     """Serialize the per-level adjacency as typed int32 CSR arrays.
 
@@ -160,8 +163,11 @@ def _pack_graph(neighbors, entry: int, top: int) -> bytes:
 
     A plain-binary format like the posting blocks: loading an index
     directory from an untrusted source stays data, not code (pickle
-    here would be an arbitrary-code-execution hole)."""
-    parts = [np.array([top, entry, len(neighbors)], dtype=np.int32)]
+    here would be an arbitrary-code-execution hole). A leading magic
+    word tags the format so a blob from any other serialization
+    (e.g. the removed pickle layout) fails fast instead of being
+    silently misparsed into a garbage graph."""
+    parts = [np.array([_GRAPH_MAGIC, top, entry, len(neighbors)], dtype=np.int32)]
     for lv in neighbors:
         node_ids = np.fromiter(lv.keys(), dtype=np.int32, count=len(lv))
         counts = np.fromiter(
@@ -181,8 +187,14 @@ def _pack_graph(neighbors, entry: int, top: int) -> bytes:
 def _unpack_graph(blob: bytes):
     """Inverse of :func:`_pack_graph` → (neighbors, entry, top)."""
     a = np.frombuffer(blob, dtype=np.int32)
-    top, entry, n_levels = int(a[0]), int(a[1]), int(a[2])
-    off = 3
+    if len(a) < 4 or int(a[0]) != _GRAPH_MAGIC:
+        raise ValueError(
+            "not a packed HNSW graph (bad magic): the row was written "
+            "by an incompatible serialization — rebuild the graph "
+            "segments with build_hnsw_segments()"
+        )
+    top, entry, n_levels = int(a[1]), int(a[2]), int(a[3])
+    off = 4
     neighbors = []
     for _ in range(n_levels):
         n_nodes = int(a[off]); off += 1

@@ -57,7 +57,10 @@ def range_relation_cond(
     if relation == "contains":
         return contains
     if relation == "crosses":
-        return intersects & ~within & ~contains
+        # RangeFieldQuery.QueryType.CROSSES.matches (RangeFieldQuery.java:268):
+        # INTERSECTS && !WITHIN — a stored range that CONTAINS the
+        # query still crosses it in the reference's semantics
+        return intersects & ~within
     raise ValueError(f"unknown range relation {relation!r}; use one of {RELATIONS}")
 
 
@@ -89,8 +92,9 @@ def range_relation_cond_multi(dims, relation: str) -> Column:
     dimension): ``dims`` = [(min_col_name, max_col_name, lo, hi), ...].
 
     Per the reference's per-dim tests: INTERSECTS/WITHIN/CONTAINS hold
-    iff they hold on EVERY dimension; CROSSES = intersects in all dims
-    but neither within nor contains overall."""
+    iff they hold on EVERY dimension; CROSSES (`RangeFieldQuery.java:268`)
+    = intersects in all dims AND NOT within overall (a stored box that
+    contains the query box still crosses it)."""
     cols = [(F.col(a), F.col(b), lo, hi) for a, b, lo, hi in dims]
     inter = _all(range_relation_cond(a, b, lo, hi, "intersects") for a, b, lo, hi in cols)
     within = _all(range_relation_cond(a, b, lo, hi, "within") for a, b, lo, hi in cols)
@@ -102,7 +106,7 @@ def range_relation_cond_multi(dims, relation: str) -> Column:
     if relation == "contains":
         return contains
     if relation == "crosses":
-        return inter & ~within & ~contains
+        return inter & ~within
     raise ValueError(f"unknown range relation {relation!r}; use one of {RELATIONS}")
 
 

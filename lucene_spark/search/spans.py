@@ -93,10 +93,10 @@ def span_near_docs(
     if in_order:
         width = pcols[-1] - pcols[0] + 1 - n
     else:
-        # distinct positions per clause (spans must not overlap), any order
-        for i in range(n):
-            for j in range(i + 1, n):
-                joined = joined.filter(pcols[i] != pcols[j])
+        # any order, overlap permitted: NearSpansUnordered.atMatch
+        # (NearSpansUnordered.java:83-85) checks only
+        # maxEnd − minStart − totalLength <= slop — duplicate clauses
+        # sitting on the same position match (width goes negative)
         width = F.greatest(*pcols) - F.least(*pcols) + 1 - n
     return _live(index, joined.filter(width <= slop).select("doc_id").distinct())
 
@@ -296,9 +296,11 @@ def span_near_over(
     spans this reduces to the (pn − p1 + 1 − n) <= slop formula of
     :func:`span_near_docs` (gap_i = p_{i+1} − p_i − 1).
 
-    Unordered (`spans/NearSpansUnordered.java`): one span per clause,
-    pairwise non-overlapping, covering width minus total span length
-    <= slop: (max end − min start) − Σ (end_i − start_i) <= slop.
+    Unordered (`spans/NearSpansUnordered.java:83-85` atMatch): one
+    span per clause, covering width minus total span length <= slop:
+    (max end − min start) − Σ (end_i − start_i) <= slop. Overlapping
+    clause spans are PERMITTED (the reference checks only the width
+    arithmetic, which goes negative on overlap and so always passes).
 
     Physical plan: doc-equi-joins (one shuffle key: doc_id) with the
     position inequalities as codegen'd join residuals — identical
@@ -333,13 +335,6 @@ def span_near_over(
         )
         start, end = scols[0], ecols[-1]
     else:
-        # pairwise non-overlap: spans i and j overlap iff s_i < e_j
-        # and s_j < e_i
-        for i in range(n):
-            for j in range(i + 1, n):
-                joined = joined.filter(
-                    (scols[i] >= ecols[j]) | (scols[j] >= ecols[i])
-                )
         start, end = F.least(*scols), F.greatest(*ecols)
         total_len = sum((ecols[i] - scols[i] for i in range(n)), F.lit(0))
         gap = end - start - total_len

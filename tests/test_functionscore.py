@@ -117,3 +117,21 @@ def test_bad_mode(corpus):
     _, docs, idx = corpus
     with pytest.raises(ValueError):
         function_score_topk(idx, {"hash": 1.0}, docs, F.lit(1.0), mode="add")
+
+
+def test_sparse_doc_values_keep_match_set(corpus):
+    """A doc with no doc-values row stays in the match set at score 0
+    (FunctionScoreQuery: DoubleValues.advanceExact false → 0), it does
+    not vanish from the result."""
+    texts, docs, idx = corpus
+    tb = {"hash": 1.0}
+    matching = sorted(_bm25_scores(texts, tb))
+    keep = matching[: len(matching) // 2]  # doc-values only for half
+    sparse = docs.filter(F.col("doc_id").isin([int(d) for d in keep]))
+    got = function_score_topk(
+        idx, tb, sparse, F.col("n_chars").cast("double"), mode="replace",
+        k=len(matching),
+    ).collect()
+    assert {r["doc_id"] for r in got} == set(matching)
+    dropped = set(matching) - set(keep)
+    assert all(r["score"] == 0.0 for r in got if r["doc_id"] in dropped)

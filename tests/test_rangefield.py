@@ -34,7 +34,7 @@ def _brute(rows, lo, hi, relation):
             "intersects": inter,
             "within": within,
             "contains": contains,
-            "crosses": inter and not within and not contains,
+            "crosses": inter and not within,
         }[relation]
         if ok:
             out.add(i)
@@ -52,20 +52,20 @@ def test_range_relations(ranges, relation, lo, hi):
 
 
 def test_relation_partition(ranges):
-    """within ∪ contains ∪ crosses partitions intersects (RangeFieldQuery
-    QueryType algebra: the three refined relations are disjoint and
-    exhaust intersection)."""
+    """within ∪ crosses partitions intersects (RangeFieldQuery.java:268:
+    CROSSES = INTERSECTS && !WITHIN, so the two are disjoint and
+    exhaust intersection); CONTAINS members land in crosses unless the
+    stored range equals the query (the only contains∩within case)."""
     rows, df = ranges
     lo, hi = 12, 28
     inter = _brute(rows, lo, hi, "intersects")
     w = _brute(rows, lo, hi, "within")
     c = _brute(rows, lo, hi, "contains")
     x = _brute(rows, lo, hi, "crosses")
-    assert w | c | x == inter
-    # pairwise disjoint except the degenerate doc-range == query-range
-    # case, which is both within and contains but never crosses
-    assert not (w & x) and not (c & x)
-    for i in w & c:
+    assert w | x == inter
+    assert not (w & x)
+    assert c <= w | x
+    for i in c - x:  # contains but not crosses → exact-equal range
         a, b = rows[i][1], rows[i][2]
         assert (a, b) == (lo, hi)
 
@@ -111,7 +111,7 @@ def _brute2d(rows, qa, qb, relation):
             "intersects": inter,
             "within": within,
             "contains": contains,
-            "crosses": inter and not within and not contains,
+            "crosses": inter and not within,
         }[relation]
         if ok:
             out.add(i)

@@ -40,6 +40,13 @@ def test_prose_numbers_survive(spark):
     assert _clean(spark, s) == s
 
 
+def test_eight_digit_runs_survive(spark):
+    # dates / order ids: 8-digit runs are below the phone shape's
+    # 9-digit minimum and must NOT be masked
+    s = "order 20250817 shipped, ref 12345678"
+    assert _clean(spark, s) == s
+
+
 def test_kinds_subset(spark):
     df = spark.createDataFrame([("a@b.co at 1.2.3.4",)], "text string")
     out = df.select(

@@ -194,7 +194,9 @@ def test_field_masking_cross_index(spark):
 
 def test_near_over_unordered_general_spans(corpus):
     """unordered near over a 2-wide span and a term: covering width
-    minus total length <= slop, non-overlapping."""
+    minus total length <= slop (NearSpansUnordered.atMatch — overlap
+    permitted, though 'scan' can never sit inside a hash-join window
+    here)."""
     texts, idx = corpus
     big = span_near_over(
         [term_spans(idx, "hash"), term_spans(idx, "join")], 0, in_order=True
@@ -213,9 +215,7 @@ def test_near_over_unordered_general_spans(corpus):
         ]
         ps = _positions(toks, {"scan"})
         for i, m in product(ph, ps):
-            # spans [i, i+2) and [m, m+1): non-overlap + width rule
-            if i <= m < i + 2:
-                continue
+            # spans [i, i+2) and [m, m+1): width rule only (overlap ok)
             lo, hi = min(i, m), max(i + 2, m + 1)
             if (hi - lo) - 3 <= 1:
                 want.add(d)

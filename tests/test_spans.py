@@ -38,10 +38,12 @@ def _brute_near(texts, terms, slop, in_order):
         if any(not pos[w] for w in terms):
             continue
         for combo in product(*[pos[w] for w in terms]):
-            if len(set(combo)) != n:
-                continue  # spans must not overlap
-            if in_order and any(combo[i] >= combo[i + 1] for i in range(n - 1)):
-                continue
+            if in_order:
+                # ordered: strictly increasing, non-overlapping
+                if any(combo[i] >= combo[i + 1] for i in range(n - 1)):
+                    continue
+            # unordered: overlap permitted (NearSpansUnordered.atMatch
+            # checks only the covering-width arithmetic)
             if max(combo) - min(combo) + 1 - n <= slop:
                 out.add(d)
                 break
@@ -56,7 +58,7 @@ def _brute_near(texts, terms, slop, in_order):
         (["join", "hash"], 1, False),
         (["hash", "join", "scan"], 3, True),
         (["hash", "join", "scan"], 2, False),
-        (["hash", "hash"], 1, False),  # repeated clause: distinct positions
+        (["hash", "hash"], 1, False),  # repeated clause: overlap matches
     ],
 )
 def test_span_near_differential(span_corpus, terms, slop, in_order):
