@@ -338,6 +338,7 @@ _DRIVER_PRIORITY = [
     "suggest_fuzzy", "embedding_hnsw_quantized_topk",
     "blended_infix", "shape_box_relations", "icu_folding",
     "pii_redact", "pii_count_audit", "embedding_ivf_quantized_topk",
+    "association_facet", "block_join_score_modes",
     # prior rounds' evidence spread
     "reader_stats", "delete_reclaim_stats", "collection_stats",
     "search_after",
@@ -2044,6 +2045,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["embedding_ivf_quantized_topk"] = embedding_ivf_quantized_topk
 
+    # Association facets (facet/taxonomy/FloatAssociationFacetField.java:30):
+    # children under the root ranked by the SUMMED per-doc association
+    # (n_chars) instead of the count
+    def association_facet(spark, sf):
+        from lucene_spark.search.facets import association_children
+
+        d = _docs(spark, sf).withColumn(
+            "cat", F.concat_ws("/", F.col("lang"), F.col("source"))
+        )
+        return association_children(d, "cat", "n_chars", agg="sum").select(
+            "child", F.round("assoc", 4).alias("assoc"), "cnt"
+        )
+
+    out["association_facet"] = association_facet
+
+    # ToParentBlockJoin ScoreMode family (join/ScoreMode.java:20): the
+    # same child query rolled up to parents under avg / max / total /
+    # min, one row per mode per parent, top by score
+    def block_join_score_modes(spark, sf):
+        from lucene_spark.search.blockjoin import to_parent_block_join
+
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        items = spark.read.parquet(f"{sf}/lineitem.parquet").filter(
+            F.col("l_quantity") > 30
+        )
+        outs = []
+        for mode in ("avg", "max", "total", "min"):
+            j = to_parent_block_join(
+                orders.select("o_orderkey"),
+                items,
+                "o_orderkey",
+                "l_orderkey",
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                score_mode=mode,
+            ).select(
+                F.lit(mode).alias("mode"),
+                "o_orderkey",
+                F.round("score", 4).alias("score"),
+                "n_children",
+            )
+            outs.append(
+                j.orderBy(F.col("score").desc(), F.col("o_orderkey").asc()).limit(10)
+            )
+        res = outs[0]
+        for o in outs[1:]:
+            res = res.unionByName(o)
+        return res
+
+    out["block_join_score_modes"] = block_join_score_modes
+
     return _driver_order(out)
 
 
@@ -3197,6 +3248,36 @@ FROM documents WHERE doc_id < 300
     out["pii_redact"] = f"""
 WITH d AS ({_dirty_sql})
 SELECT doc_id, {_clean_expr} AS clean FROM d
+"""
+    out["association_facet"] = """
+SELECT lang AS child,
+       round(CAST(sum(n_chars) AS DOUBLE), 4) AS assoc,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM documents
+GROUP BY 1 ORDER BY assoc DESC, child ASC
+"""
+    _bj_modes = {
+        "avg": "avg(l_extendedprice * (1.0 - l_discount))",
+        "max": "max(l_extendedprice * (1.0 - l_discount))",
+        "total": "sum(l_extendedprice * (1.0 - l_discount))",
+        "min": "min(l_extendedprice * (1.0 - l_discount))",
+    }
+    _bj_selects = " UNION ALL ".join(
+        f"""(SELECT '{m}' AS mode, o.o_orderkey,
+            round(ch.s_{m}, 4) AS score,
+            CAST(ch.n_children AS BIGINT) AS n_children
+     FROM orders o JOIN ch ON o.o_orderkey = ch.l_orderkey
+     ORDER BY round(ch.s_{m}, 4) DESC, o.o_orderkey ASC LIMIT 10)"""
+        for m in ("avg", "max", "total", "min")
+    )
+    out["block_join_score_modes"] = f"""
+WITH ch AS (
+  SELECT l_orderkey,
+         {', '.join(f'{expr} AS s_{m}' for m, expr in _bj_modes.items())},
+         count(*) AS n_children
+  FROM lineitem WHERE l_quantity > 30 GROUP BY 1
+)
+{_bj_selects}
 """
     _cnt_cols = ", ".join(
         f"CAST(sum(len(regexp_extract_all(dirty, '{_pat.replace(chr(39), chr(39) * 2)}'))) AS BIGINT) AS n_{_name}"

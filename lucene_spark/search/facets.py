@@ -26,7 +26,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["taxonomy_children", "drill_down"]
+__all__ = ["taxonomy_children", "drill_down", "association_children"]
 
 _SEP = "/"
 
@@ -63,5 +63,40 @@ def taxonomy_children(
         .groupBy(F.get(parts, depth).alias("child"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("child").asc())
+    )
+    return children.limit(top_n) if top_n is not None else children
+
+
+def association_children(
+    df: DataFrame,
+    path_col: str,
+    value_col: str,
+    path: Sequence[str] = (),
+    agg: str = "sum",
+    top_n: int | None = None,
+) -> DataFrame:
+    """Association facets
+    (`facet/taxonomy/FloatAssociationFacetField.java:30`,
+    `TaxonomyFacetFloatAssociations.java` with
+    `AssociationAggregationFunction.SUM`/`MAX`): each doc carries a
+    per-category VALUE (not just presence), and getTopChildren ranks
+    the children under `path` by the aggregated association instead of
+    the count. Same single partial-agg'd groupBy as
+    :func:`taxonomy_children`, one extra aggregated column. Returns
+    (child, assoc, cnt), assoc desc / child asc."""
+    if agg not in ("sum", "max"):
+        raise ValueError("agg must be 'sum' or 'max' (the reference's functions)")
+    depth = len(path)
+    parts = _parts(path_col)
+    fn = F.sum if agg == "sum" else F.max
+    children = (
+        drill_down(df, path_col, path)
+        .filter(F.size(parts) > depth)
+        .groupBy(F.get(parts, depth).alias("child"))
+        .agg(
+            fn(F.col(value_col).cast("double")).alias("assoc"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy(F.col("assoc").desc(), F.col("child").asc())
     )
     return children.limit(top_n) if top_n is not None else children
