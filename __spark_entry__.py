@@ -339,6 +339,10 @@ _DRIVER_PRIORITY = [
     "blended_infix", "shape_box_relations", "icu_folding",
     "pii_redact", "pii_count_audit", "embedding_ivf_quantized_topk",
     "association_facet", "block_join_score_modes",
+    "distance_feature_recency", "distance_feature_geo", "distance_boosted",
+    "vector_similarity", "diversifying_knn", "dv_update_score",
+    "repetition_signals", "phonetic_match", "soundex_terms",
+    "long_range_facets",
     # prior rounds' evidence spread
     "reader_stats", "delete_reclaim_stats", "collection_stats",
     "search_after",
@@ -2095,6 +2099,163 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["block_join_score_modes"] = block_join_score_modes
 
+    # LongPoint.newDistanceFeatureQuery (LongDistanceFeatureQuery.java:121):
+    # recency boost over event timestamps, score = pivot/(pivot+|ts-origin|)
+    def distance_feature_recency(spark, sf):
+        from lucene_spark.search.distancefeature import long_distance_feature_topk
+
+        # ts is TIMESTAMP_NTZ: micros-from-origin via timestampdiff is
+        # timezone-free on both engines
+        ev = _events(spark, sf).select(
+            "event_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '2024-01-15 00:00:00', ts)"
+            ).alias("v"),
+        )
+        return long_distance_feature_topk(
+            ev, "event_id", "v", origin=0, pivot=86_400_000_000, k=20
+        )
+
+    out["distance_feature_recency"] = distance_feature_recency
+
+    # LatLonPoint.newDistanceFeatureQuery
+    # (LatLonPointDistanceFeatureQuery.java:130)
+    def distance_feature_geo(spark, sf):
+        from lucene_spark.search.distancefeature import geo_distance_feature_topk
+
+        return geo_distance_feature_topk(
+            _geo_points(spark, sf), 48.8566, 2.3522, pivot_m=500_000.0, k=20
+        )
+
+    out["distance_feature_geo"] = distance_feature_geo
+
+    # distance feature as a SHOULD clause next to a BM25 query (the
+    # recommended recency-boost composition): union of match sets,
+    # sum of clause scores
+    def distance_boosted(spark, sf):
+        from lucene_spark.search.distancefeature import distance_boosted_topk
+        from lucene_spark.search.parity import _bm25_scored_f64
+
+        idx = _index(spark, sf)
+        scored = _bm25_scored_f64(idx, {"hash": 1.0, "merge": 0.7})
+        feature = _docs(spark, sf).select("doc_id", "n_chars")
+        return distance_boosted_topk(
+            scored, feature, "n_chars", origin=300.0, pivot=50.0, k=15
+        )
+
+    out["distance_boosted"] = distance_boosted
+
+    # FloatVectorSimilarityQuery (AbstractVectorSimilarityQuery.java:54):
+    # radius query on the unit-scaled cosine score
+    def vector_similarity(spark, sf):
+        from lucene_spark.search.knn import vector_similarity_match
+
+        return vector_similarity_match(
+            _emb(spark, sf), _qvec(spark, sf), result_similarity=0.6
+        )
+
+    out["vector_similarity"] = vector_similarity
+
+    # DiversifyingChildrenFloatKnnVectorQuery
+    # (join/DiversifyingChildrenFloatKnnVectorQuery.java:56): best child
+    # per parent, top-k diverse children
+    def diversifying_knn(spark, sf):
+        from lucene_spark.search.knn import diversifying_children_topk
+
+        children = _emb(spark, sf).withColumn(
+            "parent_id", F.expr("vec_id DIV 8")
+        )
+        return diversifying_children_topk(children, _qvec(spark, sf), k=10)
+
+    out["diversifying_knn"] = diversifying_knn
+
+    # IndexWriter.updateNumericDocValue (DocValuesUpdate.java:105):
+    # stacked term-matched updates, last wins, scored through
+    # FunctionScoreQuery without reindexing
+    def dv_update_score(spark, sf):
+        from lucene_spark.index.dvupdates import DocValuesUpdates
+        from lucene_spark.search.functionscore import function_score_topk
+        from lucene_spark.search.parity import _decode_postings
+
+        idx = _index(spark, sf)
+        base = _docs(spark, sf).select(
+            "doc_id", ((F.col("doc_id") % 7) + 1).cast("double").alias("w")
+        )
+        m1 = _decode_postings(idx, ["merge"]).select("doc_id").distinct()
+        m2 = _decode_postings(idx, ["vector"]).select("doc_id").distinct()
+        dv = (
+            DocValuesUpdates(base)
+            .update_numeric(m1, "w", 10.0)
+            .update_numeric(m2, "w", 3.0)
+        )
+        return function_score_topk(
+            idx, {"hash": 1.0}, dv.resolved(), F.col("w"), mode="multiply", k=15
+        )
+
+    out["dv_update_score"] = dv_update_score
+
+    # Gopher/C4 repetition signals (LLM-curation pillar): one
+    # shuffle-free Arrow pass per doc
+    def repetition(spark, sf):
+        from lucene_spark.pipeline.repetition import repetition_signals
+
+        d = _docs(spark, sf).filter(F.col("doc_id") < 500)
+        return repetition_signals(d, line_tokens=3)
+
+    out["repetition_signals"] = repetition
+
+    # PhoneticFilter + Soundex (analysis/phonetic/PhoneticFilter.java:33):
+    # docs containing a token that SOUNDS like the query
+    def phonetic(spark, sf):
+        from lucene_spark.analysis.phonetic import phonetic_match
+
+        return (
+            phonetic_match(_docs(spark, sf), "sparc")
+            .orderBy("doc_id")
+            .limit(300)
+        )
+
+    out["phonetic_match"] = phonetic
+
+    # soundex code groups over the corpus vocabulary
+    def soundex_terms(spark, sf):
+        from lucene_spark.analysis.phonetic import soundex_col
+
+        toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        tok = _docs(spark, sf).select(
+            "doc_id", F.explode(toks).alias("term")
+        )
+        return (
+            tok.withColumn("code", soundex_col(F.col("term")))
+            .groupBy("code")
+            .agg(
+                F.countDistinct("term").alias("n_terms"),
+                F.countDistinct("doc_id").alias("n_docs"),
+            )
+            .orderBy("code")
+        )
+
+    out["soundex_terms"] = soundex_terms
+
+    # LongRangeFacetCounts with OVERLAPPING ranges
+    # (facet/range/LongRangeFacetCounts.java:47)
+    def long_range_facets(spark, sf):
+        from lucene_spark.search.facets import long_range_counts
+
+        return long_range_counts(
+            _events(spark, sf),
+            "value",
+            [
+                ("low", 0.0, 100.0),
+                ("mid", 50.0, 250.0),
+                ("high", 200.0, True, 500.0, True),
+                ("all", 0.0, True, 500.0, True),
+            ],
+        )
+
+    out["long_range_facets"] = long_range_facets
+
     return _driver_order(out)
 
 
@@ -3278,6 +3439,136 @@ WITH ch AS (
   FROM lineitem WHERE l_quantity > 30 GROUP BY 1
 )
 {_bj_selects}
+"""
+    _dfr = (
+        "86400000000.0 / (86400000000.0 + abs(date_diff('microsecond', "
+        "TIMESTAMP '2024-01-15 00:00:00', ts)))"
+    )
+    out["distance_feature_recency"] = f"""
+SELECT event_id, round({_dfr}, 6) AS score
+FROM events
+ORDER BY {_dfr} DESC, event_id ASC
+LIMIT 20
+"""
+    _dfg = f"500000.0 / (500000.0 + {_hav_sql(48.8566, 2.3522)})"
+    out["distance_feature_geo"] = f"""
+WITH {_GEO_CTE}
+SELECT doc_id, round({_dfg}, 6) AS score FROM pts
+ORDER BY {_dfg} DESC, doc_id ASC LIMIT 20
+"""
+    _db_ctes = _bm25_scored_ctes({"hash": 1.0, "merge": 0.7})
+    _db_s = "coalesce(f.s, 0) + 50.0 / (50.0 + abs(d.n_chars - 300.0))"
+    out["distance_boosted"] = f"""
+WITH {_db_ctes}
+SELECT d.doc_id, round({_db_s}, 4) AS score
+FROM documents d LEFT JOIN first f USING (doc_id)
+ORDER BY {_db_s} DESC, d.doc_id ASC LIMIT 15
+"""
+    _VSIM_CTES = """q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+z AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x, unnest(qv)::DOUBLE AS y
+  FROM embeddings, q
+),
+s AS (
+  SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nq
+  FROM z GROUP BY vec_id
+),
+u AS (SELECT vec_id, (1 + dot / (sqrt(na) * sqrt(nq))) / 2 AS sc FROM s)"""
+    out["vector_similarity"] = f"""
+WITH {_VSIM_CTES}
+SELECT vec_id, round(sc, 6) AS score FROM u
+WHERE sc >= 0.6
+ORDER BY round(sc, 6) DESC, vec_id ASC
+"""
+    out["diversifying_knn"] = f"""
+WITH {_VSIM_CTES},
+ur AS (SELECT vec_id, vec_id // 8 AS parent_id, round(sc, 6) AS sc FROM u),
+b AS (SELECT parent_id, max(sc) AS score FROM ur GROUP BY parent_id),
+c AS (
+  SELECT b.parent_id, min(ur.vec_id) AS vec_id, b.score
+  FROM b JOIN ur ON ur.parent_id = b.parent_id AND ur.sc = b.score
+  GROUP BY b.parent_id, b.score
+)
+SELECT parent_id, vec_id, score FROM c
+ORDER BY score DESC, parent_id ASC LIMIT 10
+"""
+    _dvu_ctes = _bm25_scored_ctes({"hash": 1.0})
+    out["dv_update_score"] = f"""
+WITH {_dvu_ctes},
+m1 AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'),
+m2 AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'vector'),
+w AS (
+  SELECT doc_id,
+         CASE WHEN doc_id IN (SELECT doc_id FROM m2) THEN 3.0
+              WHEN doc_id IN (SELECT doc_id FROM m1) THEN 10.0
+              ELSE (doc_id % 7) + 1.0 END AS w
+  FROM documents
+)
+SELECT f.doc_id, round(f.s * w.w, 4) AS score
+FROM first f JOIN w USING (doc_id)
+ORDER BY f.s * w.w DESC, f.doc_id ASC LIMIT 15
+"""
+    out["repetition_signals"] = """
+WITH base AS (SELECT doc_id, len(text) AS n_chars,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS l
+              FROM documents WHERE doc_id < 500),
+w AS (SELECT doc_id, n_chars, l, len(l) AS n_words FROM base),
+li AS (SELECT doc_id, l, unnest(range(0, CAST(ceil(n_words / 3.0) AS BIGINT))) AS i FROM w),
+lines AS (SELECT doc_id, array_to_string(l[(i*3+1):(i*3+3)], ' ') AS line FROM li),
+lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+ls AS (SELECT doc_id, sum(c) AS n_lines, sum(c * len(line)) AS line_chars,
+              sum(c - 1) AS dup_occ, sum((c - 1) * len(line)) AS dup_chars
+       FROM lc GROUP BY 1),
+gi2 AS (SELECT doc_id, l, unnest(range(0, greatest(n_words - 1, 0))) AS i FROM w),
+g2c AS (SELECT doc_id, array_to_string(l[(i+1):(i+2)], ' ') AS g, count(*) AS c
+        FROM gi2 GROUP BY 1, 2),
+t2 AS (SELECT doc_id, max(c * len(g)) AS cov FROM g2c GROUP BY 1),
+gi3 AS (SELECT doc_id, l, unnest(range(0, greatest(n_words - 2, 0))) AS i FROM w),
+g3c AS (SELECT doc_id, array_to_string(l[(i+1):(i+3)], ' ') AS g, count(*) AS c
+        FROM gi3 GROUP BY 1, 2),
+t3 AS (SELECT doc_id, max(c * len(g)) AS cov FROM g3c GROUP BY 1),
+gi5 AS (SELECT doc_id, l, unnest(range(0, greatest(n_words - 4, 0))) AS i FROM w),
+g5c AS (SELECT doc_id, array_to_string(l[(i+1):(i+5)], ' ') AS g, count(*) AS c
+        FROM gi5 GROUP BY 1, 2),
+d5 AS (SELECT doc_id, sum(c) AS total, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+       FROM g5c GROUP BY 1)
+SELECT w.doc_id,
+       CAST(w.n_words AS BIGINT) AS n_words,
+       CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
+       round(coalesce(ls.dup_occ * 1.0 / nullif(ls.n_lines, 0), 0), 4) AS dup_line_frac,
+       round(coalesce(ls.dup_chars * 1.0 / nullif(ls.line_chars, 0), 0), 4) AS dup_line_char_frac,
+       round(coalesce(t2.cov * 1.0 / nullif(w.n_chars, 0), 0), 4) AS top2_char_frac,
+       round(coalesce(t3.cov * 1.0 / nullif(w.n_chars, 0), 0), 4) AS top3_char_frac,
+       round(coalesce(d5.dup * 1.0 / nullif(d5.total, 0), 0), 4) AS dup5_frac
+FROM w LEFT JOIN ls ON w.doc_id = ls.doc_id
+       LEFT JOIN t2 ON w.doc_id = t2.doc_id
+       LEFT JOIN t3 ON w.doc_id = t3.doc_id
+       LEFT JOIN d5 ON w.doc_id = d5.doc_id
+"""
+    from lucene_spark.analysis.phonetic import soundex as _soundex_py
+    from lucene_spark.analysis.phonetic import soundex_sql as _soundex_sql
+
+    out["phonetic_match"] = f"""
+WITH {TOK_CTE}
+SELECT DISTINCT doc_id FROM tok
+WHERE {_soundex_sql('term')} = '{_soundex_py("sparc")}'
+ORDER BY doc_id LIMIT 300
+"""
+    out["soundex_terms"] = f"""
+WITH {TOK_CTE}
+SELECT {_soundex_sql('term')} AS code,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM tok GROUP BY 1 ORDER BY code
+"""
+    out["long_range_facets"] = """
+SELECT 'low' AS label, CAST(count(*) FILTER (value >= 0.0 AND value < 100.0) AS BIGINT) AS cnt FROM events
+UNION ALL
+SELECT 'mid', CAST(count(*) FILTER (value >= 50.0 AND value < 250.0) AS BIGINT) FROM events
+UNION ALL
+SELECT 'high', CAST(count(*) FILTER (value >= 200.0 AND value <= 500.0) AS BIGINT) FROM events
+UNION ALL
+SELECT 'all', CAST(count(*) FILTER (value >= 0.0 AND value <= 500.0) AS BIGINT) FROM events
 """
     _cnt_cols = ", ".join(
         f"CAST(sum(len(regexp_extract_all(dirty, '{_pat.replace(chr(39), chr(39) * 2)}'))) AS BIGINT) AS n_{_name}"

@@ -53,6 +53,23 @@ def _cosine_col(vec_col, qvec: Sequence[float]):
     return dot / (na * F.lit(nq))
 
 
+def _cosine_col_safe(vec_col, qvec: Sequence[float]):
+    """:func:`_cosine_col` tolerant of zero-norm vectors: NULL instead
+    of an ANSI divide-by-zero (callers coalesce to their sentinel).
+    Kept separate so the exact gates keep the strict expression."""
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nq = float(np.sqrt(np.sum(np.asarray(qvec, dtype=np.float64) ** 2)))
+    return F.try_divide(dot, na * F.lit(nq))
+
+
 def cosine_topk(
     df: DataFrame,
     qvec: Sequence[float],

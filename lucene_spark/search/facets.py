@@ -26,7 +26,12 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["taxonomy_children", "drill_down", "association_children"]
+__all__ = [
+    "taxonomy_children",
+    "drill_down",
+    "association_children",
+    "long_range_counts",
+]
 
 _SEP = "/"
 
@@ -100,3 +105,51 @@ def association_children(
         .orderBy(F.col("assoc").desc(), F.col("child").asc())
     )
     return children.limit(top_n) if top_n is not None else children
+
+
+def long_range_counts(
+    df: DataFrame,
+    value_col: str,
+    ranges: Sequence[tuple],
+) -> DataFrame:
+    """LongRangeFacetCounts (`facet/range/LongRangeFacetCounts.java:47`,
+    `facet/range/LongRange.java:24`): counts for ARBITRARY, possibly
+    overlapping ranges — unlike a histogram, one doc can land in
+    several ranges, so this is NOT a groupBy on a bucket key.
+
+    Each range is ``(label, lo, hi)`` or
+    ``(label, lo, lo_incl, hi, hi_incl)`` matching LongRange's explicit
+    inclusiveness flags (3-tuples default to ``[lo, hi)``).
+
+    Plan shape: ONE conditional-sum aggregate over a single scan (a
+    ``sum(CASE WHEN ...)`` per range), then an explode of the 1×R
+    result row into (label, cnt) rows — no per-range scan, no shuffle
+    beyond the final partial-agg'd reduce, overlap-safe. Returns
+    (label, cnt) in the given range order.
+    """
+    conds = []
+    labels = []
+    for r in ranges:
+        if len(r) == 3:
+            label, lo, hi = r
+            lo_incl, hi_incl = True, False
+        else:
+            label, lo, lo_incl, hi, hi_incl = r
+        v = F.col(value_col)
+        c = (v >= F.lit(lo)) if lo_incl else (v > F.lit(lo))
+        c = c & ((v <= F.lit(hi)) if hi_incl else (v < F.lit(hi)))
+        labels.append(label)
+        conds.append(
+            F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0))).alias(f"_r{len(conds)}")
+        )
+    one = df.agg(*conds)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("label"),
+                F.col(f"_r{i}").cast("long").alias("cnt"),
+            )
+            for i, lbl in enumerate(labels)
+        ]
+    )
+    return one.select(F.explode(pairs).alias("p")).select("p.label", "p.cnt")

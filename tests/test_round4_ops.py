@@ -1,0 +1,351 @@
+"""Tests for the round-4 second-wave operators: distance-feature
+queries, vector similarity / diversifying KNN, numeric doc-values
+updates, repetition signals, Soundex, overlapping range facets."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------- distance
+
+
+def test_long_distance_feature_scores(spark):
+    from lucene_spark.search.distancefeature import long_distance_feature_topk
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 90), (3, 250), (4, None), (5, 101)],
+        "id long, v long",
+    )
+    rows = long_distance_feature_topk(df, "id", "v", origin=100, pivot=10, k=5).collect()
+    # id=1 at distance 0 scores 1.0; NULL value never matches
+    assert [r["id"] for r in rows] == [1, 5, 2, 3]
+    assert rows[0]["score"] == 1.0
+    assert rows[1]["score"] == pytest.approx(10 / 11, abs=1e-6)
+    assert all(r["id"] != 4 for r in rows)
+
+
+def test_long_distance_feature_adaptive_matches_exact(spark):
+    from lucene_spark.search.distancefeature import long_distance_feature_topk
+
+    df = spark.range(0, 500).select(
+        F.col("id"), ((F.col("id") * 37) % 1000).alias("v")
+    )
+    exact = long_distance_feature_topk(df, "id", "v", 500, 5.0, k=8).collect()
+    adapt = long_distance_feature_topk(
+        df, "id", "v", 500, 5.0, k=8, adaptive=True
+    ).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in adapt]
+
+
+def test_distance_feature_monotone_in_distance(spark):
+    from lucene_spark.search.distancefeature import long_distance_feature_topk
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)], "id long, v long")
+    rows = long_distance_feature_topk(df, "id", "v", origin=0, pivot=50, k=20).collect()
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # score formula check: pivot/(pivot+d)
+    assert rows[1]["score"] == pytest.approx(50 / 60, abs=1e-6)
+
+
+def test_geo_distance_feature(spark):
+    from lucene_spark.search.distancefeature import geo_distance_feature_topk
+
+    pts = spark.createDataFrame(
+        [(1, 48.8566, 2.3522), (2, 48.9, 2.4), (3, -33.86, 151.2)],
+        "doc_id long, lat double, lon double",
+    )
+    rows = geo_distance_feature_topk(pts, 48.8566, 2.3522, pivot_m=1000.0, k=3).collect()
+    assert rows[0]["doc_id"] == 1 and rows[0]["score"] == 1.0
+    assert rows[1]["doc_id"] == 2 and rows[2]["doc_id"] == 3
+    assert rows[2]["score"] < 0.001  # other side of the planet
+
+
+def test_distance_boosted_union_semantics(spark):
+    from lucene_spark.search.distancefeature import distance_boosted_topk
+
+    scored = spark.createDataFrame([(1, 2.0), (2, 1.0)], "doc_id long, s double")
+    feature = spark.createDataFrame(
+        [(2, 100), (3, 100), (4, None)], "doc_id long, v long"
+    )
+    rows = distance_boosted_topk(scored, feature, "v", 100, 10, k=10).collect()
+    got = {r["doc_id"]: r["score"] for r in rows}
+    # doc 1: text only; doc 2: both; doc 3: feature only; doc 4 NULL -> absent
+    assert got == {1: 2.0, 2: 2.0, 3: 1.0}
+
+
+# ---------------------------------------------------------------- vectors
+
+
+def test_vector_similarity_threshold(spark):
+    from lucene_spark.search.knn import vector_similarity_match
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [-1.0, 0.0]),
+            (4, [0.0, 1.0]),
+            (5, [0.0, 0.0]),  # zero norm: guarded, scores 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = vector_similarity_match(emb, [1.0, 0.0], result_similarity=0.75).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert ids == [1, 2]  # (1+cos)/2: 1.0, ~0.97; orthogonal=0.5; opposite=0.0
+    assert rows[0]["score"] == 1.0
+
+
+def test_vector_similarity_boost_after_threshold(spark):
+    from lucene_spark.search.knn import vector_similarity_match
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    rows = vector_similarity_match(
+        emb, [1.0, 0.0], result_similarity=0.9, boost=2.0
+    ).collect()
+    # threshold applies to the raw score, boost scales the output
+    assert rows[0]["score"] == 2.0
+
+
+def test_diversifying_children_one_per_parent(spark):
+    from lucene_spark.search.knn import diversifying_children_topk
+
+    rows = [
+        (10, 1, [1.0, 0.0]),
+        (11, 1, [0.99, 0.01]),
+        (20, 2, [0.5, 0.5]),
+        (21, 2, [0.6, 0.4]),
+        (30, 3, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, parent_id long, embedding array<float>"
+    )
+    got = diversifying_children_topk(emb, [1.0, 0.0], k=3).collect()
+    parents = [r["parent_id"] for r in got]
+    assert parents == [1, 2, 3]  # one child each, score order
+    assert got[0]["vec_id"] == 10  # best child of parent 1
+    assert got[1]["vec_id"] == 21  # 0.6,0.4 beats 0.5,0.5
+
+
+def test_diversifying_tie_breaks_to_smaller_child(spark):
+    from lucene_spark.search.knn import diversifying_children_topk
+
+    emb = spark.createDataFrame(
+        [(12, 1, [1.0, 0.0]), (11, 1, [2.0, 0.0])],
+        "vec_id long, parent_id long, embedding array<float>",
+    )
+    got = diversifying_children_topk(emb, [1.0, 0.0], k=1).collect()
+    assert got[0]["vec_id"] == 11  # same cosine (colinear): smaller id wins
+
+
+# ---------------------------------------------------------------- dv updates
+
+
+def test_dv_update_last_wins(spark):
+    from lucene_spark.index.dvupdates import DocValuesUpdates
+
+    base = spark.createDataFrame(
+        [(i, 1.0) for i in range(6)], "doc_id long, w double"
+    )
+    m1 = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    m2 = spark.createDataFrame([(3,), (4,)], "doc_id long")
+    dv = (
+        DocValuesUpdates(base)
+        .update_numeric(m1, "w", 10.0)
+        .update_numeric(m2, "w", 3.0)
+    )
+    got = {r["doc_id"]: r["w"] for r in dv.resolved().collect()}
+    assert got == {0: 1.0, 1: 10.0, 2: 10.0, 3: 3.0, 4: 3.0, 5: 1.0}
+
+
+def test_dv_update_unknown_field_raises(spark):
+    from lucene_spark.index.dvupdates import DocValuesUpdates
+
+    base = spark.createDataFrame([(1, 1.0)], "doc_id long, w double")
+    with pytest.raises(ValueError):
+        DocValuesUpdates(base).update_numeric(base.select("doc_id"), "nope", 1.0)
+
+
+def test_dv_update_schema_and_no_log_passthrough(spark):
+    from lucene_spark.index.dvupdates import DocValuesUpdates
+
+    base = spark.createDataFrame([(1, 1.0)], "doc_id long, w double")
+    dv = DocValuesUpdates(base)
+    assert dv.resolved() is base
+    upd = dv.update_numeric(base.select("doc_id"), "w", 2.0)
+    assert upd.resolved().columns == base.columns
+
+
+# ---------------------------------------------------------------- repetition
+
+
+def test_repetition_signals_known_doc(spark):
+    from lucene_spark.pipeline.repetition import repetition_signals
+
+    text = "a b c a b c x y z"  # lines of 3: 'a b c','a b c','x y z'
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = repetition_signals(df, line_tokens=3).collect()[0]
+    assert r["n_words"] == 9 and r["n_lines"] == 3
+    assert r["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-4)
+    assert r["dup_line_char_frac"] == pytest.approx(5 / 15, abs=1e-4)
+    # best 2-gram 'a b' (or 'b c') covers 2*3=6 chars of 17
+    assert r["top2_char_frac"] == pytest.approx(6 / 17, abs=1e-4)
+    # 5-grams: all 5 distinct -> no dups
+    assert r["dup5_frac"] == 0.0
+
+
+def test_repetition_signals_newline_mode(spark):
+    from lucene_spark.pipeline.repetition import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "hello world\nhello world\nbye")], "doc_id long, text string"
+    )
+    r = repetition_signals(df).collect()[0]
+    assert r["n_lines"] == 3
+    assert r["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-4)
+
+
+def test_repetition_signals_empty_and_short(spark):
+    from lucene_spark.pipeline.repetition import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one two")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df, line_tokens=3).collect()}
+    assert rows[1]["n_words"] == 0 and rows[1]["dup5_frac"] == 0.0
+    assert rows[2]["dup5_frac"] == 0.0  # shorter than the n-gram
+
+
+def test_repetition_rounding_is_half_away(spark):
+    from lucene_spark.pipeline.repetition import _r4
+
+    assert _r4(1 / 32) == 0.0313  # Python round() would give 0.0312
+    assert _r4(0.5) == 0.5
+
+
+# ---------------------------------------------------------------- phonetic
+
+
+def test_soundex_reference_vectors():
+    from lucene_spark.analysis.phonetic import soundex
+
+    # commons-codec test vectors (H/W transparency included)
+    assert soundex("Robert") == "R163"
+    assert soundex("Rupert") == "R163"
+    assert soundex("Ashcraft") == "A261"
+    assert soundex("Ashcroft") == "A261"
+    assert soundex("Tymczak") == "T522"
+    assert soundex("Pfister") == "P236"
+    assert soundex("Honeyman") == "H555"
+    assert soundex("") == ""
+    assert soundex("123") == ""
+
+
+def test_soundex_three_way_parity(spark):
+    import duckdb
+
+    from lucene_spark.analysis.phonetic import soundex, soundex_col, soundex_sql
+
+    words = [
+        "Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister", "hash",
+        "spark", "sparc", "Honeyman", "Washington", "Lee", "Gutierrez",
+        "Jackson", "VanDeusen", "o'brien", "x", "", "Czarkowska",
+    ]
+    py = [soundex(w) for w in words]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    sp = [r["c"] for r in df.select(soundex_col(F.col("w")).alias("c")).collect()]
+    arr = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    du = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {soundex_sql('w')} FROM (SELECT unnest([{arr}]) AS w)"
+        ).fetchall()
+    ]
+    assert py == sp == du
+
+
+def test_phonetic_match_finds_sound_alikes(spark):
+    from lucene_spark.analysis.phonetic import phonetic_match
+
+    df = spark.createDataFrame(
+        [(1, "the spark engine"), (2, "a sparc chip"), (3, "nothing here")],
+        "doc_id long, text string",
+    )
+    ids = sorted(r["doc_id"] for r in phonetic_match(df, "sparc").collect())
+    assert ids == [1, 2]
+
+
+# ---------------------------------------------------------------- range facets
+
+
+def test_long_range_counts_overlapping(spark):
+    from lucene_spark.search.facets import long_range_counts
+
+    df = spark.range(0, 100).withColumnRenamed("id", "v")
+    rows = long_range_counts(
+        df,
+        "v",
+        [("lo", 0, 50), ("hi", 50, 100), ("all", 0, True, 99, True), ("mid", 25, 75)],
+    ).collect()
+    got = {r["label"]: r["cnt"] for r in rows}
+    assert got == {"lo": 50, "hi": 50, "all": 100, "mid": 50}
+    # overlap: totals exceed row count — not a partition/histogram
+    assert sum(got.values()) > 100
+
+
+def test_long_range_counts_inclusive_flags(spark):
+    from lucene_spark.search.facets import long_range_counts
+
+    df = spark.range(0, 10).withColumnRenamed("id", "v")
+    rows = long_range_counts(
+        df, "v", [("a", 0, False, 9, True), ("b", 0, True, 9, False)]
+    ).collect()
+    got = {r["label"]: r["cnt"] for r in rows}
+    assert got == {"a": 9, "b": 9}
+
+
+def test_long_range_counts_single_scan_plan(spark):
+    from lucene_spark.search.facets import long_range_counts
+
+    df = spark.range(0, 10).withColumnRenamed("id", "v")
+    plan = long_range_counts(df, "v", [("a", 0, 5), ("b", 3, 8)])._jdf.queryExecution().executedPlan().toString()
+    # no join/union: one aggregate over one scan
+    assert "Join" not in plan and "Union" not in plan
+
+
+# ---------------------------------------------------------------- integration
+
+
+def test_distance_feature_oracle_parity_small(spark):
+    """Engine vs DuckDB on the real sf0.001 events table."""
+    import duckdb
+
+    from lucene_spark.search.distancefeature import long_distance_feature_topk
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-15 00:00:00', ts)"
+        ).alias("v"),
+    )
+    got = [
+        (r["event_id"], r["score"])
+        for r in long_distance_feature_topk(
+            ev, "event_id", "v", 0, 86_400_000_000, k=10
+        ).collect()
+    ]
+    expr = (
+        "86400000000.0 / (86400000000.0 + abs(date_diff('microsecond', "
+        "TIMESTAMP '2024-01-15 00:00:00', ts)))"
+    )
+    want = duckdb.sql(
+        f"SELECT event_id, round({expr}, 6) FROM '{SF_DIR}/events.parquet' "
+        f"ORDER BY {expr} DESC, event_id LIMIT 10"
+    ).fetchall()
+    assert got == [(a, b) for a, b in want]
