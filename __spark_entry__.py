@@ -342,7 +342,8 @@ _DRIVER_PRIORITY = [
     "distance_feature_recency", "distance_feature_geo", "distance_boosted",
     "vector_similarity", "diversifying_knn", "dv_update_score",
     "repetition_signals", "phonetic_match", "soundex_terms",
-    "long_range_facets",
+    "long_range_facets", "js_expression_topk", "js_expression_rescore",
+    "c4_filters", "sampled_facets",
     # prior rounds' evidence spread
     "reader_stats", "delete_reclaim_stats", "collection_stats",
     "search_after",
@@ -2256,6 +2257,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["long_range_facets"] = long_range_facets
 
+    # the expressions language (expressions/js/JavascriptCompiler.java,
+    # grammar Javascript.g4): parsed once, emitted as a codegen'd Spark
+    # SQL expression — ternary, comparisons, bitwise, function registry
+    _JS_SRC = (
+        "sqrt(n_chars) + 10 * (n_chars > 300) "
+        "+ min(doc_id % 7, 3) + ((doc_id & 12) >> 2)"
+    )
+
+    def js_expression_topk(spark, sf):
+        from lucene_spark.search.expressions import compile_expression
+
+        c = compile_expression(_JS_SRC, {"n_chars": "n_chars", "doc_id": "doc_id"})
+        return (
+            _docs(spark, sf)
+            .select("doc_id", c.column().alias("_s"))
+            .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+            .limit(15)
+            .select("doc_id", F.round("_s", 4).alias("score"))
+        )
+
+    out["js_expression_topk"] = js_expression_topk
+
+    # ExpressionRescorer (expressions/ExpressionRescorer.java): the
+    # expression reads the wrapped query's score via the _score binding
+    def js_expression_rescore(spark, sf):
+        from lucene_spark.search.expressions import compile_expression
+        from lucene_spark.search.parity import _bm25_scored_f64
+
+        c = compile_expression(
+            "_score * 2 + ln(n_chars + 1) - (_score > 3)",
+            {"_score": "s", "n_chars": "n_chars"},
+        )
+        scored = _bm25_scored_f64(_index(spark, sf), {"hash": 1.0, "scan": 0.5})
+        joined = scored.join(_docs(spark, sf).select("doc_id", "n_chars"), "doc_id")
+        return (
+            joined.select("doc_id", c.column().alias("_s"))
+            .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+            .limit(15)
+            .select("doc_id", F.round("_s", 4).alias("score"))
+        )
+
+    out["js_expression_rescore"] = js_expression_rescore
+
+    # C4 document-cleaning heuristics over deterministically
+    # synthesized "webby" text (same construction in the oracle —
+    # the flat token corpus has no lines/punctuation of its own)
+    def c4_filters(spark, sf):
+        from lucene_spark.pipeline.textstats import c4_quality_signals
+
+        d = _docs(spark, sf).filter(F.col("doc_id") < 400)
+        web = d.select(
+            "doc_id",
+            F.concat(
+                F.expr("replace(text, ' table ', '\n')"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit(" lorem ipsum dolor."))
+                .when(F.col("doc_id") % 5 == 1, F.lit(" function() { return 1; }"))
+                .when(F.col("doc_id") % 5 == 2, F.lit("."))
+                .when(F.col("doc_id") % 5 == 3, F.lit(" no punctuation here"))
+                .otherwise(F.lit(". done. and more.")),
+            ).alias("text"),
+        )
+        return c4_quality_signals(web)
+
+    out["c4_filters"] = c4_filters
+
+    # RandomSamplingFacetsCollector: facet counts over a deterministic
+    # sample of the hit set, amortized back by 1/rate
+    def sampled_facets(spark, sf):
+        from lucene_spark.search.facets import sampled_facet_counts
+
+        return sampled_facet_counts(
+            _docs(spark, sf), "lang", fraction=0.25, seed=5
+        )
+
+    out["sampled_facets"] = sampled_facets
+
     return _driver_order(out)
 
 
@@ -3561,6 +3638,63 @@ SELECT {_soundex_sql('term')} AS code,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM tok GROUP BY 1 ORDER BY code
 """
+    from lucene_spark.search.expressions import compile_expression as _js_compile
+
+    _js_c = _js_compile(
+        "sqrt(n_chars) + 10 * (n_chars > 300) "
+        "+ min(doc_id % 7, 3) + ((doc_id & 12) >> 2)",
+        {"n_chars": "n_chars", "doc_id": "doc_id"},
+    )
+    out["js_expression_topk"] = f"""
+SELECT doc_id, round({_js_c.duckdb_sql}, 4) AS score
+FROM documents
+ORDER BY {_js_c.duckdb_sql} DESC, doc_id ASC LIMIT 15
+"""
+    _jsr_c = _js_compile(
+        "_score * 2 + ln(n_chars + 1) - (_score > 3)",
+        {"_score": "f.s", "n_chars": "d.n_chars"},
+    )
+    _jsr_ctes = _bm25_scored_ctes({"hash": 1.0, "scan": 0.5})
+    out["js_expression_rescore"] = f"""
+WITH {_jsr_ctes}
+SELECT f.doc_id, round({_jsr_c.duckdb_sql}, 4) AS score
+FROM first f JOIN documents d USING (doc_id)
+ORDER BY {_jsr_c.duckdb_sql} DESC, f.doc_id ASC LIMIT 15
+"""
+    out["c4_filters"] = """
+WITH web AS (
+  SELECT doc_id,
+         replace(text, ' table ', chr(10)) ||
+         CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN ' lorem ipsum dolor.'
+           WHEN 1 THEN ' function() { return 1; }'
+           WHEN 2 THEN '.'
+           WHEN 3 THEN ' no punctuation here'
+           ELSE '. done. and more.'
+         END AS text
+  FROM documents WHERE doc_id < 400
+),
+sig AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+  FROM web
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       round(CASE WHEN len(lines) > 0 THEN
+         len(list_filter(lines, x -> len(list_filter(string_split(x, ' '), t -> t <> '')) < 5))
+           * 1.0 / len(lines) ELSE 0 END, 4) AS short_line_frac,
+       round(CASE WHEN len(lines) > 0 THEN
+         len(list_filter(lines, x -> regexp_matches(x, '[.!?\"]$')))
+           * 1.0 / len(lines) ELSE 0 END, 4) AS terminal_punct_line_frac,
+       CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+       CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem,
+       CAST(contains(text, '{') AS INT) AS has_brace,
+       CAST((len(regexp_extract_all(text, '[.!?]+')) >= 3
+             AND NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{')) AS INT) AS keep
+FROM sig
+"""
     out["long_range_facets"] = """
 SELECT 'low' AS label, CAST(count(*) FILTER (value >= 0.0 AND value < 100.0) AS BIGINT) AS cnt FROM events
 UNION ALL
@@ -3569,6 +3703,18 @@ UNION ALL
 SELECT 'high', CAST(count(*) FILTER (value >= 200.0 AND value <= 500.0) AS BIGINT) FROM events
 UNION ALL
 SELECT 'all', CAST(count(*) FILTER (value >= 0.0 AND value <= 500.0) AS BIGINT) FROM events
+"""
+    _SFB = (
+        "('0x' || substr(md5('5:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        " % 1000000"
+    )
+    out["sampled_facets"] = f"""
+SELECT lang AS label,
+       CAST(count(*) AS BIGINT) AS cnt_sampled,
+       round(count(*) / 0.25, 4) AS cnt_est
+FROM documents
+WHERE {_SFB} < 250000
+GROUP BY 1 ORDER BY label
 """
     _cnt_cols = ", ".join(
         f"CAST(sum(len(regexp_extract_all(dirty, '{_pat.replace(chr(39), chr(39) * 2)}'))) AS BIGINT) AS n_{_name}"

@@ -157,3 +157,49 @@ def rolling_fingerprint(
             yield pd.Series(out)
 
     return df.select(F.col(id_col).alias("doc_id"), _fp(F.col(text_col)).alias("rolling_fp"))
+
+
+def c4_quality_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4's document-cleaning heuristics (Raffel et al. 2020 §2.2) as
+    per-doc signals plus the resulting keep flag:
+
+    - ``n_lines`` / ``short_line_frac`` — C4 drops lines with < 5
+      words; the fraction tells how much of the doc that rule eats.
+    - ``terminal_punct_line_frac`` — lines ending in ``. ! ? "``
+      (C4 keeps only such lines).
+    - ``n_sentences`` — terminal-punctuation runs; docs with < 3
+      sentences are dropped.
+    - ``has_lorem`` / ``has_brace`` — the "lorem ipsum" and ``{``
+      (code) document kills.
+    - ``keep`` — the composed C4 document rule.
+
+    Every signal is a codegen'd expression over one scan (split +
+    higher-order array functions + regexp_count): no UDF, no shuffle
+    — the filter runs at scan speed in front of dedup at 100 TB.
+    """
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda ln: ln != "")
+    n_lines = F.size(lines)
+    words_of = lambda ln: F.size(F.filter(F.split(ln, " "), lambda t: t != ""))  # noqa: E731
+    short = F.size(F.filter(lines, lambda ln: words_of(ln) < 5))
+    punct = F.size(F.filter(lines, lambda ln: ln.rlike('[.!?"]$')))
+    n_sent = F.regexp_count(F.col(text_col), F.lit("[.!?]+"))
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    nl_d = n_lines.cast("double")
+    keep = (n_sent >= 3) & ~has_lorem & ~has_brace
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        F.round(F.when(n_lines > 0, short / nl_d).otherwise(F.lit(0.0)), 4).alias(
+            "short_line_frac"
+        ),
+        F.round(F.when(n_lines > 0, punct / nl_d).otherwise(F.lit(0.0)), 4).alias(
+            "terminal_punct_line_frac"
+        ),
+        n_sent.cast("long").alias("n_sentences"),
+        has_lorem.cast("int").alias("has_lorem"),
+        has_brace.cast("int").alias("has_brace"),
+        keep.cast("int").alias("keep"),
+    )

@@ -24,7 +24,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["SCORE_MODES", "to_parent_block_join", "to_child_block_join"]
+__all__ = [
+    "SCORE_MODES",
+    "to_parent_block_join",
+    "to_child_block_join",
+    "parent_children_block_join",
+]
 
 SCORE_MODES = ("none", "avg", "max", "total", "min")
 
@@ -82,3 +87,21 @@ def to_child_block_join(
     return children.join(F.broadcast(p), children[child_key] == F.col("_pk")).drop(
         "_pk"
     )
+
+
+def parent_children_block_join(
+    children: DataFrame,
+    child_key: str,
+    parent_id,
+    child_score: Column = None,
+) -> DataFrame:
+    """ParentChildrenBlockJoinQuery
+    (`join/ParentChildrenBlockJoinQuery.java:40`): the matching
+    children of ONE given parent — the "expand this hit's children"
+    UI query. The equality predicate on the (partition/bucket) parent
+    key pushes into the scan, so at 100 TB this reads one bucket, not
+    the corpus."""
+    out = children.filter(F.col(child_key) == F.lit(parent_id))
+    if child_score is not None:
+        out = out.withColumn("score", child_score.cast("double"))
+    return out

@@ -1,0 +1,395 @@
+"""The reference's expressions language, compiled to paired SQL.
+
+Re-expression of `lucene/expressions/src/java/org/apache/lucene/expressions/js/JavascriptCompiler.java`
+(grammar `Javascript.g4`, default function registry
+`JavascriptCompiler.properties`): a small double-typed scoring
+language — arithmetic, comparisons (1.0/0.0), booleans (non-zero is
+true), Java-semantics bitwise/shift ops over ``(long)`` casts, the
+``?:`` conditional, and the published 26-function math registry
+(``abs ln log10 logn pow min max sqrt cbrt-less trig/hyperbolic
+haversin``), over variables bound via Bindings
+(`expressions/SimpleBindings.java`).
+
+Architecture: a recursive-descent parser (one precedence level per
+grammar rule) produces an AST; the AST is EMITTED TWICE — once as a
+Spark SQL expression (evaluated via ``F.expr``: the whole expression
+stays inside whole-stage codegen, zero Python per row) and once as a
+DuckDB SQL expression (the correctness oracle's dual). Keeping one AST
+and two emitters is what makes engine and oracle agree bit-for-bit,
+including the awkward corners:
+
+- ``(long)`` casts truncate toward zero: Spark's double→BIGINT cast
+  already does; DuckDB CAST rounds, so the dual emits
+  ``CAST(trunc(x) AS BIGINT)``.
+- Java shifts mask the count with ``& 63``; Spark's shift functions
+  do too, DuckDB's operators don't — the dual masks explicitly.
+- Java ``<<`` wraps on overflow; DuckDB's BIGINT ``<<`` raises — the
+  dual computes the shift in HUGEINT and wraps mod 2^64 back to the
+  signed range.
+- ``>>>`` (Spark ``shiftrightunsigned``) has no DuckDB operator — the
+  dual is ``(x >> s) & (max_long >> (s-1))`` with an ``s = 0`` guard.
+- hyperbolics/``acosh``-family: DuckDB lacks them, so BOTH sides emit
+  the same exp/ln closed forms (shared expression = shared rounding).
+
+Compile once per query — the result is a plan fragment, not a UDF.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
+
+__all__ = ["compile_expression", "ExpressionError", "CompiledExpression"]
+
+
+class ExpressionError(ValueError):
+    """Parse or binding failure (mirrors the reference's ParseException)."""
+
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:"
+    r"(?P<num>0[xX][0-9a-fA-F]+|0[0-7]+|(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?)"
+    r"|(?P<var>[_$a-zA-Z][_$a-zA-Z0-9]*(?:\.[_$a-zA-Z][_$a-zA-Z0-9]*)*)"
+    r"|(?P<op><<|>>>|>>|<=|>=|==|!=|&&|\|\||[-+*/%()!~<>&^|?:,])"
+    r")"
+)
+
+
+def _tokenize(src: str) -> List[Tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if m is None:
+            if src[pos:].strip() == "":
+                break
+            raise ExpressionError(f"unexpected character at {pos}: {src[pos]!r}")
+        if m.group("num") is not None:
+            out.append(("num", m.group("num")))
+        elif m.group("var") is not None:
+            out.append(("var", m.group("var")))
+        else:
+            out.append(("op", m.group("op")))
+        pos = m.end()
+    out.append(("eof", ""))
+    return out
+
+
+# AST: ("num", value) | ("var", name) | ("call", name, [args]) |
+#      ("un", op, a) | ("bin", op, a, b) | ("cond", c, a, b)
+
+
+class _Parser:
+    """One method per Javascript.g4 precedence level, lowest first."""
+
+    def __init__(self, tokens: List[Tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> Tuple[str, str]:
+        return self.toks[self.i]
+
+    def take(self, op: str | None = None):
+        kind, val = self.toks[self.i]
+        if op is not None and (kind != "op" or val != op):
+            raise ExpressionError(f"expected {op!r}, got {val!r}")
+        self.i += 1
+        return kind, val
+
+    def parse(self):
+        e = self.conditional()
+        if self.peek()[0] != "eof":
+            raise ExpressionError(f"trailing input: {self.peek()[1]!r}")
+        return e
+
+    def conditional(self):
+        c = self.boolor()
+        if self.peek() == ("op", "?"):
+            self.take("?")
+            a = self.conditional()
+            self.take(":")
+            b = self.conditional()  # right-assoc
+            return ("cond", c, a, b)
+        return c
+
+    def _binlevel(self, ops, next_level):
+        e = next_level()
+        while self.peek()[0] == "op" and self.peek()[1] in ops:
+            op = self.take()[1]
+            e = ("bin", op, e, next_level())
+        return e
+
+    def boolor(self):
+        return self._binlevel({"||"}, self.booland)
+
+    def booland(self):
+        return self._binlevel({"&&"}, self.bwor)
+
+    def bwor(self):
+        return self._binlevel({"|"}, self.bwxor)
+
+    def bwxor(self):
+        return self._binlevel({"^"}, self.bwand)
+
+    def bwand(self):
+        return self._binlevel({"&"}, self.eqne)
+
+    def eqne(self):
+        return self._binlevel({"==", "!="}, self.comparison)
+
+    def comparison(self):
+        return self._binlevel({"<", "<=", ">", ">="}, self.shift)
+
+    def shift(self):
+        return self._binlevel({"<<", ">>", ">>>"}, self.addsub)
+
+    def addsub(self):
+        return self._binlevel({"+", "-"}, self.muldiv)
+
+    def muldiv(self):
+        return self._binlevel({"*", "/", "%"}, self.unary)
+
+    def unary(self):
+        kind, val = self.peek()
+        if kind == "op" and val in ("!", "~", "+", "-"):
+            self.take()
+            return ("un", val, self.unary())
+        return self.primary()
+
+    def primary(self):
+        kind, val = self.peek()
+        if kind == "op" and val == "(":
+            self.take("(")
+            e = self.conditional()
+            self.take(")")
+            return e
+        if kind == "num":
+            self.take()
+            if re.fullmatch(r"0[xX][0-9a-fA-F]+", val):
+                return ("num", repr(int(val, 16)))
+            if re.fullmatch(r"0[0-7]+", val):
+                return ("num", repr(int(val, 8)))
+            return ("num", val)
+        if kind == "var":
+            self.take()
+            if self.peek() == ("op", "("):
+                self.take("(")
+                args = []
+                if self.peek() != ("op", ")"):
+                    args.append(self.conditional())
+                    while self.peek() == ("op", ","):
+                        self.take(",")
+                        args.append(self.conditional())
+                self.take(")")
+                return ("call", val, args)
+            return ("var", val)
+        raise ExpressionError(f"unexpected token {val!r}")
+
+
+_MAX_LONG = "9223372036854775807"
+
+
+def _hav(lat1, lon1, lat2, lon2, radius_m: float) -> str:
+    """Shared great-circle expression (same IEEE shape as
+    geo.haversine_meters / the geo oracles)."""
+    return (
+        f"(2 * {radius_m!r}) * asin(sqrt("
+        f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)))"
+    )
+
+
+def _emit(node, bindings: Dict[str, str], dialect: str) -> str:
+    """Emit `node` as a DOUBLE-valued SQL expression."""
+    duck = dialect == "duckdb"
+
+    def e(n) -> str:
+        return _emit(n, bindings, dialect)
+
+    def as_long(n) -> str:
+        x = e(n)
+        if duck:
+            return f"CAST(trunc({x}) AS BIGINT)"
+        return f"CAST({x} AS BIGINT)"
+
+    def as_bool(n) -> str:
+        return f"(({e(n)}) <> 0.0)"
+
+    def bool_to_d(cond: str) -> str:
+        return f"(CASE WHEN {cond} THEN 1.0 ELSE 0.0 END)"
+
+    kind = node[0]
+    if kind == "num":
+        # always DOUBLE: DuckDB types bare decimal literals as DECIMAL,
+        # which would propagate fixed-point arithmetic into the oracle
+        return f"CAST({node[1]} AS DOUBLE)"
+    if kind == "var":
+        name = node[1]
+        if name not in bindings:
+            raise ExpressionError(f"unbound variable {name!r}")
+        return f"(CAST({bindings[name]} AS DOUBLE))"
+    if kind == "un":
+        op, a = node[1], node[2]
+        if op == "+":
+            return e(a)
+        if op == "-":
+            return f"(- ({e(a)}))"
+        if op == "!":
+            return bool_to_d(f"(({e(a)}) = 0.0)")
+        # ~ : bitwise not over the long cast, back to double
+        if duck:
+            return f"(CAST(~{as_long(a)} AS DOUBLE))"
+        return f"(CAST(~{as_long(a)} AS DOUBLE))"
+    if kind == "bin":
+        op, a, b = node[1], node[2], node[3]
+        if op in ("+", "-", "*", "/"):
+            return f"(({e(a)}) {op} ({e(b)}))"
+        if op == "%":
+            # Java % on doubles keeps the dividend's sign: fmod
+            if duck:
+                return f"fmod({e(a)}, {e(b)})"
+            return f"(({e(a)}) % ({e(b)}))"
+        if op in ("<", "<=", ">", ">="):
+            return bool_to_d(f"(({e(a)}) {op} ({e(b)}))")
+        if op == "==":
+            return bool_to_d(f"(({e(a)}) = ({e(b)}))")
+        if op == "!=":
+            return bool_to_d(f"(({e(a)}) <> ({e(b)}))")
+        if op == "&&":
+            return bool_to_d(f"({as_bool(a)} AND {as_bool(b)})")
+        if op == "||":
+            return bool_to_d(f"({as_bool(a)} OR {as_bool(b)})")
+        if op in ("&", "|", "^"):
+            la, lb = as_long(a), as_long(b)
+            if op == "^" and duck:
+                return f"(CAST(xor({la}, {lb}) AS DOUBLE))"
+            return f"(CAST(({la} {op} {lb}) AS DOUBLE))"
+        if op in ("<<", ">>", ">>>"):
+            la = as_long(a)
+            s = f"({as_long(b)} & 63)"  # Java masks the count
+            if op == "<<":
+                if duck:
+                    two64 = "CAST(18446744073709551616 AS HUGEINT)"
+                    half = "CAST(9223372036854775808 AS HUGEINT)"
+                    return (
+                        f"(CAST(CAST((((CAST({la} AS HUGEINT) * "
+                        f"(CAST(1 AS HUGEINT) << {s}) + {half}) % {two64} "
+                        f"+ {two64}) % {two64} - {half}) AS BIGINT) AS DOUBLE))"
+                    )
+                return f"(CAST(shiftleft({la}, CAST({s} AS INT)) AS DOUBLE))"
+            if op == ">>":
+                if duck:
+                    return f"(CAST(({la} >> {s}) AS DOUBLE))"
+                return f"(CAST(shiftright({la}, CAST({s} AS INT)) AS DOUBLE))"
+            if duck:
+                return (
+                    f"(CAST((CASE WHEN {s} = 0 THEN {la} ELSE "
+                    f"(({la} >> {s}) & ({_MAX_LONG} >> ({s} - 1))) END) AS DOUBLE))"
+                )
+            return f"(CAST(shiftrightunsigned({la}, CAST({s} AS INT)) AS DOUBLE))"
+        raise ExpressionError(f"unknown operator {op!r}")
+    if kind == "cond":
+        c, a, b = node[1], node[2], node[3]
+        return f"(CASE WHEN {as_bool(c)} THEN {e(a)} ELSE {e(b)} END)"
+    if kind == "call":
+        name, args = node[1], node[2]
+        n = len(args)
+        xs = [e(a) for a in args]
+
+        def need(k):
+            if n != k:
+                raise ExpressionError(f"{name} expects {k} args, got {n}")
+
+        same = {
+            "abs": 1, "acos": 1, "asin": 1, "atan": 1, "atan2": 2,
+            "ceil": 1, "cos": 1, "exp": 1, "floor": 1, "log10": 1,
+            "sin": 1, "sqrt": 1, "tan": 1,
+        }
+        if name in same:
+            need(same[name])
+            return f"{name}({', '.join(xs)})"
+        if name == "ln":
+            need(1)
+            return f"ln({xs[0]})"
+        if name == "logn":
+            need(2)
+            return f"(ln({xs[1]}) / ln({xs[0]}))"
+        if name == "pow":
+            need(2)
+            return f"pow({xs[0]}, {xs[1]})"
+        if name in ("min", "max"):
+            need(2)
+            fn = "least" if name == "min" else "greatest"
+            return f"{fn}({xs[0]}, {xs[1]})"
+        # hyperbolics + inverses: DuckDB lacks them, so BOTH dialects
+        # share the closed forms (identical IEEE expression trees)
+        if name == "sinh":
+            need(1)
+            x = xs[0]
+            return f"((exp({x}) - exp(-({x}))) / 2)"
+        if name == "cosh":
+            need(1)
+            x = xs[0]
+            return f"((exp({x}) + exp(-({x}))) / 2)"
+        if name == "tanh":
+            need(1)
+            x = xs[0]
+            return f"((exp(2 * ({x})) - 1) / (exp(2 * ({x})) + 1))"
+        if name == "asinh":
+            need(1)
+            x = xs[0]
+            return f"ln(({x}) + sqrt(({x}) * ({x}) + 1))"
+        if name == "acosh":
+            need(1)
+            x = xs[0]
+            return f"ln(({x}) + sqrt(({x}) * ({x}) - 1))"
+        if name == "atanh":
+            need(1)
+            x = xs[0]
+            return f"(0.5 * ln((1 + ({x})) / (1 - ({x}))))"
+        if name == "haversin":
+            need(4)
+            return f"({_hav(*xs, 6371008.7714)} / 1000.0)"
+        if name == "haversinMeters":
+            need(4)
+            return _hav(*xs, 6371008.7714)
+        raise ExpressionError(f"unknown function {name!r}")
+    raise ExpressionError(f"bad node {node!r}")
+
+
+@dataclass(frozen=True)
+class CompiledExpression:
+    """Paired emission of one source expression.
+
+    ``spark_sql`` evaluates via ``F.expr`` (codegen, no UDF);
+    ``duckdb_sql`` is the oracle dual. Bind variables per dialect via
+    the ``bindings`` maps given to :func:`compile_expression`."""
+
+    source: str
+    spark_sql: str
+    duckdb_sql: str
+
+    def column(self):
+        from pyspark.sql import functions as F
+
+        return F.expr(self.spark_sql)
+
+
+def compile_expression(
+    source: str,
+    bindings: Dict[str, str] | None = None,
+    duckdb_bindings: Dict[str, str] | None = None,
+) -> CompiledExpression:
+    """Compile an expressions-language source string against variable
+    bindings (name → SQL fragment per dialect; ``duckdb_bindings``
+    defaults to the Spark bindings, which suffices when variables are
+    plain column names)."""
+    ast = _Parser(_tokenize(source)).parse()
+    b = bindings or {}
+    db = duckdb_bindings if duckdb_bindings is not None else b
+    return CompiledExpression(
+        source=source,
+        spark_sql=_emit(ast, b, "spark"),
+        duckdb_sql=_emit(ast, db, "duckdb"),
+    )

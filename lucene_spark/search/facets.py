@@ -31,6 +31,7 @@ __all__ = [
     "drill_down",
     "association_children",
     "long_range_counts",
+    "sampled_facet_counts",
 ]
 
 _SEP = "/"
@@ -153,3 +154,36 @@ def long_range_counts(
         ]
     )
     return one.select(F.explode(pairs).alias("p")).select("p.label", "p.cnt")
+
+
+def sampled_facet_counts(
+    df: DataFrame,
+    facet_col: str,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """RandomSamplingFacetsCollector
+    (`facet/RandomSamplingFacetsCollector.java:46`): facet counts over
+    a SAMPLE of the hit set, scaled back by the inverse sampling rate
+    (``amortizeFacetCounts``). The reference samples to bound
+    collection cost on huge hit sets; here the deterministic md5-bucket
+    sample (`pipeline/sampling.py` — partition-independent and
+    engine-reproducible) bounds the shuffle input the same way, and the
+    scan-side filter means only ~fraction of rows reach the groupBy.
+    Returns (label, cnt_sampled, cnt_est), label asc."""
+    from lucene_spark.pipeline.sampling import hash_sample
+
+    sampled = hash_sample(df, fraction, key_col, seed)
+    return (
+        sampled.groupBy(F.col(facet_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("cnt_sampled"))
+        .select(
+            "label",
+            "cnt_sampled",
+            F.round(F.col("cnt_sampled") / F.lit(float(fraction)), 4).alias(
+                "cnt_est"
+            ),
+        )
+        .orderBy("label")
+    )

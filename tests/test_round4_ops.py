@@ -349,3 +349,53 @@ def test_distance_feature_oracle_parity_small(spark):
         f"ORDER BY {expr} DESC, event_id LIMIT 10"
     ).fetchall()
     assert got == [(a, b) for a, b in want]
+
+
+# ---------------------------------------------------------------- c4 / facets
+
+
+def test_c4_quality_signals(spark):
+    from lucene_spark.pipeline.textstats import c4_quality_signals
+
+    docs = [
+        (1, "This is a fine sentence.\nAnd another good one!\nA third one?"),
+        (2, "short\ntiny"),
+        (3, "we have lorem ipsum inside. yes. three. sentences."),
+        (4, "code here { x = 1; }. more. text."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_quality_signals(df).collect()}
+    assert got[1]["keep"] == 1 and got[1]["n_sentences"] == 3
+    assert got[1]["terminal_punct_line_frac"] == 1.0
+    assert got[2]["keep"] == 0  # < 3 sentences
+    assert got[2]["short_line_frac"] == 1.0
+    assert got[3]["keep"] == 0 and got[3]["has_lorem"] == 1
+    assert got[4]["keep"] == 0 and got[4]["has_brace"] == 1
+
+
+def test_sampled_facet_counts_deterministic_and_scaled(spark):
+    from lucene_spark.search.facets import sampled_facet_counts
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sampled_facet_counts(df, "lang", 0.5, seed=1).collect()
+    b = sampled_facet_counts(df, "lang", 0.5, seed=1).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]  # deterministic
+    total_est = sum(r["cnt_est"] for r in a)
+    n = df.count()
+    assert abs(total_est - n) / n < 0.25  # amortized estimate ~ truth
+    for r in a:
+        assert r["cnt_est"] == r["cnt_sampled"] / 0.5
+
+
+def test_parent_children_block_join(spark):
+    from lucene_spark.search.blockjoin import parent_children_block_join
+
+    ch = spark.createDataFrame(
+        [(1, 10, 2.0), (1, 11, 3.0), (2, 20, 1.0)],
+        "pk long, cid long, v double",
+    )
+    got = parent_children_block_join(ch, "pk", 1, F.col("v") * 2).collect()
+    assert sorted(r["cid"] for r in got) == [10, 11]
+    assert {r["cid"]: r["score"] for r in got} == {10: 4.0, 11: 6.0}
+    plan = parent_children_block_join(ch, "pk", 1)._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" in plan
