@@ -76,8 +76,12 @@ def soundex_sql(expr: str) -> str:
 
 
 def soundex(word: str) -> str:
-    """Driver-side scalar reference (same algorithm, for tests)."""
-    up = "".join(c for c in word.upper() if c.isalpha() and c.isascii())
+    """Driver-side scalar reference (same algorithm, for tests).
+
+    Strip non-[a-zA-Z] BEFORE upper-casing, matching the column/SQL
+    chains — upper-casing first would let case-expanding codepoints
+    (ß → SS) survive the filter and encode differently."""
+    up = "".join(c for c in word if c.isascii() and c.isalpha()).upper()
     if not up:
         return ""
     seq = "".join(_MAP[ord(c) - 65] for c in up)

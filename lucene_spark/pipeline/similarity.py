@@ -35,11 +35,10 @@ __all__ = [
 ]
 
 
-def _cosine_col(vec_col, qvec: Sequence[float]):
-    """Cosine similarity column vs a literal query vector, JVM-side.
-
-    Computed in double precision: dot / (||a|| * ||q||).
-    """
+def _cosine_parts(vec_col, qvec: Sequence[float]):
+    """(dot, ||a||, ||q||) vs a literal query vector, JVM-side, in
+    double precision — the one place the cosine expression is built so
+    the strict and zero-norm-safe variants can't drift apart."""
     q = F.array(*[F.lit(float(x)) for x in qvec])
     dot = F.aggregate(
         F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b.cast("double")),
@@ -50,6 +49,12 @@ def _cosine_col(vec_col, qvec: Sequence[float]):
         F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
     nq = float(np.sqrt(np.sum(np.asarray(qvec, dtype=np.float64) ** 2)))
+    return dot, na, nq
+
+
+def _cosine_col(vec_col, qvec: Sequence[float]):
+    """Cosine similarity column: dot / (||a|| * ||q||)."""
+    dot, na, nq = _cosine_parts(vec_col, qvec)
     return dot / (na * F.lit(nq))
 
 
@@ -57,16 +62,7 @@ def _cosine_col_safe(vec_col, qvec: Sequence[float]):
     """:func:`_cosine_col` tolerant of zero-norm vectors: NULL instead
     of an ANSI divide-by-zero (callers coalesce to their sentinel).
     Kept separate so the exact gates keep the strict expression."""
-    q = F.array(*[F.lit(float(x)) for x in qvec])
-    dot = F.aggregate(
-        F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    na = F.sqrt(
-        F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
-    nq = float(np.sqrt(np.sum(np.asarray(qvec, dtype=np.float64) ** 2)))
+    dot, na, nq = _cosine_parts(vec_col, qvec)
     return F.try_divide(dot, na * F.lit(nq))
 
 

@@ -18,9 +18,15 @@ DuckDB SQL expression (the correctness oracle's dual). Keeping one AST
 and two emitters is what makes engine and oracle agree bit-for-bit,
 including the awkward corners:
 
-- ``(long)`` casts truncate toward zero: Spark's double→BIGINT cast
-  already does; DuckDB CAST rounds, so the dual emits
-  ``CAST(trunc(x) AS BIGINT)``.
+- ``(long)`` casts follow Java: truncate toward zero, NaN → 0,
+  out-of-range clamps to MIN/MAX_LONG (Spark ANSI CAST throws on
+  NaN/overflow, DuckDB CAST rounds and errors — both get an explicit
+  CASE with TRY_CAST in the reachable branch).
+- ``x / 0`` is Java's ±Infinity (NaN for 0/0), not Spark ANSI's
+  DIVIDE_BY_ZERO or DuckDB's NULL; ``x % 0`` is NaN likewise.
+- comparisons return false when either side is NaN (both engines
+  instead order NaN above every double), ``!=`` returns true, and
+  ``min``/``max`` propagate NaN like Math.min/max.
 - Java shifts mask the count with ``& 63``; Spark's shift functions
   do too, DuckDB's operators don't — the dual masks explicitly.
 - Java ``<<`` wraps on overflow; DuckDB's BIGINT ``<<`` raises — the
@@ -187,6 +193,10 @@ class _Parser:
 
 
 _MAX_LONG = "9223372036854775807"
+_MIN_LONG = "-9223372036854775808"
+_NAN = "CAST('NaN' AS DOUBLE)"
+_PINF = "CAST('Infinity' AS DOUBLE)"
+_NINF = "CAST('-Infinity' AS DOUBLE)"
 
 
 def _hav(lat1, lon1, lat2, lon2, radius_m: float) -> str:
@@ -208,10 +218,20 @@ def _emit(node, bindings: Dict[str, str], dialect: str) -> str:
         return _emit(n, bindings, dialect)
 
     def as_long(n) -> str:
+        # Java (long) cast semantics: NaN -> 0, out-of-range clamps to
+        # MIN/MAX_LONG, truncation toward zero. Spark's CAST truncates
+        # but ANSI-throws on NaN/overflow; DuckDB's CAST rounds and
+        # errors on overflow — both get the explicit CASE, with
+        # TRY_CAST in the reachable branch so constant folding of an
+        # unreached branch can never raise.
         x = e(n)
-        if duck:
-            return f"CAST(trunc({x}) AS BIGINT)"
-        return f"CAST({x} AS BIGINT)"
+        tr = f"trunc({x})" if duck else x
+        return (
+            f"(CASE WHEN isnan({x}) THEN CAST(0 AS BIGINT)"
+            f" WHEN ({x}) >= 9.223372036854775807e18 THEN CAST({_MAX_LONG} AS BIGINT)"
+            f" WHEN ({x}) <= -9.223372036854775808e18 THEN CAST({_MIN_LONG} AS BIGINT)"
+            f" ELSE TRY_CAST({tr} AS BIGINT) END)"
+        )
 
     def as_bool(n) -> str:
         return f"(({e(n)}) <> 0.0)"
@@ -238,24 +258,50 @@ def _emit(node, bindings: Dict[str, str], dialect: str) -> str:
         if op == "!":
             return bool_to_d(f"(({e(a)}) = 0.0)")
         # ~ : bitwise not over the long cast, back to double
-        if duck:
-            return f"(CAST(~{as_long(a)} AS DOUBLE))"
         return f"(CAST(~{as_long(a)} AS DOUBLE))"
     if kind == "bin":
         op, a, b = node[1], node[2], node[3]
-        if op in ("+", "-", "*", "/"):
+        if op in ("+", "-", "*"):
             return f"(({e(a)}) {op} ({e(b)}))"
+        if op == "/":
+            # Java double division: x/0 is ±Infinity (NaN for 0/0 or
+            # NaN/0). Spark ANSI throws DIVIDE_BY_ZERO and DuckDB
+            # returns NULL, so the zero-divisor case is made explicit;
+            # try_divide keeps Catalyst constant folding from raising
+            # inside the unreached branch. NaN divisors fall through
+            # (NaN = 0.0 is false on both engines) and yield NaN.
+            A, B = e(a), e(b)
+            div = f"(({A}) / ({B}))" if duck else f"try_divide({A}, {B})"
+            return (
+                f"(CASE WHEN ({B}) = 0.0 THEN"
+                f" (CASE WHEN isnan({A}) OR ({A}) = 0.0 THEN {_NAN}"
+                f" WHEN ({A}) > 0.0 THEN {_PINF} ELSE {_NINF} END)"
+                f" ELSE {div} END)"
+            )
         if op == "%":
-            # Java % on doubles keeps the dividend's sign: fmod
-            if duck:
-                return f"fmod({e(a)}, {e(b)})"
-            return f"(({e(a)}) % ({e(b)}))"
+            # Both engines' double % keeps the dividend's sign and
+            # matches Java's IEEE remainder corners (Inf % y = NaN,
+            # x % Inf = x, NaN propagates) — only the zero divisor
+            # diverges (Java: NaN; Spark ANSI: REMAINDER_BY_ZERO;
+            # DuckDB: NULL) and gets the guard.
+            A, B = e(a), e(b)
+            mod = f"(({A}) % ({B}))" if duck else f"try_mod({A}, {B})"
+            return f"(CASE WHEN ({B}) = 0.0 THEN {_NAN} ELSE {mod} END)"
         if op in ("<", "<=", ">", ">="):
-            return bool_to_d(f"(({e(a)}) {op} ({e(b)}))")
+            # Java comparisons are false when either side is NaN; both
+            # engines instead order NaN above every double.
+            A, B = e(a), e(b)
+            return bool_to_d(
+                f"(NOT isnan({A}) AND NOT isnan({B}) AND (({A}) {op} ({B})))"
+            )
         if op == "==":
-            return bool_to_d(f"(({e(a)}) = ({e(b)}))")
+            A, B = e(a), e(b)
+            return bool_to_d(
+                f"(NOT isnan({A}) AND NOT isnan({B}) AND (({A}) = ({B})))"
+            )
         if op == "!=":
-            return bool_to_d(f"(({e(a)}) <> ({e(b)}))")
+            A, B = e(a), e(b)
+            return bool_to_d(f"(isnan({A}) OR isnan({B}) OR (({A}) <> ({B})))")
         if op == "&&":
             return bool_to_d(f"({as_bool(a)} AND {as_bool(b)})")
         if op == "||":
@@ -320,8 +366,14 @@ def _emit(node, bindings: Dict[str, str], dialect: str) -> str:
             return f"pow({xs[0]}, {xs[1]})"
         if name in ("min", "max"):
             need(2)
+            # Java Math.min/max propagate NaN; both engines order NaN
+            # as the largest double (least would drop it, greatest
+            # happens to keep it) — make the propagation explicit.
             fn = "least" if name == "min" else "greatest"
-            return f"{fn}({xs[0]}, {xs[1]})"
+            return (
+                f"(CASE WHEN isnan({xs[0]}) OR isnan({xs[1]}) THEN {_NAN}"
+                f" ELSE {fn}({xs[0]}, {xs[1]}) END)"
+            )
         # hyperbolics + inverses: DuckDB lacks them, so BOTH dialects
         # share the closed forms (identical IEEE expression trees)
         if name == "sinh":

@@ -31,6 +31,32 @@ def _jlong(x: float) -> int:
     return int(x)
 
 
+def _jdiv(x: float, y: float) -> float:
+    # Java double division: x/±0 is ±Infinity (NaN for 0/0, NaN/0)
+    if y == 0.0 and not math.isnan(y):
+        if math.isnan(x) or x == 0.0:
+            return math.nan
+        return math.inf if x > 0.0 else -math.inf
+    return x / y
+
+
+def _jmod(x: float, y: float) -> float:
+    # Java %: IEEE remainder-with-dividend-sign; NaN for 0 divisor,
+    # infinite dividend, or NaN operands; x % Inf = x
+    if y == 0.0 or math.isnan(x) or math.isnan(y) or math.isinf(x):
+        return math.nan
+    if math.isinf(y):
+        return x
+    return math.fmod(x, y)
+
+
+def _jminmax(fn, a: float, b: float) -> float:
+    # Java Math.min/max propagate NaN
+    if math.isnan(a) or math.isnan(b):
+        return math.nan
+    return fn(a, b)
+
+
 def _py_eval(src: str, env: dict) -> float:
     """Reference interpreter via the compiler's own AST (shared parse,
     independent evaluation semantics)."""
@@ -68,9 +94,9 @@ def _py_eval(src: str, env: dict) -> float:
             if op == "*":
                 return x * y
             if op == "/":
-                return x / y
+                return _jdiv(x, y)
             if op == "%":
-                return math.fmod(x, y)
+                return _jmod(x, y)
             if op in ("<", "<=", ">", ">=", "==", "!="):
                 table = {
                     "<": x < y, "<=": x <= y, ">": x > y,
@@ -90,7 +116,9 @@ def _py_eval(src: str, env: dict) -> float:
             if op == ">>":
                 return float(lx >> s)  # python >> on signed = arithmetic
             if op == ">>>":
-                return float((lx & ((1 << 64) - 1)) >> s)
+                # s == 0 is the identity (the unsigned reinterpretation
+                # would wrongly un-sign negative operands)
+                return float(lx) if s == 0 else float((lx & ((1 << 64) - 1)) >> s)
         if k == "cond":
             return ev(n[2]) if ev(n[1]) != 0.0 else ev(n[3])
         if k == "call":
@@ -101,7 +129,8 @@ def _py_eval(src: str, env: dict) -> float:
                 "ln": math.log, "log10": math.log10,
                 "logn": lambda b, x: math.log(x) / math.log(b),
                 "pow": math.pow, "sqrt": math.sqrt, "exp": math.exp,
-                "min": min, "max": max,
+                "min": lambda a, b: _jminmax(min, a, b),
+                "max": lambda a, b: _jminmax(max, a, b),
                 "floor": math.floor, "ceil": math.ceil,
                 "sin": math.sin, "cos": math.cos, "tan": math.tan,
                 "asin": math.asin, "acos": math.acos, "atan": math.atan,
@@ -148,6 +177,25 @@ CASES = [
     "2e3 + .5",
     "x << y",
     "-1 >>> x",
+    # Java corners: division/remainder by zero, NaN comparisons,
+    # NaN/Infinity through (long) casts, identity >>> shifts
+    "1 / 0",
+    "-1 / 0",
+    "0 / 0",
+    "5 % 0",
+    "x / (x - 6.7)",
+    "(0/0) == (0/0)",
+    "(0/0) != 1",
+    "((0/0) < 1) + (1 < (0/0)) + ((0/0) >= (0/0))",
+    "min(0/0, 1) + 2",
+    "max(0/0, 1) - 2",
+    "!(0/0)",
+    "~(0/0)",
+    "(0/0) >> 2",
+    "(1/0) << 1",
+    "(-1/0) >> 1",
+    "-2 >>> 0",
+    "1e19 >> 0",
 ]
 
 ENV = {"x": 6.7, "y": 3.0}
@@ -173,8 +221,12 @@ def test_three_way_differential(engines, src):
     got_spark = spark.sql(f"SELECT ({c.spark_sql}) AS v FROM exprtest_t").collect()[0][
         "v"
     ]
-    assert float(got_duck) == pytest.approx(want, rel=1e-12), f"duckdb {src}"
-    assert float(got_spark) == pytest.approx(want, rel=1e-12), f"spark {src}"
+    assert float(got_duck) == pytest.approx(want, rel=1e-12, nan_ok=True), (
+        f"duckdb {src}"
+    )
+    assert float(got_spark) == pytest.approx(want, rel=1e-12, nan_ok=True), (
+        f"spark {src}"
+    )
     # bit-exact pair agreement for everything except transcendental
     # functions, where the JVM and libm legitimately differ by ~1 ulp
     # (gates round to 4dp, which absorbs that)
@@ -182,7 +234,8 @@ def test_three_way_differential(engines, src):
         f in src for f in ("sin", "cos", "tan", "ln", "log", "exp", "atan")
     )
     if not transcendental:
-        assert float(got_spark) == float(got_duck), f"pair {src}"
+        gs, gd = float(got_spark), float(got_duck)
+        assert gs == gd or (math.isnan(gs) and math.isnan(gd)), f"pair {src}"
 
 
 def test_haversin_matches_geo_module(spark):

@@ -244,6 +244,9 @@ def test_soundex_reference_vectors():
     assert soundex("Pfister") == "P236"
     assert soundex("Honeyman") == "H555"
     assert soundex("") == ""
+    # case-expanding codepoints (ß.upper() == 'SS') must be stripped
+    # BEFORE upper-casing, like the column/SQL chains strip them
+    assert soundex("Straße") == soundex("Strae")
     assert soundex("123") == ""
 
 
@@ -376,7 +379,7 @@ def test_c4_quality_signals(spark):
 def test_sampled_facet_counts_deterministic_and_scaled(spark):
     from lucene_spark.search.facets import sampled_facet_counts
 
-    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     a = sampled_facet_counts(df, "lang", 0.5, seed=1).collect()
     b = sampled_facet_counts(df, "lang", 0.5, seed=1).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]  # deterministic
