@@ -343,7 +343,8 @@ _DRIVER_PRIORITY = [
     "vector_similarity", "diversifying_knn", "dv_update_score",
     "repetition_signals", "phonetic_match", "soundex_terms",
     "long_range_facets", "js_expression_topk", "js_expression_rescore",
-    "c4_filters", "sampled_facets",
+    "c4_filters", "sampled_facets", "nb_classifier", "knn_classifier",
+    "join_util_score_modes", "contamination_check",
     # prior rounds' evidence spread
     "reader_stats", "delete_reclaim_stats", "collection_stats",
     "search_after",
@@ -2333,6 +2334,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["sampled_facets"] = sampled_facets
 
+    # --- classification (reference `classification` module):
+    # SimpleNaiveBayesClassifier posteriors + KNearestNeighborClassifier
+    def nb_classifier(spark, sf):
+        from lucene_spark.search.classify import naive_bayes_classes
+
+        return naive_bayes_classes(
+            _docs(spark, sf), ["hash", "join", "hash", "spark"]
+        )
+
+    out["nb_classifier"] = nb_classifier
+
+    def knn_classifier(spark, sf):
+        from lucene_spark.search.classify import knn_classify
+
+        return knn_classify(
+            _index(spark, sf), _docs(spark, sf), {"hash": 1.0, "join": 1.0}, k=20
+        )
+
+    out["knn_classifier"] = knn_classifier
+
+    # JoinUtil ScoreModes (join/ScoreMode.java): from-side scores
+    # folded per join value (Max/Total/Min/Avg), broadcast to the
+    # to-side scan; top-5 per mode
+    def join_util_score_modes(spark, sf):
+        from lucene_spark.search.joinutil import join_query
+
+        cust = spark.read.parquet(f"{sf}/customer.parquet").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        supp = spark.read.parquet(f"{sf}/supplier.parquet")
+        parts = []
+        for mode in ("max", "total", "min", "avg"):
+            j = join_query(cust, "c_nationkey", "c_acctbal", supp, "s_nationkey", mode)
+            parts.append(
+                j.select(
+                    F.lit(mode).alias("mode"), "s_suppkey", F.col("join_score")
+                )
+                .orderBy(F.col("join_score").desc(), F.col("s_suppkey").asc())
+                .limit(5)
+            )
+        out_df = parts[0]
+        for p in parts[1:]:
+            out_df = out_df.unionAll(p)
+        return out_df
+
+    out["join_util_score_modes"] = join_util_score_modes
+
+    # training-data decontamination: word 3-gram overlap of a training
+    # slice against an "eval benchmark" slice (any collision flags)
+    def contamination_check(spark, sf):
+        from lucene_spark.pipeline.contamination import ngram_contamination
+
+        d = _docs(spark, sf)
+        return ngram_contamination(
+            d.filter(F.col("doc_id") < 400),
+            d.filter(F.col("doc_id") % 40 == 0),
+            n=3,
+        )
+
+    out["contamination_check"] = contamination_check
+
     return _driver_order(out)
 
 
@@ -3723,5 +3785,96 @@ GROUP BY 1 ORDER BY label
     out["pii_count_audit"] = f"""
 WITH d AS ({_dirty_sql})
 SELECT {_cnt_cols} FROM d
+"""
+
+    # SimpleNaiveBayesClassifier: add-one-smoothed log-likelihood +
+    # log prior per class, softmax-normalized (max-shifted logsumexp)
+    out["nb_classifier"] = f"""
+WITH {TOK_CTE},
+dt AS (SELECT DISTINCT t.doc_id, d.lang, t.term
+       FROM tok t JOIN documents d USING (doc_id)),
+g AS (SELECT (SELECT count(*) FROM documents WHERE lang IS NOT NULL) AS docs_with_class,
+             (SELECT count(*) FROM documents
+              WHERE text IS NOT NULL AND text <> '') AS doc_count,
+             (SELECT count(*) FROM dt) AS sum_doc_freq),
+c AS (SELECT lang AS label, count(*) AS df_c FROM documents
+      WHERE lang IS NOT NULL GROUP BY lang),
+w(term, m) AS (VALUES ('hash', 2), ('join', 1), ('spark', 1)),
+hits AS (SELECT dt.lang AS label, dt.term, count(*) AS h FROM dt
+         WHERE dt.lang IS NOT NULL AND dt.term IN ('hash', 'join', 'spark')
+         GROUP BY dt.lang, dt.term),
+grid AS (SELECT c.label, c.df_c, w.term, w.m, coalesce(hits.h, 0) AS h
+         FROM c CROSS JOIN w
+         LEFT JOIN hits ON hits.label = c.label AND hits.term = w.term),
+raw AS (SELECT label,
+               ln(df_c * 1.0) - ln(docs_with_class * 1.0)
+               + sum(m * ln((h + 1.0)
+                   / ((sum_doc_freq * 1.0 / doc_count) * df_c + docs_with_class))) AS s
+        FROM grid CROSS JOIN g
+        GROUP BY label, df_c, docs_with_class, doc_count, sum_doc_freq),
+mx AS (SELECT max(s) AS smax FROM raw),
+z AS (SELECT ln(sum(exp(s - smax))) + smax AS loga
+      FROM raw CROSS JOIN mx GROUP BY smax)
+SELECT label, exp(s - loga) AS score FROM raw CROSS JOIN z
+ORDER BY score DESC, label ASC
+"""
+
+    # KNearestNeighborClassifier: BM25 top-20 neighbors, per class
+    # sum(score/maxscore) / min(k, classed hits)
+    out["knn_classifier"] = f"""
+WITH {TOK_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sttf FROM dl),
+dlq AS (SELECT doc_id, {_DLQ_CASE} AS dl_q FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok
+       WHERE term IN ('hash', 'join') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5)) * freq
+             / (freq + 1.2 * (1 - 0.75 + 0.75 * dl_q / (sttf * 1.0 / n_docs)))) AS s
+  FROM tf JOIN df USING (term) JOIN dlq USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+topk AS (SELECT doc_id, s FROM scores ORDER BY s DESC, doc_id ASC LIMIT 20),
+j AS (SELECT t.s, d.lang AS label FROM topk t JOIN documents d USING (doc_id)
+      WHERE d.lang IS NOT NULL),
+g AS (SELECT max(s) AS maxscore, count(*) AS sumdoc FROM j)
+SELECT label, sum(s / maxscore) / least(20.0, sumdoc * 1.0) AS score
+FROM j CROSS JOIN g GROUP BY label, maxscore, sumdoc
+ORDER BY score DESC, label ASC
+"""
+
+    # JoinUtil ScoreModes: per-nation folded customer balances applied
+    # to suppliers, top-5 per mode
+    _JU_MODES = [("max", "max"), ("total", "sum"), ("min", "min"), ("avg", "avg")]
+    _ju_legs = "\nUNION ALL\n".join(
+        f"""SELECT * FROM (
+  SELECT '{mode}' AS mode, s_suppkey, {fn}_v AS join_score
+  FROM supplier JOIN v ON s_nationkey = nk
+  ORDER BY {fn}_v DESC, s_suppkey ASC LIMIT 5)"""
+        for mode, fn in _JU_MODES
+    )
+    out["join_util_score_modes"] = f"""
+WITH f AS (SELECT c_nationkey, c_acctbal FROM customer
+           WHERE c_mktsegment = 'BUILDING'),
+v AS (SELECT c_nationkey AS nk,
+             max(c_acctbal) AS max_v, sum(c_acctbal) AS sum_v,
+             min(c_acctbal) AS min_v, avg(c_acctbal) AS avg_v
+      FROM f GROUP BY c_nationkey)
+{_ju_legs}
+"""
+
+    out["contamination_check"] = f"""
+WITH {_SHINGLE_CTE},
+tr AS (SELECT doc_id, shingle FROM shingles WHERE doc_id < 400),
+ev AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 40 = 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id),
+hit AS (SELECT doc_id, count(*) AS n_hit FROM tr JOIN ev USING (shingle)
+        GROUP BY doc_id)
+SELECT t.doc_id, t.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+       coalesce(h.n_hit, 0) * 1.0 / t.n_grams AS frac,
+       CAST(coalesce(h.n_hit, 0) * 1.0 / t.n_grams > 0.0 AS INT) AS contaminated
+FROM tot t LEFT JOIN hit h USING (doc_id)
 """
     return out

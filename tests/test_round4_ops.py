@@ -402,3 +402,58 @@ def test_parent_children_block_join(spark):
     assert {r["cid"]: r["score"] for r in got} == {10: 4.0, 11: 6.0}
     plan = parent_children_block_join(ch, "pk", 1)._jdf.queryExecution().executedPlan().toString()
     assert "Filter" in plan
+
+
+def test_join_util_score_modes(spark):
+    from lucene_spark.search.joinutil import join_query, join_value_scores
+
+    fr = spark.createDataFrame([(1, 10.0), (1, 20.0), (2, 5.0)], "k int, s double")
+    to = spark.createDataFrame(
+        [(100, 1), (101, 1), (102, 2), (103, 3)], "id int, k2 int"
+    )
+    for mode, v1, v2 in [
+        ("max", 20.0, 5.0),
+        ("total", 30.0, 5.0),
+        ("min", 10.0, 5.0),
+        ("avg", 15.0, 5.0),
+        ("none", 1.0, 1.0),
+    ]:
+        got = {
+            r["id"]: r["join_score"]
+            for r in join_query(fr, "k", "s", to, "k2", mode).collect()
+        }
+        # to-doc 103 has no from-side value and must drop out
+        assert got == {100: v1, 101: v1, 102: v2}, mode
+    with pytest.raises(ValueError):
+        join_value_scores(fr, "k", "s", "bogus")
+
+
+def test_ngram_contamination(spark):
+    from lucene_spark.pipeline.contamination import (
+        contaminated_ids,
+        ngram_contamination,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "x y z w v"), (2, "a b c d e"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "q q a b c q q")], "doc_id long, text string"
+    )
+    rep = {r["doc_id"]: r for r in ngram_contamination(train, ev, n=3).collect()}
+    # doc 3 is shorter than n words -> no shingles, absent from report
+    assert set(rep) == {0, 1, 2}
+    assert rep[0]["n_grams"] == 3 and rep[0]["n_hit"] == 1  # 'a b c'
+    assert rep[0]["frac"] == pytest.approx(1 / 3)
+    assert rep[0]["contaminated"] == 1
+    assert rep[1]["n_hit"] == 0 and rep[1]["contaminated"] == 0
+    assert rep[2]["contaminated"] == 1
+    # threshold above the overlap fraction un-flags
+    rep2 = {
+        r["doc_id"]: r["contaminated"]
+        for r in ngram_contamination(train, ev, n=3, threshold=0.5).collect()
+    }
+    assert rep2 == {0: 0, 1: 0, 2: 0}
+    ids = sorted(r["doc_id"] for r in contaminated_ids(train, ev, n=3).collect())
+    assert ids == [0, 2]
