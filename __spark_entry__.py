@@ -145,6 +145,8 @@ def _similarity_gates():
         LMJelinekMercerSimilarity,
     )
 
+    from lucene_spark.search.similarity import SweetSpotSimilarity
+
     return {
         "classic_term_topk": ClassicSimilarity,
         "lmdirichlet_topk": LMDirichletSimilarity,
@@ -154,6 +156,10 @@ def _similarity_gates():
         "axiomatic_topk": AxiomaticF2EXP,
         "dfi_topk": DFIChiSquared,
         "ib_ll_topk": IBLLSimilarity,
+        # plateau length norm + baseline tf floor (misc module)
+        "sweetspot_topk": lambda: SweetSpotSimilarity(
+            tf_min=2.0, tf_base=1.5, ln_min=20, ln_max=40, steepness=0.5
+        ),
     }
 
 
@@ -345,6 +351,7 @@ _DRIVER_PRIORITY = [
     "long_range_facets", "js_expression_topk", "js_expression_rescore",
     "c4_filters", "sampled_facets", "nb_classifier", "knn_classifier",
     "join_util_score_modes", "contamination_check",
+    "common_terms_topk", "sweetspot_topk", "multi_range",
     # prior rounds' evidence spread
     "reader_stats", "delete_reclaim_stats", "collection_stats",
     "search_after",
@@ -2395,6 +2402,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["contamination_check"] = contamination_check
 
+    # CommonTermsQuery: df-split boolean — rare terms gate the match,
+    # stop-like terms only add score
+    def common_terms_topk_gate(spark, sf):
+        from lucene_spark.search.commonterms import common_terms_topk
+
+        return common_terms_topk(
+            _index(spark, sf), ["dup", "hash", "batch"], max_term_frequency=0.5, k=20
+        )
+
+    out["common_terms_topk"] = common_terms_topk_gate
+
+    # MultiRangeQuery: union of point ranges in one scan
+    def multi_range(spark, sf):
+        from lucene_spark.search.rangefield import multi_range_match
+
+        return (
+            multi_range_match(
+                _events(spark, sf),
+                "value",
+                [(0.0, 50.0), (40.0, 120.0), (400.0, 450.0)],
+            )
+            .select("event_id")
+            .orderBy("event_id")
+            .limit(1000)
+        )
+
+    out["multi_range"] = multi_range
+
     return _driver_order(out)
 
 
@@ -3876,5 +3911,44 @@ SELECT t.doc_id, t.n_grams, coalesce(h.n_hit, 0) AS n_hit,
        coalesce(h.n_hit, 0) * 1.0 / t.n_grams AS frac,
        CAST(coalesce(h.n_hit, 0) * 1.0 / t.n_grams > 0.0 AS INT) AS contaminated
 FROM tot t LEFT JOIN hit h USING (doc_id)
+"""
+
+    # CommonTermsQuery: the df split happens IN the query (both
+    # engines derive it from the data), low group required, high group
+    # additive
+    out["common_terms_topk"] = f"""
+WITH {TOK_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sttf FROM dl),
+dlq AS (SELECT doc_id, {_DLQ_CASE} AS dl_q FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok
+       WHERE term IN ('batch', 'dup', 'hash') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+cls AS (SELECT term, doc_freq,
+               CASE WHEN doc_freq > CAST(ceil(0.5 * n_docs) AS BIGINT)
+                    THEN 1 ELSE 0 END AS hi
+        FROM df CROSS JOIN stats),
+per AS (
+  SELECT tf.doc_id, cls.hi,
+         ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5)) * freq
+         / (freq + 1.2 * (1 - 0.75 + 0.75 * dl_q / (sttf * 1.0 / n_docs))) AS s1
+  FROM tf JOIN cls USING (term) JOIN dlq USING (doc_id) CROSS JOIN stats
+),
+agg AS (SELECT doc_id,
+               sum(CASE WHEN hi = 0 THEN s1 END) AS s_low,
+               sum(CASE WHEN hi = 1 THEN s1 END) AS s_high,
+               count(CASE WHEN hi = 0 THEN 1 END) AS n_low
+        FROM per GROUP BY doc_id)
+SELECT doc_id, round(s_low + coalesce(s_high, 0.0), 4) AS score
+FROM agg WHERE n_low >= 1
+ORDER BY s_low + coalesce(s_high, 0.0) DESC, doc_id ASC LIMIT 20
+"""
+
+    out["multi_range"] = """
+SELECT event_id FROM events
+WHERE (value BETWEEN 0.0 AND 50.0)
+   OR (value BETWEEN 40.0 AND 120.0)
+   OR (value BETWEEN 400.0 AND 450.0)
+ORDER BY event_id LIMIT 1000
 """
     return out

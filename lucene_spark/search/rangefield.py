@@ -34,6 +34,7 @@ __all__ = [
     "range_query",
     "range_relation_cond_multi",
     "range_query_multi",
+    "multi_range_match",
     "RELATIONS",
 ]
 
@@ -114,3 +115,19 @@ def range_query_multi(df: DataFrame, dims, relation: str = "intersects") -> Data
     """Rows whose multi-dim stored range stands in `relation` to the
     query hyper-rectangle."""
     return df.filter(range_relation_cond_multi(dims, relation))
+
+
+def multi_range_match(df: DataFrame, value_col: str, ranges) -> DataFrame:
+    """MultiRangeQuery
+    (`lucene/sandbox/src/java/org/apache/lucene/sandbox/search/MultiRangeQuery.java:57`):
+    docs whose point value falls in ANY of the [lo, hi] ranges
+    (inclusive), matched in ONE scan — the reference merges the ranges
+    into a single point-tree visitor for the same reason this emits one
+    OR'd codegen predicate instead of R scans. Constant score."""
+    if not ranges:
+        return df.filter(F.lit(False))
+    cond = None
+    for lo, hi in ranges:
+        c = F.col(value_col).between(F.lit(lo), F.lit(hi))
+        cond = c if cond is None else (cond | c)
+    return df.filter(cond)

@@ -128,6 +128,56 @@ class ClassicSimilarity(Similarity):
 
 
 @dataclass(frozen=True)
+class SweetSpotSimilarity(Similarity):
+    """`misc/src/java/org/apache/lucene/misc/SweetSpotSimilarity.java:34`:
+    ClassicSimilarity with a baseline tf floor and a length-norm
+    "plateau" of equally-good lengths.
+
+    - ``baselineTf`` (:143): ``freq <= tf_min ? tf_base :
+      sqrt(freq + tf_base² − tf_min)`` (freq is never 0 on a match);
+    - ``lengthNorm`` (:111): ``1/sqrt(steepness · (|dl−min| + |dl−max|
+      − (max−min)) + 1)`` — exactly 1.0 inside [min, max].
+
+    Defaults degrade to Classic's ``sqrt(freq)`` / ``1/sqrt(dl)``.
+    """
+
+    tf_min: float = 0.0
+    tf_base: float = 0.0
+    ln_min: int = 1
+    ln_max: int = 1
+    steepness: float = 0.5
+
+    def score_col(self, c):
+        idf = F.log((c["n_docs"] + F.lit(1.0)) / (c["doc_freq"] + F.lit(1.0))) + F.lit(1.0)
+        shift = float(self.tf_base * self.tf_base - self.tf_min)
+        tf = F.when(c["freq"] <= F.lit(float(self.tf_min)), F.lit(float(self.tf_base))).otherwise(
+            F.sqrt(c["freq"] + F.lit(shift))
+        )
+        span = float(self.ln_max - self.ln_min)
+        ln = F.lit(1.0) / F.sqrt(
+            F.lit(float(self.steepness))
+            * (
+                F.abs(c["dl"] - F.lit(float(self.ln_min)))
+                + F.abs(c["dl"] - F.lit(float(self.ln_max)))
+                - F.lit(span)
+            )
+            + F.lit(1.0)
+        )
+        return c["boost"] * idf * tf * ln
+
+    def score_sql(self):
+        shift = repr(float(self.tf_base * self.tf_base - self.tf_min))
+        tmin, tbase = repr(float(self.tf_min)), repr(float(self.tf_base))
+        lmin, lmax = repr(float(self.ln_min)), repr(float(self.ln_max))
+        span, s = repr(float(self.ln_max - self.ln_min)), repr(float(self.steepness))
+        return (
+            f"boost * (ln((n_docs + 1.0) / (doc_freq + 1.0)) + 1.0) "
+            f"* (CASE WHEN freq <= {tmin} THEN {tbase} ELSE sqrt(freq + {shift}) END) "
+            f"* (1.0 / sqrt({s} * (abs(dl - {lmin}) + abs(dl - {lmax}) - {span}) + 1.0))"
+        )
+
+
+@dataclass(frozen=True)
 class BooleanSimilarity(Similarity):
     def score_col(self, c):
         return c["boost"] + F.lit(0.0)

@@ -457,3 +457,37 @@ def test_ngram_contamination(spark):
     assert rep2 == {0: 0, 1: 0, 2: 0}
     ids = sorted(r["doc_id"] for r in contaminated_ids(train, ev, n=3).collect())
     assert ids == [0, 2]
+
+
+def test_common_terms_query(spark):
+    from lucene_spark.index.builder import InvertedIndex
+    from lucene_spark.search.commonterms import common_terms_topk
+
+    rows = [
+        (i, "common filler" + (" rare" if i < 2 else "")) for i in range(9)
+    ] + [(9, "common")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = InvertedIndex.build(docs, analyzer="simple", docs_per_segment=16)
+    # df: common=10, filler=9 (high, > ceil(0.5*10)=5); rare=2 (low)
+    got = common_terms_topk(idx, ["rare", "common"], 0.5, k=10).collect()
+    assert sorted(r["doc_id"] for r in got) == [0, 1]  # gated by the rare term
+    low_only = common_terms_topk(idx, ["rare"], 0.5, k=10).collect()
+    assert got[0]["score"] > low_only[0]["score"]  # high term still adds score
+    # low group empty -> high terms rewrite to a conjunction
+    ho = sorted(
+        r["doc_id"] for r in common_terms_topk(idx, ["common", "filler"], 0.5, k=20).collect()
+    )
+    assert ho == list(range(9))  # doc 9 lacks 'filler'
+    with pytest.raises(ValueError):
+        common_terms_topk(idx, ["rare"], 0.5, low_occur="must_not")
+
+
+def test_multi_range_match(spark):
+    from lucene_spark.search.rangefield import multi_range_match
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double")
+    got = sorted(
+        r["id"] for r in multi_range_match(df, "v", [(1, 3), (2, 4), (8, 9)]).collect()
+    )
+    assert got == [1, 2, 3, 4, 8, 9]  # overlapping ranges don't duplicate
+    assert multi_range_match(df, "v", []).count() == 0

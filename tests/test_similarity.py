@@ -129,3 +129,34 @@ def test_expression_similarity_plugs_in(index):
 def test_boolean_similarity_constant_scores(index):
     rows = similarity_topk_f64(index, {"hash": 2.0}, BooleanSimilarity(), k=10).collect()
     assert rows and all(r["score"] == 2.0 for r in rows)
+
+
+def test_sweetspot_plateau_tf_floor_and_classic_degeneration(spark):
+    from lucene_spark.search.similarity import SweetSpotSimilarity
+
+    sim = SweetSpotSimilarity(
+        tf_min=2.0, tf_base=1.5, ln_min=20, ln_max=40, steepness=0.5
+    )
+    # length-norm plateau: every dl inside [ln_min, ln_max] scores equal
+    plateau = _scores(spark, sim, [(5.0, dl, 10.0, 50.0) for dl in [20.0, 30.0, 40.0]])
+    assert plateau[0] == pytest.approx(plateau[1], rel=1e-12)
+    assert plateau[1] == pytest.approx(plateau[2], rel=1e-12)
+    # outside the plateau the norm decays on BOTH sides
+    below, above = _scores(
+        spark, sim, [(5.0, 5.0, 10.0, 50.0), (5.0, 200.0, 10.0, 50.0)]
+    )
+    assert below < plateau[0] and above < plateau[0]
+    # baseline tf floor: freq <= tf_min all score tf_base, then rise
+    f1, f2, f3 = _scores(
+        spark, sim, [(f, 30.0, 10.0, 50.0) for f in [1.0, 2.0, 3.0]]
+    )
+    assert f1 == pytest.approx(f2, rel=1e-12)
+    assert f3 > f2
+    # finite + monotone-in-freq like the rest of the family
+    for s in _scores(spark, sim, GRID):
+        assert math.isfinite(s) and s >= 0.0
+    # defaults degrade exactly to ClassicSimilarity (sqrt tf, 1/sqrt dl)
+    a = _scores(spark, SweetSpotSimilarity(), GRID[:12])
+    b = _scores(spark, ClassicSimilarity(), GRID[:12])
+    for x, y in zip(a, b):
+        assert x == pytest.approx(y, rel=1e-12)
