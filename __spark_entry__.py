@@ -351,7 +351,7 @@ _DRIVER_PRIORITY = [
     "long_range_facets", "js_expression_topk", "js_expression_rescore",
     "c4_filters", "sampled_facets", "nb_classifier", "knn_classifier",
     "join_util_score_modes", "contamination_check",
-    "common_terms_topk", "sweetspot_topk", "multi_range",
+    "common_terms_topk", "sweetspot_topk", "multi_range", "term_automaton",
     # prior rounds' evidence spread
     "reader_stats", "delete_reclaim_stats", "collection_stats",
     "search_after",
@@ -2430,6 +2430,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["multi_range"] = multi_range
 
+    # TermAutomatonQuery: "(hash|merge) <any> scan" automaton over the
+    # position stream; freq = distinct accepted start positions
+    def term_automaton(spark, sf):
+        from lucene_spark.search.termautomaton import (
+            TermAutomaton,
+            doc_position_frame,
+            term_automaton_freqs,
+        )
+
+        a = TermAutomaton()
+        s1, s2, s3 = a.create_state(), a.create_state(), a.create_state()
+        a.add_transition(0, s1, "hash")
+        a.add_transition(0, s1, "merge")
+        a.add_any_transition(s1, s2)
+        a.add_transition(s2, s3, "scan")
+        a.set_accept(s3)
+        return term_automaton_freqs(
+            doc_position_frame(_docs(spark, sf)), a
+        ).orderBy("doc_id")
+
+    out["term_automaton"] = term_automaton
+
     return _driver_order(out)
 
 
@@ -3950,5 +3972,18 @@ WHERE (value BETWEEN 0.0 AND 50.0)
    OR (value BETWEEN 40.0 AND 120.0)
    OR (value BETWEEN 400.0 AND 450.0)
 ORDER BY event_id LIMIT 1000
+"""
+
+    # TermAutomatonQuery "(hash|merge) <any> scan": the hole at +1 is
+    # implied by the +2 join (position i+2 existing implies i+1 does)
+    out["term_automaton"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+pos AS (SELECT doc_id, i, l[i] AS term
+        FROM t, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)),
+m AS (SELECT a.doc_id, a.i
+      FROM pos a JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+      WHERE a.term IN ('hash', 'merge') AND c.term = 'scan')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS freq
+FROM m GROUP BY doc_id ORDER BY doc_id
 """
     return out

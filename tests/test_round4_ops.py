@@ -491,3 +491,64 @@ def test_multi_range_match(spark):
     )
     assert got == [1, 2, 3, 4, 8, 9]  # overlapping ranges don't duplicate
     assert multi_range_match(df, "v", []).count() == 0
+
+
+def test_term_automaton_basic_shapes(spark):
+    from lucene_spark.search.termautomaton import (
+        TermAutomaton,
+        doc_position_frame,
+        term_automaton_freqs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),
+            (1, "a x c"),
+            (2, "a b"),
+            (3, "q a b c a y c"),
+            (4, "c b a"),
+        ],
+        "doc_id long, text string",
+    )
+    pos = doc_position_frame(docs)
+
+    def freqs(auto):
+        return {
+            r["doc_id"]: r["freq"] for r in term_automaton_freqs(pos, auto).collect()
+        }
+
+    # exact phrase "a b c" (PhraseQuery degeneration)
+    a = TermAutomaton()
+    s1, s2, s3 = a.create_state(), a.create_state(), a.create_state()
+    a.add_transition(0, s1, "a")
+    a.add_transition(s1, s2, "b")
+    a.add_transition(s2, s3, "c")
+    a.set_accept(s3)
+    assert freqs(a) == {0: 1, 3: 1}
+
+    # "a <any> c": hole matches both b and x / y
+    h = TermAutomaton()
+    t1, t2, t3 = h.create_state(), h.create_state(), h.create_state()
+    h.add_transition(0, t1, "a")
+    h.add_any_transition(t1, t2)
+    h.add_transition(t2, t3, "c")
+    h.set_accept(t3)
+    assert freqs(h) == {0: 1, 1: 1, 3: 2}
+
+    # synonym alternation "(a|q) b" (MultiPhraseQuery degeneration)
+    m = TermAutomaton()
+    u1, u2 = m.create_state(), m.create_state()
+    m.add_transition(0, u1, "a")
+    m.add_transition(0, u1, "q")
+    m.add_transition(u1, u2, "b")
+    m.set_accept(u2)
+    assert freqs(m) == {0: 1, 2: 1, 3: 1}  # doc 3: only 'a b' at pos 1
+
+    # cycles are rejected (unbounded run length)
+    c = TermAutomaton()
+    v1 = c.create_state()
+    c.add_transition(0, v1, "a")
+    c.add_any_transition(v1, 0)
+    c.set_accept(v1)
+    with pytest.raises(ValueError):
+        term_automaton_freqs(pos, c)
