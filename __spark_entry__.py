@@ -352,6 +352,7 @@ _DRIVER_PRIORITY = [
     "c4_filters", "sampled_facets", "nb_classifier", "knn_classifier",
     "join_util_score_modes", "contamination_check",
     "common_terms_topk", "sweetspot_topk", "multi_range", "term_automaton",
+    "top_passages",
     # prior rounds' evidence spread
     "reader_stats", "delete_reclaim_stats", "collection_stats",
     "search_after",
@@ -2452,6 +2453,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["term_automaton"] = term_automaton
 
+    # UnifiedHighlighter maxPassages: top-2 ranked windows per doc
+    def top_passages(spark, sf):
+        from lucene_spark.search.highlight import best_passages
+
+        return (
+            best_passages(
+                _docs(spark, sf), ["hash", "join"], window=8, quantize=6, n_passages=2
+            )
+            .orderBy(F.col("doc_id").asc(), F.col("passage_rank").asc())
+            .limit(60)
+        )
+
+    out["top_passages"] = top_passages
+
     return _driver_order(out)
 
 
@@ -3985,5 +4000,43 @@ m AS (SELECT a.doc_id, a.i
       WHERE a.term IN ('hash', 'merge') AND c.term = 'scan')
 SELECT doc_id, CAST(count(*) AS BIGINT) AS freq
 FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # UnifiedHighlighter maxPassages=2: same scoring as best_passage,
+    # rank <= 2 with the rank column exposed
+    out["top_passages"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfq AS (
+  SELECT term, CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000) AS BIGINT) AS w
+  FROM (
+    SELECT term, count(*) AS df FROM (
+      SELECT DISTINCT doc_id, unnest(l) AS term FROM toks
+    ) WHERE term IN ('hash', 'join') GROUP BY term
+  ) CROSS JOIN n
+),
+hits AS (
+  SELECT doc_id, CAST(((i - 1) // 8) * 8 + 1 AS INT) AS wstart, l[i] AS term
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
+  WHERE l[i] IN ('hash', 'join')
+),
+scored AS (
+  SELECT doc_id, wstart, sum(w) AS q FROM hits JOIN dfq USING (term)
+  GROUP BY doc_id, wstart
+),
+best AS (
+  SELECT doc_id, wstart, q,
+         row_number() OVER (PARTITION BY doc_id ORDER BY q DESC, wstart ASC) AS rn
+  FROM scored
+)
+SELECT b.doc_id, b.wstart AS passage_start,
+       round(b.q / 1000000.0, 4) AS passage_score,
+       array_to_string(t.l[b.wstart : b.wstart + 7], ' ') AS passage,
+       CAST(b.rn AS INT) AS passage_rank
+FROM best b JOIN toks t USING (doc_id)
+WHERE rn <= 2
+ORDER BY b.doc_id ASC, b.rn ASC LIMIT 60
 """
     return out

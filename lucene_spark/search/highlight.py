@@ -38,12 +38,18 @@ def best_passages(
     text_col: str = "text",
     doc_id_col: str = "doc_id",
     quantize: int | None = None,
+    n_passages: int = 1,
 ) -> DataFrame:
     """(doc_id, passage_start, passage_score, passage) — the best
     `window`-token passage per matching doc; `passage_start` is the
     1-based token ordinal of the window, score desc ties earliest.
     Docs with no matching term are absent (UnifiedHighlighter returns
     no highlight for non-matching docs).
+
+    ``n_passages > 1`` returns the reference's maxPassages shape
+    (`UnifiedHighlighter.java` highlightFields(..., maxPassages)): up
+    to N ranked windows per doc with an extra ``passage_rank`` column
+    (single-passage callers keep the original 4-column schema).
 
     ``quantize=q`` sums term weights as integers in 10^-q units
     instead of doubles: float addition is order-dependent, and a
@@ -103,20 +109,18 @@ def best_passages(
     w = Window.partitionBy("doc_id").orderBy(
         F.col("passage_score").desc(), F.col("wstart").asc()
     )
-    winners = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    winners = hits.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= n_passages
     )
     # slice the passage text only for winners (payload after the rank)
-    return (
-        winners.join(toks, "doc_id")
-        .select(
-            "doc_id",
-            F.col("wstart").alias("passage_start"),
-            F.round("passage_score", 4).alias("passage_score"),
-            F.array_join(
-                F.slice(F.col("l"), F.col("wstart"), window), " "
-            ).alias("passage"),
-        )
-    )
+    cols = [
+        F.col("doc_id"),
+        F.col("wstart").alias("passage_start"),
+        F.round("passage_score", 4).alias("passage_score"),
+        F.array_join(F.slice(F.col("l"), F.col("wstart"), window), " ").alias(
+            "passage"
+        ),
+    ]
+    if n_passages > 1:
+        cols.append(F.col("rn").alias("passage_rank"))
+    return winners.join(toks, "doc_id").select(*cols)

@@ -552,3 +552,25 @@ def test_term_automaton_basic_shapes(spark):
     c.set_accept(v1)
     with pytest.raises(ValueError):
         term_automaton_freqs(pos, c)
+
+
+def test_best_passages_multi(spark):
+    from lucene_spark.search.highlight import best_passages
+
+    docs = spark.createDataFrame(
+        [(0, "x x x hash join x x x " * 2 + "hash y y y y y y y")],
+        "doc_id long, text string",
+    )
+    one = best_passages(docs, ["hash", "join"], window=8).collect()
+    assert len(one) == 1 and "passage_rank" not in one[0].asDict()
+    multi = (
+        best_passages(docs, ["hash", "join"], window=8, n_passages=3)
+        .orderBy("passage_rank")
+        .collect()
+    )
+    assert [r["passage_rank"] for r in multi] == [1, 2, 3]
+    scores = [r["passage_score"] for r in multi]
+    assert scores == sorted(scores, reverse=True)
+    # rank 1 equals the single-passage answer
+    assert multi[0]["passage_start"] == one[0]["passage_start"]
+    assert multi[0]["passage"] == one[0]["passage"]
