@@ -132,6 +132,10 @@ ORDER BY doc_id LIMIT {k}
 # scored under each built-in family.
 _SIM_TERMS = {"hash": 1.0, "join": 1.5}
 
+# query polygon for the newPolygonQuery gate: convex ring, vertices
+# off the synthetic shapes' 1/8-degree grid (no boundary ties)
+_QPOLY = [(-2.005, -1.255), (1.755, -1.005), (2.005, 1.505), (-1.505, 2.005)]
+
 
 def _similarity_gates():
     from lucene_spark.search.similarity import (
@@ -352,7 +356,7 @@ _DRIVER_PRIORITY = [
     "c4_filters", "sampled_facets", "nb_classifier", "knn_classifier",
     "join_util_score_modes", "contamination_check",
     "common_terms_topk", "sweetspot_topk", "multi_range", "term_automaton",
-    "top_passages",
+    "top_passages", "shape_polygon_relations",
     # prior rounds' evidence spread
     "reader_stats", "delete_reclaim_stats", "collection_stats",
     "search_after",
@@ -2467,6 +2471,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["top_passages"] = top_passages
 
+    # LatLonShape newPolygonQuery: the same synthetic shapes related
+    # to a literal query polygon (vertices off the 1/8° data grid)
+    def shape_polygon_relations(spark, sf):
+        from lucene_spark.search.shape import (
+            line_polygon_relation,
+            polygon_polygon_relation,
+        )
+
+        d = (
+            _docs(spark, sf)
+            .select("doc_id")
+            .filter(F.col("doc_id") < 400)
+            .withColumn(
+                "lats",
+                F.expr(
+                    "transform(sequence(0, 3), j -> "
+                    "((doc_id * 37 + j * 59) % 40) / 8.0 - 2.5)"
+                ),
+            )
+            .withColumn(
+                "lons",
+                F.expr(
+                    "transform(sequence(0, 3), j -> "
+                    "((doc_id * 23 + j * 83) % 40) / 8.0 - 2.5)"
+                ),
+            )
+        )
+        return d.agg(
+            F.sum(
+                line_polygon_relation("lats", "lons", _QPOLY, "intersects").cast("long")
+            ).alias("line_intersects"),
+            F.sum(
+                line_polygon_relation("lats", "lons", _QPOLY, "within").cast("long")
+            ).alias("line_within"),
+            F.sum(
+                line_polygon_relation("lats", "lons", _QPOLY, "disjoint").cast("long")
+            ).alias("line_disjoint"),
+            F.sum(
+                polygon_polygon_relation("lats", "lons", _QPOLY, "intersects").cast(
+                    "long"
+                )
+            ).alias("poly_intersects"),
+        )
+
+    out["shape_polygon_relations"] = shape_polygon_relations
+
     return _driver_order(out)
 
 
@@ -4038,5 +4088,31 @@ SELECT b.doc_id, b.wstart AS passage_start,
 FROM best b JOIN toks t USING (doc_id)
 WHERE rn <= 2
 ORDER BY b.doc_id ASC, b.rn ASC LIMIT 60
+"""
+
+    from lucene_spark.search.shape import (
+        oracle_line_polygon_sql,
+        oracle_polygon_polygon_sql,
+    )
+
+    out["shape_polygon_relations"] = f"""
+WITH shp AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 3),
+           j -> ((doc_id * 37 + j * 59) % 40) / 8.0 - 2.5) AS lats,
+         list_transform(generate_series(0, 3),
+           j -> ((doc_id * 23 + j * 83) % 40) / 8.0 - 2.5) AS lons
+  FROM documents WHERE doc_id < 400
+)
+SELECT
+  CAST(sum(CASE WHEN {oracle_line_polygon_sql('lats', 'lons', _QPOLY, 'intersects')}
+           THEN 1 ELSE 0 END) AS BIGINT) AS line_intersects,
+  CAST(sum(CASE WHEN {oracle_line_polygon_sql('lats', 'lons', _QPOLY, 'within')}
+           THEN 1 ELSE 0 END) AS BIGINT) AS line_within,
+  CAST(sum(CASE WHEN {oracle_line_polygon_sql('lats', 'lons', _QPOLY, 'disjoint')}
+           THEN 1 ELSE 0 END) AS BIGINT) AS line_disjoint,
+  CAST(sum(CASE WHEN {oracle_polygon_polygon_sql('lats', 'lons', _QPOLY, 'intersects')}
+           THEN 1 ELSE 0 END) AS BIGINT) AS poly_intersects
+FROM shp
 """
     return out

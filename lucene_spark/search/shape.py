@@ -45,6 +45,11 @@ __all__ = [
     "shape_box_query",
     "oracle_line_box_sql",
     "oracle_polygon_box_sql",
+    "line_polygon_relation",
+    "polygon_polygon_relation",
+    "shape_polygon_query",
+    "oracle_line_polygon_sql",
+    "oracle_polygon_polygon_sql",
 ]
 
 
@@ -190,6 +195,136 @@ def shape_box_query(
     return df.filter(rel)
 
 
+# --- polygon QUERIES over indexed shapes (newPolygonQuery analog) ----------
+#
+# `LatLonShape.newPolygonQuery(field, QueryRelation, polygons...)`
+# (`document/LatLonShape.java:141`): the query geometry is a simple
+# polygon ring given as literal vertices, related to each row's
+# stored line/polygon. The predicate text is generated ONCE with the
+# query edges baked in as constants, identically for both engines:
+#
+# - point-in-query-polygon: even-odd ray cast UNROLLED over the
+#   query's literal edges (the CASE guard keeps the division
+#   unevaluated on horizontal edges);
+# - INTERSECTS: some shape vertex inside the query polygon, or some
+#   shape segment crossing some query edge; polygon shapes add the
+#   query-vertex-inside-shape test (shape-contains-query);
+# - WITHIN: every shape vertex inside the query polygon AND no edge
+#   crossing (exact for concave query polygons too — vertex
+#   containment alone only suffices for convex queries);
+# - DISJOINT: NOT intersects (LatLonShapeQuery's own rewrite).
+
+
+def _qpoly_edges(poly):
+    n = len(poly)
+    return [
+        (
+            repr(float(poly[i][0])),
+            repr(float(poly[i][1])),
+            repr(float(poly[(i + 1) % n][0])),
+            repr(float(poly[(i + 1) % n][1])),
+        )
+        for i in range(n)
+    ]
+
+
+def _point_in_qpoly(y: str, x: str, poly) -> str:
+    """Even-odd ray cast of point (y, x) against the LITERAL query
+    ring, unrolled edge by edge (same crossing rule as the per-row
+    ray cast in :func:`_corner_in_polygon_col`)."""
+    terms = [
+        f"(CASE WHEN (({ay} > {y}) <> ({by} > {y})) "
+        f"AND ({x} < ({y} - {ay}) * ({bx} - {ax}) / ({by} - {ay}) + {ax}) "
+        f"THEN 1 ELSE 0 END)"
+        for ay, ax, by, bx in _qpoly_edges(poly)
+    ]
+    return f"((({' + '.join(terms)}) % 2) = 1)"
+
+
+def _seg_qpoly_cross(ay: str, ax: str, by: str, bx: str, poly) -> str:
+    """Shape segment [a, b] crosses some edge of the literal query
+    ring."""
+    return (
+        "("
+        + " OR ".join(
+            _segseg(ax, ay, bx, by, qax, qay, qbx, qby)
+            for qay, qax, qby, qbx in _qpoly_edges(poly)
+        )
+        + ")"
+    )
+
+
+def _spark_vertex_exists(lat_col: str, lon_col: str, pred_of_yx, negate=False) -> Column:
+    """exists/forall over the row's vertices with a (y, x) predicate."""
+    body = pred_of_yx(f"{lat_col}[i]", f"{lon_col}[i]")
+    if negate:
+        return F.expr(
+            f"forall(sequence(0, size({lat_col}) - 1), i -> {body})"
+        )
+    return F.expr(f"exists(sequence(0, size({lat_col}) - 1), i -> {body})")
+
+
+def _spark_seg_cross_qpoly(lat_col: str, lon_col: str, poly, closed: bool) -> Column:
+    segs = _spark_segments(lat_col, lon_col, closed)
+    pred = _seg_qpoly_cross("s.ay", "s.ax", "s.by", "s.bx", poly)
+    return F.expr(f"exists({segs}, s -> {pred})")
+
+
+def _shape_qpoly_relation(
+    lat_col: str, lon_col: str, poly, relation: str, closed: bool
+) -> Column:
+    vert_in = _spark_vertex_exists(
+        lat_col, lon_col, lambda y, x: _point_in_qpoly(y, x, poly)
+    )
+    crossing = _spark_seg_cross_qpoly(lat_col, lon_col, poly, closed)
+    if relation == "within":
+        all_in = _spark_vertex_exists(
+            lat_col, lon_col, lambda y, x: _point_in_qpoly(y, x, poly), negate=True
+        )
+        return all_in & ~crossing
+    inter = vert_in | crossing
+    if closed:
+        # shape-contains-query: one query vertex inside the row's ring
+        inter = inter | _corner_in_polygon_col(
+            lat_col, lon_col, poly[0][0], poly[0][1]
+        )
+    if relation == "intersects":
+        return inter
+    if relation == "disjoint":
+        return ~inter
+    raise ValueError(f"unknown shape relation {relation!r}")
+
+
+def line_polygon_relation(lat_col: str, lon_col: str, poly, relation: str) -> Column:
+    """Boolean Column: the row's POLYLINE vs the literal query polygon
+    (list of (lat, lon) ring vertices, closing edge implicit)."""
+    return _shape_qpoly_relation(lat_col, lon_col, poly, relation, closed=False)
+
+
+def polygon_polygon_relation(
+    lat_col: str, lon_col: str, poly, relation: str
+) -> Column:
+    """Boolean Column: the row's POLYGON ring vs the literal query
+    polygon; INTERSECTS covers both containment directions."""
+    return _shape_qpoly_relation(lat_col, lon_col, poly, relation, closed=True)
+
+
+def shape_polygon_query(
+    df: DataFrame,
+    poly,
+    relation: str = "intersects",
+    lat_col: str = "lats",
+    lon_col: str = "lons",
+    polygon: bool = False,
+) -> DataFrame:
+    """Rows whose shape stands in `relation` to the query polygon. One
+    scan, one codegen'd predicate."""
+    rel = (polygon_polygon_relation if polygon else line_polygon_relation)(
+        lat_col, lon_col, poly, relation
+    )
+    return df.filter(rel)
+
+
 # --- DuckDB oracle side (LATERAL over segment indices) ---------------------
 
 
@@ -231,6 +366,81 @@ def oracle_line_box_sql(lat: str, lon: str, box, relation: str) -> str:
     if relation == "disjoint":
         return f"NOT {inter}"
     raise ValueError(f"unknown shape relation {relation!r}")
+
+
+def _duck_point_in_row_ring(lat: str, lon: str, py: float, px: float) -> str:
+    """Even-odd ray cast of a CONSTANT point against the row's ring
+    (DuckDB dual of :func:`_corner_in_polygon_col`)."""
+    n = f"len({lat})"
+    nxt = f"(i % {n}) + 1"
+    py, px = repr(float(py)), repr(float(px))
+    crossing = (
+        f"CASE WHEN (({lat}[i] > {py}) <> ({lat}[{nxt}] > {py})) "
+        f"AND ({px} < ({py} - {lat}[i]) * ({lon}[{nxt}] - {lon}[i]) "
+        f"/ ({lat}[{nxt}] - {lat}[i]) + {lon}[i]) THEN 1 ELSE 0 END"
+    )
+    return (
+        f"((SELECT coalesce(sum({crossing}), 0) "
+        f"FROM (SELECT unnest(generate_series(1, {n})) AS i)) % 2 = 1)"
+    )
+
+
+def _duck_vertices_qpoly(lat: str, lon: str, poly, forall: bool) -> str:
+    body = _point_in_qpoly(f"{lat}[i]", f"{lon}[i]", poly)
+    rng = f"generate_series(1, len({lat}))"
+    if forall:
+        return (
+            f"(NOT EXISTS (SELECT 1 FROM (SELECT unnest({rng}) AS i) "
+            f"WHERE NOT {body}))"
+        )
+    return f"EXISTS (SELECT 1 FROM (SELECT unnest({rng}) AS i) WHERE {body})"
+
+
+def _duck_seg_cross_qpoly(lat: str, lon: str, poly, closed: bool) -> str:
+    n = f"len({lat})"
+    if closed:
+        rng = f"generate_series(1, {n})"
+        nxt = f"(i % {n}) + 1"
+    else:
+        rng = f"generate_series(1, {n} - 1)"
+        nxt = "i + 1"
+    pred = _seg_qpoly_cross(
+        f"{lat}[i]", f"{lon}[i]", f"{lat}[{nxt}]", f"{lon}[{nxt}]", poly
+    )
+    return f"EXISTS (SELECT 1 FROM (SELECT unnest({rng}) AS i) WHERE {pred})"
+
+
+def _oracle_qpoly_relation(
+    lat: str, lon: str, poly, relation: str, closed: bool
+) -> str:
+    if relation == "within":
+        return (
+            f"({_duck_vertices_qpoly(lat, lon, poly, forall=True)} "
+            f"AND NOT {_duck_seg_cross_qpoly(lat, lon, poly, closed)})"
+        )
+    inter = (
+        f"({_duck_vertices_qpoly(lat, lon, poly, forall=False)} "
+        f"OR {_duck_seg_cross_qpoly(lat, lon, poly, closed)}"
+    )
+    if closed:
+        inter += f" OR {_duck_point_in_row_ring(lat, lon, poly[0][0], poly[0][1])}"
+    inter += ")"
+    if relation == "intersects":
+        return inter
+    if relation == "disjoint":
+        return f"NOT {inter}"
+    raise ValueError(f"unknown shape relation {relation!r}")
+
+
+def oracle_line_polygon_sql(lat: str, lon: str, poly, relation: str) -> str:
+    """DuckDB boolean expression mirroring :func:`line_polygon_relation`."""
+    return _oracle_qpoly_relation(lat, lon, poly, relation, closed=False)
+
+
+def oracle_polygon_polygon_sql(lat: str, lon: str, poly, relation: str) -> str:
+    """DuckDB boolean expression mirroring
+    :func:`polygon_polygon_relation`."""
+    return _oracle_qpoly_relation(lat, lon, poly, relation, closed=True)
 
 
 def oracle_polygon_box_sql(lat: str, lon: str, box, relation: str) -> str:

@@ -574,3 +574,34 @@ def test_best_passages_multi(spark):
     # rank 1 equals the single-passage answer
     assert multi[0]["passage_start"] == one[0]["passage_start"]
     assert multi[0]["passage"] == one[0]["passage"]
+
+
+def test_shape_polygon_query_relations(spark):
+    from lucene_spark.search.shape import shape_polygon_query
+
+    rows = [
+        # big triangle ring that CONTAINS the query square (its open
+        # polyline never touches the square — only the ring interior)
+        (0, [0.0, 0.0, 10.0], [0.0, 10.0, 0.0]),
+        (1, [1.1, 1.2], [1.1, 1.2]),  # tiny line inside the square
+        (2, [-5.0, 5.0], [1.5, 1.5]),  # line crossing the square
+        (3, [50.0, 60.0], [50.0, 60.0]),  # far away
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lats array<double>, lons array<double>"
+    )
+    q = [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0)]  # unit square 1..2
+
+    def ids(relation, polygon):
+        return sorted(
+            r["doc_id"]
+            for r in shape_polygon_query(df, q, relation, polygon=polygon).collect()
+        )
+
+    # as open polylines: the triangle's edges never touch the square
+    assert ids("intersects", polygon=False) == [1, 2]
+    assert ids("within", polygon=False) == [1]
+    assert ids("disjoint", polygon=False) == [0, 3]
+    # as polygon rings: shape-contains-query makes the triangle match
+    assert ids("intersects", polygon=True) == [0, 1, 2]
+    assert ids("disjoint", polygon=True) == [3]
