@@ -356,7 +356,7 @@ _DRIVER_PRIORITY = [
     "c4_filters", "sampled_facets", "nb_classifier", "knn_classifier",
     "join_util_score_modes", "contamination_check",
     "common_terms_topk", "sweetspot_topk", "multi_range", "term_automaton",
-    "top_passages", "shape_polygon_relations",
+    "top_passages", "shape_polygon_relations", "segments_info",
     # prior rounds' evidence spread
     "reader_stats", "delete_reclaim_stats", "collection_stats",
     "search_after",
@@ -2517,6 +2517,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["shape_polygon_relations"] = shape_polygon_relations
 
+    # Luke-style per-segment overview (SegmentInfos / CheckIndex
+    # "segments" report): pure metadata aggregation over the blocks
+    # table — no posting decode; the oracle recomputes every number
+    # from the raw corpus (segment = doc_id // docs_per_segment)
+    def segments_info(spark, sf):
+        idx = _index(spark, sf)
+        posting = idx.blocks.groupBy("segment_id").agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum(F.col("num_docs").cast("long")).alias("sum_doc_freq"),
+            F.sum("sum_freq").alias("sum_tf"),
+        )
+        dps = int(idx.docs_per_segment)
+        norms = (
+            idx.norms.select(
+                (F.col("doc_id") / F.lit(dps)).cast("long").alias("segment_id")
+            )
+            .groupBy("segment_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        return (
+            posting.join(norms, "segment_id")
+            .select("segment_id", "n_docs", "n_terms", "sum_doc_freq", "sum_tf")
+            .orderBy("segment_id")
+        )
+
+    out["segments_info"] = segments_info
+
     return _driver_order(out)
 
 
@@ -4114,5 +4141,23 @@ SELECT
   CAST(sum(CASE WHEN {oracle_polygon_polygon_sql('lats', 'lons', _QPOLY, 'intersects')}
            THEN 1 ELSE 0 END) AS BIGINT) AS poly_intersects
 FROM shp
+"""
+
+    # per-segment overview recomputed from the raw corpus: the engine's
+    # blocks metadata must agree with first-principles token counts
+    out["segments_info"] = f"""
+WITH {TOK_CTE},
+base AS (SELECT doc_id // 2048 AS segment_id, doc_id, term FROM tok),
+a AS (SELECT segment_id, count(DISTINCT doc_id) AS n_docs,
+             count(DISTINCT term) AS n_terms, count(*) AS sum_tf
+      FROM base GROUP BY segment_id),
+p AS (SELECT segment_id, count(*) AS sum_doc_freq
+      FROM (SELECT DISTINCT segment_id, doc_id, term FROM base)
+      GROUP BY segment_id)
+SELECT a.segment_id, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(sum_doc_freq AS BIGINT) AS sum_doc_freq,
+       CAST(sum_tf AS BIGINT) AS sum_tf
+FROM a JOIN p USING (segment_id) ORDER BY a.segment_id
 """
     return out
