@@ -357,6 +357,7 @@ _DRIVER_PRIORITY = [
     "join_util_score_modes", "contamination_check",
     "common_terms_topk", "sweetspot_topk", "multi_range", "term_automaton",
     "top_passages", "shape_polygon_relations", "segments_info",
+    "bm25_nb_classifier",
     # prior rounds' evidence spread
     "reader_stats", "delete_reclaim_stats", "collection_stats",
     "search_after",
@@ -2544,6 +2545,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["segments_info"] = segments_info
 
+    # BM25NBClassifier: NB whose prior/likelihoods are top-1 BM25
+    # scores (class-field BM25 collapses to idf_c/(1+k1))
+    def bm25_nb_classifier(spark, sf):
+        from lucene_spark.search.classify import bm25_nb_classes
+
+        return bm25_nb_classes(_docs(spark, sf), ["hash", "join", "hash", "spark"])
+
+    out["bm25_nb_classifier"] = bm25_nb_classifier
+
     return _driver_order(out)
 
 
@@ -4159,5 +4169,41 @@ SELECT a.segment_id, CAST(n_docs AS BIGINT) AS n_docs,
        CAST(sum_doc_freq AS BIGINT) AS sum_doc_freq,
        CAST(sum_tf AS BIGINT) AS sum_tf
 FROM a JOIN p USING (segment_id) ORDER BY a.segment_id
+"""
+
+    # BM25NBClassifier: prior = ln(idf_c/2.2); likelihood_w =
+    # ln(idf_c/2.2 + max text-field BM25 of w over class docs)
+    _SC = "ln(1.0 + (n_class - df_c + 0.5) / (df_c + 0.5)) / 2.2"
+    out["bm25_nb_classifier"] = f"""
+WITH {TOK_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sttf FROM dl),
+dlq AS (SELECT doc_id, {_DLQ_CASE} AS dl_q FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS freq FROM tok
+       WHERE term IN ('hash', 'join', 'spark') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+per AS (
+  SELECT tf.doc_id, term,
+         ln(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5)) * freq
+         / (freq + 1.2 * ((1.0 - 0.75) + 0.75 * dl_q / (sttf * 1.0 / n_docs))) AS s1
+  FROM tf JOIN df USING (term) JOIN dlq USING (doc_id) CROSS JOIN stats
+),
+mx AS (SELECT d.lang AS label, term, max(s1) AS mx
+       FROM per JOIN documents d USING (doc_id)
+       WHERE d.lang IS NOT NULL GROUP BY 1, 2),
+c AS (SELECT lang AS label, count(*) AS df_c FROM documents
+      WHERE lang IS NOT NULL GROUP BY 1),
+g AS (SELECT count(*) AS n_class FROM documents WHERE lang IS NOT NULL),
+w(term, m) AS (VALUES ('hash', 2), ('join', 1), ('spark', 1)),
+grid AS (SELECT c.label, c.df_c, w.term, w.m, mx.mx
+         FROM c CROSS JOIN w
+         LEFT JOIN mx ON mx.label = c.label AND mx.term = w.term),
+raw AS (SELECT label,
+               ln({_SC}) + sum(m * ln({_SC} + coalesce(mx, 0.0))) AS s
+        FROM grid CROSS JOIN g GROUP BY label, df_c, n_class),
+mx2 AS (SELECT max(s) AS smax FROM raw),
+z AS (SELECT smax + ln(sum(exp(s - smax))) AS loga FROM raw, mx2 GROUP BY smax)
+SELECT label, exp(s - loga) AS score FROM raw CROSS JOIN z
+ORDER BY score DESC, label ASC
 """
     return out

@@ -37,7 +37,16 @@ from typing import Dict, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["naive_bayes_classes", "knn_classify"]
+__all__ = ["naive_bayes_classes", "bm25_nb_classes", "knn_classify"]
+
+# quantized decoded length (SmallFloat byte4 round-trip) — the same
+# CASE the BM25 parity oracles use, valid in BOTH SQL dialects (Spark
+# has bin()/>>/<< too), so engine and oracle share the text verbatim
+_DLQ_CASE = (
+    "CASE WHEN dl < 24 THEN dl WHEN (dl - 24) < 8 THEN dl "
+    "ELSE 24 + (((dl - 24) >> (length(bin(dl - 24)) - 4)) "
+    "<< (length(bin(dl - 24)) - 4)) END"
+)
 
 
 def _token_frame(docs: DataFrame, text_col: str, id_col: str, class_col: str):
@@ -126,6 +135,115 @@ def naive_bayes_classes(
     loga = (
         raw.crossJoin(F.broadcast(smax))
         .agg((F.log(F.sum(F.exp(F.col("s") - F.col("smax")))) + F.first("smax")).alias("loga"))
+    )
+    return (
+        raw.crossJoin(F.broadcast(loga))
+        .select("label", F.exp(F.col("s") - F.col("loga")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("label").asc())
+    )
+
+
+def bm25_nb_classes(
+    docs: DataFrame,
+    words: Sequence[str],
+    class_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25NBClassifier
+    (`classification/BM25NBClassifier.java:197-230`): naive Bayes
+    where the probabilities are BM25 scores — the prior is
+    ``log(top-1 score of TermQuery(class))`` and each word's
+    likelihood is ``log(top-1 score of [class MUST, word SHOULD])``.
+
+    With one class token per doc the class field's BM25 collapses to
+    the constant ``idf_c / (1 + k1)`` (freq = dl = avgdl = 1), so the
+    top-1 of the boolean query is ``s_c + max over class docs of the
+    word's text-field BM25`` (or ``s_c`` alone when no class doc
+    contains the word). Softmax-normalized like the reference.
+
+    Returns (label, score), ordered score desc / label asc.
+    """
+    spark = docs.sparkSession
+    tok = _token_frame(docs, text_col, id_col, class_col).select("doc_id", "term")
+
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dlq = dl.select("doc_id", F.expr(_DLQ_CASE).alias("dl_q"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sttf")
+    )
+    counts = Counter(words)
+    tf = (
+        tok.filter(F.col("term").isin(*counts))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    avgdl = F.col("sttf") * F.lit(1.0) / F.col("n_docs")
+    idf_w = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+        / (F.col("doc_freq") + F.lit(0.5))
+    )
+    s1 = (
+        idf_w
+        * F.col("freq")
+        / (
+            F.col("freq")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl_q") / avgdl)
+        )
+    )
+    per = (
+        tf.join(F.broadcast(dfr), "term")
+        .join(dlq, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", s1.alias("s1"))
+    )
+    labels = docs.filter(F.col(class_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(class_col).alias("label")
+    )
+    mx = (
+        per.join(labels, "doc_id")
+        .groupBy("label", "term")
+        .agg(F.max("s1").alias("mx"))
+    )
+
+    cstats = labels.groupBy("label").agg(F.count(F.lit(1)).alias("df_c"))
+    g = labels.agg(F.count(F.lit(1)).alias("n_class"))
+    wdf = spark.createDataFrame(
+        [(w, int(m)) for w, m in sorted(counts.items())], "term string, m int"
+    )
+    sc = (
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_class") - F.col("df_c") + F.lit(0.5))
+            / (F.col("df_c") + F.lit(0.5))
+        )
+        / F.lit(1.0 + k1)
+    )
+    raw = (
+        cstats.crossJoin(wdf)
+        .join(mx, ["label", "term"], "left")
+        .crossJoin(F.broadcast(g))
+        .withColumn("sc", sc)
+        .groupBy("label")
+        .agg(
+            (
+                F.log(F.first("sc"))
+                + F.sum(
+                    F.col("m")
+                    * F.log(F.col("sc") + F.coalesce(F.col("mx"), F.lit(0.0)))
+                )
+            ).alias("s")
+        )
+    )
+    smax = raw.agg(F.max("s").alias("smax"))
+    loga = raw.crossJoin(F.broadcast(smax)).agg(
+        (F.log(F.sum(F.exp(F.col("s") - F.col("smax")))) + F.first("smax")).alias(
+            "loga"
+        )
     )
     return (
         raw.crossJoin(F.broadcast(loga))

@@ -86,3 +86,73 @@ def test_knn_classifier_majority_and_bounds(spark, tiny):
     assert set(got2) == set(got3)
     for c in got2:
         assert got3[c] == pytest.approx(got2[c], rel=1e-12)
+
+
+def _bm25_nb_reference(rows, words, k1=1.2, b=0.75):
+    """Direct transliteration of BM25NBClassifier.java for the assert
+    (top-1 boolean score = s_c + best word score over class docs)."""
+
+    def dlq(dl):
+        if dl < 24 or dl - 24 < 8:
+            return dl
+        x = dl - 24
+        sh = x.bit_length() - 4
+        return 24 + ((x >> sh) << sh)
+
+    docs = [(c, t.split()) for _, c, t in rows]
+    n_docs = len(docs)
+    dls = [len(ts) for _, ts in docs]
+    avgdl = sum(dls) / n_docs
+    uniq = sorted(set(words))
+    df = {w: sum(1 for _, ts in docs if w in ts) for w in uniq}
+    idf = {
+        w: math.log(1.0 + (n_docs - df[w] + 0.5) / (df[w] + 0.5))
+        for w in uniq
+        if df[w] > 0
+    }
+
+    def word_score(ts, dl, w):
+        f = ts.count(w)
+        if f == 0 or w not in idf:
+            return 0.0
+        return idf[w] * f / (f + k1 * ((1 - b) + b * dlq(dl) / avgdl))
+
+    classes = sorted({c for c, _ in docs})
+    out = {}
+    for c in classes:
+        dfc = sum(1 for cc, _ in docs if cc == c)
+        sc = math.log(1.0 + (n_docs - dfc + 0.5) / (dfc + 0.5)) / (1 + k1)
+        s = math.log(sc)
+        for w in words:
+            best = max(
+                (
+                    word_score(ts, dl, w)
+                    for (cc, ts), dl in zip(docs, dls)
+                    if cc == c
+                ),
+                default=0.0,
+            )
+            s += math.log(sc + best)
+        out[c] = s
+    smax = max(out.values())
+    loga = smax + math.log(sum(math.exp(v - smax) for v in out.values()))
+    return {c: math.exp(v - loga) for c, v in out.items()}
+
+
+def test_bm25_nb_matches_reference_math(spark):
+    from lucene_spark.search.classify import bm25_nb_classes
+
+    rows = [
+        (0, "a", "cat cat purr"),
+        (1, "a", "cat whisker purr " + "pad " * 30),  # dl > 24: quantized
+        (2, "a", "cat nap"),
+        (3, "b", "dog bark"),
+        (4, "b", "dog dog fetch bark cat"),
+    ]
+    tiny = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    for words in (["cat"], ["dog", "bark"], ["cat", "dog", "cat"], ["purr", "pad"]):
+        got = {r["label"]: r["score"] for r in bm25_nb_classes(tiny, words).collect()}
+        want = _bm25_nb_reference([(i, c, t) for i, c, t in rows], words)
+        assert set(got) == set(want)
+        for c in want:
+            assert got[c] == pytest.approx(want[c], rel=1e-12), (words, c)
