@@ -357,7 +357,7 @@ _DRIVER_PRIORITY = [
     "join_util_score_modes", "contamination_check",
     "common_terms_topk", "sweetspot_topk", "multi_range", "term_automaton",
     "top_passages", "shape_polygon_relations", "segments_info",
-    "bm25_nb_classifier",
+    "bm25_nb_classifier", "word_break",
     # prior rounds' evidence spread
     "reader_stats", "delete_reclaim_stats", "collection_stats",
     "search_after",
@@ -2554,6 +2554,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bm25_nb_classifier"] = bm25_nb_classifier
 
+    # WordBreakSpellChecker: split 'hashjoin' wherever both halves are
+    # dictionary terms (a 7-row candidate probe joined twice)
+    def word_break(spark, sf):
+        from lucene_spark.search.suggest import word_break_suggest
+
+        return word_break_suggest(_index(spark, sf), "hashjoin", k=10)
+
+    out["word_break"] = word_break
+
     return _driver_order(out)
 
 
@@ -4205,5 +4214,19 @@ mx2 AS (SELECT max(s) AS smax FROM raw),
 z AS (SELECT smax + ln(sum(exp(s - smax))) AS loga FROM raw, mx2 GROUP BY smax)
 SELECT label, exp(s - loga) AS score FROM raw CROSS JOIN z
 ORDER BY score DESC, label ASC
+"""
+
+    out["word_break"] = f"""
+WITH {TOK_CTE},
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+cand AS (SELECT substr('hashjoin', 1, i) AS left_part,
+                substr('hashjoin', i + 1) AS right_part
+         FROM (SELECT unnest(generate_series(1, 7)) AS i))
+SELECT left_part, right_part,
+       CAST(l.df AS BIGINT) AS left_freq, CAST(r.df AS BIGINT) AS right_freq,
+       CAST(l.df + r.df AS BIGINT) AS score
+FROM cand JOIN d l ON l.term = left_part JOIN d r ON r.term = right_part
+WHERE l.df >= 1 AND r.df >= 1
+ORDER BY score DESC, left_part ASC LIMIT 10
 """
     return out

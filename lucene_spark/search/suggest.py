@@ -32,6 +32,8 @@ __all__ = [
     "blended_infix_suggest",
     "build_freetext_model",
     "freetext_suggest",
+    "word_break_suggest",
+    "word_combine_suggest",
 ]
 
 
@@ -306,4 +308,122 @@ def freetext_suggest(
         out.orderBy(F.col("score").desc(), F.col("suggestion").asc())
         .limit(k)
         .select("suggestion", F.round("score", 6).alias("score"))
+    )
+
+
+def word_break_suggest(
+    index: InvertedIndex,
+    word: str,
+    min_break_len: int = 1,
+    min_suggestion_freq: int = 1,
+    k: int = 10,
+    sort: str = "sum",
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordBreaks
+    (`lucene/suggest/src/java/org/apache/lucene/search/spell/WordBreakSpellChecker.java:74`,
+    single break = maxChanges 1): split `word` at every position
+    where BOTH halves are dictionary terms with docFreq >=
+    `min_suggestion_freq`, ranked by the summed (or max — the two
+    BreakSuggestionSortMethods, :56-60) part frequencies.
+
+    The candidate split list is tiny (len(word)-1 rows) and joins the
+    distributed terms table twice — a dictionary probe, no collect.
+
+    Returns (left_part, right_part, left_freq, right_freq, score).
+    """
+    if sort not in ("sum", "max"):
+        raise ValueError("sort must be 'sum' or 'max'")
+    spark = index.spark
+    m = max(1, int(min_break_len))
+    cands = [(word[:i], word[i:]) for i in range(m, len(word) - m + 1)]
+    if not cands:
+        return spark.createDataFrame(
+            [],
+            "left_part string, right_part string, left_freq long, "
+            "right_freq long, score long",
+        )
+    cdf = spark.createDataFrame(cands, "left_part string, right_part string")
+    t = index.terms.select("term", "doc_freq")
+    j = (
+        cdf.join(
+            t.select(
+                F.col("term").alias("left_part"),
+                F.col("doc_freq").alias("left_freq"),
+            ),
+            "left_part",
+        )
+        .join(
+            t.select(
+                F.col("term").alias("right_part"),
+                F.col("doc_freq").alias("right_freq"),
+            ),
+            "right_part",
+        )
+        .filter(
+            (F.col("left_freq") >= min_suggestion_freq)
+            & (F.col("right_freq") >= min_suggestion_freq)
+        )
+    )
+    score = (
+        (F.col("left_freq") + F.col("right_freq"))
+        if sort == "sum"
+        else F.greatest(F.col("left_freq"), F.col("right_freq"))
+    )
+    return (
+        j.select("left_part", "right_part", "left_freq", "right_freq", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("left_part").asc())
+        .limit(k)
+    )
+
+
+def word_combine_suggest(
+    index: InvertedIndex,
+    words,
+    min_suggestion_freq: int = 1,
+    more_popular: bool = False,
+    k: int = 10,
+) -> DataFrame:
+    """WordBreakSpellChecker.suggestWordCombinations (:140-230, pair
+    combinations = maxChanges 1): adjacent query words whose
+    concatenation is a dictionary term with docFreq >=
+    `min_suggestion_freq` (and, in SUGGEST_MORE_POPULAR mode, >= the
+    more popular component's docFreq). freq = the combined term's
+    docFreq, like the reference's SuggestWord.
+
+    Returns (word1, word2, combined, freq).
+    """
+    spark = index.spark
+    pairs = [
+        (words[i], words[i + 1], words[i] + words[i + 1])
+        for i in range(len(words) - 1)
+    ]
+    if not pairs:
+        return spark.createDataFrame(
+            [], "word1 string, word2 string, combined string, freq long"
+        )
+    pdf = spark.createDataFrame(pairs, "word1 string, word2 string, combined string")
+    t = index.terms.select("term", "doc_freq")
+    j = pdf.join(
+        t.select(F.col("term").alias("combined"), F.col("doc_freq").alias("freq")),
+        "combined",
+    ).filter(F.col("freq") >= min_suggestion_freq)
+    if more_popular:
+        w1 = t.select(F.col("term").alias("word1"), F.col("doc_freq").alias("f1"))
+        w2 = t.select(F.col("term").alias("word2"), F.col("doc_freq").alias("f2"))
+        j = (
+            j.join(w1, "word1", "left")
+            .join(w2, "word2", "left")
+            .filter(
+                F.col("freq")
+                >= F.greatest(
+                    F.coalesce(F.col("f1"), F.lit(0)),
+                    F.coalesce(F.col("f2"), F.lit(0)),
+                )
+            )
+            .drop("f1", "f2")
+        )
+    return (
+        j.select("word1", "word2", "combined", "freq")
+        .orderBy(F.col("freq").desc(), F.col("combined").asc())
+        .limit(k)
     )

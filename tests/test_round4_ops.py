@@ -605,3 +605,37 @@ def test_shape_polygon_query_relations(spark):
     # as polygon rings: shape-contains-query makes the triangle match
     assert ids("intersects", polygon=True) == [0, 1, 2]
     assert ids("disjoint", polygon=True) == [3]
+
+
+def test_word_break_and_combine_suggest(spark):
+    from lucene_spark.index.builder import InvertedIndex
+    from lucene_spark.search.suggest import (
+        word_break_suggest,
+        word_combine_suggest,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "data base system"),
+            (1, "database system"),
+            (2, "data base"),
+            (3, "database database"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = InvertedIndex.build(docs, analyzer="simple", docs_per_segment=8)
+    # break 'database' -> data + base (both df=2); no other split exists
+    br = word_break_suggest(idx, "database").collect()
+    assert [(r["left_part"], r["right_part"], r["score"]) for r in br] == [
+        ("data", "base", 4)
+    ]
+    # min_break_len excludes short parts
+    assert word_break_suggest(idx, "database", min_break_len=5).collect() == []
+    # combine ['data','base'] -> 'database' with the combined term's df
+    cb = word_combine_suggest(idx, ["data", "base", "system"]).collect()
+    assert [(r["combined"], r["freq"]) for r in cb] == [("database", 2)]
+    # SUGGEST_MORE_POPULAR: combined df (2) equals the components' df
+    # (2) -> kept; raising the bar via a more popular component drops it
+    assert len(word_combine_suggest(idx, ["data", "base"], more_popular=True).collect()) == 1
+    with_sys = word_combine_suggest(idx, ["base", "system"], more_popular=True).collect()
+    assert with_sys == []  # 'basesystem' is not a term
