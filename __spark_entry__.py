@@ -75,6 +75,7 @@ from lucene_spark.pipeline import (
 # shared helpers
 
 _INDEX_CACHE: dict = {}
+_COMMIT_CACHE: dict = {}
 
 TOK_CTE = (
     "tok AS (SELECT doc_id, term FROM (SELECT doc_id, "
@@ -357,7 +358,7 @@ _DRIVER_PRIORITY = [
     "join_util_score_modes", "contamination_check",
     "common_terms_topk", "sweetspot_topk", "multi_range", "term_automaton",
     "top_passages", "shape_polygon_relations", "segments_info",
-    "bm25_nb_classifier", "word_break",
+    "bm25_nb_classifier", "word_break", "commit_point_search",
     # prior rounds' evidence spread
     "reader_stats", "delete_reclaim_stats", "collection_stats",
     "search_after",
@@ -2563,6 +2564,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["word_break"] = word_break
 
+    # --- commit points: point-in-time reader over an older generation
+    # (SegmentInfos generations + DirectoryReader.open(IndexCommit) +
+    # SnapshotDeletionPolicy; index/commits.py). Gen 0 commits the
+    # even-doc_id half of the corpus, gen 1 the full corpus; opening
+    # generation 0 must score exactly like a fresh index over the
+    # filtered corpus — that is what an immutable commit point means.
+    def commit_point_search(spark, sf):
+        import tempfile
+
+        from lucene_spark.index import IndexCommits
+
+        if sf not in _COMMIT_CACHE:
+            root = tempfile.mkdtemp(prefix="lucene_spark_commits_")
+            commits = IndexCommits(spark, root, keep_last=4)
+            docs = _docs(spark, sf)
+            old = InvertedIndex.build(
+                docs.filter(F.col("doc_id") % 2 == 0),
+                analyzer="simple",
+                docs_per_segment=2048,
+            )
+            g0 = commits.commit(old, user_data={"source": "even-half"})
+            commits.snapshot(g0)  # pin the point-in-time view
+            old.unpersist()
+            commits.commit(_index(spark, sf), user_data={"source": "full"})
+            _COMMIT_CACHE[sf] = commits
+        idx0 = _COMMIT_CACHE[sf].open(generation=0)
+        return bm25_topk_f64(idx0, {"spark": 1.0, "query": 1.0}, k=15)
+
+    out["commit_point_search"] = commit_point_search
+
     return _driver_order(out)
 
 
@@ -4229,4 +4260,13 @@ FROM cand JOIN d l ON l.term = left_part JOIN d r ON r.term = right_part
 WHERE l.df >= 1 AND r.df >= 1
 ORDER BY score DESC, left_part ASC LIMIT 10
 """
+
+    # commit point: generation 0 indexed only even doc_ids, so the
+    # point-in-time reader must score exactly a fresh BM25 over the
+    # filtered corpus (immutable-commit semantics)
+    out["commit_point_search"] = oracle_bm25_sql(
+        {"spark": 1.0, "query": 1.0},
+        k=15,
+        table="(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+    )
     return out

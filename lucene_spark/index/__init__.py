@@ -5,6 +5,7 @@ from lucene_spark.index.builder import (
     assign_doc_ids,
 )
 from lucene_spark.index.check import check_index
+from lucene_spark.index.commits import IndexCommits
 from lucene_spark.index.deletes import (
     apply_deletes,
     delete_by_ids,
@@ -23,6 +24,7 @@ from lucene_spark.index.sorting import sort_docs
 __all__ = [
     "BLOCKS_SCHEMA",
     "BLOCKS_SCHEMA_POS",
+    "IndexCommits",
     "InvertedIndex",
     "apply_deletes",
     "assign_doc_ids",
