@@ -359,6 +359,7 @@ _DRIVER_PRIORITY = [
     "common_terms_topk", "sweetspot_topk", "multi_range", "term_automaton",
     "top_passages", "shape_polygon_relations", "segments_info",
     "bm25_nb_classifier", "word_break", "commit_point_search",
+    "phrase_wildcard",
     # prior rounds' evidence spread
     "reader_stats", "delete_reclaim_stats", "collection_stats",
     "search_after",
@@ -2594,6 +2595,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["commit_point_search"] = commit_point_search
 
+    # --- PhraseWildcardQuery (sandbox): "hash jo*" — phrase with a
+    # prefix-expanded slot, freq = exact-phrase alignments
+    def phrase_wildcard(spark, sf):
+        from lucene_spark.search.positional import phrase_wildcard_freqs
+
+        return (
+            phrase_wildcard_freqs(_index(spark, sf), ["hash", PrefixQuery("jo")])
+            .select("doc_id", F.col("freq").cast("double").alias("freq"))
+            .orderBy("doc_id")
+            .limit(500)
+        )
+
+    out["phrase_wildcard"] = phrase_wildcard
+
     return _driver_order(out)
 
 
@@ -4269,4 +4284,14 @@ ORDER BY score DESC, left_part ASC LIMIT 10
         k=15,
         table="(SELECT * FROM documents WHERE doc_id % 2 = 0)",
     )
+
+    # phrase wildcard: 'hash' immediately followed by a 'jo'-prefixed
+    # token; freq = number of such start positions
+    out["phrase_wildcard"] = f"""
+WITH {_POS_CTE}
+SELECT doc_id, CAST(count(*) AS DOUBLE) AS freq
+FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i)
+WHERE l[i] = 'hash' AND l[i + 1] LIKE 'jo%'
+GROUP BY doc_id ORDER BY doc_id LIMIT 500
+"""
     return out

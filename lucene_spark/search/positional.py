@@ -570,3 +570,49 @@ def dismax_topk(
         return pd.Series(out.astype(np.float64))
 
     return _topk(agg.withColumn("score", combine("mx", "sm")), k)
+
+
+def phrase_wildcard_freqs(
+    index: InvertedIndex, slots: List, max_expansions: int = 1024
+) -> DataFrame:
+    """PhraseWildcardQuery (`sandbox/.../search/PhraseWildcardQuery.java:66`):
+    a phrase whose slots may be multi-term sub-queries (prefix /
+    wildcard / regexp). Each multi-term slot expands against the term
+    dictionary in term order, spending a SHARED ``max_expansions``
+    budget across slots (the reference's ``maxMultiTermExpansions`` is
+    likewise a whole-query budget; past it, remaining terms are simply
+    not collected). The expanded slots then run through the
+    MultiPhraseQuery kernel — union of positions per slot, exact-phrase
+    alignment, freq = #matching start positions.
+
+    Scale shape: each expansion probe is a pushed-down dictionary scan
+    with a ``TakeOrderedAndProject`` cap (never an unbounded collect),
+    and the positional work is the same Arrow-batched kernel as
+    MultiPhrase — only blocks of the expanded terms are decoded.
+    """
+    from lucene_spark.search.query import MultiTermQuery
+
+    budget = max_expansions
+    expanded: List[List[str]] = []
+    for slot in slots:
+        if isinstance(slot, str):
+            expanded.append([slot])
+            continue
+        if not isinstance(slot, MultiTermQuery):
+            raise TypeError(f"slot must be a term or MultiTermQuery: {slot!r}")
+        matched = [
+            r["term"]
+            for r in index.terms.filter(slot.term_filter())
+            .select("term")
+            .orderBy("term")
+            .limit(max(budget, 0))
+            .collect()
+        ]
+        budget -= len(matched)
+        expanded.append(matched)
+    if any(not s for s in expanded):
+        # a slot with zero dictionary matches can never align
+        return index.blocks.sparkSession.createDataFrame(
+            [], "doc_id long, freq double, norm int"
+        )
+    return multi_phrase_freqs(index, expanded)

@@ -639,3 +639,68 @@ def test_word_break_and_combine_suggest(spark):
     assert len(word_combine_suggest(idx, ["data", "base"], more_popular=True).collect()) == 1
     with_sys = word_combine_suggest(idx, ["base", "system"], more_popular=True).collect()
     assert with_sys == []  # 'basesystem' is not a term
+
+
+def test_phrase_wildcard_matches_literal_expansion(spark):
+    from lucene_spark.index.builder import InvertedIndex
+    from lucene_spark.search import PrefixQuery, WildcardQuery
+    from lucene_spark.search.positional import (
+        multi_phrase_freqs,
+        phrase_wildcard_freqs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hash join beats nested loop"),
+            (1, "hash joins everywhere hash join"),
+            (2, "hash table no join here"),
+            (3, "merge join after hash jolt"),
+            (4, "join hash reversed order"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = InvertedIndex.build(docs, docs_per_segment=4, positions=True)
+
+    got = {
+        r["doc_id"]: r["freq"]
+        for r in phrase_wildcard_freqs(idx, ["hash", PrefixQuery("jo")]).collect()
+    }
+    # expansion of jo* in this corpus: join, joins, jolt
+    want = {
+        r["doc_id"]: r["freq"]
+        for r in multi_phrase_freqs(idx, [["hash"], ["join", "joins", "jolt"]]).collect()
+    }
+    assert got == want == {0: 1.0, 1: 2.0, 3: 1.0}
+
+    # wildcard slot + literal tail
+    got2 = sorted(
+        r["doc_id"]
+        for r in phrase_wildcard_freqs(idx, [WildcardQuery("ha*"), "join"]).collect()
+    )
+    assert got2 == [0, 1]
+
+
+def test_phrase_wildcard_empty_expansion_and_budget(spark):
+    from lucene_spark.index.builder import InvertedIndex
+    from lucene_spark.search import PrefixQuery
+    from lucene_spark.search.positional import phrase_wildcard_freqs
+
+    docs = spark.createDataFrame(
+        [(0, "hash join"), (1, "hash jab jam join")], ["doc_id", "text"]
+    )
+    idx = InvertedIndex.build(docs, docs_per_segment=4, positions=True)
+
+    # no dictionary term starts with 'zz' -> empty result, stable schema
+    empty = phrase_wildcard_freqs(idx, ["hash", PrefixQuery("zz")])
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "freq", "norm"]
+
+    # whole-query expansion budget: with budget 2, slot jo|ja* takes the
+    # first 2 terms in term order (jab, jam) and 'join' is not collected
+    got = sorted(
+        r["doc_id"]
+        for r in phrase_wildcard_freqs(
+            idx, ["hash", PrefixQuery("j")], max_expansions=2
+        ).collect()
+    )
+    assert got == [1]  # jab/jam follow hash only in doc 1; join excluded
