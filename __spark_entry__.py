@@ -54,6 +54,12 @@ from lucene_spark.search import (
     TermRangeQuery,
     WildcardQuery,
     rewrite,
+    diversified_topk,
+    doc_values_stats,
+    dynamic_range_facets,
+    high_freq_terms,
+    memory_index_scores,
+    profile_df,
 )
 from lucene_spark.pipeline import (
     cosine_topk,
@@ -2609,6 +2615,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["phrase_wildcard"] = phrase_wildcard
 
+    # --- misc module analogs (HighFreqTerms / DocValuesStats /
+    # DiversifiedTopDocsCollector), sandbox profiler + dynamic ranges,
+    # MemoryIndex percolation scoring
+    out["high_freq_terms"] = lambda spark, sf: (
+        high_freq_terms(_index(spark, sf).terms, 10, order="total_term_freq")
+    )
+
+    out["doc_values_stats"] = lambda spark, sf: doc_values_stats(
+        _docs(spark, sf)
+        .filter(F.array_contains(F.split(F.col("text"), " "), "hash"))
+        .withColumn(
+            "v",
+            F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(
+                F.col("n_chars")
+            ),
+        ),
+        "v",
+    )
+
+    def diversified(spark, sf):
+        from lucene_spark.search.parity import _bm25_scored_f64
+
+        scored = _bm25_scored_f64(_index(spark, sf), {"hash": 1.0, "spark": 0.7})
+        keyed = scored.join(
+            _docs(spark, sf).select("doc_id", "lang"), "doc_id"
+        )
+        return diversified_topk(keyed, "lang", max_per_key=2, k=10).select(
+            "doc_id", "lang", F.round(F.col("s"), 4).alias("score")
+        )
+
+    out["diversified_topk"] = diversified
+
+    out["dynamic_range_facets"] = lambda spark, sf: dynamic_range_facets(
+        _docs(spark, sf).withColumn("w", F.col("doc_id") % 7 + 1),
+        "n_chars",
+        "w",
+        top_n=6,
+    )
+
+    out["memory_index_scores"] = lambda spark, sf: memory_index_scores(
+        _docs(spark, sf), {"hash": 1.0, "spark": 0.5}, k=10
+    )
+
+    def query_profile(spark, sf):
+        q = BooleanQuery.of(
+            BooleanClause(TermQuery("hash"), Occur.MUST),
+            BooleanClause(TermQuery("spark"), Occur.SHOULD),
+            BooleanClause(TermQuery("scan"), Occur.MUST_NOT),
+        )
+        return profile_df(IndexSearcher(_index(spark, sf)), q)
+
+    out["query_profile"] = query_profile
+
     return _driver_order(out)
 
 
@@ -4293,5 +4352,125 @@ SELECT doc_id, CAST(count(*) AS DOUBLE) AS freq
 FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i)
 WHERE l[i] = 'hash' AND l[i + 1] LIKE 'jo%'
 GROUP BY doc_id ORDER BY doc_id LIMIT 500
+"""
+
+    out["high_freq_terms"] = f"""
+WITH {TOK_CTE}
+SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_term_freq
+FROM tok GROUP BY term ORDER BY total_term_freq DESC, term ASC LIMIT 10
+"""
+
+    out["doc_values_stats"] = """
+WITH m AS (
+  SELECT CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END AS v
+  FROM documents
+  WHERE list_contains(string_split(text, ' '), 'hash')
+)
+SELECT count(v) AS cnt,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing,
+       min(v) AS min_v, max(v) AS max_v,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       sum(v) * 1.0 / count(v) AS mean_v,
+       round(sum(v * v) * 1.0 / count(v)
+             - (sum(v) * 1.0 / count(v)) * (sum(v) * 1.0 / count(v)), 6)
+         AS variance,
+       round(sqrt(sum(v * v) * 1.0 / count(v)
+             - (sum(v) * 1.0 / count(v)) * (sum(v) * 1.0 / count(v))), 6)
+         AS stdev
+FROM m
+"""
+
+    out["diversified_topk"] = f"""
+WITH {_bm25_scored_ctes({"hash": 1.0, "spark": 0.7})},
+keyed AS (
+  SELECT f.doc_id, d.lang, f.s,
+         row_number() OVER (PARTITION BY d.lang ORDER BY f.s DESC, f.doc_id ASC)
+           AS rk
+  FROM first f JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, round(s, 4) AS score FROM keyed
+WHERE rk <= 2 ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
+    # DynamicRangeUtil.computeDynamicNumericRanges: the sequential
+    # greedy cut is a recursive CTE — each step finds the first row
+    # whose cumulative weight clears the previous cut's base + target
+    out["dynamic_range_facets"] = """
+WITH RECURSIVE
+src AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, CAST(doc_id % 7 + 1 AS BIGINT) AS w
+  FROM documents WHERE doc_id % 7 + 1 > 0
+),
+p AS (SELECT count(*) AS n, sum(w) * 1.0 / least(6, count(*)) AS target
+      FROM src),
+sorted AS (
+  SELECT v, w, row_number() OVER (ORDER BY v, w) AS rn,
+         sum(w) OVER (ORDER BY v, w
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM src
+),
+bounds AS (
+  SELECT 0 AS j, CAST(0 AS BIGINT) AS pos
+  UNION ALL
+  SELECT j + 1,
+         coalesce(
+           (SELECT min(rn) FROM sorted
+            WHERE cw - coalesce(
+                    (SELECT cw FROM sorted s2 WHERE s2.rn = b.pos), 0)
+                  >= (SELECT target FROM p)),
+           (SELECT n FROM p))
+  FROM bounds b
+  WHERE b.pos < (SELECT n FROM p) AND j < 6
+),
+ranges AS (
+  SELECT b1.j - 1 AS bucket, b0.pos AS lo, b1.pos AS hi
+  FROM bounds b0 JOIN bounds b1 ON b1.j = b0.j + 1
+  WHERE b1.pos > b0.pos
+)
+SELECT CAST(bucket AS INT) AS bucket, count(*) AS cnt,
+       CAST(sum(s.w) AS BIGINT) AS weight,
+       min(s.v) AS min_v, max(s.v) AS max_v,
+       sum(s.v) * 1.0 / count(*) AS centroid
+FROM sorted s JOIN ranges r ON s.rn > r.lo AND s.rn <= r.hi
+GROUP BY bucket ORDER BY bucket
+"""
+
+    # MemoryIndex degenerate BM25: N=1, df=1, avgdl=dl → idf ln(4/3),
+    # norm factor k1
+    out["memory_index_scores"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    (CASE WHEN len(list_filter(l, x -> x = 'hash')) > 0 THEN
+       1.0 * ln(1.0 + 0.5 / 1.5) * len(list_filter(l, x -> x = 'hash'))
+         / (len(list_filter(l, x -> x = 'hash')) + 1.2) ELSE 0 END)
+  + (CASE WHEN len(list_filter(l, x -> x = 'spark')) > 0 THEN
+       0.5 * ln(1.0 + 0.5 / 1.5) * len(list_filter(l, x -> x = 'spark'))
+         / (len(list_filter(l, x -> x = 'spark')) + 1.2) ELSE 0 END) AS s
+  FROM toks
+)
+SELECT doc_id, round(s, 4) AS score FROM s WHERE s > 0
+ORDER BY s DESC, doc_id ASC LIMIT 10
+"""
+
+    out["query_profile"] = f"""
+WITH {TOK_CTE},
+h AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'hash'),
+sp AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark'),
+sc AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'scan')
+SELECT 0 AS node, 0 AS depth, 'BooleanQuery' AS name,
+       '3 clauses' AS description,
+       (SELECT count(*) FROM h WHERE doc_id NOT IN (SELECT doc_id FROM sc))
+         AS docs
+UNION ALL
+SELECT 1, 1, 'TermQuery', 'hash', (SELECT count(*) FROM h)
+UNION ALL
+SELECT 2, 1, 'TermQuery', 'spark', (SELECT count(*) FROM sp)
+UNION ALL
+SELECT 3, 1, 'TermQuery', 'scan', (SELECT count(*) FROM sc)
+ORDER BY node
 """
     return out

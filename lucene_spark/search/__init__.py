@@ -33,7 +33,18 @@ from lucene_spark.search.geo import (
 from lucene_spark.search.collapse import collapse_topk
 from lucene_spark.search.covering import covering_matches
 from lucene_spark.search.querycache import LRUQueryCache
-from lucene_spark.search.facets import drill_down, taxonomy_children
+from lucene_spark.search.facets import (
+    drill_down,
+    dynamic_range_facets,
+    taxonomy_children,
+)
+from lucene_spark.search.misc import (
+    diversified_topk,
+    doc_values_stats,
+    high_freq_terms,
+)
+from lucene_spark.search.memoryindex import memory_index_scores
+from lucene_spark.search.profiler import profile_df, profile_tree
 from lucene_spark.search.highlight import best_passages
 from lucene_spark.search.queryparser import QueryParseError, parse_query
 from lucene_spark.search.simpleparser import simple_parse
@@ -122,4 +133,11 @@ __all__ = [
     "TermRangeQuery",
     "WildcardQuery",
     "rewrite",
+    "dynamic_range_facets",
+    "diversified_topk",
+    "doc_values_stats",
+    "high_freq_terms",
+    "memory_index_scores",
+    "profile_df",
+    "profile_tree",
 ]

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = [
     "taxonomy_children",
@@ -187,3 +187,143 @@ def sampled_facet_counts(
         )
         .orderBy("label")
     )
+
+
+def dynamic_range_facets(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    top_n: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Equi-weight dynamic ranges
+    (`facet/range/DynamicRangeUtil.java:204`
+    ``computeDynamicNumericRanges``): sort (value, weight) pairs by
+    value (weight tie-break), then greedily cut a range every time the
+    accumulated weight reaches ``totalWeight / min(topN, len)``,
+    emitting (count, weight, min, max, centroid) per range; a trailing
+    partial range captures the leftovers (:257-262). Zero weights are
+    skipped (:159-163).
+
+    Distributed shape (the reference collects all values into one
+    array — a non-starter at 100 TB): range-repartition + in-partition
+    sort gives the global (value, weight) order without a single-task
+    sort; per-partition weight totals (one small agg, P rows to the
+    driver) turn in-partition running sums into global running sums —
+    the pack_sequences cumsum pattern. The greedy cut positions are
+    then found with ≤ top_n scalar aggregations over the cached cumsum
+    (each "first row where cumWeight - base >= target" is a
+    distributed min — the sequential scan's only data dependence is
+    the previous cut, so top_n small jobs replace the driver-side
+    array walk; top_n is single digits in practice). Bucket assignment
+    is a broadcast when-chain, and the final per-range stats are one
+    partial-agg'd groupBy. Ties in (value, weight) make row order
+    ambiguous, but every range boundary lies at a cumulative-weight
+    threshold, so the bucket CONTENTS (as multisets) are
+    order-invariant — the aggregates are deterministic.
+
+    Returns (bucket, cnt, weight, min_v, max_v, centroid), bucket asc;
+    centroid = sum(value)/count computed from exact integer sums
+    (DynamicRangeInfo.centroid, :276).
+    """
+    spark = df.sparkSession
+    src = (
+        df.select(
+            F.col(value_col).cast("long").alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    parts = (
+        src.repartitionByRange(n_part, F.col("v"), F.col("w"))
+        .sortWithinPartitions("v", "w")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        per_pid = {
+            r["_pid"]: (r["tw"], r["cnt"])
+            for r in parts.groupBy("_pid")
+            .agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        total_w = sum(tw for tw, _ in per_pid.values())
+        n = sum(c for _, c in per_pid.values())
+        empty = spark.createDataFrame(
+            [],
+            "bucket int, cnt long, weight long, min_v long, max_v long,"
+            " centroid double",
+        )
+        if n == 0 or top_n <= 0:
+            return empty
+        target = float(total_w) / min(top_n, n)
+        woff, coff, aw, ac = {}, {}, 0, 0
+        for pid in sorted(per_pid):
+            woff[pid], coff[pid] = aw, ac
+            aw += per_pid[pid][0]
+            ac += per_pid[pid][1]
+        off = F.broadcast(
+            spark.createDataFrame(
+                [(int(p), int(woff[p]), int(coff[p])) for p in per_pid],
+                "_pid int, _woff long, _coff long",
+            )
+        )
+        win = Window.partitionBy("_pid").orderBy("v", "w")
+        cum = (
+            parts.withColumn(
+                "_cw",
+                F.sum("w").over(
+                    win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .withColumn("_rn", F.row_number().over(win))
+            .join(off, "_pid")
+            .select(
+                "v",
+                "w",
+                (F.col("_rn") + F.col("_coff")).alias("rn"),
+                (F.col("_cw") + F.col("_woff")).alias("cw"),
+            )
+            .persist()
+        )
+        try:
+            cum.count()  # materialize once before the boundary probes
+            # greedy cut positions: rn of each range's last element
+            bounds = [0]
+            base = 0  # cw at the previous cut
+            while bounds[-1] < n and len(bounds) <= top_n:
+                hit = (
+                    cum.filter((F.col("cw") - F.lit(base)) >= F.lit(target))
+                    .orderBy("rn")
+                    .limit(1)
+                    .collect()
+                )
+                if not hit:
+                    bounds.append(n)  # trailing partial range
+                else:
+                    bounds.append(int(hit[0]["rn"]))
+                    base = int(hit[0]["cw"])
+            if bounds[-1] < n:
+                bounds.append(n)  # defensive: trailing rows form a range
+            bucket = F.lit(0)
+            for b in bounds[1:-1]:
+                bucket = bucket + (F.col("rn") > F.lit(b)).cast("int")
+            return (
+                cum.withColumn("bucket", bucket)
+                .groupBy("bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum("w").alias("weight"),
+                    F.min("v").alias("min_v"),
+                    F.max("v").alias("max_v"),
+                    (F.sum("v") * F.lit(1.0) / F.count(F.lit(1))).alias(
+                        "centroid"
+                    ),
+                )
+                .orderBy("bucket")
+            ).localCheckpoint()
+        finally:
+            cum.unpersist()
+    finally:
+        parts.unpersist()
