@@ -82,6 +82,7 @@ from lucene_spark.pipeline import (
 
 _INDEX_CACHE: dict = {}
 _COMMIT_CACHE: dict = {}
+_BP_CACHE: dict = {}
 
 TOK_CTE = (
     "tok AS (SELECT doc_id, term FROM (SELECT doc_id, "
@@ -2668,6 +2669,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["query_profile"] = query_profile
 
+    # --- BPIndexReorderer: graph-bisection docID reassignment must be
+    # search-invariant — BM25 top-k on the reordered index, mapped back
+    # through orig_doc_id, equals the plain oracle (scores depend only
+    # on per-doc stats, which a permutation preserves)
+    def bp_reorder_topk(spark, sf):
+        from lucene_spark.index.bp import bp_reorder
+        from lucene_spark.search.parity import _bm25_scored_f64
+
+        if sf not in _BP_CACHE:
+            reordered = bp_reorder(_docs(spark, sf), num_partitions=8)
+            idx = InvertedIndex.build(
+                reordered, analyzer="simple", docs_per_segment=2048
+            )
+            idmap = reordered.select("doc_id", "orig_doc_id")
+            _BP_CACHE[sf] = (idx, idmap)
+        idx, idmap = _BP_CACHE[sf]
+        scored = _bm25_scored_f64(idx, {"hash": 1.0, "join": 0.5})
+        return (
+            scored.join(idmap, "doc_id")
+            .orderBy(F.col("s").desc(), F.col("orig_doc_id").asc())
+            .limit(15)
+            .select(
+                F.col("orig_doc_id").alias("doc_id"),
+                F.round(F.col("s"), 4).alias("score"),
+            )
+        )
+
+    out["bp_reorder_topk"] = bp_reorder_topk
+
+    # --- MultiPassIndexSplitter: the parts must cover the corpus
+    # exactly once — per-part docFreqs sum to the whole-corpus docFreqs
+    def multi_pass_split_stats(spark, sf):
+        from lucene_spark.index.splitter import multi_pass_split
+
+        parts = multi_pass_split(
+            _docs(spark, sf), 3, analyzer="simple", docs_per_segment=2048
+        )
+        union = parts[0].terms
+        for p in parts[1:]:
+            union = union.unionByName(p.terms)
+        return (
+            union.groupBy("term")
+            .agg(
+                F.sum("doc_freq").alias("doc_freq"),
+                F.sum("total_term_freq").alias("total_term_freq"),
+            )
+            .orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+            .limit(10)
+        )
+
+    out["multi_pass_split_stats"] = multi_pass_split_stats
+
     return _driver_order(out)
 
 
@@ -4472,5 +4525,15 @@ SELECT 2, 1, 'TermQuery', 'spark', (SELECT count(*) FROM sp)
 UNION ALL
 SELECT 3, 1, 'TermQuery', 'scan', (SELECT count(*) FROM sc)
 ORDER BY node
+"""
+
+    # BP reorder is score-invariant → plain BM25 oracle
+    out["bp_reorder_topk"] = oracle_bm25_sql({"hash": 1.0, "join": 0.5}, k=15)
+
+    # split parts cover the corpus exactly once → whole-corpus stats
+    out["multi_pass_split_stats"] = f"""
+WITH {TOK_CTE}
+SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_term_freq
+FROM tok GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 10
 """
     return out

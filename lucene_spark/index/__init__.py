@@ -18,8 +18,10 @@ from lucene_spark.index.deletes import (
     undelete,
     update_document,
 )
+from lucene_spark.index.bp import bp_order_local, bp_reorder
 from lucene_spark.index.resumable import load_resumable, resumable_build
 from lucene_spark.index.sorting import sort_docs
+from lucene_spark.index.splitter import multi_pass_split, pk_split
 
 __all__ = [
     "BLOCKS_SCHEMA",
@@ -28,7 +30,11 @@ __all__ = [
     "InvertedIndex",
     "apply_deletes",
     "assign_doc_ids",
+    "bp_order_local",
+    "bp_reorder",
     "check_index",
+    "multi_pass_split",
+    "pk_split",
     "delete_by_ids",
     "delete_by_query",
     "delete_documents",
