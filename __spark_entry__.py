@@ -83,6 +83,7 @@ from lucene_spark.pipeline import (
 _INDEX_CACHE: dict = {}
 _COMMIT_CACHE: dict = {}
 _BP_CACHE: dict = {}
+_REPLICA_CACHE: dict = {}
 
 TOK_CTE = (
     "tok AS (SELECT doc_id, term FROM (SELECT doc_id, "
@@ -2721,6 +2722,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["multi_pass_split_stats"] = multi_pass_split_stats
 
+    # --- NRT replication: a synced replica must answer queries
+    # identically to the primary commit it copied
+    def replica_search(spark, sf):
+        import tempfile
+
+        from lucene_spark.index.commits import IndexCommits
+        from lucene_spark.index.replicator import PrimaryNode, ReplicaNode
+
+        if sf not in _REPLICA_CACHE:
+            proot = tempfile.mkdtemp(prefix="lucene_spark_primary_")
+            rroot = tempfile.mkdtemp(prefix="lucene_spark_replica_")
+            commits = IndexCommits(spark, proot, keep_last=1)
+            commits.commit(_index(spark, sf))
+            replica = ReplicaNode(rroot)
+            replica.sync(PrimaryNode(commits))
+            _REPLICA_CACHE[sf] = replica.open(spark)
+        return bm25_topk_f64(
+            _REPLICA_CACHE[sf], {"merge": 1.0, "scan": 0.5}, k=15
+        )
+
+    out["replica_search"] = replica_search
+
     return _driver_order(out)
 
 
@@ -4529,6 +4552,9 @@ ORDER BY node
 
     # BP reorder is score-invariant → plain BM25 oracle
     out["bp_reorder_topk"] = oracle_bm25_sql({"hash": 1.0, "join": 0.5}, k=15)
+
+    # a synced replica answers exactly like the primary commit
+    out["replica_search"] = oracle_bm25_sql({"merge": 1.0, "scan": 0.5}, k=15)
 
     # split parts cover the corpus exactly once → whole-corpus stats
     out["multi_pass_split_stats"] = f"""

@@ -19,6 +19,7 @@ from lucene_spark.index.deletes import (
     update_document,
 )
 from lucene_spark.index.bp import bp_order_local, bp_reorder
+from lucene_spark.index.replicator import PrimaryNode, ReplicaNode
 from lucene_spark.index.resumable import load_resumable, resumable_build
 from lucene_spark.index.sorting import sort_docs
 from lucene_spark.index.splitter import multi_pass_split, pk_split
@@ -35,6 +36,8 @@ __all__ = [
     "check_index",
     "multi_pass_split",
     "pk_split",
+    "PrimaryNode",
+    "ReplicaNode",
     "delete_by_ids",
     "delete_by_query",
     "delete_documents",
