@@ -182,3 +182,39 @@ def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
 def delta_decode(deltas: np.ndarray) -> np.ndarray:
     """Prefix-sum decode (`ForDeltaUtil` cumsum path)."""
     return np.cumsum(np.asarray(deltas, dtype=np.int64))
+
+
+def fordelta_encode(doc_ids: np.ndarray) -> bytes:
+    """Doc block: ``[base: u8 LE][FOR(gaps)]`` — only the 127 gaps are
+    bit-packed; the absolute block base rides in a fixed 8-byte header.
+
+    This is `ForDeltaUtil`'s actual layout split: Lucene packs deltas
+    only, and the block's absolute doc bounds live in the skip entry
+    (`Lucene103PostingsFormat.java:343-351` skip data), mirrored here
+    by the blocks table's `first_doc`/`last_doc` metadata columns.
+    Packing the absolute first docID into the FOR block (the previous
+    layout) sets the whole block's bit width to ~log2(maxDoc) and makes
+    the encoding insensitive to gap structure — measured 15 bits per
+    posting on a 30k-doc corpus whose gaps need 2, and it nullified the
+    BP-reorder compression win. u8 base because docIDs reach 10^12 at
+    target scale.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    if doc_ids.size == 0:
+        return b""
+    base = np.array([doc_ids[0]], dtype="<u8").tobytes()
+    gaps = np.diff(doc_ids).astype(np.uint64)
+    return base + for_encode(gaps)
+
+
+def fordelta_decode(blob: bytes) -> np.ndarray:
+    """Inverse of :func:`fordelta_encode` → absolute sorted docIDs."""
+    if len(blob) == 0:
+        return np.empty(0, dtype=np.int64)
+    base = int(np.frombuffer(blob, dtype="<u8", count=1)[0])
+    gaps = for_decode(blob[8:])
+    out = np.empty(gaps.size + 1, dtype=np.int64)
+    out[0] = base
+    if gaps.size:
+        out[1:] = base + np.cumsum(gaps)
+    return out

@@ -53,10 +53,10 @@ from pyspark.sql import types as T
 from lucene_spark.analysis import term_freq_udf
 from lucene_spark.functions.forutil import (
     BLOCK_SIZE,
-    delta_decode,
     delta_encode,
-    for_encode,
     for_encode_stream,
+    fordelta_decode,
+    fordelta_encode,
     pfor_encode,
 )
 from lucene_spark.functions.smallfloat import int_to_byte4
@@ -207,7 +207,7 @@ def _blocks_from_arrays(
             "first_doc": int(d[0]),
             "max_doc": int(d[-1]),
             "doc_zones": int(zones.astype(np.int64)),
-            "docs_packed": for_encode(delta_encode(d)),
+            "docs_packed": fordelta_encode(d),
             "freqs_packed": pfor_encode(f),
             "norms_raw": nb.tobytes(),
             "impact_freqs": [int(x) for x, _ in imp],
@@ -464,7 +464,7 @@ _NORMS_SCHEMA = T.StructType(
 
 def _decode_norms(full_blocks: DataFrame) -> DataFrame:
     """Decode the pseudo-term norm rows → (doc_id, dl, norm) table."""
-    from lucene_spark.functions.forutil import for_decode, pfor_decode
+    from lucene_spark.functions.forutil import fordelta_decode, pfor_decode
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -477,7 +477,7 @@ def _decode_norms(full_blocks: DataFrame) -> DataFrame:
                 outs.append(
                     pd.DataFrame(
                         {
-                            "doc_id": delta_decode(for_decode(bytes(docs_b))),
+                            "doc_id": fordelta_decode(bytes(docs_b)),
                             "dl": pfor_decode(bytes(freqs_b)),
                             "norm": np.frombuffer(
                                 bytes(norms_b), dtype=np.uint8
@@ -778,7 +778,7 @@ class InvertedIndex:
                 os.path.join(index_dir, "soft_deletes")
             )
         manifest = {
-            "format": "lucene_spark.v1",
+            "format": "lucene_spark.v2",
             "doc_count": self.doc_count,
             "sum_total_term_freq": self.sum_total_term_freq,
             "docs_per_segment": self.docs_per_segment,
@@ -800,6 +800,14 @@ class InvertedIndex:
     def load(cls, spark: SparkSession, index_dir: str) -> "InvertedIndex":
         with open(os.path.join(index_dir, "manifest.json")) as f:
             m = json.load(f)
+        if m.get("format", "lucene_spark.v1") != "lucene_spark.v2":
+            # v1 packed the absolute first docID inside the FOR block;
+            # v2 moved it to an 8-byte block-base header. Refuse loudly
+            # rather than silently mis-decode gaps as docIDs.
+            raise ValueError(
+                f"index format {m.get('format')!r} predates the v2 "
+                "block-base doc encoding; rebuild or re-save the index"
+            )
         n_del = int(m.get("num_deleted", 0))
         dels = (
             spark.read.parquet(os.path.join(index_dir, "deletes"))

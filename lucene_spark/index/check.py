@@ -41,9 +41,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from lucene_spark.functions.forutil import (
-    delta_decode,
-    for_decode,
     for_decode_stream,
+    fordelta_decode,
     pfor_decode,
 )
 from lucene_spark.index.builder import InvertedIndex, NORMS_TERM
@@ -78,7 +77,7 @@ def _decode_checks(has_positions: bool, has_payloads: bool = False):
                 )
 
             for i in range(len(pdf)):
-                docs = delta_decode(for_decode(bytes(pdf["docs_packed"].values[i])))
+                docs = fordelta_decode(bytes(pdf["docs_packed"].values[i]))
                 freqs = pfor_decode(bytes(pdf["freqs_packed"].values[i]))
                 if len(docs) != pdf["num_docs"].values[i]:
                     bad("block_doc_order", i, f"num_docs {pdf['num_docs'].values[i]} != {len(docs)}")

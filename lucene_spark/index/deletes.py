@@ -40,9 +40,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from lucene_spark.functions.forutil import (
-    delta_decode,
-    for_decode,
     for_decode_stream,
+    fordelta_decode,
     pfor_decode,
 )
 from lucene_spark.index.builder import (
@@ -232,7 +231,7 @@ def _explode_blocks_udf(with_pos: bool, with_pay: bool = False):
         for pdf in batches:
             outs = []
             for i in range(len(pdf)):
-                docs = delta_decode(for_decode(bytes(pdf["docs_packed"].values[i])))
+                docs = fordelta_decode(bytes(pdf["docs_packed"].values[i]))
                 freqs = pfor_decode(bytes(pdf["freqs_packed"].values[i]))
                 norms = np.frombuffer(
                     bytes(pdf["norms_raw"].values[i]), dtype=np.uint8

@@ -39,7 +39,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from lucene_spark.functions.forutil import delta_decode, for_decode, pfor_decode
+from lucene_spark.functions.forutil import fordelta_decode, pfor_decode
 from lucene_spark.index.builder import BLOCKS_SCHEMA, InvertedIndex, _encode_term_group
 
 __all__ = ["SegmentInfo", "log_merge_plan", "tiered_merge_plan", "merge_segments", "force_merge"]
@@ -139,7 +139,7 @@ def _merge_term_group(pdf: pd.DataFrame) -> pd.DataFrame:
     order = np.argsort(pdf["first_doc"].values, kind="stable")
     docs_parts, freq_parts, norm_parts, pos_parts, pay_parts = [], [], [], [], []
     for i in order:
-        docs_parts.append(delta_decode(for_decode(bytes(pdf["docs_packed"].values[i]))))
+        docs_parts.append(fordelta_decode(bytes(pdf["docs_packed"].values[i])))
         freqs = pfor_decode(bytes(pdf["freqs_packed"].values[i]))
         freq_parts.append(freqs)
         norm_parts.append(

@@ -55,7 +55,7 @@ def _decode_postings(
     """Decode (doc_id, term, freq, norm byte) for the given terms
     (None = all terms). ``max_doc`` prunes blocks via the skip-pointer
     metadata (first_doc) before any decode."""
-    from lucene_spark.functions.forutil import delta_decode, for_decode, pfor_decode
+    from lucene_spark.functions.forutil import fordelta_decode, pfor_decode
 
     def fn(batches):
         for pdf in batches:
@@ -66,7 +66,7 @@ def _decode_postings(
                 pdf["freqs_packed"].values,
                 pdf["norms_raw"].values,
             ):
-                docs = delta_decode(for_decode(bytes(docs_b)))
+                docs = fordelta_decode(bytes(docs_b))
                 freqs = pfor_decode(bytes(freqs_b)).astype(np.int32)
                 norms = np.frombuffer(bytes(norms_b), dtype=np.uint8).astype(np.int32)
                 outs.append(

@@ -42,8 +42,8 @@ from pyspark.sql import types as T
 from lucene_spark.functions.bm25 import BM25, bm25_idf
 from lucene_spark.functions.forutil import (
     delta_decode,
-    for_decode,
     for_decode_stream,
+    fordelta_decode,
     pfor_decode,
 )
 from lucene_spark.index.builder import InvertedIndex
@@ -109,8 +109,8 @@ def decode_positions(
             outs = []
             for i in range(len(pdf)):
                 term = pdf["term"].values[i]
-                docs = delta_decode(
-                    for_decode(bytes(pdf["docs_packed"].values[i]))
+                docs = fordelta_decode(
+                    bytes(pdf["docs_packed"].values[i])
                 )
                 freqs = pfor_decode(bytes(pdf["freqs_packed"].values[i]))
                 norms = np.frombuffer(

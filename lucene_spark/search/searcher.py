@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lucene_spark.functions.bm25 import BM25
-from lucene_spark.functions.forutil import for_decode, pfor_decode, delta_decode
+from lucene_spark.functions.forutil import for_decode, fordelta_decode, pfor_decode, delta_decode
 from lucene_spark.index.builder import InvertedIndex
 from lucene_spark.search.query import (
     BooleanQuery,
@@ -98,7 +98,7 @@ def _decode_score_udf(weights: Dict[str, Tuple[float, np.ndarray]]):
                 pdf["norms_raw"].values,
             ):
                 w, cache = weights[term]
-                docs = delta_decode(for_decode(bytes(docs_b)))
+                docs = fordelta_decode(bytes(docs_b))
                 freqs = pfor_decode(bytes(freqs_b)).astype(np.float32)
                 norms = np.frombuffer(bytes(norms_b), dtype=np.uint8)
                 ni = cache[norms]
@@ -124,7 +124,7 @@ def _decode_docs_udf():
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = [
-                delta_decode(for_decode(bytes(b))) for b in pdf["docs_packed"].values
+                fordelta_decode(bytes(b)) for b in pdf["docs_packed"].values
             ]
             if outs:
                 yield pd.DataFrame({"doc_id": np.concatenate(outs)})
@@ -366,7 +366,7 @@ class IndexSearcher:
             .collect()
         )
         for r in rows:
-            docs = delta_decode(for_decode(bytes(r["docs_packed"])))
+            docs = fordelta_decode(bytes(r["docs_packed"]))
             idx = np.where(docs == doc_id)[0]
             if idx.size:
                 freqs = pfor_decode(bytes(r["freqs_packed"]))
@@ -886,7 +886,7 @@ class IndexSearcher:
             acc: Dict[int, float] = {}
             for row in head_rows:
                 w, cache_np = weights[row["term"]]
-                docs = delta_decode(for_decode(bytes(row["docs_packed"])))
+                docs = fordelta_decode(bytes(row["docs_packed"]))
                 freqs = pfor_decode(bytes(row["freqs_packed"])).astype(np.float32)
                 norms = np.frombuffer(bytes(row["norms_raw"]), dtype=np.uint8)
                 # identical expression to _decode_score_udf (float32)

@@ -64,3 +64,27 @@ def test_delta_round_trip(seed):
 def test_empty_block():
     vals = np.array([], dtype=np.int64)
     assert for_decode(for_encode(vals)).size == 0
+
+
+# --- fordelta (v2 doc-block layout: u8 base + FOR over gaps) --------------
+
+from lucene_spark.functions.forutil import fordelta_decode, fordelta_encode
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fordelta_roundtrip(seed):
+    rng = np.random.RandomState(seed)
+    n = rng.randint(0, 2 * BLOCK_SIZE)
+    ids = np.unique(
+        rng.randint(0, 2**40, size=n).astype(np.int64)
+    ) if n else np.empty(0, dtype=np.int64)
+    assert (fordelta_decode(fordelta_encode(ids)) == ids).all()
+
+
+def test_fordelta_width_ignores_absolute_base():
+    # the block base must not inflate the packed gap width: two blocks
+    # with identical gaps but bases 1 vs 10^9 differ by the header only
+    gaps = np.arange(1, 129, dtype=np.int64)
+    low = np.concatenate([[1], 1 + np.cumsum(gaps)])
+    high = low + 1_000_000_000
+    assert len(fordelta_encode(low)) == len(fordelta_encode(high))

@@ -5,7 +5,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from lucene_spark.functions.forutil import delta_decode, for_decode, pfor_decode
+from lucene_spark.functions.forutil import fordelta_decode, pfor_decode
 from lucene_spark.functions.smallfloat import int_to_byte4
 from lucene_spark.index import InvertedIndex, assign_doc_ids
 
@@ -55,7 +55,7 @@ def test_blocks_round_trip(idx):
     rows = idx.blocks.filter(F.col("term") == "fox").collect()
     got = {}
     for r in rows:
-        docs = delta_decode(for_decode(bytes(r["docs_packed"])))
+        docs = fordelta_decode(bytes(r["docs_packed"]))
         freqs = pfor_decode(bytes(r["freqs_packed"]))
         norms = np.frombuffer(bytes(r["norms_raw"]), dtype=np.uint8)
         assert r["num_docs"] == len(docs) == len(freqs) == len(norms)

@@ -5,7 +5,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from lucene_spark.functions.forutil import delta_decode, for_decode, pfor_decode
+from lucene_spark.functions.forutil import fordelta_decode, pfor_decode
 from lucene_spark.index import InvertedIndex
 from lucene_spark.index.merge import (
     SegmentInfo,
@@ -46,7 +46,7 @@ def _postings_map(idx, term):
     rows = idx.blocks.filter(F.col("term") == term).collect()
     out = {}
     for r in rows:
-        docs = delta_decode(for_decode(bytes(r["docs_packed"])))
+        docs = fordelta_decode(bytes(r["docs_packed"]))
         freqs = pfor_decode(bytes(r["freqs_packed"]))
         norms = np.frombuffer(bytes(r["norms_raw"]), dtype=np.uint8)
         for d, f, n in zip(docs, freqs, norms):
