@@ -2744,6 +2744,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["replica_search"] = replica_search
 
+    # --- exact-substring duplication (Lee et al. 2022): cross-doc
+    # repeated token 8-grams + per-doc duplicated-start fraction
+    def repeated_ngrams_gate(spark, sf):
+        from lucene_spark.pipeline.substrings import repeated_ngrams
+
+        return repeated_ngrams(_docs(spark, sf), n=8, min_docs=2).limit(25)
+
+    out["repeated_ngrams"] = repeated_ngrams_gate
+
+    def dup_span_starts(spark, sf):
+        from lucene_spark.pipeline.substrings import duplicated_span_starts
+
+        return duplicated_span_starts(_docs(spark, sf), n=8, min_docs=2).limit(
+            25
+        )
+
+    out["dup_span_starts"] = dup_span_starts
+
     return _driver_order(out)
 
 
@@ -4555,6 +4573,41 @@ ORDER BY node
 
     # a synced replica answers exactly like the primary commit
     out["replica_search"] = oracle_bm25_sql({"merge": 1.0, "scan": 0.5}, k=15)
+
+    _GRAMS_CTE = """toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(l[i:i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 7)) AS i)
+  WHERE len(l) >= 8
+)"""
+
+    out["repeated_ngrams"] = f"""
+WITH {_GRAMS_CTE}
+SELECT gram, count(DISTINCT doc_id) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, gram ASC LIMIT 25
+"""
+
+    out["dup_span_starts"] = f"""
+WITH {_GRAMS_CTE},
+dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+tot AS (SELECT doc_id, count(*) AS total_grams FROM grams GROUP BY doc_id),
+dps AS (
+  SELECT doc_id, count(*) AS dup_starts FROM grams
+  WHERE gram IN (SELECT gram FROM dup) GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(t.total_grams AS BIGINT) AS total_grams,
+       CAST(coalesce(d.dup_starts, 0) AS BIGINT) AS dup_starts,
+       round(coalesce(d.dup_starts, 0) * 1.0 / t.total_grams, 6) AS dup_frac
+FROM tot t LEFT JOIN dps d USING (doc_id)
+ORDER BY dup_frac DESC, dup_starts DESC, doc_id ASC LIMIT 25
+"""
 
     # split parts cover the corpus exactly once → whole-corpus stats
     out["multi_pass_split_stats"] = f"""

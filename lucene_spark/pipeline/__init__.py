@@ -27,6 +27,11 @@ from lucene_spark.pipeline.similarity import (
     lsh_bucket_topk,
     lsh_signatures,
 )
+from lucene_spark.pipeline.substrings import (
+    duplicated_span_starts,
+    ngram_spans,
+    repeated_ngrams,
+)
 from lucene_spark.pipeline.textstats import (
     fingerprint_md5,
     language_id,
@@ -59,4 +64,7 @@ __all__ = [
     "simhash_pairs_from_hashes",
     "token_counts",
     "word_shingles",
+    "ngram_spans",
+    "repeated_ngrams",
+    "duplicated_span_starts",
 ]

@@ -18,7 +18,11 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# JOB_NO_REPO_PATH=1: imports must resolve from --py-files (the
+# spark-submit packaging path the north rule specifies) rather than
+# the repo checkout
+if os.environ.get("JOB_NO_REPO_PATH") != "1":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 

@@ -26,6 +26,21 @@ DOCS = int(os.environ.get("SCALING_DOCS", "400000"))
 PAIRS = [(4, 16), (8, 32)]
 
 
+def _pyfiles_zip() -> str:
+    """Package lucene_spark/ as the spark-submit --py-files artifact."""
+    import zipfile
+
+    zpath = os.path.join("/tmp", "lucene_spark_pyfiles.zip")
+    src = os.path.join(REPO, "lucene_spark")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _, names in os.walk(src):
+            for n in names:
+                if n.endswith(".py"):
+                    full = os.path.join(dirpath, n)
+                    zf.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
 def run(cpus: int) -> dict:
     env = dict(os.environ, JOB_CPUS=str(cpus), JOB_DOCS=str(DOCS))
     # Pin the whole process tree to exactly `cpus` cores: without this,
@@ -33,13 +48,27 @@ def run(cpus: int) -> dict:
     # overflow onto the box's other cores, inflating the small-N
     # baseline and understating scaling. A real 8-core executor
     # confines ALL of that to 8 cores.
-    cmd = [
-        "taskset",
-        "-c",
-        f"0-{cpus - 1}",
-        sys.executable,
-        os.path.join(REPO, "scripts", "index_job.py"),
-    ]
+    pin = ["taskset", "-c", f"0-{cpus - 1}"]
+    if os.environ.get("SCALING_SUBMIT") == "1":
+        # the north rule's deployment shape: spark-submit --py-files.
+        # JOB_NO_REPO_PATH=1 removes the checkout from sys.path so the
+        # import genuinely resolves from the shipped zip.
+        env["JOB_NO_REPO_PATH"] = "1"
+        cmd = pin + [
+            "spark-submit",
+            "--master",
+            f"local[{cpus}]",
+            "--py-files",
+            _pyfiles_zip(),
+            "--conf",
+            "spark.ui.enabled=false",
+            os.path.join(REPO, "scripts", "index_job.py"),
+        ]
+    else:
+        cmd = pin + [
+            sys.executable,
+            os.path.join(REPO, "scripts", "index_job.py"),
+        ]
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
