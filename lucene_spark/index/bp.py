@@ -150,14 +150,32 @@ def bp_reorder(
     min_partition_size: int = 32,
     min_doc_freq: int = 2,
     max_doc_freq_frac: float = 1.0,
+    min_docs_per_partition: int = 100_000,
 ) -> DataFrame:
     """Reassign contiguous docIDs by per-partition recursive graph
     bisection. Returns the corpus with `doc_id_col` replaced by the BP
     rank and the previous id kept as ``orig_doc_id``; output remains
     range-partitioned with contiguous ID ranges per partition (aligned
-    build contract)."""
+    build contract).
+
+    Partition sizing matters, not just for parallelism: a cluster run
+    must dwarf the 128-posting FOR-block span (~128/term_density docs)
+    or plain-FOR blocks straddle cluster jumps and the compression win
+    evaporates (measured on a 30k-doc topic corpus: 3750-doc
+    partitions LOSE bytes, 15000-doc partitions win 34%, global wins
+    51% — the objective improves in all three; only the block/run
+    ratio differs). Lucene runs BP per SEGMENT (millions of docs) for
+    the same reason. When `num_partitions` is not given, the
+    partition count is capped so each holds ≥ `min_docs_per_partition`
+    docs (default 10^5); pass `num_partitions` explicitly to override
+    (tests, tiny corpora)."""
     spark = corpus.sparkSession
-    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    if num_partitions is not None:
+        n_part = num_partitions
+    else:
+        n_part = spark.sparkContext.defaultParallelism
+        total = corpus.count()
+        n_part = max(1, min(n_part, total // max(1, min_docs_per_partition)))
     parts = (
         corpus.repartitionByRange(n_part, F.col(doc_id_col))
         .sortWithinPartitions(doc_id_col)
