@@ -351,6 +351,11 @@ _NORM_BYTE_CASE = (
 # search_after whose r2 fix was never re-run), then every round-3
 # addition, then a representative spread of already-green families.
 _DRIVER_PRIORITY = [
+    # round-4 late-session additions (never driver-run — newest first)
+    "high_freq_terms", "doc_values_stats", "diversified_topk",
+    "dynamic_range_facets", "memory_index_scores", "query_profile",
+    "bp_reorder_topk", "multi_pass_split_stats", "replica_search",
+    "repeated_ngrams", "dup_span_starts",
     # round-4 additions (never driver-run — must land in the window)
     "span_or_near", "span_containing", "range_field_overlap",
     "function_score_topk", "boost_by_query", "search_after_sorted",
