@@ -58,6 +58,10 @@ def run(cpus: int) -> dict:
             "spark-submit",
             "--master",
             f"local[{cpus}]",
+            # builder-set driver memory is ignored under spark-submit
+            # (the JVM is already up) — exit 52 OOM at 1.2M docs without it
+            "--driver-memory",
+            os.environ.get("JOB_DRIVER_MEM", "16g"),
             "--py-files",
             _pyfiles_zip(),
             "--conf",
