@@ -99,17 +99,31 @@ def main() -> None:
     corpus = synthetic_corpus(
         spark, SYN_DOCS, seed=42, num_partitions=CPUS * 2, with_doc_id=True
     )
-    t0 = time.time()
-    # the generator's corpus is range-partitioned by doc_id → the
-    # zero-shuffle aligned ingest applies (BENCH.md: the corpus shuffle
-    # was 36% of the 32-way build)
-    syn_idx = InvertedIndex.build(
-        corpus,
-        analyzer="standard",
-        docs_per_segment=max(256, SYN_DOCS // (CPUS * 4)),
-        layout="aligned",
-    )
-    t_syn = time.time() - t0
+    # best-of-N like the scaling protocol (BASELINE.md): the box is
+    # shared, and a single cold build rep has been observed 3x slower
+    # than the same build a minute later (r4: 24.9s under load-avg-4
+    # vs 8.5s quiet — same code)
+    build_reps = int(os.environ.get("BENCH_BUILD_REPS", "2"))
+    t_syn = None
+    syn_idx = None
+    for _ in range(build_reps):
+        if syn_idx is not None:
+            syn_idx.unpersist()  # rep must not reuse the previous
+            # rep's cached blocks (clearCache() would also evict the
+            # docs index the later query legs depend on)
+        t0 = time.time()
+        # the generator's corpus is range-partitioned by doc_id → the
+        # zero-shuffle aligned ingest applies (BENCH.md: the corpus
+        # shuffle was 36% of the 32-way build)
+        syn_idx = InvertedIndex.build(
+            corpus,
+            analyzer="standard",
+            docs_per_segment=max(256, SYN_DOCS // (CPUS * 4)),
+            layout="aligned",
+        )
+        rep = time.time() - t0
+        if t_syn is None or rep < t_syn:
+            t_syn = rep
     queries["index_build_synthetic"] = round(t_syn, 3)
     extra["synthetic_docs_per_sec"] = round(SYN_DOCS / t_syn, 1)
     extra["synthetic_postings_per_sec"] = syn_idx.metrics.get("postings_per_sec")
