@@ -356,6 +356,7 @@ _DRIVER_PRIORITY = [
     "dynamic_range_facets", "memory_index_scores", "query_profile",
     "bp_reorder_topk", "multi_pass_split_stats", "replica_search",
     "repeated_ngrams", "dup_span_starts",
+    "intervals_before", "intervals_not_containing",
     # round-4 additions (never driver-run — must land in the window)
     "span_or_near", "span_containing", "range_field_overlap",
     "function_score_topk", "boost_by_query", "search_after_sorted",
@@ -883,6 +884,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["intervals_maxgaps"] = intervals_maxgaps
     out["intervals_containing"] = intervals_containing
+
+    def intervals_before(spark, sf):
+        from lucene_spark.search import intervals as I
+
+        src = I.before(
+            I.ordered(I.term("hash"), I.term("join")), I.term("merge")
+        )
+        return (
+            I.interval_matches(_index(spark, sf), src)
+            .select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id")
+            .limit(300)
+        )
+
+    def intervals_not_containing(spark, sf):
+        from lucene_spark.search import intervals as I
+
+        src = I.not_containing(
+            I.ordered(I.term("hash"), I.term("join")), I.term("merge")
+        )
+        return (
+            I.interval_matches(_index(spark, sf), src)
+            .select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id")
+            .limit(300)
+        )
+
+    out["intervals_before"] = intervals_before
+    out["intervals_not_containing"] = intervals_not_containing
 
     # --- geo queries (LatLonPoint analog; document/LatLonPoint.java):
     # deterministic synthetic points derived from doc_id so the DuckDB
@@ -2971,6 +3001,40 @@ WHERE EXISTS (
 )
 ORDER BY doc_id LIMIT 300
 """
+    _IV_MINIMAL_CTE = f"""{{pos_cte}},
+ph AS (SELECT doc_id, i FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'hash'),
+pj AS (SELECT doc_id, i AS j FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'join'),
+pm AS (SELECT doc_id, i AS m FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) WHERE l[i] = 'merge'),
+pairs AS (SELECT doc_id, i, j FROM ph JOIN pj USING (doc_id) WHERE j > i),
+minimal AS (
+  SELECT * FROM pairs p WHERE NOT EXISTS (
+    SELECT 1 FROM pairs q
+    WHERE q.doc_id = p.doc_id AND q.i >= p.i AND q.j <= p.j
+      AND (q.i > p.i OR q.j < p.j)
+  )
+)"""
+
+    out["intervals_before"] = f"""
+WITH {_IV_MINIMAL_CTE.format(pos_cte=_POS_CTE)}
+SELECT DISTINCT doc_id, 1.0 AS score FROM minimal mi
+WHERE EXISTS (
+  SELECT 1 FROM pm WHERE pm.doc_id = mi.doc_id AND pm.m > mi.j
+)
+ORDER BY doc_id LIMIT 300
+"""
+
+    out["intervals_not_containing"] = f"""
+WITH {_IV_MINIMAL_CTE.format(pos_cte=_POS_CTE)}
+SELECT DISTINCT doc_id, 1.0 AS score FROM minimal mi
+WHERE NOT EXISTS (
+  SELECT 1 FROM pm WHERE pm.doc_id = mi.doc_id AND pm.m BETWEEN mi.i AND mi.j
+)
+ORDER BY doc_id LIMIT 300
+"""
+
     _GEO_CTE = """pts AS (
   SELECT doc_id,
          ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat,

@@ -50,6 +50,12 @@ __all__ = [
     "max_width",
     "containing",
     "contained_by",
+    "before",
+    "after",
+    "overlapping",
+    "not_containing",
+    "not_contained_by",
+    "extend",
     "interval_matches",
 ]
 
@@ -128,6 +134,53 @@ def containing(big: IntervalsSource, small: IntervalsSource) -> IntervalsSource:
     return _Relational("containing", big, small)
 
 
+def before(src: IntervalsSource, reference: IntervalsSource) -> IntervalsSource:
+    """Intervals of `src` ending before some `reference` interval
+    begins (`Intervals.before`)."""
+    return _Relational("before", reference, src)
+
+
+def after(src: IntervalsSource, reference: IntervalsSource) -> IntervalsSource:
+    """Intervals of `src` starting after some `reference` interval
+    ends (`Intervals.after`)."""
+    return _Relational("after", reference, src)
+
+
+def overlapping(src: IntervalsSource, reference: IntervalsSource) -> IntervalsSource:
+    """Intervals of `src` overlapping some `reference` interval
+    (`Intervals.overlapping`)."""
+    return _Relational("overlapping", reference, src)
+
+
+def not_containing(minuend: IntervalsSource, subtrahend: IntervalsSource) -> IntervalsSource:
+    """Intervals of `minuend` that do NOT contain any `subtrahend`
+    interval (`Intervals.notContaining`)."""
+    return _Relational("not_containing", minuend, subtrahend)
+
+
+def not_contained_by(minuend: IntervalsSource, subtrahend: IntervalsSource) -> IntervalsSource:
+    """Intervals of `minuend` not lying inside any `subtrahend`
+    interval (`Intervals.notContainedBy`)."""
+    return _Relational("not_contained_by", subtrahend, minuend)
+
+
+@dataclass(frozen=True)
+class _Extended(IntervalsSource):
+    sub: IntervalsSource
+    n_before: int
+    n_after: int
+
+    def terms(self):
+        return self.sub.terms()
+
+
+def extend(src: IntervalsSource, n_before: int, n_after: int) -> IntervalsSource:
+    """Widen each interval by `n_before`/`n_after` positions, clamped
+    at 0 (`Intervals.extend` / ExtendedIntervalsSource) — lets a
+    nested filter see context around the match."""
+    return _Extended(src, n_before, n_after)
+
+
 def contained_by(small: IntervalsSource, big: IntervalsSource) -> IntervalsSource:
     return _Relational("contained_by", big, small)
 
@@ -204,12 +257,42 @@ def _eval_source(src: IntervalsSource, pos: dict) -> List[Iv]:
         if src.kind == "max_width":
             return [iv for iv in ivs if iv[1] - iv[0] + 1 <= src.n]
         return [iv for iv in ivs if (iv[1] - iv[0] + 1 - iv[2]) <= src.n]
+    if isinstance(src, _Extended):
+        ivs = _eval_source(src.sub, pos)
+        return _minimize(
+            [(max(0, s - src.n_before), e + src.n_after, t) for s, e, t in ivs]
+        )
     if isinstance(src, _Relational):
         big = _eval_source(src.big, pos)
         small = _eval_source(src.small, pos)
         if src.kind == "containing":
             return [
                 iv for iv in big if any(iv[0] <= s and e <= iv[1] for s, e, _ in small)
+            ]
+        if src.kind == "before":
+            # big = reference; keep small intervals ending before some ref
+            return [iv for iv in small if any(iv[1] < s for s, _, _ in big)]
+        if src.kind == "after":
+            return [iv for iv in small if any(iv[0] > e for _, e, _ in big)]
+        if src.kind == "overlapping":
+            return [
+                iv
+                for iv in small
+                if any(iv[0] <= e and s <= iv[1] for s, e, _ in big)
+            ]
+        if src.kind == "not_containing":
+            # big = minuend, small = subtrahend
+            return [
+                iv
+                for iv in big
+                if not any(iv[0] <= s and e <= iv[1] for s, e, _ in small)
+            ]
+        if src.kind == "not_contained_by":
+            # big = subtrahend, small = minuend
+            return [
+                iv
+                for iv in small
+                if not any(s <= iv[0] and iv[1] <= e for s, e, _ in big)
             ]
         return [  # contained_by: small intervals inside some big one
             iv for iv in small if any(s <= iv[0] and iv[1] <= e for s, e, _ in big)

@@ -109,3 +109,66 @@ def test_interval_phrase_matches_exact_phrase(iv_index):
     }
     want = {r["doc_id"] for r in phrase_freqs(iv_index, ["hash", "join"]).collect()}
     assert got == want
+
+
+def test_before_after():
+    ab = I.ordered(I.term("a"), I.term("b"))
+    # a@0 b@2 (interval [0,2]); reference c@5
+    assert [
+        (s, e) for s, e, _ in _eval_source(I.before(ab, I.term("c")), _pos(a=[0], b=[2], c=[5]))
+    ] == [(0, 2)]
+    # c@1 lies inside/before-start → no before match
+    assert _eval_source(I.before(ab, I.term("c")), _pos(a=[0], b=[2], c=[1])) == []
+    # after: interval must start past the reference's end
+    assert [
+        (s, e) for s, e, _ in _eval_source(I.after(ab, I.term("c")), _pos(a=[3], b=[5], c=[1]))
+    ] == [(3, 5)]
+    assert _eval_source(I.after(ab, I.term("c")), _pos(a=[3], b=[5], c=[4])) == []
+
+
+def test_overlapping():
+    ab = I.ordered(I.term("a"), I.term("b"))
+    ref = I.ordered(I.term("c"), I.term("d"))
+    # [2,4] overlaps [4,6]
+    got = _eval_source(I.overlapping(ab, ref), _pos(a=[2], b=[4], c=[4], d=[6]))
+    assert [(s, e) for s, e, _ in got] == [(2, 4)]
+    # disjoint → none
+    assert _eval_source(I.overlapping(ab, ref), _pos(a=[0], b=[1], c=[4], d=[6])) == []
+
+
+def test_not_containing_and_not_contained_by():
+    ab = I.ordered(I.term("a"), I.term("b"))
+    # [0,3] contains c@2 → filtered out by not_containing
+    assert _eval_source(I.not_containing(ab, I.term("c")), _pos(a=[0], b=[3], c=[2])) == []
+    assert [
+        (s, e)
+        for s, e, _ in _eval_source(
+            I.not_containing(ab, I.term("c")), _pos(a=[0], b=[3], c=[9])
+        )
+    ] == [(0, 3)]
+    # c@[1] inside big [0,3] → dropped by not_contained_by
+    assert _eval_source(I.not_contained_by(I.term("c"), ab), _pos(a=[0], b=[3], c=[1])) == []
+    assert [
+        (s, e)
+        for s, e, _ in _eval_source(
+            I.not_contained_by(I.term("c"), ab), _pos(a=[0], b=[3], c=[7])
+        )
+    ] == [(7, 7)]
+
+
+def test_extend_clamps_and_minimizes():
+    got = _eval_source(I.extend(I.term("a"), 2, 1), _pos(a=[1, 3]))
+    # [1,1]→[0,2] wait clamp: max(0, 1-2)=0 → [0,2]; [3,3]→[1,4]; neither nested
+    assert [(s, e) for s, e, _ in got] == [(0, 2), (1, 4)]
+    # nesting after extension is minimized away
+    got = _eval_source(
+        I.extend(I.i_or(I.term("a"), I.term("b")), 0, 2), _pos(a=[5], b=[6])
+    )
+    # a: [5,7], b: [6,8] — no containment, both stay
+    assert [(s, e) for s, e, _ in got] == [(5, 7), (6, 8)]
+    # b@5 with after=0: [5,5] inside a-extended [3,5]? extend(a,2,0): a@5 → [3,5]
+    got = _eval_source(
+        I.extend(I.i_or(I.term("a"), I.term("b")), 2, 0), _pos(a=[5], b=[4])
+    )
+    # a→[3,5], b→[2,4]: no nesting
+    assert [(s, e) for s, e, _ in got] == [(2, 4), (3, 5)]
