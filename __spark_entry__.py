@@ -356,7 +356,7 @@ _DRIVER_PRIORITY = [
     "dynamic_range_facets", "memory_index_scores", "query_profile",
     "bp_reorder_topk", "multi_pass_split_stats", "replica_search",
     "repeated_ngrams", "dup_span_starts",
-    "intervals_before", "intervals_not_containing",
+    "intervals_before", "intervals_not_containing", "word_delimiter_terms",
     # round-4 additions (never driver-run — must land in the window)
     "span_or_near", "span_containing", "range_field_overlap",
     "function_score_topk", "boost_by_query", "search_after_sorted",
@@ -2797,6 +2797,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["dup_span_starts"] = dup_span_starts
 
+    # --- WordDelimiterGraphFilter core splits over deterministic
+    # mixed-case/product-code tokens synthesized from doc_id
+    def word_delimiter_terms(spark, sf):
+        from lucene_spark.analysis.filters import word_delimiter_parts
+
+        raw = F.concat(
+            F.lit("WiFi-Prod"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("X HTTPServer"),
+            (F.col("doc_id") % 10).cast("string"),
+        )
+        toks = _docs(spark, sf).select(
+            F.explode(F.split(raw, " ")).alias("t")
+        )
+        return (
+            toks.select(
+                F.explode(word_delimiter_parts(F.col("t"))).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("term").asc())
+            .limit(30)
+        )
+
+    out["word_delimiter_terms"] = word_delimiter_terms
+
     return _driver_order(out)
 
 
@@ -4676,6 +4702,28 @@ SELECT t.doc_id, CAST(t.total_grams AS BIGINT) AS total_grams,
        round(coalesce(d.dup_starts, 0) * 1.0 / t.total_grams, 6) AS dup_frac
 FROM tot t LEFT JOIN dps d USING (doc_id)
 ORDER BY dup_frac DESC, dup_starts DESC, doc_id ASC LIMIT 25
+"""
+
+    # WordDelimiterGraph splits: the same capture-group boundary
+    # insertions, RE2 syntax (\\1, 'g' flag)
+    out["word_delimiter_terms"] = r"""
+WITH src AS (
+  SELECT 'WiFi-Prod' || CAST(doc_id % 50 AS VARCHAR) || 'X HTTPServer'
+         || CAST(doc_id % 10 AS VARCHAR) AS raw
+  FROM documents
+),
+tok AS (SELECT unnest(string_split(raw, ' ')) AS t FROM src),
+r AS (
+  SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+           '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+           '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+           '([A-Za-z])([0-9])', '\1 \2', 'g'),
+           '([0-9])([A-Za-z])', '\1 \2', 'g') AS s
+  FROM tok
+),
+parts AS (SELECT unnest(string_split_regex(s, '[^A-Za-z0-9]+')) AS term FROM r)
+SELECT term, count(*) AS cnt FROM parts WHERE term <> ''
+GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 30
 """
 
     # split parts cover the corpus exactly once → whole-corpus stats

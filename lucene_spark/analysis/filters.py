@@ -56,6 +56,7 @@ __all__ = [
     "ascii_fold",
     "synonym_expand",
     "delimited_payload_analyzer",
+    "word_delimiter_parts",
 ]
 
 
@@ -276,3 +277,55 @@ def delimited_payload_analyzer(delimiter: str = "|", lowercase: bool = False):
         return out
 
     return analyze
+
+
+def word_delimiter_parts(
+    text_col: Column,
+    catenate_all: bool = False,
+    preserve_original: bool = False,
+) -> Column:
+    """WordDelimiterGraphFilter's core splits
+    (`analysis/common/src/java/org/apache/lucene/analysis/miscellaneous/
+    WordDelimiterGraphFilter.java:71`, WordDelimiterIterator rules) as
+    an all-JVM codegen chain over a whitespace-tokenized column:
+
+    - sub-word boundaries at non-alphanumerics (``wi-fi`` → wi, fi),
+      lower→upper case transitions (``WiFi`` → Wi, Fi; ``HTTPServer``
+      → HTTP, Server), and letter↔digit transitions
+      (``PowerShot500`` → Power, Shot, 500) — GENERATE_WORD_PARTS +
+      GENERATE_NUMBER_PARTS;
+    - ``catenate_all`` additionally emits the run with all delimiters
+      removed (CATENATE_ALL);
+    - ``preserve_original`` additionally emits the unsplit token
+      (PRESERVE_ORIGINAL).
+
+    Case is preserved (a LowerCaseFilter composes after, as in the
+    reference chain). Returns array<string> of emitted tokens per
+    input row. Boundary-insertion uses capture-group regexp_replace —
+    no lookaheads, so the same rules express in RE2 for the DuckDB
+    oracle. Physical shape: four regexp_replace + one split, all
+    inside whole-stage codegen — zero UDFs, zero shuffles.
+    """
+    s = F.regexp_replace(text_col, r"([a-z0-9])([A-Z])", r"$1 $2")
+    s = F.regexp_replace(s, r"([A-Z]+)([A-Z][a-z])", r"$1 $2")
+    s = F.regexp_replace(s, r"([A-Za-z])([0-9])", r"$1 $2")
+    s = F.regexp_replace(s, r"([0-9])([A-Za-z])", r"$1 $2")
+    parts = F.filter(F.split(s, r"[^A-Za-z0-9]+"), lambda t: t != "")
+    extras = []
+    if catenate_all:
+        joined = F.regexp_replace(text_col, r"[^A-Za-z0-9]+", "")
+        extras.append(
+            F.when(joined != "", F.array(joined)).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+    if preserve_original:
+        extras.append(
+            F.when(text_col != "", F.array(text_col)).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+    out = parts
+    for e in extras:
+        out = F.concat(out, e)
+    return F.array_distinct(out)

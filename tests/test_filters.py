@@ -152,3 +152,36 @@ def test_shingle_index_roundtrip(spark):
     idx = InvertedIndex.build(sh, analyzer="simple", docs_per_segment=16)
     hits = IndexSearcher(idx).search(TermQuery("hash_join"), k=10)
     assert {r["doc_id"] for r in hits.collect()} == {0, 2}
+
+
+def test_word_delimiter_parts(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis.filters import word_delimiter_parts
+
+    df = spark.createDataFrame(
+        [("WiFi",), ("PowerShot500",), ("wi-fi",), ("HTTPServer",), ("",)],
+        ["t"],
+    )
+    got = {
+        r["t"]: r["p"]
+        for r in df.select(
+            "t", word_delimiter_parts(F.col("t")).alias("p")
+        ).collect()
+    }
+    assert got["WiFi"] == ["Wi", "Fi"]
+    assert got["PowerShot500"] == ["Power", "Shot", "500"]
+    assert got["wi-fi"] == ["wi", "fi"]
+    assert got["HTTPServer"] == ["HTTP", "Server"]
+    assert got[""] == []
+    full = {
+        r["t"]: r["p"]
+        for r in df.select(
+            "t",
+            word_delimiter_parts(
+                F.col("t"), catenate_all=True, preserve_original=True
+            ).alias("p"),
+        ).collect()
+    }
+    assert full["wi-fi"] == ["wi", "fi", "wifi", "wi-fi"]
+    assert full["WiFi"] == ["Wi", "Fi", "WiFi"]  # distinct: no dup original
