@@ -357,6 +357,7 @@ _DRIVER_PRIORITY = [
     "bp_reorder_topk", "multi_pass_split_stats", "replica_search",
     "repeated_ngrams", "dup_span_starts",
     "intervals_before", "intervals_not_containing", "word_delimiter_terms",
+    "common_grams_top", "leading_wildcard_topk",
     # round-4 additions (never driver-run — must land in the window)
     "span_or_near", "span_containing", "range_field_overlap",
     "function_score_topk", "boost_by_query", "search_after_sorted",
@@ -2823,6 +2824,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["word_delimiter_terms"] = word_delimiter_terms
 
+    # --- CommonGramsFilter: stopword-adjacent bigrams
+    def common_grams_top(spark, sf):
+        from lucene_spark.analysis.filters import common_grams
+
+        toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+        return (
+            _docs(spark, sf)
+            .select(
+                F.explode(common_grams(toks, ["the", "a"])).alias("gram")
+            )
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+            .limit(20)
+        )
+
+    out["common_grams_top"] = common_grams_top
+
+    # --- leading wildcard (*er): dictionary-driven multi-term route
+    out["leading_wildcard_topk"] = lambda spark, sf: _const_score_docs(
+        spark, sf, WildcardQuery("*er"), k=100
+    )
+
     return _driver_order(out)
 
 
@@ -4725,6 +4749,21 @@ parts AS (SELECT unnest(string_split_regex(s, '[^A-Za-z0-9]+')) AS term FROM r)
 SELECT term, count(*) AS cnt FROM parts WHERE term <> ''
 GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 30
 """
+
+    out["common_grams_top"] = """
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents
+),
+pairs AS (
+  SELECT l[i] AS a, l[i + 1] AS b
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i)
+)
+SELECT a || '_' || b AS gram, count(*) AS cnt
+FROM pairs WHERE a IN ('the', 'a') OR b IN ('the', 'a')
+GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 20
+"""
+
+    out["leading_wildcard_topk"] = _const_score_oracle("term LIKE '%er'")
 
     # split parts cover the corpus exactly once → whole-corpus stats
     out["multi_pass_split_stats"] = f"""

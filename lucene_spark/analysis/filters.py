@@ -57,6 +57,8 @@ __all__ = [
     "synonym_expand",
     "delimited_payload_analyzer",
     "word_delimiter_parts",
+    "reverse_tokens",
+    "common_grams",
 ]
 
 
@@ -329,3 +331,36 @@ def word_delimiter_parts(
     for e in extras:
         out = F.concat(out, e)
     return F.array_distinct(out)
+
+
+def reverse_tokens(tokens_col: Column) -> Column:
+    """ReverseStringFilter (`analysis/common/.../reverse/
+    ReverseStringFilter.java:34`): reverse every token. Its real job is
+    leading-wildcard acceleration — index the reversed form and
+    ``*suffix`` becomes a PREFIX probe on the reversed dictionary,
+    which at scale is a sorted-parquet min/max-prunable range scan
+    instead of a full-dictionary regex pass."""
+    return F.transform(tokens_col, F.reverse)
+
+
+def common_grams(tokens_col: Column, common_words, separator: str = "_") -> Column:
+    """CommonGramsFilter (`analysis/common/.../commongrams/
+    CommonGramsFilter.java:51`): for each adjacent pair where either
+    side is a common word, emit ``a{sep}b`` — phrase queries containing
+    stopwords hit one pre-joined bigram posting instead of intersecting
+    a monster stopword posting list. Returns the bigram array (compose
+    with the unigram stream as the reference filter does). All-JVM
+    higher-order functions, zero shuffles."""
+    common = F.array(*[F.lit(w) for w in sorted(set(common_words))])
+    n = F.size(tokens_col)
+    left = F.slice(tokens_col, 1, F.greatest(n - 1, F.lit(0)))
+    right = F.slice(tokens_col, 2, F.greatest(n - 1, F.lit(0)))
+    pairs = F.zip_with(
+        left,
+        right,
+        lambda a, b: F.when(
+            F.array_contains(common, a) | F.array_contains(common, b),
+            F.concat(a, F.lit(separator), b),
+        ),
+    )
+    return F.filter(pairs, lambda x: x.isNotNull())

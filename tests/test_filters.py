@@ -185,3 +185,24 @@ def test_word_delimiter_parts(spark):
     }
     assert full["wi-fi"] == ["wi", "fi", "wifi", "wi-fi"]
     assert full["WiFi"] == ["Wi", "Fi", "WiFi"]  # distinct: no dup original
+
+
+def test_common_grams_and_reverse(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis.filters import common_grams, reverse_tokens
+
+    df = spark.createDataFrame(
+        [(["the", "quick", "fox", "of", "doom"],), ([],), (["one"],)], ["t"]
+    )
+    got = [
+        r["g"]
+        for r in df.select(
+            common_grams(F.col("t"), ["the", "of"]).alias("g")
+        ).collect()
+    ]
+    assert got == [["the_quick", "fox_of", "of_doom"], [], []]
+    rev = [
+        r["r"] for r in df.select(reverse_tokens(F.col("t")).alias("r")).collect()
+    ]
+    assert rev == [["eht", "kciuq", "xof", "fo", "mood"], [], ["eno"]]
