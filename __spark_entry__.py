@@ -351,7 +351,14 @@ _NORM_BYTE_CASE = (
 # search_after whose r2 fix was never re-run), then every round-3
 # addition, then a representative spread of already-green families.
 _DRIVER_PRIORITY = [
-    # round-4 late-session additions (never driver-run — newest first)
+    # the 11 gates that have never fit a driver window (r4 verdict item #2) —
+    # they MUST land in CORRECTNESS_r05, so they go first
+    "common_terms_topk", "sweetspot_topk", "multi_range", "term_automaton",
+    "top_passages", "shape_polygon_relations", "segments_info",
+    "bm25_nb_classifier", "word_break", "commit_point_search",
+    "phrase_wildcard",
+    # round-5 additions get slotted here as they land
+    # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
     "bp_reorder_topk", "multi_pass_split_stats", "replica_search",
@@ -371,10 +378,6 @@ _DRIVER_PRIORITY = [
     "long_range_facets", "js_expression_topk", "js_expression_rescore",
     "c4_filters", "sampled_facets", "nb_classifier", "knn_classifier",
     "join_util_score_modes", "contamination_check",
-    "common_terms_topk", "sweetspot_topk", "multi_range", "term_automaton",
-    "top_passages", "shape_polygon_relations", "segments_info",
-    "bm25_nb_classifier", "word_break", "commit_point_search",
-    "phrase_wildcard",
     # prior rounds' evidence spread
     "reader_stats", "delete_reclaim_stats", "collection_stats",
     "search_after",

@@ -66,13 +66,11 @@ def _doc_term_csr(texts, min_doc_freq: int, max_doc_freq_frac: float):
     keep = keep_term[codes]
     remap = np.cumsum(keep_term) - 1
     new_codes = remap[codes[keep]]
-    bounds = np.concatenate([[0], np.cumsum(lens)])
-    kept_per_doc = np.add.reduceat(
-        keep.astype(np.int64), bounds[:-1], dtype=np.int64
-    ) if n else np.empty(0, np.int64)
-    # reduceat quirk: a zero-length doc at boundary i copies the next
-    # element — recompute zero-length docs explicitly
-    kept_per_doc = np.where(lens == 0, 0, kept_per_doc)
+    # boundary-safe per-doc kept counts (reduceat raises IndexError when a
+    # trailing doc has zero tokens: its start boundary == len(keep))
+    kept_per_doc = np.bincount(
+        np.repeat(np.arange(n, dtype=np.int64), lens)[keep], minlength=n
+    ).astype(np.int64)
     indptr = np.concatenate([[0], np.cumsum(kept_per_doc)])
     return new_codes, indptr.astype(np.int64), int(keep_term.sum())
 

@@ -150,17 +150,16 @@ class ReplicaNode:
         # never the one just switched to
         keep = {c["generation"] for c in state["commits"][-self.keep_last :]}
         keep.add(gen)
-        retained = []
-        for c in state["commits"]:
-            if c["generation"] in keep:
-                retained.append(c)
-            else:
-                shutil.rmtree(
-                    os.path.join(self.root, _gen_dirname(c["generation"])),
-                    ignore_errors=True,
-                )
-        state["commits"] = retained
+        pruned = [c["generation"] for c in state["commits"] if c["generation"] not in keep]
+        state["commits"] = [c for c in state["commits"] if c["generation"] in keep]
+        # switch first: a crash between the state write and the prune leaves
+        # stale-but-harmless generation dirs; pruning first could leave
+        # `current` pointing at a deleted generation
         self._write_state(state)
+        for g in pruned:
+            shutil.rmtree(
+                os.path.join(self.root, _gen_dirname(g)), ignore_errors=True
+            )
         return {
             "generation": gen,
             "files_copied": copied,

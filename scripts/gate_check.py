@@ -74,9 +74,11 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
     only = set(sys.argv[1:])
     failures, weak = [], []
+    evaluated = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        evaluated += 1
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
@@ -113,8 +115,9 @@ def main() -> None:
         else:
             print(f"ok    {name}: {len(sr)} rows [{time.time()-t0:.1f}s]")
     print(
-        f"\n{len(qs) - len(failures) - len(weak)} exact-ok, {len(weak)} rows-only, "
-        f"{len(failures)} FAILED of {len(qs)}"
+        f"\n{evaluated - len(failures) - len(weak)} exact-ok, {len(weak)} rows-only, "
+        f"{len(failures)} FAILED of {evaluated} evaluated"
+        + (f" (registry has {len(qs)})" if only else "")
     )
     spark.stop()
     sys.exit(1 if failures else 0)
