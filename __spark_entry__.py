@@ -337,6 +337,26 @@ _ICU_PAIRS = [
 ]
 _ICU_SRC_TOKENS = [s for s, _ in _ICU_PAIRS]
 
+# Japanese morphological segmentation goldens: hand-pinned expected
+# token sequences (normal mode) for the kuromoji-analog Viterbi
+# tokenizer; sentences mirror the reference TestJapaneseTokenizer
+# basic-segmentation fixtures (JapaneseTokenizer.java:61)
+_JA_GOLDEN = [
+    ("これは本ではない", ["これ", "は", "本", "で", "は", "ない"]),
+    ("関西国際空港に行った", ["関西", "国際", "空港", "に", "行っ", "た"]),
+    ("数学部長谷川", ["数学", "部長", "谷川"]),
+    ("成田空港、米原油流出", ["成田空港", "米", "原油", "流出"]),
+    ("お寿司が食べたい。", ["お", "寿司", "が", "食べ", "たい"]),
+    (
+        "麻薬の密売は根こそぎ絶やさなければならない",
+        ["麻薬", "の", "密売", "は", "根こそぎ", "絶やさ", "なけれ", "ば", "なら", "ない"],
+    ),
+    ("シニアソフトウェアエンジニア", ["シニアソフトウェアエンジニア"]),
+    ("日本の検索エンジンを開発した", ["日本", "の", "検索", "エンジン", "を", "開発", "し", "た"]),
+    ("東京で経済学部長と会社の仕事をする", ["東京", "で", "経済", "学", "部長", "と", "会社", "の", "仕事", "を", "する"]),
+    ("大学院の研究は形態素解析の評価実験", ["大学院", "の", "研究", "は", "形態素", "解析", "の", "評価", "実験"]),
+]
+
 _NORM_BYTE_CASE = (
     "CASE WHEN dl < 24 THEN dl WHEN (dl - 24) < 8 THEN dl "
     "ELSE 24 + (((dl - 24) >> (length(bin(dl - 24)) - 4)) % 8) "
@@ -357,7 +377,8 @@ _DRIVER_PRIORITY = [
     "top_passages", "shape_polygon_relations", "segments_info",
     "bm25_nb_classifier", "word_break", "commit_point_search",
     "phrase_wildcard",
-    # round-5 additions get slotted here as they land
+    # round-5 additions
+    "ja_morph_tokens",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -2065,6 +2086,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["icu_folding"] = icu_folding
+
+    # Japanese morphological tokenizer (kuromoji analog,
+    # `analysis/ja/JapaneseTokenizer.java:61`): distributed Viterbi
+    # segmentation of pinned sentences vs the hand-written goldens
+    # (_JA_GOLDEN). The oracle is a literal VALUES table of expected
+    # (sentence, token) rows — not a recomputation — so any drift in
+    # lexicon, costs, or lattice search turns the gate red.
+    def ja_morph_tokens(spark, sf):
+        from lucene_spark.analysis.ja import ja_tokens_udf
+
+        sents = F.array(*[F.lit(s) for s, _ in _JA_GOLDEN])
+        d = (
+            _docs(spark, sf)
+            .select("doc_id")
+            .filter(F.col("doc_id") < 500)
+            .select(
+                F.element_at(
+                    sents, (F.col("doc_id") % len(_JA_GOLDEN) + 1).cast("int")
+                ).alias("sent")
+            )
+            .select(F.explode(ja_tokens_udf("normal")(F.col("sent"))).alias("term"))
+        )
+        return d.groupBy("term").agg(F.count(F.lit(1)).alias("n")).orderBy("term")
+
+    out["ja_morph_tokens"] = ja_morph_tokens
 
     # PII scrub (pipeline/redact.py): deterministic PII-bearing text
     # synthesized from doc_id, masked by the JVM regex chain; a TRUE
@@ -4009,6 +4055,18 @@ SELECT
   CAST(sum(CASE WHEN {oracle_polygon_box_sql('lats', 'lons', _box, 'intersects')}
            THEN 1 ELSE 0 END) AS BIGINT) AS poly_intersects
 FROM shp
+"""
+    _ja_rows = ", ".join(
+        f"({i}, '{tok}')"
+        for i, (_, toks) in enumerate(_JA_GOLDEN)
+        for tok in toks
+    )
+    out["ja_morph_tokens"] = f"""
+WITH g(i, term) AS (VALUES {_ja_rows}),
+d AS (SELECT doc_id % {len(_JA_GOLDEN)} AS i, count(*) AS nd
+      FROM documents WHERE doc_id < 500 GROUP BY 1)
+SELECT term, CAST(sum(nd) AS BIGINT) AS n
+FROM g JOIN d USING (i) GROUP BY term ORDER BY term
 """
     _icu_case = " ".join(
         f"WHEN {i} THEN '{folded}'" for i, (_, folded) in enumerate(_ICU_PAIRS)

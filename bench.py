@@ -61,6 +61,16 @@ def timed(fn, reps=1):
     return statistics.median(ts)
 
 
+_LOADAVG: dict = {}
+
+
+def mark_load(leg: str) -> None:
+    """Record the 1-min load average before a leg — the r4 bench showed
+    2-3x swings on identical code under shared-box load, so every
+    number ships with the load it was measured under."""
+    _LOADAVG[leg] = round(os.getloadavg()[0], 2)
+
+
 def main() -> None:
     from lucene_spark.corpus import synthetic_corpus
     from lucene_spark.index import InvertedIndex
@@ -82,6 +92,7 @@ def main() -> None:
     extra: dict[str, object] = {}
 
     # ---- indexing throughput: sf documents (simple analyzer, JVM side)
+    mark_load("index_build_docs")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
     # segments sized for query-side block granularity (≥512 docs/seg)
@@ -103,6 +114,7 @@ def main() -> None:
     # shared, and a single cold build rep has been observed 3x slower
     # than the same build a minute later (r4: 24.9s under load-avg-4
     # vs 8.5s quiet — same code)
+    mark_load("index_build_synthetic")
     build_reps = int(os.environ.get("BENCH_BUILD_REPS", "2"))
     t_syn = None
     syn_idx = None
@@ -137,6 +149,7 @@ def main() -> None:
         BooleanClause(TermQuery("index"), Occur.SHOULD),
         BooleanClause(BoostQuery(TermQuery("segment"), 2.0), Occur.SHOULD),
     )
+    mark_load("q_syn")
     queries["q_syn_wand"] = round(
         timed(lambda: syn_searcher.search(syn_disj, 10, "wand").collect(), REPS), 3
     )
@@ -202,6 +215,7 @@ def main() -> None:
     # ---- merge round (tiered log-merge): fan-in + merge throughput
     from lucene_spark.index.merge import log_merge_plan, merge_segments, segment_infos
 
+    mark_load("merge_round")
     infos = segment_infos(idx)
     plan = log_merge_plan(infos, merge_factor=10, floor_docs=dps)
     if plan:
@@ -225,6 +239,7 @@ def main() -> None:
         BooleanClause(TermQuery("scan"), Occur.MUST_NOT),
     )
 
+    mark_load("q_term_topk")
     queries["q_term_topk"] = round(
         timed(lambda: searcher.search(TermQuery("spark"), 10, "exhaustive").collect(), REPS), 3
     )
@@ -306,6 +321,7 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR,
         "cpus": CPUS,
+        "loadavg": _LOADAVG,
         **extra,
     }
     print(json.dumps(out))
