@@ -337,6 +337,62 @@ _ICU_PAIRS = [
 ]
 _ICU_SRC_TOKENS = [s for s, _ in _ICU_PAIRS]
 
+# French gate corpus: pinned sentences + their hand-checked Snowball
+# stems (UAX#29 → lowercase → trimmed stop set → FrenchStemmer analog).
+# The oracle rebuilds BM25 from the PINNED stem lists, so the whole
+# analysis chain is under test, not just the scorer.
+_FR_SENTS = [
+    "la continuation des activités nationales du gouvernement",
+    "les universités nationales développent la recherche scientifique",
+    "une conversation naturelle sur la nation et la culture",
+    "le développement économique de la nation reste une possibilité",
+    "ils travaillent rapidement et heureusement dans la capitale",
+    "la recherche scientifique continue naturellement son développement",
+    "les institutions internationales soutiennent les nations",
+    "une possibilité économique majeure pour les universités",
+]
+_FR_STEMS = [
+    ["continu", "activ", "national", "gouvern"],
+    ["univers", "national", "développent", "recherch", "scientif"],
+    ["convers", "naturel", "nation", "cultur"],
+    ["développ", "économ", "nation", "rest", "possibil"],
+    ["travaillent", "rapid", "heureux", "capital"],
+    ["recherch", "scientif", "continu", "naturel", "développ"],
+    ["institu", "international", "soutiennent", "nation"],
+    ["possibil", "économ", "majeur", "univers"],
+]
+
+# Snowball battery: hand-derived vectors from the published algorithm
+# definitions (region tracing in tests/test_snowball.py)
+_SNOWBALL_BATTERY = [
+    ("de", "aufeinander", "aufeinand"), ("de", "häuser", "haus"),
+    ("de", "katzen", "katz"), ("de", "bücher", "buch"),
+    ("de", "größe", "gross"), ("de", "bedeutung", "bedeut"),
+    ("de", "arbeiten", "arbeit"), ("de", "möglichkeit", "moglich"),
+    ("de", "schönheit", "schonheit"),
+    ("es", "caminando", "camin"), ("es", "canciones", "cancion"),
+    ("es", "grandes", "grand"), ("es", "rápidamente", "rapid"),
+    ("es", "felicidad", "felic"), ("es", "tomándoselo", "tom"),
+    ("es", "librería", "libr"), ("es", "trabajando", "trabaj"),
+    ("es", "importantes", "import"),
+    ("fr", "continuation", "continu"), ("fr", "majestueux", "majestu"),
+    ("fr", "possibilités", "possibil"), ("fr", "heureusement", "heureux"),
+    ("fr", "nationale", "national"), ("fr", "mangé", "mang"),
+    ("fr", "mangeront", "mang"), ("fr", "parlement", "parl"),
+    ("fr", "institutions", "institu"),
+    ("it", "abbandonata", "abbandon"), ("it", "nazionale", "nazional"),
+    ("it", "possibilità", "possibil"), ("it", "velocemente", "veloc"),
+    ("it", "mangiare", "mang"), ("it", "cantando", "cant"),
+    ("pt", "trabalhando", "trabalh"), ("pt", "nacional", "nacional"),
+    ("pt", "possibilidades", "possibil"), ("pt", "rapidamente", "rapid"),
+    ("pt", "cantou", "cant"), ("pt", "meninas", "menin"),
+    ("pt", "corações", "coraçõ"),
+    ("ru", "книгами", "книг"), ("ru", "важный", "важн"),
+    ("ru", "делать", "дела"), ("ru", "читала", "чита"),
+    ("ru", "последовательность", "последовательн"),
+    ("ru", "большие", "больш"), ("ru", "программы", "программ"),
+]
+
 # Japanese morphological segmentation goldens: hand-pinned expected
 # token sequences (normal mode) for the kuromoji-analog Viterbi
 # tokenizer; sentences mirror the reference TestJapaneseTokenizer
@@ -378,7 +434,7 @@ _DRIVER_PRIORITY = [
     "bm25_nb_classifier", "word_break", "commit_point_search",
     "phrase_wildcard",
     # round-5 additions
-    "ja_morph_tokens",
+    "ja_morph_tokens", "snowball_stems", "french_term_topk",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -2111,6 +2167,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.groupBy("term").agg(F.count(F.lit(1)).alias("n")).orderBy("term")
 
     out["ja_morph_tokens"] = ja_morph_tokens
+
+    # Snowball stemmer battery (GermanStemmer.java + 5 siblings via
+    # FrenchAnalyzer.java:43 etc.): distributed stemming of the pinned
+    # multilingual vocab vs hand-derived vectors
+    def snowball_stems(spark, sf):
+        from lucene_spark.analysis.snowball import snowball_stem_udf
+
+        frames = []
+        for lang in ("de", "es", "fr", "it", "pt", "ru"):
+            words = [(w,) for lg, w, _ in _SNOWBALL_BATTERY if lg == lang]
+            df = spark.createDataFrame(words, "word string").select(
+                F.lit(lang).alias("lang"),
+                "word",
+                snowball_stem_udf(lang)("word").alias("stem"),
+            )
+            frames.append(df)
+        out_df = frames[0]
+        for f in frames[1:]:
+            out_df = out_df.unionByName(f)
+        return out_df.orderBy("lang", "word")
+
+    out["snowball_stems"] = snowball_stems
+
+    # end-to-end French chain: index the pinned sentences with the
+    # FrenchAnalyzer-analog (tokenize → stop → FrenchStemmer), BM25 on
+    # the stem 'nation'; the oracle recomputes BM25 from the PINNED
+    # stem lists so tokenizer+stop+stemmer drift all turn the gate red
+    def french_term_topk(spark, sf):
+        from lucene_spark.analysis.snowball import snowball_analyze
+
+        key = ("french_sents", sf)
+        if key not in _INDEX_CACHE:
+            sents = F.array(*[F.lit(s) for s in _FR_SENTS])
+            corpus = (
+                _docs(spark, sf)
+                .select("doc_id")
+                .filter(F.col("doc_id") < 400)
+                .select(
+                    "doc_id",
+                    F.element_at(
+                        sents, (F.col("doc_id") % len(_FR_SENTS) + 1).cast("int")
+                    ).alias("text"),
+                )
+            )
+            _INDEX_CACHE[key] = InvertedIndex.build(
+                corpus, analyzer=snowball_analyze("fr"), docs_per_segment=128
+            )
+        return bm25_topk_f64(_INDEX_CACHE[key], {"nation": 1.0}, k=20)
+
+    out["french_term_topk"] = french_term_topk
 
     # PII scrub (pipeline/redact.py): deterministic PII-bearing text
     # synthesized from doc_id, masked by the JVM regex chain; a TRUE
@@ -4055,6 +4161,39 @@ SELECT
   CAST(sum(CASE WHEN {oracle_polygon_box_sql('lats', 'lons', _box, 'intersects')}
            THEN 1 ELSE 0 END) AS BIGINT) AS poly_intersects
 FROM shp
+"""
+    _sb_rows = ", ".join(
+        f"('{lg}', '{w}', '{s}')" for lg, w, s in _SNOWBALL_BATTERY
+    )
+    out["snowball_stems"] = f"""
+SELECT lang, word, stem FROM (VALUES {_sb_rows}) AS t(lang, word, stem)
+ORDER BY lang, word
+"""
+    _fr_tok_rows = ", ".join(
+        f"({i}, '{t}')" for i, toks in enumerate(_FR_STEMS) for t in toks
+    )
+    out["french_term_topk"] = f"""
+WITH g(i, term) AS (VALUES {_fr_tok_rows}),
+d AS (SELECT doc_id, doc_id % {len(_FR_SENTS)} AS i FROM documents
+      WHERE doc_id < 400),
+tok AS (SELECT d.doc_id, g.term FROM d JOIN g USING (i)),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sttf FROM dl),
+dlq AS (SELECT doc_id, {_DLQ_CASE} AS dl_q FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM tok
+  WHERE term = 'nation' GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5)) * freq
+             / (freq + 1.2 * (1 - 0.75 + 0.75 * dl_q / (sttf * 1.0 / n_docs)))) AS s
+  FROM tf JOIN df USING (term) JOIN dlq USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY s DESC, doc_id ASC LIMIT 20
 """
     _ja_rows = ", ".join(
         f"({i}, '{tok}')"

@@ -43,6 +43,8 @@ from __future__ import annotations
 
 from typing import Iterator, List, Tuple
 
+import pandas as pd
+
 __all__ = [
     "ja_tokenize",
     "ja_tokenize_detail",
@@ -349,7 +351,6 @@ def ja_search_analyze(text: str) -> List[Tuple[str, int]]:
 
 def ja_tokens_udf(mode: str = "normal"):
     """Arrow-batched tokenizer column: string → array<string>."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")

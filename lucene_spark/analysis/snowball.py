@@ -33,6 +33,8 @@ from __future__ import annotations
 from functools import lru_cache
 from typing import Iterable, List, Optional, Tuple
 
+import pandas as pd
+
 __all__ = [
     "snowball_stem",
     "german_stem",
@@ -217,7 +219,8 @@ _ES_STEP2B = (
     "iendo", "ieras", "ieses", "abais", "arais", "íamos", "ierais",
     "aban", "aran", "asen", "aron", "ando", "abas", "adas", "idas",
     "aras", "ases", "íais", "ados", "idos", "amos", "imos", "ará",
-    "aré", "erá", "eré", "irá", "iré", "aba", "ada", "ida", "ara",
+    "aré", "erá", "eré", "irá", "iré", "aría", "ería", "iría",
+    "iera", "iese", "aste", "iste", "aba", "ada", "ida", "ara",
     "ase", "ían", "ado", "ido", "ías", "áis", "éis",
     "ía", "ad", "ed", "id", "an", "ió", "ar", "er", "ir", "as",
     "ís",
@@ -458,9 +461,571 @@ def russian_stem(word: str) -> str:
 
 
 # ===========================================================================
-# dispatch (French/Italian/Portuguese are added below)
+# French (`ext/FrenchStemmer.java` semantics)
+
+_FR_VOWELS = "aeiouyâàëéêèïîôûù"
+
+
+def _fr_mark(w: str) -> str:
+    """Prelude: u/i between vowels, y next to a vowel, and u after q
+    become upper-case markers (treated as non-vowels)."""
+    ch = list(w)
+    n = len(ch)
+    for i in range(n):
+        c = ch[i]
+        prev_v = i > 0 and ch[i - 1].lower() in _FR_VOWELS and ch[i - 1].islower()
+        next_v = i + 1 < n and ch[i + 1].lower() in _FR_VOWELS and ch[i + 1].islower()
+        if c == "y" and (prev_v or next_v):
+            ch[i] = "Y"
+        elif c == "u" and i > 0 and ch[i - 1] == "q":
+            ch[i] = "U"
+        elif c in "ui" and prev_v and next_v:
+            ch[i] = c.upper()
+    return "".join(ch)
+
+
+def _fr_rv(w: str) -> int:
+    n = len(w)
+    if n >= 3 and (
+        (w[0] in _FR_VOWELS and w[1] in _FR_VOWELS)
+        or w[:3] in ("par", "col", "tap")
+    ):
+        return 3
+    # region after the first vowel not at the start
+    for i in range(1, n):
+        if w[i] in _FR_VOWELS:
+            return i + 1
+    return n
+
+
+_FR_STEP1_R2_DEL = (
+    "ances", "iqUes", "ismes", "ables", "istes",
+    "ance", "iqUe", "isme", "able", "iste", "eux",
+)
+_FR_ATEUR = ("atrices", "atrice", "ateurs", "ations", "ateur", "ation")
+_FR_2A = (
+    "issaIent", "issantes", "iraIent", "issante", "issants", "issions",
+    "irions", "issais", "issait", "issant", "issent", "issiez", "issons",
+    "irais", "irait", "irent", "iriez", "irons", "iront", "isses",
+    "issez", "îmes", "îtes", "irai", "iras", "irez", "isse",
+    "ies", "ira", "ît", "ie", "ir", "is", "it", "i",
+)
+_FR_2B_ER = (
+    "eraIent", "erions", "èrent", "erais", "erait", "eriez", "erons",
+    "eront", "erai", "eras", "erez", "ées", "era", "iez", "ée", "és",
+    "er", "ez", "é",
+)
+_FR_2B_A = (
+    "assions", "assent", "assiez", "aIent", "antes", "asses", "âmes",
+    "âtes", "ante", "ants", "asse", "ais", "ait", "ant", "ât",
+    "ai", "as", "a",
+)
+
+
+@lru_cache(maxsize=200_000)
+def french_stem(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    w = _fr_mark(word)
+    rv = _fr_rv(w)
+    r1 = _r1_start(w, _FR_VOWELS)
+    r2 = _r2_start(w, _FR_VOWELS, r1)
+
+    def in_rv(k: int) -> bool:
+        return len(w) - k >= rv
+
+    def in_r1(k: int) -> bool:
+        return len(w) - k >= r1
+
+    def in_r2(k: int) -> bool:
+        return len(w) - k >= r2
+
+    changed = False
+    do_2a = False
+    pre = w
+
+    # ---- step 1: standard suffixes (longest match)
+    s = _longest(
+        w,
+        _FR_STEP1_R2_DEL + _FR_ATEUR + (
+            "logies", "logie", "usions", "utions", "usion", "ution",
+            "ences", "ence", "ements", "ement", "ités", "ité",
+            "ives", "ifs", "ive", "if", "eaux", "aux", "euses", "euse",
+            "issements", "issement", "amment", "emment", "ments", "ment",
+        ),
+    )
+    if s:
+        if s in _FR_STEP1_R2_DEL:
+            if in_r2(len(s)):
+                w = w[: -len(s)]
+        elif s in _FR_ATEUR:
+            if in_r2(len(s)):
+                w = w[: -len(s)]
+                if w.endswith("ic"):
+                    if len(w) - 2 >= r2:
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif s in ("logies", "logie"):
+            if in_r2(len(s)):
+                w = w[: -len(s)] + "log"
+        elif s in ("usions", "utions", "usion", "ution"):
+            if in_r2(len(s)):
+                w = w[: -len(s)] + "u"
+        elif s in ("ences", "ence"):
+            if in_r2(len(s)):
+                w = w[: -len(s)] + "ent"
+        elif s in ("ements", "ement"):
+            if in_rv(len(s)):
+                w = w[: -len(s)]
+                if w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                elif w.endswith("eus"):
+                    if len(w) - 3 >= r2:
+                        w = w[:-3]
+                    elif len(w) - 3 >= r1:
+                        w = w[:-3] + "eux"
+                elif w.endswith("abl") and len(w) - 3 >= r2:
+                    w = w[:-3]
+                elif w.endswith("iqU") and len(w) - 3 >= r2:
+                    w = w[:-3]
+                elif w.endswith("ièr") and len(w) - 3 >= rv:
+                    w = w[:-3] + "i"
+                elif w.endswith("Ièr") and len(w) - 3 >= rv:
+                    w = w[:-3] + "i"
+        elif s in ("ités", "ité"):
+            if in_r2(len(s)):
+                w = w[: -len(s)]
+                if w.endswith("abil"):
+                    if len(w) - 4 >= r2:
+                        w = w[:-4]
+                    else:
+                        w = w[:-4] + "abl"
+                elif w.endswith("ic"):
+                    if len(w) - 2 >= r2:
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+                elif w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif s in ("ives", "ifs", "ive", "if"):
+            if in_r2(len(s)):
+                w = w[: -len(s)]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("ic"):
+                        if len(w) - 2 >= r2:
+                            w = w[:-2]
+                        else:
+                            w = w[:-2] + "iqU"
+        elif s == "eaux":
+            w = w[:-4] + "eau"
+        elif s == "aux":
+            if in_r1(len(s)):
+                w = w[:-3] + "al"
+        elif s in ("euses", "euse"):
+            if in_r2(len(s)):
+                w = w[: -len(s)]
+            elif in_r1(len(s)):
+                w = w[: -len(s)] + "eux"
+        elif s in ("issements", "issement"):
+            if in_r1(len(s)) and len(w) - len(s) - 1 >= 0 and w[
+                len(w) - len(s) - 1
+            ] not in _FR_VOWELS:
+                w = w[: -len(s)]
+        elif s == "amment":
+            if in_rv(len(s)):
+                w = w[: -len(s)] + "ant"
+                do_2a = True
+        elif s == "emment":
+            if in_rv(len(s)):
+                w = w[: -len(s)] + "ent"
+                do_2a = True
+        elif s in ("ments", "ment"):
+            k = len(w) - len(s) - 1
+            if k >= 0 and w[k] in _FR_VOWELS and k >= rv:
+                w = w[: -len(s)]
+                do_2a = True
+    changed = w != pre
+
+    # ---- step 2a/2b (verb suffixes) when step 1 left the word intact
+    # or ended on the ment/amment/emment path
+    if not changed or do_2a:
+        pre2 = w
+        s = _longest(w, _FR_2A)
+        hit_2a = False
+        if s:
+            k = len(w) - len(s) - 1
+            if len(w) - len(s) >= rv and k >= 0 and w[k] not in _FR_VOWELS and k >= rv:
+                w = w[: -len(s)]
+                hit_2a = True
+        if not hit_2a:
+            s = _longest(w, _FR_2B_ER + _FR_2B_A + ("ions",))
+            if s == "ions":
+                if in_r2(len(s)):
+                    w = w[: -len(s)]
+            elif s in _FR_2B_ER:
+                if in_rv(len(s)):
+                    w = w[: -len(s)]
+            elif s in _FR_2B_A:
+                if in_rv(len(s)):
+                    w = w[: -len(s)]
+                    if w.endswith("e") and len(w) - 1 >= rv:
+                        w = w[:-1]
+        changed = changed or (w != pre2)
+
+    if changed:
+        # step 3
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # step 4
+        if (
+            w.endswith("s")
+            and len(w) >= 2
+            and w[-2] not in "aiouès"
+            and not w.endswith("His")
+        ):
+            w = w[:-1]
+        s = _longest(w, ("Ière", "ière", "Ier", "ier", "ion", "e", "ë"))
+        if s == "ion":
+            if in_r2(3) and len(w) >= 4 and w[-4] in "st":
+                w = w[:-3]
+        elif s in ("Ière", "ière", "Ier", "ier"):
+            w = w[: -len(s)] + "i"
+        elif s == "e":
+            if in_rv(1):
+                w = w[:-1]
+        elif s == "ë":
+            if w.endswith("guë") and len(w) - 1 >= rv:
+                w = w[:-1]
+
+    # step 5: undouble
+    for end in ("enn", "onn", "ett", "ell", "eill"):
+        if w.endswith(end):
+            w = w[:-1]
+            break
+
+    # step 6: un-accent é/è before a final run of non-vowels
+    i = len(w) - 1
+    seen_cons = 0
+    while i >= 0 and w[i] not in _FR_VOWELS:
+        seen_cons += 1
+        i -= 1
+    if seen_cons >= 1 and i >= 0 and w[i] in "éè":
+        w = w[:i] + "e" + w[i + 1 :]
+
+    return w.replace("U", "u").replace("I", "i").replace("Y", "i")
+
+
+# ===========================================================================
+# Italian (`ext/ItalianStemmer.java` semantics)
+
+_IT_VOWELS = "aeiouàèìòù"
+
+_IT_PRON = (
+    "gliela", "gliele", "glieli", "glielo", "gliene", "sene",
+    "mela", "mele", "meli", "melo", "mene", "tela", "tele", "teli",
+    "telo", "tene", "cela", "cele", "celi", "celo", "cene",
+    "vela", "vele", "veli", "velo", "vene",
+    "gli", "ci", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi",
+)
+_IT_STEP1_R2_DEL = (
+    "atrice", "atrici", "abile", "abili", "ibile", "ibili", "mente",
+    "anza", "anze", "iche", "ichi", "ismo", "ismi", "ista", "iste",
+    "isti", "istà", "istè", "istì", "ante", "anti", "ico", "ici",
+    "ica", "ice", "oso", "osi", "osa", "ose",
+)
+_IT_STEP2 = (
+    "erebbero", "irebbero", "assero", "assimo", "eranno", "erebbe",
+    "eremmo", "ereste", "eresti", "essero", "iranno", "irebbe",
+    "iremmo", "ireste", "iresti", "iscano", "iscono", "issero",
+    "arono", "avamo", "avano", "avate", "eremo", "erete", "erono",
+    "evamo", "evano", "evate", "iremo", "irete", "irono", "ivamo",
+    "ivano", "ivate", "ammo", "ando", "asse", "assi", "emmo",
+    "enda", "ende", "endi", "endo", "erai", "erei", "Yamo", "iamo",
+    "immo", "irai", "irei", "isca", "isce", "isci", "isco", "ano",
+    "are", "ata", "ate", "ati", "ato", "ava", "avi", "avo", "erà",
+    "ere", "erò", "ete", "eva", "evi", "evo", "irà", "ire", "irò",
+    "ita", "ite", "iti", "ito", "iva", "ivi", "ivo", "ono", "uta",
+    "ute", "uti", "uto", "ar", "ir",
+)
+
+
+@lru_cache(maxsize=200_000)
+def italian_stem(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    # replace acute accents with grave, mark u/i between vowels
+    w = (
+        word.replace("á", "à").replace("é", "è").replace("í", "ì")
+        .replace("ó", "ò").replace("ú", "ù")
+    )
+    ch = list(w)
+    for i in range(1, len(ch) - 1):
+        if ch[i] in "ui" and ch[i - 1] in _IT_VOWELS and ch[i + 1] in _IT_VOWELS:
+            ch[i] = ch[i].upper()
+        elif ch[i] == "u" and ch[i - 1] == "q":
+            ch[i] = "U"
+    w = "".join(ch)
+    rv = _rv_romance(w, _IT_VOWELS)
+    r1 = _r1_start(w, _IT_VOWELS)
+    r2 = _r2_start(w, _IT_VOWELS, r1)
+
+    def in_rv(k: int) -> bool:
+        return len(w) - k >= rv
+
+    def in_r1(k: int) -> bool:
+        return len(w) - k >= r1
+
+    def in_r2(k: int) -> bool:
+        return len(w) - k >= r2
+
+    # step 0: attached pronoun
+    p = _longest(w, _IT_PRON)
+    if p:
+        base = w[: -len(p)]
+        if len(w) - len(p) - 4 >= 0 and base.endswith(("ando", "endo")) and len(
+            base
+        ) - 4 >= rv:
+            w = base
+        else:
+            t = _longest(base, ("ar", "er", "ir"))
+            if t and len(base) - len(t) >= rv:
+                w = base + "e"
+
+    before = w
+    # step 1
+    s = _longest(
+        w,
+        _IT_STEP1_R2_DEL + (
+            "azione", "azioni", "atore", "atori", "logia", "logie",
+            "uzione", "uzioni", "usione", "usioni", "enza", "enze",
+            "amento", "amenti", "imento", "imenti", "amente",
+            "ità", "ivo", "ivi", "iva", "ive",
+        ),
+    )
+    if s:
+        if s in _IT_STEP1_R2_DEL:
+            if in_r2(len(s)):
+                w = w[: -len(s)]
+        elif s in ("azione", "azioni", "atore", "atori"):
+            if in_r2(len(s)):
+                w = w[: -len(s)]
+                if w.endswith("ic") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif s in ("logia", "logie"):
+            if in_r2(len(s)):
+                w = w[: -len(s)] + "log"
+        elif s in ("uzione", "uzioni", "usione", "usioni"):
+            if in_r2(len(s)):
+                w = w[: -len(s)] + "u"
+        elif s in ("enza", "enze"):
+            if in_r2(len(s)):
+                w = w[: -len(s)] + "ente"
+        elif s in ("amento", "amenti", "imento", "imenti"):
+            if in_rv(len(s)):
+                w = w[: -len(s)]
+        elif s == "amente":
+            if in_r1(len(s)):
+                w = w[: -len(s)]
+                if w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                else:
+                    t = _longest(w, ("os", "ic", "abil"))
+                    if t and len(w) - len(t) >= r2:
+                        w = w[: -len(t)]
+        elif s == "ità":
+            if in_r2(len(s)):
+                w = w[: -len(s)]
+                t = _longest(w, ("abil", "ic", "iv"))
+                if t and len(w) - len(t) >= r2:
+                    w = w[: -len(t)]
+        elif s in ("ivo", "ivi", "iva", "ive"):
+            if in_r2(len(s)):
+                w = w[: -len(s)]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("ic") and len(w) - 2 >= r2:
+                        w = w[:-2]
+
+    # step 2 (if step 1 removed nothing)
+    if w == before:
+        s = _longest(w, _IT_STEP2)
+        if s and in_rv(len(s)):
+            w = w[: -len(s)]
+
+    # step 3a: final vowel (and a preceding i) in RV
+    if w and w[-1] in "aeioàèìò" and len(w) - 1 >= rv:
+        w = w[:-1]
+        if w.endswith("i") and len(w) - 1 >= rv:
+            w = w[:-1]
+    # step 3b
+    if (w.endswith("ch") or w.endswith("gh")) and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    return w.replace("U", "u").replace("I", "i")
+
+
+# ===========================================================================
+# Portuguese (`ext/PortugueseStemmer.java` semantics)
+
+_PT_VOWELS = "aeiouáéíóúâêô"
+
+_PT_STEP1_R2_DEL = (
+    "amentos", "imentos", "amento", "imento", "adoras", "adores",
+    "aço~es", "ismos", "istas", "ezas", "icos", "icas", "ismo",
+    "ável", "ível", "ista", "osos", "osas", "adora", "aça~o",
+    "ância", "eza", "ico", "ica", "oso", "osa", "ador",
+    "ante", "antes",
+)
+_PT_STEP2 = (
+    "aríamos", "eríamos", "iríamos", "ássemos", "êssemos", "íssemos",
+    "aríeis", "eríeis", "iríeis", "ásseis", "ésseis", "ísseis",
+    "áramos", "éramos", "íramos", "ávamos", "aremos", "eremos",
+    "iremos", "ariam", "eriam", "iriam", "assem", "essem", "issem",
+    "ara~o", "era~o", "ira~o", "arias", "erias", "irias", "ardes",
+    "erdes", "irdes", "asses", "esses", "isses", "astes", "estes",
+    "istes", "áreis", "éreis", "íreis", "áveis", "íamos", "armos",
+    "ermos", "irmos", "aria", "eria", "iria", "asse", "esse", "isse",
+    "aste", "este", "iste", "arei", "erei", "irei", "aram", "eram",
+    "iram", "avam", "arem", "erem", "irem", "ando", "endo", "indo",
+    "adas", "idas", "arás", "aras", "erás", "eras", "irás", "avas",
+    "ares", "eres", "ires", "íeis", "ados", "idos", "ámos", "amos",
+    "emos", "imos", "iras", "ada", "ida", "ará", "ara", "erá", "era",
+    "irá", "ava", "iam", "ado", "ido", "ias", "ais", "eis", "ira",
+    "ia", "ei", "am", "em", "ar", "er", "ir", "as", "es", "is", "eu",
+    "iu", "ou",
+)
+
+
+@lru_cache(maxsize=200_000)
+def portuguese_stem(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    w = word.replace("ã", "a~").replace("õ", "o~")
+    rv = _rv_romance(w, _PT_VOWELS)
+    r1 = _r1_start(w, _PT_VOWELS)
+    r2 = _r2_start(w, _PT_VOWELS, r1)
+
+    def in_rv(k: int) -> bool:
+        return len(w) - k >= rv
+
+    def in_r1(k: int) -> bool:
+        return len(w) - k >= r1
+
+    def in_r2(k: int) -> bool:
+        return len(w) - k >= r2
+
+    before = w
+    # step 1: standard suffixes
+    s = _longest(
+        w,
+        _PT_STEP1_R2_DEL + (
+            "logias", "logia", "uço~es", "uça~o", "ências", "ência",
+            "amente", "mente", "idades", "idade",
+            "ivas", "ivos", "iva", "ivo", "iras", "ira",
+        ),
+    )
+    if s:
+        if s in _PT_STEP1_R2_DEL:
+            if in_r2(len(s)):
+                w = w[: -len(s)]
+                if w.endswith("ic") and len(w) - 2 >= r2 and s in (
+                    "adoras", "adores", "adora", "ador", "aça~o", "aço~es",
+                    "antes", "ante", "ância",
+                ):
+                    w = w[:-2]
+        elif s in ("logias", "logia"):
+            if in_r2(len(s)):
+                w = w[: -len(s)] + "log"
+        elif s in ("uço~es", "uça~o"):
+            if in_r2(len(s)):
+                w = w[: -len(s)] + "u"
+        elif s in ("ências", "ência"):
+            if in_r2(len(s)):
+                w = w[: -len(s)] + "ente"
+        elif s == "amente":
+            if in_r1(len(s)):
+                w = w[: -len(s)]
+                if w.endswith("iv") and len(w) - 2 >= r2:
+                    w = w[:-2]
+                    if w.endswith("at") and len(w) - 2 >= r2:
+                        w = w[:-2]
+                else:
+                    t = _longest(w, ("os", "ic", "ad"))
+                    if t and len(w) - len(t) >= r2:
+                        w = w[: -len(t)]
+        elif s == "mente":
+            if in_r2(len(s)):
+                w = w[: -len(s)]
+                t = _longest(w, ("ante", "avel", "ível"))
+                if t and len(w) - len(t) >= r2:
+                    w = w[: -len(t)]
+        elif s in ("idades", "idade"):
+            if in_r2(len(s)):
+                w = w[: -len(s)]
+                t = _longest(w, ("abil", "ic", "iv"))
+                if t and len(w) - len(t) >= r2:
+                    w = w[: -len(t)]
+        elif s in ("ivas", "ivos", "iva", "ivo"):
+            if in_r2(len(s)):
+                w = w[: -len(s)]
+                if w.endswith("at") and len(w) - 2 >= r2:
+                    w = w[:-2]
+        elif s in ("iras", "ira"):
+            if in_rv(len(s)) and w[: -len(s)].endswith("e"):
+                w = w[: -len(s)] + "ir"
+
+    step1_changed = w != before
+    # step 2: verb suffixes (only if step 1 removed nothing)
+    if not step1_changed:
+        s = _longest(w, _PT_STEP2)
+        if s and in_rv(len(s)):
+            w = w[: -len(s)]
+
+    # step 3: i preceded by c, when 1 or 2 altered the word
+    if w != before:
+        if w.endswith("i") and len(w) - 1 >= rv and w[:-1].endswith("c"):
+            w = w[:-1]
+    else:
+        # step 4: residual suffix
+        s = _longest(w, ("os", "a", "i", "o", "á", "í", "ó"))
+        if s and in_rv(len(s)):
+            w = w[: -len(s)]
+
+    # step 5: final e/é/ê + guard for gu/ci
+    if w and w[-1] in "eéê" and len(w) - 1 >= rv:
+        w = w[:-1]
+        if (w.endswith("gu") and len(w) - 1 >= rv) or (
+            w.endswith("ci") and len(w) - 1 >= rv
+        ):
+            w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# ===========================================================================
+# dispatch
 
 SNOWBALL_LANGS = ("de", "fr", "es", "it", "pt", "ru")
+
+_DISPATCH = {
+    "de": german_stem,
+    "fr": french_stem,
+    "es": spanish_stem,
+    "it": italian_stem,
+    "pt": portuguese_stem,
+    "ru": russian_stem,
+}
 
 
 def snowball_stem(lang: str, word: str) -> str:
@@ -468,3 +1033,77 @@ def snowball_stem(lang: str, word: str) -> str:
     if fn is None:
         raise ValueError(f"unsupported snowball language: {lang!r}")
     return fn(word.lower())
+
+
+# ===========================================================================
+# per-language analysis chains (FrenchAnalyzer.java:43 and siblings:
+# StandardTokenizer → LowerCase → Stop → SnowballStem). The stop sets
+# are trimmed common-function-word lists (the reference ships the full
+# snowball stopword files; a trimmed set changes recall only for
+# function words, which the stemmer would not conflate anyway).
+
+SNOWBALL_STOP = {
+    "fr": frozenset(
+        """le la les de des du un une et en à au aux que qui dans pour
+        par sur pas ne se ce cette il elle ils elles nous vous est sont
+        était avec son sa ses plus ou où""".split()
+    ),
+    "de": frozenset(
+        """der die das den dem des ein eine einer eines und oder aber
+        nicht mit von zu im in am an auf für ist sind war waren es sie
+        er wir ihr auch als bei nach""".split()
+    ),
+    "es": frozenset(
+        """el la los las un una unos unas de del y o en a que por para
+        con no se es son fue su sus más como pero este esta lo al""".split()
+    ),
+    "it": frozenset(
+        """il lo la i gli le un una di del e o in a che per con non si
+        è sono da su come ma questo questa dei delle""".split()
+    ),
+    "pt": frozenset(
+        """o a os as um uma de do da dos das e ou em no na nos nas que
+        por para com não se é são foi seu sua mais como mas este
+        esta""".split()
+    ),
+    "ru": frozenset(
+        """и в во не на я с со как а то все она так его но да ты к у
+        же вы за бы по ее мне было вот от это он мы они""".split()
+    ),
+}
+
+
+def snowball_analyze(lang: str):
+    """Callable analyzer for ``InvertedIndex.build(analyzer=...)``:
+    UAX#29 tokenize → lowercase → stop (trimmed set) → snowball stem.
+    Positions are pre-stop ordinals (StopFilter keeps increments), dl
+    is the post-stop token count — same contract as english_analyze."""
+    from lucene_spark.analysis.uax29 import uax29_tokenize
+
+    stop = SNOWBALL_STOP[lang]
+    stem = _DISPATCH[lang]
+
+    def _an(text: str) -> List[Tuple[str, int]]:
+        out: List[Tuple[str, int]] = []
+        for pos, tok in enumerate(uax29_tokenize(text)):
+            tok = tok.lower()
+            if tok and tok not in stop:
+                out.append((stem(tok), pos))
+        return out
+
+    _an.__name__ = f"snowball_{lang}_analyze"
+    return _an
+
+
+def snowball_stem_udf(lang: str):
+    """Arrow-batched stem column: string → string (memoized per unique
+    token by the per-language lru_cache)."""
+    from pyspark.sql.functions import pandas_udf
+
+    fn = _DISPATCH[lang]
+
+    @pandas_udf("string")
+    def _stem(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: fn(t.lower()) if isinstance(t, str) else t)
+
+    return _stem
