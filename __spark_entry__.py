@@ -435,6 +435,7 @@ _DRIVER_PRIORITY = [
     "phrase_wildcard",
     # round-5 additions
     "ja_morph_tokens", "snowball_stems", "french_term_topk",
+    "fvh_snippet",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -1176,6 +1177,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["best_passage"] = best_passage
+
+    # --- FastVectorHighlighter analog: passages from the index's
+    # stored positional postings, no re-analysis of text
+    # (vectorhighlight/FastVectorHighlighter.java:41)
+    def fvh_snippet(spark, sf):
+        from lucene_spark.search.highlight import fvh_best_passages
+
+        return (
+            fvh_best_passages(
+                _index(spark, sf),
+                _docs(spark, sf),
+                ["merge", "sort"],
+                window=8,
+                quantize=6,
+            )
+            .orderBy(F.col("passage_score").desc(), F.col("doc_id").asc())
+            .limit(25)
+        )
+
+    out["fvh_snippet"] = fvh_snippet
 
     # --- CoveringQuery: per-doc minimumNumberMatch from a value source
     def covering_query(spark, sf):
@@ -3346,6 +3367,40 @@ hits AS (
   SELECT doc_id, CAST(((i - 1) // 8) * 8 + 1 AS INT) AS wstart, l[i] AS term
   FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
   WHERE l[i] IN ('hash', 'join')
+),
+scored AS (
+  SELECT doc_id, wstart, sum(w) AS q FROM hits JOIN dfq USING (term)
+  GROUP BY doc_id, wstart
+),
+best AS (
+  SELECT doc_id, wstart, q,
+         row_number() OVER (PARTITION BY doc_id ORDER BY q DESC, wstart ASC) AS rn
+  FROM scored
+)
+SELECT b.doc_id, b.wstart AS passage_start,
+       round(b.q / 1000000.0, 4) AS passage_score,
+       array_to_string(t.l[b.wstart : b.wstart + 7], ' ') AS passage
+FROM best b JOIN toks t USING (doc_id)
+WHERE rn = 1
+ORDER BY round(b.q / 1000000.0, 4) DESC, b.doc_id ASC LIMIT 25
+"""
+    out["fvh_snippet"] = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfq AS (
+  SELECT term, CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000) AS BIGINT) AS w
+  FROM (
+    SELECT term, count(*) AS df FROM (
+      SELECT DISTINCT doc_id, unnest(l) AS term FROM toks
+    ) WHERE term IN ('merge', 'sort') GROUP BY term
+  ) CROSS JOIN n
+),
+hits AS (
+  SELECT doc_id, CAST(((i - 1) // 8) * 8 + 1 AS INT) AS wstart, l[i] AS term
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
+  WHERE l[i] IN ('merge', 'sort')
 ),
 scored AS (
   SELECT doc_id, wstart, sum(w) AS q FROM hits JOIN dfq USING (term)

@@ -265,6 +265,71 @@ def main() -> None:
         3,
     )
 
+    # ---- highlighting: FastVectorHighlighter (index positions) vs
+    # re-analysis with the REAL analysis chain on long documents — the
+    # workload FVH exists for (vectorhighlight/FastVectorHighlighter.java:41).
+    # Whitespace re-split is nearly free in codegen; the honest
+    # re-analysis cost on web text is the full UAX#29 chain per hit doc.
+    from lucene_spark.analysis.analyzer import standard_analyzer_udf
+    from lucene_spark.search.highlight import fvh_best_passages
+
+    mark_load("q_highlight")
+    hl_n, hl_len = int(os.environ.get("BENCH_HL_DOCS", "4500")), 2000
+    hl_rows = [
+        (
+            int(i),
+            " ".join(
+                "Hash-Join, scan!" if (i + j) % 997 == 0
+                else f"W{(i * 31 + j) % 5000}."
+                for j in range(hl_len)
+            ),
+        )
+        for i in range(hl_n)
+    ]
+    hl_docs = (
+        spark.createDataFrame(hl_rows, "doc_id long, text string")
+        .repartition(CPUS)
+        .persist()
+    )
+    hl_docs.count()
+    hl_idx = InvertedIndex.build(
+        hl_docs, analyzer="standard", docs_per_segment=256, positions=True
+    )
+    hl_terms = ["hash", "join"]
+
+    def _reanalyze_highlight():
+        tp = hl_docs.select(
+            "doc_id", F.explode(standard_analyzer_udf()("text")).alias("tp")
+        ).select("doc_id", F.col("tp.term").alias("term"), F.col("tp.pos").alias("i"))
+        hits = (
+            tp.filter(F.col("term").isin(hl_terms))
+            .withColumn("wstart", (F.floor(F.col("i") / 8) * 8 + 1).cast("int"))
+            .groupBy("doc_id", "wstart")
+            .agg(F.count(F.lit(1)).alias("score"))
+        )
+        from pyspark.sql import Window as W
+
+        rn = F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("wstart"))
+        )
+        hits.withColumn("rn", rn).filter(F.col("rn") == 1).collect()
+
+    queries["q_highlight_reanalyze"] = round(timed(_reanalyze_highlight, REPS), 3)
+    queries["q_highlight_fvh"] = round(
+        timed(
+            lambda: fvh_best_passages(
+                hl_idx, hl_docs, hl_terms, window=8
+            ).collect(),
+            REPS,
+        ),
+        3,
+    )
+    extra["highlight_fvh_speedup"] = round(
+        queries["q_highlight_reanalyze"] / max(queries["q_highlight_fvh"], 1e-9), 2
+    )
+    hl_idx.unpersist()
+    hl_docs.unpersist()
+
     # ---- reference query set (classic syntax, benchmark/conf shapes)
     from lucene_spark.search import parse_query
 

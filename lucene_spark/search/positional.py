@@ -88,6 +88,7 @@ def decode_positions(
     terms: List[str],
     doc_range=None,
     with_payloads: bool = False,
+    max_tasks: int = None,
 ) -> DataFrame:
     """Decode (doc_id, term, freq, norm, positions[, payloads]) for the
     given terms — the single posting-block read path every positional
@@ -152,6 +153,14 @@ def decode_positions(
     cols = ["term", "docs_packed", "freqs_packed", "norms_raw", "positions_packed"]
     if with_payloads:
         cols.append("payloads_packed")
+    if max_tasks is not None:
+        # small term sets leave most of the blocks frame's partitions
+        # empty after the term filter, and every partition still pays a
+        # Python-worker dispatch in mapInPandas (~10ms each; measured
+        # 0.77s for 24 blocks across 64 partitions). Narrow coalesce —
+        # no shuffle — caps the dispatch count for few-term consumers
+        # (highlighting, short phrases) without touching wide decodes.
+        blocks = blocks.coalesce(int(max_tasks))
     decoded = blocks.select(*cols).mapInPandas(
         fn, _PAY_SCHEMA if with_payloads else _POS_SCHEMA
     )
