@@ -435,7 +435,7 @@ _DRIVER_PRIORITY = [
     "phrase_wildcard",
     # round-5 additions
     "ja_morph_tokens", "snowball_stems", "french_term_topk",
-    "fvh_snippet",
+    "fvh_snippet", "dup_span_coverage", "flexible_parse_match",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -781,6 +781,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["classic_parse_match"] = classic_parse_match
+
+    # Flexible (StandardQueryParser) dialect: AND default operator +
+    # the syntax extras the flexible pipeline adds over classic —
+    # regexp /../ and a half-open range {lo TO hi]
+    # (flexible/standard/StandardQueryParser.java:92)
+    def flexible_parse_match(spark, sf):
+        from lucene_spark.search import StandardQueryParser
+
+        q = StandardQueryParser(default_operator="AND").parse(
+            "sort /jo.n/ {hash TO join]"
+        )
+        return _const_score_docs(spark, sf, q, k=100)
+
+    out["flexible_parse_match"] = flexible_parse_match
 
     # XML CoreParser dialect end-to-end: same semantics as
     # classic_parse_match, expressed as a query-DSL tree
@@ -2974,6 +2988,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["dup_span_starts"] = dup_span_starts
 
+    # --- maximal duplicated spans (Lee et al. span semantics): merge
+    # adjacent duplicated gram starts into intervals, coverage =
+    # |union of [p, p+n)| / tokens (pipeline/substrings.py:duplicated_spans)
+    def dup_span_coverage(spark, sf):
+        from lucene_spark.pipeline.substrings import duplicated_spans
+
+        return duplicated_spans(_docs(spark, sf), n=8, min_docs=2).limit(25)
+
+    out["dup_span_coverage"] = dup_span_coverage
+
     # --- WordDelimiterGraphFilter core splits over deterministic
     # mixed-case/product-code tokens synthesized from doc_id
     def word_delimiter_terms(spark, sf):
@@ -3064,6 +3088,14 @@ WHERE doc_id IN (SELECT doc_id FROM tok WHERE term IN ('hash', 'sort'))
 ORDER BY doc_id LIMIT 100
 """
     out["xml_parse_match"] = out["classic_parse_match"]
+    out["flexible_parse_match"] = f"""
+WITH {TOK_CTE}
+SELECT DISTINCT doc_id, 1.0 AS score FROM tok
+WHERE doc_id IN (SELECT doc_id FROM tok WHERE term = 'sort')
+  AND doc_id IN (SELECT doc_id FROM tok WHERE regexp_matches(term, '^jo.n$'))
+  AND doc_id IN (SELECT doc_id FROM tok WHERE term > 'hash' AND term <= 'join')
+ORDER BY doc_id LIMIT 100
+"""
     from lucene_spark.search.parity import oracle_combined_field_sql
 
     out["combined_field"] = oracle_combined_field_sql("src1", 1.0, 2.0, k=25)
@@ -4981,6 +5013,42 @@ SELECT t.doc_id, CAST(t.total_grams AS BIGINT) AS total_grams,
        round(coalesce(d.dup_starts, 0) * 1.0 / t.total_grams, 6) AS dup_frac
 FROM tot t LEFT JOIN dps d USING (doc_id)
 ORDER BY dup_frac DESC, dup_starts DESC, doc_id ASC LIMIT 25
+"""
+
+    out["dup_span_coverage"] = f"""
+WITH {_GRAMS_CTE},
+dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+pos AS (SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM dup)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS b
+  FROM pos
+),
+sp AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, span_id, min(pos) AS s, max(pos) + 8 AS e
+  FROM sp GROUP BY doc_id, span_id
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s) AS covered
+  FROM spans GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(len(l) AS INTEGER) AS total_tokens
+        FROM toks WHERE len(l) >= 8)
+SELECT t.doc_id, t.total_tokens,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.covered, 0) AS BIGINT) AS covered_tokens,
+       round(coalesce(a.covered, 0) * 1.0 / t.total_tokens, 6) AS coverage
+FROM tot t LEFT JOIN agg a USING (doc_id)
+ORDER BY coverage DESC, covered_tokens DESC, doc_id ASC LIMIT 25
 """
 
     # WordDelimiterGraph splits: the same capture-group boundary

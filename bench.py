@@ -175,10 +175,24 @@ def main() -> None:
     assign = _np.random.RandomState(7).permutation(
         _np.repeat([0, 1, 2], bp_docs // 3)
     )
+    # tf-skewed query terms layered over the topic words: topic-0 docs
+    # are hot (focus x8 / lens x4), topic-1 cold (x1), topic-2 absent.
+    # In doc_id order (random topic permutation) every 128-posting
+    # block contains a hot doc, so each block's max impact equals the
+    # global max and block-max WAND cannot prune (its saturated-impacts
+    # fast path fires). After BP clustering the hot docs are
+    # contiguous: topic-1 blocks carry only low-impact postings and
+    # fall below theta - max_ub(other term) — the prune has something
+    # to bite on, exactly the structure a production BP index has.
+    hot = {
+        0: " " + " ".join(["focus"] * 8 + ["lens"] * 4),
+        1: " focus lens",
+        2: "",
+    }
     bp_rows = [
         (
             int(i),
-            " ".join(topics[t][(i + j) % 8] for j in range(5)),
+            " ".join(topics[t][(i + j) % 8] for j in range(5)) + hot[int(t)],
         )
         for i, t in enumerate(assign)
     ]
@@ -199,7 +213,6 @@ def main() -> None:
 
     bp_base = InvertedIndex.build(bp_corpus, docs_per_segment=4096)
     _bp_stats(bp_base, "before")
-    bp_base.unpersist()
     t0 = time.time()
     # partitions must dwarf the 128-posting block span (see bp.py):
     # 15k docs/partition at the 30k default — real deployments reorder
@@ -210,6 +223,41 @@ def main() -> None:
     )
     queries["q_bp_reorder"] = round(time.time() - t0, 3)
     _bp_stats(bp_idx, "after")
+
+    # ---- block-max WAND on the BP-clustered index: the prune must
+    # actually fire (pruned blocks > 0) — scattered doc order is the
+    # control where saturation makes pruning impossible
+    bp_q = BooleanQuery.of(
+        BooleanClause(TermQuery("focus"), Occur.SHOULD),
+        BooleanClause(TermQuery("lens"), Occur.SHOULD),
+    )
+    mark_load("q_bp_wand")
+    s_scat = IndexSearcher(bp_base)
+    queries["q_bp_wand_scattered"] = round(
+        timed(lambda: s_scat.search(bp_q, 10, "wand").collect(), REPS), 3
+    )
+    extra["bp_wand_scattered_saturated"] = bool(
+        (s_scat.last_wand_stats or {}).get("saturated", False)
+    )
+    s_clus = IndexSearcher(bp_idx)
+    s_clus.wand_collect_stats = True  # telemetry pass (extra count job)
+    s_clus.search(bp_q, 10, "wand").collect()
+    st = s_clus.last_wand_stats or {}
+    extra["bp_wand_blocks"] = st.get("blocks")
+    extra["bp_wand_pruned_blocks"] = st.get("pruned")
+    s_clus.wand_collect_stats = False
+    queries["q_bp_wand_clustered"] = round(
+        timed(lambda: s_clus.search(bp_q, 10, "wand").collect(), REPS), 3
+    )
+    queries["q_bp_exhaustive_clustered"] = round(
+        timed(lambda: s_clus.search(bp_q, 10, "exhaustive").collect(), REPS), 3
+    )
+    extra["bp_wand_speedup_vs_exhaustive"] = round(
+        queries["q_bp_exhaustive_clustered"]
+        / max(queries["q_bp_wand_clustered"], 1e-9),
+        2,
+    )
+    bp_base.unpersist()
     bp_idx.unpersist()
 
     # ---- merge round (tiered log-merge): fan-in + merge throughput

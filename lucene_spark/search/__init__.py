@@ -46,6 +46,7 @@ from lucene_spark.search.misc import (
 from lucene_spark.search.memoryindex import memory_index_scores
 from lucene_spark.search.profiler import profile_df, profile_tree
 from lucene_spark.search.highlight import best_passages
+from lucene_spark.search.flexibleparser import StandardQueryParser
 from lucene_spark.search.queryparser import QueryParseError, parse_query
 from lucene_spark.search.simpleparser import simple_parse
 from lucene_spark.search.surround import surround_parse
@@ -82,6 +83,7 @@ __all__ = [
     "nearest_k",
     "QueryParseError",
     "parse_query",
+    "StandardQueryParser",
     "simple_parse",
     "surround_parse",
     "xml_parse",

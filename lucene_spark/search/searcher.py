@@ -171,6 +171,10 @@ class IndexSearcher:
         # a reader holding impact metadata hot. Keyed by term; holds the
         # top _IMPACT_HEADS blocks (covers k ≤ 128·(_IMPACT_HEADS-1)).
         self._impact_cache: Dict[str, dict] = {}
+        # prune telemetry of the most recent _search_wand call
+        # (postings/sec-style emitted metric; bench asserts pruned > 0
+        # on clustered corpora)
+        self.last_wand_stats: Optional[dict] = None
 
     _IMPACT_HEADS = 4
     # lead-driven conjunction pruning guards: the lead group's decoded
@@ -1116,6 +1120,10 @@ class IndexSearcher:
             h["avf"] >= 0.9 * h["mxf"] for h in heads.values() if h["heads"]
         )
         if saturated:
+            self.last_wand_stats = {
+                "theta": None, "prunable": False, "blocks": None,
+                "pruned": 0, "saturated": True,
+            }
             return (
                 self._scored_terms(ctx, dict(term_boosts))
                 .groupBy("doc_id")
@@ -1165,6 +1173,8 @@ class IndexSearcher:
         # exhaustive-shaped job. Pure arithmetic on already-collected
         # stats, no extra Spark job.
         prunable = any(theta > total_ub - u for u in max_ub.values())
+        self.last_wand_stats = {"theta": float(theta), "prunable": prunable,
+                                "blocks": None, "pruned": 0}
         if not prunable:
             surv = meta
         else:
@@ -1172,15 +1182,25 @@ class IndexSearcher:
                 *[F.lit(x) for t, u in max_ub.items() for x in (t, total_ub - u)]
             )[F.col("term")]
             keep = F.col("ub") + others >= F.lit(theta)
-            # survivor fraction, metadata-only (codegen'd agg, no
-            # decode): if pruning barely bites, the filter just adds
-            # plan nodes — score everything instead
-            counts = meta.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.when(keep, 1).otherwise(0)).alias("kept"),
-            ).collect()[0]
-            n_blocks, n_kept = int(counts["n"]), int(counts["kept"] or 0)
-            surv = meta.filter(keep) if n_kept < 0.5 * n_blocks else meta
+            # the keep predicate is a codegen'd expression over block
+            # metadata — applying it costs one plan node while every
+            # pruned block saves a Python-side decode, so it is applied
+            # unconditionally. (An earlier version ran a metadata-count
+            # job here to skip "barely pruning" filters: that job cost
+            # more wall-clock than any filter ever could, and its 0.5
+            # keep-fraction threshold suppressed real 40-90% prunes on
+            # clustered corpora.) Prune telemetry is opt-in because the
+            # count is itself a job: set `wand_collect_stats = True`.
+            if getattr(self, "wand_collect_stats", False):
+                counts = meta.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(keep, 1).otherwise(0)).alias("kept"),
+                ).collect()[0]
+                self.last_wand_stats["blocks"] = int(counts["n"])
+                self.last_wand_stats["pruned"] = int(counts["n"]) - int(
+                    counts["kept"] or 0
+                )
+            surv = meta.filter(keep)
         return (
             surv.select("term", "docs_packed", "freqs_packed", "norms_raw")
             .mapInPandas(_decode_score_udf(weights), _SCORED_SCHEMA)

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from lucene_spark.pipeline.substrings import (
     duplicated_span_starts,
+    duplicated_spans,
     ngram_spans,
     repeated_ngrams,
 )
@@ -52,6 +53,39 @@ def test_duplicated_span_starts(docs):
     assert got[0] == (3, 1, pytest.approx(0.333333))
     assert got[1] == (3, 1, pytest.approx(0.333333))
     assert 3 not in got  # no grams at all
+
+
+def test_duplicated_spans_basic(docs):
+    got = {
+        r["doc_id"]: (
+            r["total_tokens"], r["n_spans"], r["covered_tokens"], r["coverage"]
+        )
+        for r in duplicated_spans(docs, n=4, min_docs=2).collect()
+    }
+    # doc 0: one dup gram at pos 0 -> span [0,4), 4 of 6 tokens
+    assert got[0] == (6, 1, 4, pytest.approx(0.666667))
+    assert got[1] == (6, 1, 4, pytest.approx(0.666667))
+    assert got[2] == (4, 1, 4, 1.0) and got[4] == (4, 1, 4, 1.0)
+    assert 3 not in got  # < n tokens
+
+
+def test_duplicated_spans_merge(spark):
+    """Overlapping dup starts merge into one maximal span; a gap > n
+    starts a new one (Lee et al. union-of-windows semantics)."""
+    rows = [
+        (10, "x1 x2 x3 x4 x5 junkA y1 y2 y3 y4"),
+        (11, "x1 x2 x3 x4 x5 junkB y1 y2 y3 y4"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["total_tokens"], r["n_spans"], r["covered_tokens"], r["coverage"]
+        )
+        for r in duplicated_spans(df, n=4, min_docs=2).collect()
+    }
+    # dup starts {0, 1, 6}: [0,4)+[1,5) merge to [0,5); [6,10) separate
+    assert got[10] == (10, 2, 9, pytest.approx(0.9))
+    assert got[11] == (10, 2, 9, pytest.approx(0.9))
 
 
 def test_hash_key_parity(docs):
