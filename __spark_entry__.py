@@ -436,6 +436,7 @@ _DRIVER_PRIORITY = [
     # round-5 additions
     "ja_morph_tokens", "snowball_stems", "french_term_topk",
     "fvh_snippet", "dup_span_coverage", "flexible_parse_match",
+    "fuzzy_like_this",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -710,6 +711,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _index(spark, sf), _SIM_TERMS, _s(), k=20
             )
         )
+
+    # FuzzyLikeThisQuery: fuzzify the (absent) source terms against the
+    # term dictionary, best-n variants by sim^2 * source-idf, unit-df
+    # scoring (sandbox/queries/FuzzyLikeThisQuery.java:55)
+    def fuzzy_like_this(spark, sf):
+        from lucene_spark.search.fuzzylikethis import fuzzy_like_this_topk
+
+        return fuzzy_like_this_topk(
+            _index(spark, sf),
+            ["merg", "jon"],
+            k=20,
+            max_edits=1,
+            prefix_length=1,
+            max_num_terms=10,
+        )
+
+    out["fuzzy_like_this"] = fuzzy_like_this
 
     out["term_range"] = lambda spark, sf: _const_score_docs(
         spark, sf, TermRangeQuery("query", "sort")
@@ -3568,6 +3586,12 @@ WHERE doc_id % 3 = 0 ORDER BY doc_id LIMIT 2000
 """
     for _gate, _sim_f in _SIMILARITY_GATES.items():
         out[_gate] = oracle_similarity_sql(_SIM_TERMS, _sim_f(), k=20)
+
+    from lucene_spark.search.fuzzylikethis import oracle_fuzzy_like_this_sql
+
+    out["fuzzy_like_this"] = oracle_fuzzy_like_this_sql(
+        ["merg", "jon"], k=20, max_edits=1, prefix_length=1, max_num_terms=10
+    )
 
     # expected (term, pos) stream of the adversarial template: 'the'
     # (pos 0) is stopped but keeps its position increment
