@@ -413,6 +413,19 @@ _JA_GOLDEN = [
     ("大学院の研究は形態素解析の評価実験", ["大学院", "の", "研究", "は", "形態素", "解析", "の", "評価", "実験"]),
 ]
 
+_KO_GOLDEN = [
+    ("삼성전자는 한국 기업이다", ["삼성", "전자", "는", "한국", "기업", "이", "다"]),
+    ("서울대학교에 갔다", ["서울", "대학교", "에", "갔", "다"]),
+    ("검색엔진을 개발했다", ["검색", "엔진", "을", "개발", "했", "다"]),
+    ("데이터시스템 성능 평가", ["데이터", "시스템", "성능", "평가"]),
+    ("AI 기술은 세계를 바꾼다", ["AI", "기술", "은", "세계", "를", "바꾼", "다"]),
+    (
+        "선생님께서는 책을 읽었다",
+        ["선생", "님", "께서", "는", "책", "을", "읽", "었", "다"],
+    ),
+    ("형태소분석 결과입니다", ["형태소", "분석", "결과", "입니다"]),
+]
+
 _NORM_BYTE_CASE = (
     "CASE WHEN dl < 24 THEN dl WHEN (dl - 24) < 8 THEN dl "
     "ELSE 24 + (((dl - 24) >> (length(bin(dl - 24)) - 4)) % 8) "
@@ -434,9 +447,9 @@ _DRIVER_PRIORITY = [
     "bm25_nb_classifier", "word_break", "commit_point_search",
     "phrase_wildcard",
     # round-5 additions
-    "ja_morph_tokens", "snowball_stems", "french_term_topk",
+    "ja_morph_tokens", "ko_morph_tokens", "snowball_stems", "french_term_topk",
     "fvh_snippet", "dup_span_coverage", "flexible_parse_match",
-    "fuzzy_like_this",
+    "fuzzy_like_this", "merge_on_flush_topk",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -1598,6 +1611,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _reclaimed(spark, sf), {"hash": 1.0}, k=20
     )
 
+    # MergeOnFlushMergePolicy (sandbox/index/MergeOnFlushMergePolicy
+    # .java:30): every sub-threshold segment merges into ONE at commit;
+    # scoring over the merged index must be byte-identical to plain BM25
+    def merge_on_flush_topk(spark, sf):
+        from lucene_spark.index.merge import (
+            merge_on_flush_plan,
+            merge_segments,
+            segment_infos,
+        )
+
+        if ("mof", sf) not in _INDEX_CACHE:
+            idx = InvertedIndex.build(
+                _docs(spark, sf), analyzer="simple", docs_per_segment=256
+            )
+            plan = merge_on_flush_plan(
+                segment_infos(idx), small_segment_threshold_docs=512
+            )
+            _INDEX_CACHE[("mof", sf)] = (
+                merge_segments(idx, plan) if plan else idx
+            )
+        return bm25_topk_f64(
+            _INDEX_CACHE[("mof", sf)], {"merge": 1.0, "scan": 0.5}, k=20
+        )
+
+    out["merge_on_flush_topk"] = merge_on_flush_topk
+
     # --- english analyzer (possessive strip → stop → Porter stem) --------
 
     # stemmer battery: the engine's vectorized Porter UDF over the
@@ -2220,6 +2259,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.groupBy("term").agg(F.count(F.lit(1)).alias("n")).orderBy("term")
 
     out["ja_morph_tokens"] = ja_morph_tokens
+
+    # Korean morphological segmentation (nori analog,
+    # analysis/nori/.../ko/KoreanTokenizer.java:67): Viterbi lattice +
+    # DISCARD decompound over the pinned golden sentences
+    def ko_morph_tokens(spark, sf):
+        from lucene_spark.analysis.ko import ko_tokens_udf
+
+        sents = F.array(*[F.lit(s) for s, _ in _KO_GOLDEN])
+        d = (
+            _docs(spark, sf)
+            .select("doc_id")
+            .filter(F.col("doc_id") < 500)
+            .select(
+                F.element_at(
+                    sents, (F.col("doc_id") % len(_KO_GOLDEN) + 1).cast("int")
+                ).alias("sent")
+            )
+            .select(
+                F.explode(ko_tokens_udf("discard")(F.col("sent"))).alias("term")
+            )
+        )
+        return d.groupBy("term").agg(F.count(F.lit(1)).alias("n")).orderBy("term")
+
+    out["ko_morph_tokens"] = ko_morph_tokens
 
     # Snowball stemmer battery (GermanStemmer.java + 5 siblings via
     # FrenchAnalyzer.java:43 etc.): distributed stemming of the pinned
@@ -3848,6 +3911,9 @@ FROM dl
     out["term_topk_after_reclaim"] = oracle_bm25_sql(
         {"hash": 1.0}, k=20, table=_SURVIVORS
     )
+    out["merge_on_flush_topk"] = oracle_bm25_sql(
+        {"merge": 1.0, "scan": 0.5}, k=20
+    )
     _battery_vals = ", ".join(f"('{w}')" for w in sorted(_STEM_BATTERY))
     _map_vals = ", ".join(
         f"('{w}', '{s}')" for w, s in sorted({**_STEM_MAP, **_STEM_BATTERY}.items())
@@ -4311,9 +4377,21 @@ ORDER BY s DESC, doc_id ASC LIMIT 20
         for i, (_, toks) in enumerate(_JA_GOLDEN)
         for tok in toks
     )
+    _ko_rows = ", ".join(
+        f"({i}, '{tok}')"
+        for i, (_, toks) in enumerate(_KO_GOLDEN)
+        for tok in toks
+    )
     out["ja_morph_tokens"] = f"""
 WITH g(i, term) AS (VALUES {_ja_rows}),
 d AS (SELECT doc_id % {len(_JA_GOLDEN)} AS i, count(*) AS nd
+      FROM documents WHERE doc_id < 500 GROUP BY 1)
+SELECT term, CAST(sum(nd) AS BIGINT) AS n
+FROM g JOIN d USING (i) GROUP BY term ORDER BY term
+"""
+    out["ko_morph_tokens"] = f"""
+WITH g(i, term) AS (VALUES {_ko_rows}),
+d AS (SELECT doc_id % {len(_KO_GOLDEN)} AS i, count(*) AS nd
       FROM documents WHERE doc_id < 500 GROUP BY 1)
 SELECT term, CAST(sum(nd) AS BIGINT) AS n
 FROM g JOIN d USING (i) GROUP BY term ORDER BY term

@@ -42,7 +42,14 @@ from pyspark.sql import DataFrame, functions as F
 from lucene_spark.functions.forutil import fordelta_decode, pfor_decode
 from lucene_spark.index.builder import BLOCKS_SCHEMA, InvertedIndex, _encode_term_group
 
-__all__ = ["SegmentInfo", "log_merge_plan", "tiered_merge_plan", "merge_segments", "force_merge"]
+__all__ = [
+    "SegmentInfo",
+    "log_merge_plan",
+    "tiered_merge_plan",
+    "merge_on_flush_plan",
+    "merge_segments",
+    "force_merge",
+]
 
 
 @dataclass
@@ -127,6 +134,42 @@ def tiered_merge_plan(
         plan.append([s.segment_id for s in take])
         pool = pool[len(take):]
     return plan
+
+
+def merge_on_flush_plan(
+    segments: Sequence[SegmentInfo],
+    small_segment_threshold_docs: int = 1000,
+    merging: Sequence[int] = (),
+) -> List[List[int]]:
+    """MergeOnFlushMergePolicy (`sandbox/index/MergeOnFlushMergePolicy
+    .java:30`): on commit, merge ALL segments below the small-segment
+    threshold into ONE segment, regardless of what the wrapped policy
+    would do — the NRT pattern that stops a stream of tiny flushes
+    from accumulating (`findFullFlushMerges`: every below-threshold
+    segment not already merging goes into a single OneMerge; null when
+    fewer than two qualify).
+
+    The reference thresholds on sizeInBytes; this engine's manifest is
+    doc-count-based (segments are fixed doc ranges, bytes/doc is
+    near-constant per corpus), so the threshold is docs. Compose with
+    the wrapped policy by running its plan for the normal rounds and
+    this one at commit: ``log_merge_plan(infos) +
+    merge_on_flush_plan(infos)`` with overlaps excluded via
+    ``merging`` (the FilterMergePolicy contract).
+    """
+    merging_set = set(merging)
+    small = sorted(
+        (
+            s
+            for s in segments
+            if s.num_docs < small_segment_threshold_docs
+            and s.segment_id not in merging_set
+        ),
+        key=lambda s: s.segment_id,
+    )
+    if len(small) > 1:
+        return [[s.segment_id for s in small]]
+    return []
 
 
 def _merge_term_group(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -97,3 +97,40 @@ def test_force_merge_single_segment(small_index):
     for term, blocks in by_term.items():
         blocks.sort(key=lambda r: r["block_ord"])
         assert all(b["num_docs"] == 128 for b in blocks[:-1]), term
+
+
+def test_merge_on_flush_plan_selects_small_segments(small_index):
+    from lucene_spark.index.merge import merge_on_flush_plan
+
+    infos = segment_infos(small_index)  # 17 segments of <=32 docs
+    plan = merge_on_flush_plan(infos, small_segment_threshold_docs=64)
+    # every segment is sub-threshold -> ONE merge of all of them
+    assert len(plan) == 1
+    assert sorted(plan[0]) == sorted(s.segment_id for s in infos)
+    # above-threshold segments stay out
+    plan2 = merge_on_flush_plan(infos, small_segment_threshold_docs=1)
+    assert plan2 == []
+    # already-merging segments are excluded (FilterMergePolicy contract)
+    merging = [s.segment_id for s in infos[:-1]]
+    plan3 = merge_on_flush_plan(
+        infos, small_segment_threshold_docs=64, merging=merging
+    )
+    assert plan3 == []  # only one candidate left -> null spec
+
+
+def test_merge_on_flush_single_segment_and_results(small_index):
+    from lucene_spark.index.merge import merge_on_flush_plan
+
+    infos = segment_infos(small_index)
+    plan = merge_on_flush_plan(infos, small_segment_threshold_docs=64)
+    merged = merge_segments(small_index, plan)
+    assert len(segment_infos(merged)) == 1
+    s1 = [
+        (r["doc_id"], r["score"])
+        for r in IndexSearcher(small_index).search(TermQuery("gamma"), 20).collect()
+    ]
+    s2 = [
+        (r["doc_id"], r["score"])
+        for r in IndexSearcher(merged).search(TermQuery("gamma"), 20).collect()
+    ]
+    assert s1 == s2
