@@ -449,7 +449,7 @@ _DRIVER_PRIORITY = [
     # round-5 additions
     "ja_morph_tokens", "ko_morph_tokens", "snowball_stems", "french_term_topk",
     "fvh_snippet", "dup_span_coverage", "flexible_parse_match",
-    "fuzzy_like_this", "merge_on_flush_topk",
+    "fuzzy_like_this", "merge_on_flush_topk", "geo3d_nearest",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -1102,6 +1102,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["geo_box"] = geo_box
     out["geo_distance"] = geo_distance
     out["geo_nearest"] = geo_nearest
+
+    # geo3d: ellipsoid-exact (Vincenty/WGS84) nearest-k — spatial3d's
+    # PlanetModel.surfaceDistance vs the 2D haversine path
+    # (spatial3d/Geo3DPoint.java:48, geom/PlanetModel.java:469)
+    def geo3d_nearest_gate(spark, sf):
+        from lucene_spark.search.geo3d import WGS84, geo3d_nearest
+
+        return geo3d_nearest(
+            _geo_points(spark, sf), -33.8688, 151.2093, k=20, planet=WGS84
+        )
+
+    out["geo3d_nearest"] = geo3d_nearest_gate
 
     # --- analysis filters (analysis/common): shingles + edge n-grams
     # as whole-stage-codegen'd column expansions in the scan stage
@@ -3415,6 +3427,18 @@ WITH {_GEO_CTE}
 SELECT doc_id, round({_hav_sql(-33.8688, 151.2093)}, 3) AS distance_m FROM pts
 ORDER BY {_hav_sql(-33.8688, 151.2093)} ASC, doc_id ASC LIMIT 20
 """
+    from lucene_spark.search.geo3d import WGS84, oracle_geo3d_nearest_sql
+
+    out["geo3d_nearest"] = oracle_geo3d_nearest_sql(
+        -33.8688,
+        151.2093,
+        k=20,
+        planet=WGS84,
+        points_sql=(
+            "SELECT doc_id, ((doc_id * 7919) % 18000) / 100.0 - 90.0 AS lat, "
+            "((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents"
+        ),
+    )
     out["shingle_top"] = """
 WITH toks AS (
   SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents
