@@ -450,6 +450,7 @@ _DRIVER_PRIORITY = [
     "ja_morph_tokens", "ko_morph_tokens", "snowball_stems", "french_term_topk",
     "fvh_snippet", "dup_span_coverage", "flexible_parse_match",
     "fuzzy_like_this", "merge_on_flush_topk", "geo3d_nearest",
+    "id_version_updates",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -1648,6 +1649,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["merge_on_flush_topk"] = merge_on_flush_topk
+
+    # ID-version postings (sandbox/codecs/idversion/IDVersionPostings
+    # Format.java:36): versioned primary-key map + optimistic-
+    # concurrency update merge (stale versions skipped)
+    def id_version_updates(spark, sf):
+        from lucene_spark.index.idversion import apply_updates, build_id_version
+
+        docs = _docs(spark, sf).select(
+            (F.col("doc_id") % 997).alias("id"),
+            F.col("doc_id"),
+            F.col("doc_id").alias("version"),
+        )
+        cur = build_id_version(docs)
+        ups = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") < 1500)
+            .select(
+                (F.col("doc_id") % 997).alias("id"),
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                (F.col("doc_id") * 2).alias("version"),
+            )
+        )
+        return (
+            apply_updates(cur, ups)
+            .orderBy("id")
+            .limit(300)
+        )
+
+    out["id_version_updates"] = id_version_updates
 
     # --- english analyzer (possessive strip → stop → Porter stem) --------
 
@@ -3938,6 +3968,38 @@ FROM dl
     out["merge_on_flush_topk"] = oracle_bm25_sql(
         {"merge": 1.0, "scan": 0.5}, k=20
     )
+    out["id_version_updates"] = """
+WITH base AS (
+  SELECT doc_id % 997 AS id, doc_id, doc_id AS version FROM documents
+),
+cur AS (
+  SELECT id, doc_id, version FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY id ORDER BY version DESC, doc_id DESC) AS rn
+    FROM base
+  ) WHERE rn = 1
+),
+up0 AS (
+  SELECT doc_id % 997 AS id, doc_id + 100000 AS doc_id,
+         doc_id * 2 AS version
+  FROM documents WHERE doc_id < 1500
+),
+up AS (
+  SELECT id, doc_id, version FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY id ORDER BY version DESC, doc_id DESC) AS rn
+    FROM up0
+  ) WHERE rn = 1
+)
+SELECT coalesce(c.id, u.id) AS id,
+       CASE WHEN u.version IS NOT NULL
+                 AND (c.version IS NULL OR u.version > c.version)
+            THEN u.doc_id ELSE c.doc_id END AS doc_id,
+       greatest(coalesce(c.version, -4611686018427387904),
+                coalesce(u.version, -4611686018427387904)) AS version
+FROM cur c FULL OUTER JOIN up u ON c.id = u.id
+ORDER BY id LIMIT 300
+"""
     _battery_vals = ", ".join(f"('{w}')" for w in sorted(_STEM_BATTERY))
     _map_vals = ", ".join(
         f"('{w}', '{s}')" for w, s in sorted({**_STEM_MAP, **_STEM_BATTERY}.items())
