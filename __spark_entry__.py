@@ -450,7 +450,7 @@ _DRIVER_PRIORITY = [
     "ja_morph_tokens", "ko_morph_tokens", "snowball_stems", "french_term_topk",
     "fvh_snippet", "dup_span_coverage", "flexible_parse_match",
     "fuzzy_like_this", "merge_on_flush_topk", "geo3d_nearest",
-    "id_version_updates",
+    "id_version_updates", "knn_factory_topk",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -1991,6 +1991,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["embedding_cosine_topk"] = lambda spark, sf: cosine_topk(
         _emb(spark, sf), _qvec(spark, sf), k=15
     )
+
+    # faiss index-factory front end (sandbox/codecs/faiss/FaissKnn
+    # VectorsFormat.java:59): description string routes to the
+    # distributed engines; IVF8 probed at 8 lists == exact
+    def knn_factory_topk(spark, sf):
+        from lucene_spark.search.knnformat import knn_index_topk
+
+        return knn_index_topk(
+            _emb(spark, sf),
+            _qvec(spark, sf),
+            k=15,
+            description="IDMap,IVF8,Flat",
+            n_probes=8,
+        )
+
+    out["knn_factory_topk"] = knn_factory_topk
     out["embedding_lsh_topk"] = lambda spark, sf: lsh_bucket_topk(
         _emb(spark, sf), _qvec(spark, sf), k=15
     )  # engine-only: approximate (recall vs brute force tested in pytest)
@@ -4209,6 +4225,8 @@ ORDER BY dot / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC LIMIT 15
     # IVF with n_probes == n_lists degenerates to exact search, so the
     # brute-force oracle applies (the pruned variant is pytest-tested)
     out["embedding_ivf_topk"] = out["embedding_cosine_topk"]
+    # factory-routed IVF8 probed at all 8 lists is likewise exact
+    out["knn_factory_topk"] = out["embedding_cosine_topk"]
     # HNSW with ef >= segment size covers every segment → exact
     out["embedding_hnsw_topk"] = out["embedding_cosine_topk"]
     out["embedding_near_dups"] = """
