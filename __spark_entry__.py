@@ -450,7 +450,8 @@ _DRIVER_PRIORITY = [
     "ja_morph_tokens", "ko_morph_tokens", "snowball_stems", "french_term_topk",
     "fvh_snippet", "dup_span_coverage", "flexible_parse_match",
     "fuzzy_like_this", "merge_on_flush_topk", "geo3d_nearest",
-    "id_version_updates", "knn_factory_topk",
+    "id_version_updates", "knn_factory_topk", "lm_perplexity",
+    "dsir_resample",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -1678,6 +1679,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["id_version_updates"] = id_version_updates
+
+    # CCNet-style bigram-LM perplexity quality signal (Wenzek et al.
+    # 2020): train on the doc_id % 5 != 0 slice, rank the rest by
+    # log10 perplexity ascending (= cleaner)
+    def lm_perplexity(spark, sf):
+        from lucene_spark.pipeline.lm import perplexity, train_bigram_lm
+
+        docs = _docs(spark, sf)
+        model = train_bigram_lm(docs.filter(F.col("doc_id") % 5 != 0))
+        return perplexity(docs.filter(F.col("doc_id") < 1500), model).limit(300)
+
+    out["lm_perplexity"] = lm_perplexity
+
+    # DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    # multinomials target-vs-raw, Gumbel-top-k derandomized via the
+    # md5 uniform — raw = doc_id<2000 slice, target = the 'en' slice
+    def dsir_resample_gate(spark, sf):
+        from lucene_spark.pipeline.dsir import dsir_resample
+
+        docs = _docs(spark, sf)
+        return dsir_resample(
+            docs.filter(F.col("doc_id") < 2000),
+            docs.filter(F.col("lang") == "en"),
+            k=200,
+            n_buckets=4096,
+            seed=42,
+        )
+
+    out["dsir_resample"] = dsir_resample_gate
 
     # --- english analyzer (possessive strip → stop → Porter stem) --------
 
@@ -3983,6 +4013,23 @@ FROM dl
     )
     out["merge_on_flush_topk"] = oracle_bm25_sql(
         {"merge": 1.0, "scan": 0.5}, k=20
+    )
+    from lucene_spark.pipeline.dsir import oracle_dsir_sql
+
+    out["dsir_resample"] = oracle_dsir_sql(
+        raw_where="doc_id < 2000",
+        target_where="lang = 'en'",
+        k=200,
+        n_buckets=4096,
+        seed=42,
+    )
+    from lucene_spark.pipeline.lm import oracle_perplexity_sql
+
+    out["lm_perplexity"] = oracle_perplexity_sql(
+        k=0.1,
+        ref_where="doc_id % 5 <> 0",
+        score_where="doc_id < 1500",
+        limit=300,
     )
     out["id_version_updates"] = """
 WITH base AS (

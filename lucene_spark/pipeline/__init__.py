@@ -27,8 +27,18 @@ from lucene_spark.pipeline.similarity import (
     lsh_bucket_topk,
     lsh_signatures,
 )
+from lucene_spark.pipeline.dsir import (
+    dsir_log_weights,
+    dsir_resample,
+)
+from lucene_spark.pipeline.lm import (
+    BigramLM,
+    perplexity,
+    train_bigram_lm,
+)
 from lucene_spark.pipeline.substrings import (
     duplicated_span_starts,
+    duplicated_spans,
     ngram_spans,
     repeated_ngrams,
 )
@@ -41,7 +51,13 @@ from lucene_spark.pipeline.textstats import (
 )
 
 __all__ = [
+    "BigramLM",
     "cosine_topk",
+    "dsir_log_weights",
+    "dsir_resample",
+    "duplicated_spans",
+    "perplexity",
+    "train_bigram_lm",
     "hash_sample",
     "pack_sequences",
     "stratified_sample",
