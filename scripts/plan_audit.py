@@ -300,6 +300,68 @@ def main() -> None:
             )
         )
 
+    # 12. geo3d Vincenty: ~90 unrolled trig steps stay whole-stage
+    # codegen — an ellipsoid-exact distance costs the same plan shape
+    # as haversine (no Python nodes at all)
+    from lucene_spark.search.geo3d import geo3d_nearest
+
+    pts12 = docs.select(
+        "doc_id",
+        (((F.col("doc_id") * 7919) % 18000) / 100.0 - 90.0).alias("lat"),
+        (((F.col("doc_id") * 104729) % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    p12 = plan_of(geo3d_nearest(pts12, -33.8688, 151.2093, k=20))
+    n_py12 = len(re.findall(r"EvalPython|MapInPandas|FlatMapGroupsInPandas", p12))
+    checks.append(
+        (
+            "geo3d Vincenty: unrolled iteration fully codegen",
+            n_py12 == 0
+            and "codegen id" in p12
+            and "TakeOrderedAndProject" in p12,
+            f"{n_py12} Python node(s); codegen'd projects + TakeOrderedAndProject",
+            p12,
+        )
+    )
+
+    # 13. WAND unconditional block prune: the keep filter is metadata-
+    # only codegen — exactly ONE Python node remains (the decode
+    # kernel), i.e. the r5 filter added plan nodes but no Python
+    s13 = _IS(idx)
+    q13 = BooleanQuery.of(
+        BooleanClause(TermQuery("hash"), Occur.SHOULD),
+        BooleanClause(TermQuery("join"), Occur.SHOULD),
+    )
+    p13 = plan_of(s13.search(q13, 10, "wand"))
+    query_path13 = p13.split("InMemoryRelation", 1)[0]
+    n_py13 = len(
+        re.findall(r"EvalPython|MapInPandas|FlatMapGroupsInPandas", query_path13)
+    )
+    checks.append(
+        (
+            "WAND prune filter: metadata-only codegen, decode is the one Python node",
+            n_py13 <= 1,
+            f"{n_py13} Python node(s) on the query path",
+            p13,
+        )
+    )
+
+    # 14. LM perplexity: pure joins/aggregations, zero Python, partial
+    # aggregation before the exchange (the bigram groupBy combines
+    # map-side — boilerplate bigrams collapse before the shuffle)
+    from lucene_spark.pipeline.lm import perplexity, train_bigram_lm
+
+    model14 = train_bigram_lm(docs.filter(F.col("doc_id") % 5 != 0))
+    p14 = plan_of(perplexity(docs.limit(500), model14))
+    n_py14 = len(re.findall(r"EvalPython|MapInPandas|FlatMapGroupsInPandas", p14))
+    checks.append(
+        (
+            "LM perplexity: zero Python, map-side partial aggregation",
+            n_py14 == 0 and "partial" in p14.lower(),
+            f"{n_py14} Python node(s); HashAggregate partial present",
+            p14,
+        )
+    )
+
     # report
     ok_all = all(ok for _, ok, _, _ in checks)
     rows = "\n".join(
