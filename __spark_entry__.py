@@ -451,7 +451,7 @@ _DRIVER_PRIORITY = [
     "fvh_snippet", "dup_span_coverage", "flexible_parse_match",
     "fuzzy_like_this", "merge_on_flush_topk", "geo3d_nearest",
     "id_version_updates", "knn_factory_topk", "lm_perplexity",
-    "dsir_resample",
+    "dsir_resample", "dv_multi_range", "point_nearest",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -1116,6 +1116,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["geo3d_nearest"] = geo3d_nearest_gate
+
+    # SortedNumericDocValuesMultiRangeQuery: multi-VALUED numeric field
+    # vs a set of ranges, one codegen'd exists() — no explode
+    def dv_multi_range(spark, sf):
+        from lucene_spark.search.rangefield import dv_multi_range_match
+
+        vals = F.array(
+            F.col("doc_id") % 97,
+            (F.col("doc_id") * 7) % 89,
+            (F.col("doc_id") * 13) % 83,
+        )
+        d = _docs(spark, sf).select("doc_id", vals.alias("vals"))
+        return (
+            dv_multi_range_match(d, "vals", [(5, 10), (40, 45), (80, 82)])
+            .select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id")
+            .limit(400)
+        )
+
+    out["dv_multi_range"] = dv_multi_range
+
+    # FloatPointNearestNeighbor: k nearest in 2-D point space
+    def point_nearest_gate(spark, sf):
+        from lucene_spark.search.rangefield import point_nearest
+
+        return point_nearest(
+            _geo_points(spark, sf), ["lat", "lon"], [75.0, 120.0], k=20
+        )
+
+    out["point_nearest"] = point_nearest_gate
 
     # --- analysis filters (analysis/common): shingles + edge n-grams
     # as whole-stage-codegen'd column expansions in the scan stage
@@ -3515,6 +3545,27 @@ ORDER BY {_hav_sql(-33.8688, 151.2093)} ASC, doc_id ASC LIMIT 20
             "((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon FROM documents"
         ),
     )
+    out["dv_multi_range"] = """
+SELECT doc_id, 1.0 AS score FROM (
+  SELECT doc_id,
+         [doc_id % 97, (doc_id * 7) % 89, (doc_id * 13) % 83] AS vals
+  FROM documents
+)
+WHERE len(list_filter(vals, v -> (v BETWEEN 5 AND 10)
+                               OR (v BETWEEN 40 AND 45)
+                               OR (v BETWEEN 80 AND 82))) > 0
+ORDER BY doc_id LIMIT 400
+"""
+    out["point_nearest"] = f"""
+WITH {_GEO_CTE},
+d AS (
+  SELECT doc_id,
+         (lat - 75.0) * (lat - 75.0) + (lon - 120.0) * (lon - 120.0) AS ds
+  FROM pts
+)
+SELECT doc_id, round(ds, 6) AS dist_sq FROM d
+ORDER BY ds ASC, doc_id ASC LIMIT 20
+"""
     out["shingle_top"] = """
 WITH toks AS (
   SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents

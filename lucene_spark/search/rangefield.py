@@ -35,6 +35,8 @@ __all__ = [
     "range_relation_cond_multi",
     "range_query_multi",
     "multi_range_match",
+    "dv_multi_range_match",
+    "point_nearest",
     "RELATIONS",
 ]
 
@@ -115,6 +117,57 @@ def range_query_multi(df: DataFrame, dims, relation: str = "intersects") -> Data
     """Rows whose multi-dim stored range stands in `relation` to the
     query hyper-rectangle."""
     return df.filter(range_relation_cond_multi(dims, relation))
+
+
+def dv_multi_range_match(df: DataFrame, values_col: str, ranges) -> DataFrame:
+    """SortedNumericDocValuesMultiRangeQuery
+    (`lucene/sandbox/.../search/SortedNumericDocValuesMultiRangeQuery.java:42`,
+    and the SortedSet variant for term values): docs where ANY of the
+    doc's MULTIPLE values falls in ANY [lo, hi] range. The multi-value
+    column is an array; the predicate is one codegen'd ``exists`` over
+    it — single scan, constant score, no explode (no row blow-up on
+    wide docs)."""
+    if not ranges:
+        return df.filter(F.lit(False))
+
+    def any_range(v):
+        cond = None
+        for lo, hi in ranges:
+            c = (v >= F.lit(lo)) & (v <= F.lit(hi))
+            cond = c if cond is None else (cond | c)
+        return cond
+
+    return df.filter(F.exists(F.col(values_col), any_range))
+
+
+def point_nearest(
+    df: DataFrame,
+    value_cols,
+    origin,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FloatPointNearestNeighbor
+    (`lucene/sandbox/.../document/FloatPointNearestNeighbor.java:38`):
+    k nearest docs to `origin` in n-dim point space by squared
+    Euclidean distance, ties by id. The reference prunes BKD cells by
+    best-so-far distance; the Spark physical analog is parquet min/max
+    pruning on the point columns plus TakeOrderedAndProject (bounded
+    per-partition heaps, no global sort)."""
+    cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    orig = [origin] if isinstance(origin, (int, float)) else list(origin)
+    if len(cols) != len(orig):
+        raise ValueError("value_cols and origin dims differ")
+    dist = None
+    for c, o in zip(cols, orig):
+        d = (F.col(c) - F.lit(float(o))) * (F.col(c) - F.lit(float(o)))
+        dist = d if dist is None else (dist + d)
+    return (
+        df.select(F.col(id_col), dist.alias("dist_sq"))
+        .orderBy(F.col("dist_sq").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round("dist_sq", 6).alias("dist_sq"))
+    )
 
 
 def multi_range_match(df: DataFrame, value_col: str, ranges) -> DataFrame:

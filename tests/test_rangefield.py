@@ -126,3 +126,30 @@ def test_multi_dim_relations(ranges2d, relation):
     dims = [("amin", "amax", 10, 25), ("bmin", "bmax", 5, 30)]
     got = {r["id"] for r in range_query_multi(df, dims, relation).collect()}
     assert got == _brute2d(rows, (10, 25), (5, 30), relation)
+
+
+def test_dv_multi_range_match(spark):
+    from lucene_spark.search.rangefield import dv_multi_range_match
+
+    rows = [(0, [1, 50]), (1, [7, 99]), (2, [99, 100]), (3, [82, 99]), (4, [])]
+    df = spark.createDataFrame(rows, "doc_id long, vals array<long>")
+    got = sorted(
+        r["doc_id"]
+        for r in dv_multi_range_match(df, "vals", [(5, 10), (80, 82)]).collect()
+    )
+    assert got == [1, 3]  # 7 in [5,10]; 82 in [80,82]; empty list never
+    assert dv_multi_range_match(df, "vals", []).count() == 0
+
+
+def test_point_nearest(spark):
+    from lucene_spark.search.rangefield import point_nearest
+
+    rows = [(0, 0.0, 0.0), (1, 1.0, 1.0), (2, 3.0, 4.0), (3, -1.0, 0.0)]
+    df = spark.createDataFrame(rows, "doc_id long, x double, y double")
+    got = [(r["doc_id"], r["dist_sq"]) for r in
+           point_nearest(df, ["x", "y"], [0.0, 0.0], k=3, id_col="doc_id").collect()]
+    # ties (0,0) dist 0; (1,1)->2; (-1,0)->1
+    assert got == [(0, 0.0), (3, 1.0), (1, 2.0)]
+    # 1-D convenience form
+    one = point_nearest(df, "x", 2.9, k=1).collect()[0]
+    assert one["doc_id"] == 2
