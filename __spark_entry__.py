@@ -426,6 +426,17 @@ _KO_GOLDEN = [
     ("형태소분석 결과입니다", ["형태소", "분석", "결과", "입니다"]),
 ]
 
+_ZH_GOLDEN = [
+    ("我购买了道具和服装。", ["我", "购买", "了", "道具", "和", "服装"]),
+    ("我是中国人", ["我", "是", "中国人"]),
+    ("北京大学的学生在图书馆学习", ["北京大学", "的", "学生", "在", "图书馆", "学习"]),
+    ("今天天气很好", ["今天", "天气", "很好"]),
+    ("中文分词是自然语言处理的基础", ["中文", "分词", "是", "自然语言", "处理", "的", "基础"]),
+    ("他们在上海的公司开发搜索引擎", ["他们", "在", "上海", "的", "公司", "开发", "搜索引擎"]),
+    ("我们明天去北京大学", ["我们", "明天", "去", "北京大学"]),
+    ("我有2台iPhone手机", ["我", "有", "2", "台", "iphone", "手机"]),
+]
+
 _NORM_BYTE_CASE = (
     "CASE WHEN dl < 24 THEN dl WHEN (dl - 24) < 8 THEN dl "
     "ELSE 24 + (((dl - 24) >> (length(bin(dl - 24)) - 4)) % 8) "
@@ -447,7 +458,8 @@ _DRIVER_PRIORITY = [
     "bm25_nb_classifier", "word_break", "commit_point_search",
     "phrase_wildcard",
     # round-5 additions
-    "ja_morph_tokens", "ko_morph_tokens", "snowball_stems", "french_term_topk",
+    "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
+    "french_term_topk",
     "fvh_snippet", "dup_span_coverage", "flexible_parse_match",
     "fuzzy_like_this", "merge_on_flush_topk", "geo3d_nearest",
     "id_version_updates", "knn_factory_topk", "lm_perplexity",
@@ -2401,6 +2413,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.groupBy("term").agg(F.count(F.lit(1)).alias("n")).orderBy("term")
 
     out["ko_morph_tokens"] = ko_morph_tokens
+
+    # Chinese HHMM segmentation (SmartChineseAnalyzer analog,
+    # analysis/cn/smart/hhmm/HHMMSegmenter.java:35): bigram-lattice
+    # least-cost segmentation of the pinned golden sentences; the
+    # oracle is a literal VALUES table so lexicon/cost/lattice drift
+    # turns the gate red
+    def zh_smart_tokens(spark, sf):
+        from lucene_spark.analysis.zh import zh_tokens_udf
+
+        sents = F.array(*[F.lit(s) for s, _ in _ZH_GOLDEN])
+        d = (
+            _docs(spark, sf)
+            .select("doc_id")
+            .filter(F.col("doc_id") < 500)
+            .select(
+                F.element_at(
+                    sents, (F.col("doc_id") % len(_ZH_GOLDEN) + 1).cast("int")
+                ).alias("sent")
+            )
+            .select(F.explode(zh_tokens_udf()(F.col("sent"))).alias("term"))
+        )
+        return d.groupBy("term").agg(F.count(F.lit(1)).alias("n")).orderBy("term")
+
+    out["zh_smart_tokens"] = zh_smart_tokens
 
     # Snowball stemmer battery (GermanStemmer.java + 5 siblings via
     # FrenchAnalyzer.java:43 etc.): distributed stemming of the pinned
@@ -4594,6 +4630,18 @@ FROM g JOIN d USING (i) GROUP BY term ORDER BY term
     out["ko_morph_tokens"] = f"""
 WITH g(i, term) AS (VALUES {_ko_rows}),
 d AS (SELECT doc_id % {len(_KO_GOLDEN)} AS i, count(*) AS nd
+      FROM documents WHERE doc_id < 500 GROUP BY 1)
+SELECT term, CAST(sum(nd) AS BIGINT) AS n
+FROM g JOIN d USING (i) GROUP BY term ORDER BY term
+"""
+    _zh_rows = ", ".join(
+        f"({i}, '{tok}')"
+        for i, (_, toks) in enumerate(_ZH_GOLDEN)
+        for tok in toks
+    )
+    out["zh_smart_tokens"] = f"""
+WITH g(i, term) AS (VALUES {_zh_rows}),
+d AS (SELECT doc_id % {len(_ZH_GOLDEN)} AS i, count(*) AS nd
       FROM documents WHERE doc_id < 500 GROUP BY 1)
 SELECT term, CAST(sum(nd) AS BIGINT) AS n
 FROM g JOIN d USING (i) GROUP BY term ORDER BY term
