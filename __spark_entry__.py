@@ -391,6 +391,24 @@ _SNOWBALL_BATTERY = [
     ("ru", "делать", "дела"), ("ru", "читала", "чита"),
     ("ru", "последовательность", "последовательн"),
     ("ru", "большие", "больш"), ("ru", "программы", "программ"),
+    ("sv", "bilar", "bil"), ("sv", "bilarnas", "bil"),
+    ("sv", "flickorna", "flick"), ("sv", "klokaste", "klok"),
+    ("sv", "klubben", "klubb"), ("sv", "möjligheterna", "möj"),
+    ("sv", "betydelse", "betyd"), ("sv", "skrivandet", "skriv"),
+    ("sv", "vackert", "vackert"),
+    ("no", "havnedistriktene", "havnedistrikt"), ("no", "bilene", "bil"),
+    ("no", "mulighetene", "mul"), ("no", "billig", "bil"),
+    ("no", "arbeidet", "arbeid"), ("no", "husets", "hus"),
+    ("no", "kastet", "kast"),
+    ("da", "undersøgelse", "undersøg"), ("da", "indtagelsen", "indtag"),
+    ("da", "dejligst", "dej"), ("da", "bøgerne", "bøg"),
+    ("da", "mulighederne", "mulighed"), ("da", "arbejdet", "arbejd"),
+    ("da", "venligst", "ven"), ("da", "hurtigt", "hurt"),
+    ("nl", "lichamelijk", "licham"), ("nl", "lichamen", "licham"),
+    ("nl", "lichaam", "licham"), ("nl", "opheffen", "opheff"),
+    ("nl", "opheffing", "opheff"), ("nl", "mogelijkheden", "mogelijk"),
+    ("nl", "belangrijke", "belangrijk"), ("nl", "werkende", "werkend"),
+    ("nl", "snelheid", "snelheid"),
 ]
 
 # Japanese morphological segmentation goldens: hand-pinned expected
@@ -2445,7 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from lucene_spark.analysis.snowball import snowball_stem_udf
 
         frames = []
-        for lang in ("de", "es", "fr", "it", "pt", "ru"):
+        for lang in ("da", "de", "es", "fr", "it", "nl", "no", "pt", "ru", "sv"):
             words = [(w,) for lg, w, _ in _SNOWBALL_BATTERY if lg == lang]
             df = spark.createDataFrame(words, "word string").select(
                 F.lit(lang).alias("lang"),

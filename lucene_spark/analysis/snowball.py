@@ -1,5 +1,5 @@
 """Snowball stemmers for major web languages: German, French, Spanish,
-Italian, Portuguese, Russian.
+Italian, Portuguese, Russian, Dutch, Swedish, Norwegian, Danish.
 
 Re-expresses the reference's Snowball stemmer pack
 (`lucene/analysis/common/src/java/org/tartarus/snowball/ext/GermanStemmer.java`
@@ -43,6 +43,10 @@ __all__ = [
     "italian_stem",
     "portuguese_stem",
     "russian_stem",
+    "dutch_stem",
+    "swedish_stem",
+    "norwegian_stem",
+    "danish_stem",
     "SNOWBALL_LANGS",
 ]
 
@@ -1014,9 +1018,296 @@ def portuguese_stem(word: str) -> str:
 
 
 # ===========================================================================
+# Scandinavian trio: Swedish / Norwegian / Danish
+# (`org/tartarus/snowball/ext/SwedishStemmer.java`,
+# `NorwegianStemmer.java`, `DanishStemmer.java`, wired by
+# `analysis/common/.../sv/SwedishAnalyzer.java:43` etc.)
+#
+# All three share the Scandinavian R1 adjustment: R1 must leave at
+# least 3 letters before it (snowballstem.org "Scandinavian stemmers").
+# Suffix searches are longest-match restricted to R1.
+
+
+def _scand_r1(word: str, vowels: str) -> int:
+    return max(_r1_start(word, vowels), 3)
+
+
+_SV_VOWELS = "aeiouyäåö"
+_SV_S_END = "bcdfghjklmnoprtvy"
+_SV_STEP1 = (
+    "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+    "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
+    "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades",
+    "andes", "ens", "arens", "hetens", "erns", "at", "andet", "het", "ast",
+)
+_SV_STEP2 = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+
+
+@lru_cache(maxsize=200_000)
+def swedish_stem(word: str) -> str:
+    w = word
+    r1 = _scand_r1(w, _SV_VOWELS)
+    # step 1: longest suffix in R1; `s` only after a valid s-ending
+    cands = [s for s in _SV_STEP1 if w.endswith(s) and len(w) - len(s) >= r1]
+    if w.endswith("s") and len(w) - 1 >= r1:
+        cands.append("s")
+    if cands:
+        s = max(cands, key=len)
+        if s == "s":
+            if len(w) >= 2 and w[-2] in _SV_S_END:
+                w = w[:-1]
+        else:
+            w = w[: -len(s)]
+    # step 2: consonant-pair endings lose their last letter
+    if len(w) - 2 >= r1 and w[-2:] in _SV_STEP2:
+        w = w[:-1]
+    # step 3 (candidates limited to R1: the reference's `setlimit
+    # tomark p1` makes a too-long suffix non-matching, not blocking)
+    cands = [
+        s
+        for s in ("lig", "ig", "els", "löst", "fullt")
+        if w.endswith(s) and len(w) - len(s) >= r1
+    ]
+    if cands:
+        s = max(cands, key=len)
+        if s in ("löst", "fullt"):
+            w = w[:-1]
+        else:
+            w = w[: -len(s)]
+    return w
+
+
+_NO_VOWELS = "aeiouyæåø"
+_NO_S_END = "bcdfghjlmnoprtvyz"
+_NO_STEP1 = (
+    "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+    "heten", "ar", "er", "heter", "as", "es", "edes", "endes", "enes",
+    "hetenes", "ens", "hetens", "ers", "ets", "et", "het", "ast",
+)
+_NO_STEP3 = (
+    "leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
+    "slov", "hetslov",
+)
+
+
+@lru_cache(maxsize=200_000)
+def norwegian_stem(word: str) -> str:
+    w = word
+    r1 = _scand_r1(w, _NO_VOWELS)
+    # step 1: longest in R1 among delete-suffixes, `s` (valid s-ending:
+    # bcdfghjlmnoprtvyz, or `k` not preceded by a vowel), and erte/ert -> er
+    cands = [s for s in _NO_STEP1 if w.endswith(s) and len(w) - len(s) >= r1]
+    if w.endswith("s") and len(w) - 1 >= r1:
+        cands.append("s")
+    for s in ("erte", "ert"):
+        if w.endswith(s) and len(w) - len(s) >= r1:
+            cands.append(s)
+    if cands:
+        s = max(cands, key=len)
+        if s == "s":
+            prev = w[-2] if len(w) >= 2 else ""
+            ok = prev in _NO_S_END or (
+                prev == "k" and (len(w) < 3 or w[-3] not in _NO_VOWELS)
+            )
+            if ok:
+                w = w[:-1]
+        elif s in ("erte", "ert"):
+            w = w[: -len(s)] + "er"
+        else:
+            w = w[: -len(s)]
+    # step 2: dt / vt lose the t
+    if len(w) - 2 >= r1 and w[-2:] in ("dt", "vt"):
+        w = w[:-1]
+    # step 3 (R1-limited candidate matching, as in step 1)
+    cands = [s for s in _NO_STEP3 if w.endswith(s) and len(w) - len(s) >= r1]
+    if cands:
+        w = w[: -len(max(cands, key=len))]
+    return w
+
+
+_DA_VOWELS = "aeiouyæåø"
+_DA_S_END = "abcdfghjklmnoprtvyzå"
+_DA_STEP1 = (
+    "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+    "erne", "ere", "en", "heden", "eren", "er", "heder", "erer", "heds",
+    "es", "endes", "erendes", "enes", "ernes", "eres", "ens", "hedens",
+    "erens", "ers", "ets", "erets", "et", "eret",
+)
+_DA_STEP2 = ("gd", "dt", "gt", "kt")
+
+
+@lru_cache(maxsize=200_000)
+def danish_stem(word: str) -> str:
+    w = word
+    r1 = _scand_r1(w, _DA_VOWELS)
+    # step 1
+    cands = [s for s in _DA_STEP1 if w.endswith(s) and len(w) - len(s) >= r1]
+    if w.endswith("s") and len(w) - 1 >= r1:
+        cands.append("s")
+    if cands:
+        s = max(cands, key=len)
+        if s == "s":
+            if len(w) >= 2 and w[-2] in _DA_S_END:
+                w = w[:-1]
+        else:
+            w = w[: -len(s)]
+
+    def _step2(v: str) -> str:
+        if len(v) - 2 >= r1 and v[-2:] in _DA_STEP2:
+            return v[:-1]
+        return v
+
+    w = _step2(w)
+    # step 3: unconditional igst -> ig, then R1 suffixes
+    if w.endswith("igst"):
+        w = w[:-2]
+    cands = [
+        s
+        for s in ("ig", "lig", "elig", "els", "løst")
+        if w.endswith(s) and len(w) - len(s) >= r1
+    ]
+    if cands:
+        s = max(cands, key=len)
+        if s == "løst":
+            w = w[:-1]
+        else:
+            w = w[: -len(s)]
+            w = _step2(w)
+    # step 4 (undouble): final double consonant in R1 drops one letter
+    if (
+        len(w) >= 2
+        and w[-1] == w[-2]
+        and w[-1] not in _DA_VOWELS
+        and len(w) - 1 >= r1
+    ):
+        w = w[:-1]
+    return w
+
+
+# ===========================================================================
+# Dutch (`org/tartarus/snowball/ext/DutchStemmer.java` via
+# `analysis/common/.../nl/DutchAnalyzer.java`). Prelude de-accents
+# umlaut/acute vowels and marks consonantal y/i (initial y, y after a
+# vowel, i between vowels) upper-case; R1 (min-3) and R2 are fixed
+# offsets computed on the marked word, as in the reference.
+
+_NL_VOWELS = "aeiouyè"
+_NL_DEACCENT = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+
+
+def _nl_undouble(w: str) -> str:
+    return w[:-1] if w[-2:] in ("kk", "dd", "tt") else w
+
+
+def _nl_en_ok(stem: str) -> bool:
+    """Valid en-ending: a non-vowel, and not the string gem."""
+    return (
+        bool(stem)
+        and stem[-1] not in _NL_VOWELS
+        and not stem.endswith("gem")
+    )
+
+
+@lru_cache(maxsize=200_000)
+def dutch_stem(word: str) -> str:
+    w = word.translate(_NL_DEACCENT)
+    chars = list(w)
+    for i, c in enumerate(chars):
+        if c == "y" and (i == 0 or w[i - 1] in _NL_VOWELS):
+            chars[i] = "Y"
+        elif (
+            c == "i"
+            and 0 < i < len(w) - 1
+            and w[i - 1] in _NL_VOWELS
+            and w[i + 1] in _NL_VOWELS
+        ):
+            chars[i] = "I"
+    w = "".join(chars)
+    r1 = max(_r1_start(w, _NL_VOWELS), 3)
+    r2 = _r2_start(w, _NL_VOWELS, _r1_start(w, _NL_VOWELS))
+
+    def in_r1(n: int) -> bool:
+        return len(w) - n >= r1
+
+    def in_r2(n: int) -> bool:
+        return len(w) - n >= r2
+
+    # step 1: longest among heden / ene,en / se,s (condition per class)
+    s = _longest(w, ("heden", "ene", "en", "se", "s"))
+    if s == "heden":
+        if in_r1(5):
+            w = w[:-5] + "heid"
+    elif s in ("ene", "en"):
+        if in_r1(len(s)) and _nl_en_ok(w[: -len(s)]):
+            w = _nl_undouble(w[: -len(s)])
+    elif s in ("se", "s"):
+        stem = w[: -len(s)]
+        if in_r1(len(s)) and stem and stem[-1] not in _NL_VOWELS + "j":
+            w = stem
+    # step 2: final e after a non-vowel
+    e_found = False
+    if (
+        w.endswith("e")
+        and in_r1(1)
+        and len(w) >= 2
+        and w[-2] not in _NL_VOWELS
+    ):
+        e_found = True
+        w = _nl_undouble(w[:-1])
+    # step 3a: heid
+    if w.endswith("heid") and in_r2(4) and (len(w) < 5 or w[-5] != "c"):
+        w = w[:-4]
+        if w.endswith("en") and in_r1(2) and _nl_en_ok(w[:-2]):
+            w = _nl_undouble(w[:-2])
+    # step 3b: d-suffixes
+    s = _longest(w, ("end", "ing", "ig", "lijk", "baar", "bar"))
+    if s in ("end", "ing"):
+        if in_r2(3):
+            w = w[:-3]
+            if (
+                w.endswith("ig")
+                and len(w) - 2 >= r2
+                and (len(w) < 3 or w[-3] != "e")
+            ):
+                w = w[:-2]
+            else:
+                w = _nl_undouble(w)
+    elif s == "ig":
+        if in_r2(2) and (len(w) < 3 or w[-3] != "e"):
+            w = w[:-2]
+    elif s == "lijk":
+        if in_r2(4):
+            w = w[:-4]
+            if (
+                w.endswith("e")
+                and len(w) - 1 >= r1
+                and len(w) >= 2
+                and w[-2] not in _NL_VOWELS
+            ):
+                w = _nl_undouble(w[:-1])
+    elif s == "baar":
+        if in_r2(4):
+            w = w[:-4]
+    elif s == "bar":
+        if in_r2(3) and e_found:
+            w = w[:-3]
+    # step 4: undouble vowel in C V V D (D != I)
+    if (
+        len(w) >= 4
+        and w[-1] not in _NL_VOWELS
+        and w[-1] != "I"
+        and w[-2] == w[-3]
+        and w[-2] in "aeou"
+        and w[-4] not in _NL_VOWELS
+    ):
+        w = w[:-2] + w[-1]
+    return w.lower()
+
+
+# ===========================================================================
 # dispatch
 
-SNOWBALL_LANGS = ("de", "fr", "es", "it", "pt", "ru")
+SNOWBALL_LANGS = ("de", "fr", "es", "it", "pt", "ru", "nl", "sv", "no", "da")
 
 _DISPATCH = {
     "de": german_stem,
@@ -1025,6 +1316,10 @@ _DISPATCH = {
     "it": italian_stem,
     "pt": portuguese_stem,
     "ru": russian_stem,
+    "nl": dutch_stem,
+    "sv": swedish_stem,
+    "no": norwegian_stem,
+    "da": danish_stem,
 }
 
 
@@ -1069,6 +1364,22 @@ SNOWBALL_STOP = {
     "ru": frozenset(
         """и в во не на я с со как а то все она так его но да ты к у
         же вы за бы по ее мне было вот от это он мы они""".split()
+    ),
+    "nl": frozenset(
+        """de het een en van in op dat die is was zijn voor met als
+        maar om aan er ook niet naar bij uit dan of nog wordt deze""".split()
+    ),
+    "sv": frozenset(
+        """och det att i en jag hon som han på den med var sig för så
+        till är men ett om hade de av icke vi eller vad""".split()
+    ),
+    "no": frozenset(
+        """og i jeg det at en et den til er som på de med han av ikke
+        der så var meg seg men ett har om vi mot""".split()
+    ),
+    "da": frozenset(
+        """og i jeg det at en den til er som på de med han af for ikke
+        der så var mig sig men et har om vi""".split()
     ),
 }
 

@@ -1,19 +1,23 @@
-"""Snowball stemmer pack (de/fr/es/it/pt/ru): hand-derived vectors from
-the published algorithm definitions, region machinery, idempotence-ish
-properties, and the analyzer chains."""
+"""Snowball stemmer pack (de/fr/es/it/pt/ru/nl/sv/no/da): hand-derived
+vectors from the published algorithm definitions, region machinery,
+idempotence-ish properties, and the analyzer chains."""
 
 import pytest
 
 from lucene_spark.analysis.snowball import (
     SNOWBALL_LANGS,
+    danish_stem,
+    dutch_stem,
     french_stem,
     german_stem,
     italian_stem,
+    norwegian_stem,
     portuguese_stem,
     russian_stem,
     snowball_analyze,
     snowball_stem,
     spanish_stem,
+    swedish_stem,
 )
 
 VECTORS = {
@@ -55,6 +59,35 @@ VECTORS = {
         ("читала", "чита"), ("последовательность", "последовательн"),
         ("большие", "больш"), ("программы", "программ"),
     ],
+    "sv": [
+        ("bilar", "bil"), ("bilarnas", "bil"), ("flickorna", "flick"),
+        ("klokaste", "klok"), ("klubben", "klubb"),
+        # heterna strips in step 1, lig in step 3
+        ("möjligheterna", "möj"), ("betydelse", "betyd"),
+        ("skrivandet", "skriv"), ("vackert", "vackert"),
+    ],
+    "no": [
+        ("havnedistriktene", "havnedistrikt"), ("bilene", "bil"),
+        ("mulighetene", "mul"), ("billig", "bil"), ("arbeidet", "arbeid"),
+        ("husets", "hus"), ("kastet", "kast"),
+    ],
+    "da": [
+        # els strips in step 3 after the step-1 e/en removal
+        ("undersøgelse", "undersøg"), ("indtagelsen", "indtag"),
+        # unconditional igst -> ig, then lig in R1
+        ("dejligst", "dej"), ("bøgerne", "bøg"),
+        ("mulighederne", "mulighed"), ("arbejdet", "arbejd"),
+        ("venligst", "ven"), ("hurtigt", "hurt"),
+    ],
+    "nl": [
+        ("lichamelijk", "licham"), ("lichamen", "licham"),
+        # step 4 undoubles the vowel in C V V D
+        ("lichaam", "licham"), ("opheffen", "opheff"),
+        ("opheffing", "opheff"), ("mogelijkheden", "mogelijk"),
+        ("belangrijke", "belangrijk"), ("werkende", "werkend"),
+        # heid not in R2 (R2 is null) -> untouched
+        ("snelheid", "snelheid"),
+    ],
 }
 
 
@@ -77,6 +110,10 @@ def test_conflation_classes():
         ("it", italian_stem, ["nazionale", "nazionali"]),
         ("pt", portuguese_stem, ["menina", "meninas"]),
         ("ru", russian_stem, ["книга", "книги", "книгами"]),
+        ("sv", swedish_stem, ["bil", "bilar", "bilarnas", "bilens"]),
+        ("no", norwegian_stem, ["bil", "bilen", "bilene"]),
+        ("da", danish_stem, ["bog", "bogen"]),
+        ("nl", dutch_stem, ["lichaam", "lichamen", "lichamelijk"]),
     ]
     for lang, fn, words in fams:
         stems = {fn(w) for w in words}
