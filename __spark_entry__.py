@@ -482,6 +482,8 @@ _DRIVER_PRIORITY = [
     "fuzzy_like_this", "merge_on_flush_topk", "geo3d_nearest",
     "id_version_updates", "knn_factory_topk", "lm_perplexity",
     "dsir_resample", "dv_multi_range", "point_nearest",
+    # round-5 late-session additions
+    "html_strip_text", "boilerplate_extract", "light_stems",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3251,6 +3253,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["dup_span_coverage"] = dup_span_coverage
 
+    # --- HTMLStripCharFilter analog (HTMLStripCharFilter.java:39): wrap
+    # each doc's text in Common-Crawl-style page markup (entity-encoding
+    # the text), strip with the pure-codegen tier, and prove the
+    # north-rule invariant — extracted text is byte-identical to the
+    # source text — via octet length + md5 + an explicit equality flag
+    def html_strip_text(spark, sf):
+        from lucene_spark.analysis.htmlstrip import html_strip_col
+
+        d = _docs(spark, sf).filter(F.col("doc_id") < 400)
+        enc = F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                F.lit("<"),
+                F.lit("&lt;"),
+            ),
+            F.lit(">"),
+            F.lit("&gt;"),
+        )
+        html = F.concat(
+            F.lit(
+                '<html><head><title></title><script type="text/javascript">'
+                'if (1<2) { var s = "<p>"; }</script>'
+                "<style>p > a { color: red }</style></head>"
+                '<body><!-- header --><div class="nav"><a href="/">Home</a>'
+                ' | <a href="/about">About</a></div><p>'
+            ),
+            enc,
+            F.lit("</p><br/></body></html>"),
+        )
+        ext = html_strip_col(html)
+        expected = F.concat(
+            F.lit("\nHome | About\n"), F.col("text"), F.lit("\n\n")
+        )
+        return d.select(
+            "doc_id",
+            F.octet_length(ext).alias("n_bytes"),
+            F.md5(F.encode(ext, "UTF-8")).alias("text_md5"),
+            (ext == expected).cast("int").alias("byte_identical"),
+        ).orderBy("doc_id")
+
+    out["html_strip_text"] = html_strip_text
+
     # --- WordDelimiterGraphFilter core splits over deterministic
     # mixed-case/product-code tokens synthesized from doc_id
     def word_delimiter_terms(spark, sf):
@@ -5419,6 +5463,25 @@ SELECT t.doc_id, t.total_tokens,
        round(coalesce(a.covered, 0) * 1.0 / t.total_tokens, 6) AS coverage
 FROM tot t LEFT JOIN agg a USING (doc_id)
 ORDER BY coverage DESC, covered_tokens DESC, doc_id ASC LIMIT 25
+"""
+
+    # HTMLStrip byte-identical invariant: the oracle never parses HTML —
+    # it derives the EXPECTED extraction directly from the source text
+    # (newline for </title>, the nav line, text, </p> + <br/> newlines),
+    # so any markup-handling or entity-decoding drift on the Spark side
+    # shows up as an md5/length/flag mismatch
+    out["html_strip_text"] = """
+WITH exp AS (
+  SELECT doc_id,
+         chr(10) || 'Home | About' || chr(10) || text || chr(10) || chr(10)
+           AS expected
+  FROM documents WHERE doc_id < 400
+)
+SELECT doc_id,
+       CAST(octet_length(encode(expected)) AS INTEGER) AS n_bytes,
+       md5(expected) AS text_md5,
+       1 AS byte_identical
+FROM exp ORDER BY doc_id
 """
 
     # WordDelimiterGraph splits: the same capture-group boundary
