@@ -3295,6 +3295,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["html_strip_text"] = html_strip_text
 
+    # --- Boilerplate removal (jusText/Boilerpipe block classifier,
+    # pipeline/boilerplate.py): synthesize a page per doc with nav
+    # chrome, the doc text as the content block, a short block, and a
+    # link-dense footer; both engines run the FULL block-segmentation +
+    # link-density classification independently
+    def boilerplate_extract(spark, sf):
+        from lucene_spark.pipeline.boilerplate import extract_main_content
+
+        d = _docs(spark, sf).filter(F.col("doc_id") < 400)
+        enc = F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                F.lit("<"),
+                F.lit("&lt;"),
+            ),
+            F.lit(">"),
+            F.lit("&gt;"),
+        )
+        html = F.concat(
+            F.lit(
+                '<html><body><div class="nav"><a href="/">Home</a> '
+                '<a href="/about">About</a> <a href="/contact">Contact</a>'
+                "</div><p>"
+            ),
+            enc,
+            F.lit(
+                '</p><div>Copyright 2026 <a href="/legal">Legal</a> '
+                '<a href="/privacy">Privacy</a></div></body></html>'
+            ),
+        )
+        out_df = extract_main_content(d.withColumn("page_html", html),
+                                      html_col="page_html")
+        return out_df.select(
+            "doc_id",
+            "n_blocks",
+            "n_kept",
+            F.octet_length("content").alias("n_bytes"),
+            F.md5(F.encode("content", "UTF-8")).alias("content_md5"),
+        ).orderBy("doc_id")
+
+    out["boilerplate_extract"] = boilerplate_extract
+
     # --- WordDelimiterGraphFilter core splits over deterministic
     # mixed-case/product-code tokens synthesized from doc_id
     def word_delimiter_terms(spark, sf):
@@ -5482,6 +5524,33 @@ SELECT doc_id,
        md5(expected) AS text_md5,
        1 AS byte_identical
 FROM exp ORDER BY doc_id
+"""
+
+    # Boilerplate extraction: the oracle re-runs the whole block
+    # classifier (split, per-block tag strip + entity decode, anchor
+    # char counting, length+link-density keep rule) with DuckDB list
+    # lambdas — a genuine independent implementation, not a pin
+    from lucene_spark.pipeline.boilerplate import oracle_main_content_sql
+
+    _bp_frag = oracle_main_content_sql("html")
+    out["boilerplate_extract"] = f"""
+WITH src AS (
+  SELECT doc_id,
+         '<html><body><div class="nav"><a href="/">Home</a> '
+         || '<a href="/about">About</a> <a href="/contact">Contact</a>'
+         || '</div><p>'
+         || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+                    '>', '&gt;')
+         || '</p><div>Copyright 2026 <a href="/legal">Legal</a> '
+         || '<a href="/privacy">Privacy</a></div></body></html>' AS html
+  FROM documents WHERE doc_id < 400
+),
+{_bp_frag.strip()}
+SELECT doc_id, CAST(n_blocks AS INTEGER) AS n_blocks,
+       CAST(n_kept AS INTEGER) AS n_kept,
+       CAST(octet_length(encode(content)) AS INTEGER) AS n_bytes,
+       md5(content) AS content_md5
+FROM final ORDER BY doc_id
 """
 
     # WordDelimiterGraph splits: the same capture-group boundary
