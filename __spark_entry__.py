@@ -411,6 +411,21 @@ _SNOWBALL_BATTERY = [
     ("nl", "snelheid", "snelheid"),
 ]
 
+# Light stemmer battery (ArabicStemmer.java light10, HindiStemmer.java
+# Ramanathan-Rao, IndonesianStemmer.java Tala): hand-derived vectors
+_LIGHT_BATTERY = [
+    ("ar", "المدرسة", "مدرس"), ("ar", "والكتاب", "كتاب"),
+    ("ar", "كتابها", "كتاب"), ("ar", "المعلمون", "معلم"),
+    ("ar", "أستاذ", "استاذ"), ("ar", "مكتبة", "مكتب"),
+    ("hi", "लड़की", "लडक"), ("hi", "लड़कियों", "लडक"),
+    ("hi", "किताबें", "किताब"), ("hi", "जाएगी", "जाएग"),
+    ("hi", "भारतीय", "भारतिय"),
+    ("id", "kebijakan", "bijak"), ("id", "menghitung", "hitung"),
+    ("id", "memberikan", "beri"), ("id", "diperlukan", "perlu"),
+    ("id", "bukunya", "buku"), ("id", "pembangunan", "bangun"),
+    ("id", "berjalanlah", "jalan"), ("id", "makanan", "makan"),
+]
+
 # Japanese morphological segmentation goldens: hand-pinned expected
 # token sequences (normal mode) for the kuromoji-analog Viterbi
 # tokenizer; sentences mirror the reference TestJapaneseTokenizer
@@ -2479,6 +2494,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out_df.orderBy("lang", "word")
 
     out["snowball_stems"] = snowball_stems
+
+    # Light stemmer battery (ar/hi/id — ArabicStemmer.java,
+    # HindiStemmer.java, IndonesianStemmer.java): distributed stemming
+    # of the pinned vocab vs hand-derived vectors
+    def light_stems(spark, sf):
+        from lucene_spark.analysis.lightstem import light_stem_udf
+
+        frames = []
+        for lang in ("ar", "hi", "id"):
+            words = [(w,) for lg, w, _ in _LIGHT_BATTERY if lg == lang]
+            df = spark.createDataFrame(words, "word string").select(
+                F.lit(lang).alias("lang"),
+                "word",
+                light_stem_udf(lang)("word").alias("stem"),
+            )
+            frames.append(df)
+        out_df = frames[0]
+        for f in frames[1:]:
+            out_df = out_df.unionByName(f)
+        return out_df.orderBy("lang", "word")
+
+    out["light_stems"] = light_stems
 
     # end-to-end French chain: index the pinned sentences with the
     # FrenchAnalyzer-analog (tokenize → stop → FrenchStemmer), BM25 on
@@ -4686,6 +4723,13 @@ FROM shp
     )
     out["snowball_stems"] = f"""
 SELECT lang, word, stem FROM (VALUES {_sb_rows}) AS t(lang, word, stem)
+ORDER BY lang, word
+"""
+    _ls_rows = ", ".join(
+        f"('{lg}', '{w}', '{s}')" for lg, w, s in _LIGHT_BATTERY
+    )
+    out["light_stems"] = f"""
+SELECT lang, word, stem FROM (VALUES {_ls_rows}) AS t(lang, word, stem)
 ORDER BY lang, word
 """
     _fr_tok_rows = ", ".join(

@@ -1,0 +1,98 @@
+"""Light stemmers (ar/hi/id): normalizer foldings, rule-table vectors,
+flag-gated Indonesian suffix interactions, and dispatch."""
+
+import pytest
+
+from lucene_spark.analysis.lightstem import (
+    LIGHT_LANGS,
+    arabic_normalize,
+    arabic_stem,
+    hindi_normalize,
+    hindi_stem,
+    indonesian_stem,
+    light_stem,
+)
+
+AR_VECTORS = [
+    ("المدرسة", "مدرس"),      # al- prefix, teh-marbuta(->heh) suffix
+    ("والكتاب", "كتاب"),      # wal- prefix
+    ("كتابها", "كتاب"),       # -ha suffix
+    ("المعلمون", "معلم"),     # al- prefix, -uwn suffix
+    ("أستاذ", "استاذ"),       # hamza'd alef folded only
+    ("مكتبة", "مكتب"),        # suffix only
+    ("وله", "ول"),            # waw prefix blocked (len < 4); -h strips to 2
+    ("به", "به"),             # suffix blocked: would leave < 2
+]
+
+HI_VECTORS = [
+    ("लड़की", "लडक"),          # nukta fold + -ii strip
+    ("लड़कियों", "लडक"),       # 4-codepoint tier
+    ("किताबें", "किताब"),
+    ("जाएगी", "जाएग"),        # 4-tier blocked by length guard, 1-tier fires
+    ("भारतीय", "भारतिय"),     # normalization only
+]
+
+ID_VECTORS = [
+    ("kebijakan", "bijak"),      # ke- blocks -kan, -an fires
+    ("menghitung", "hitung"),    # meng-, syllable guard stops suffixes
+    ("memberikan", "beri"),      # mem- then -kan allowed
+    ("diperlukan", "perlu"),     # di- then -kan allowed
+    ("bukunya", "buku"),         # possessive only
+    ("pembangunan", "bangun"),   # pem- blocks -kan, -an fires
+    ("berjalanlah", "jalan"),    # particle, then second-order ber-
+    ("makanan", "makan"),        # bare -an
+]
+
+
+@pytest.mark.parametrize("word,want", AR_VECTORS)
+def test_arabic(word, want):
+    assert arabic_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", HI_VECTORS)
+def test_hindi(word, want):
+    assert hindi_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", ID_VECTORS)
+def test_indonesian(word, want):
+    assert indonesian_stem(word) == want
+
+
+def test_arabic_normalizer_foldings():
+    # harakat + shadda deleted, teh marbuta -> heh, hamza'd alef -> alef
+    assert arabic_normalize("مُدَرِّسَة") == "مدرسه"
+    assert arabic_normalize("إلى") == "الي"  # hamza-below + dotless yeh
+    assert arabic_normalize("قرآن") == "قران"  # alef madda
+
+
+def test_hindi_normalizer_foldings():
+    # nukta consonant, dead-n -> bindu, long-ii -> short-i
+    assert hindi_normalize("ज़िन्दगी") == "जिंदगि"
+    # candrabindu -> bindu
+    assert hindi_normalize("हँसना") == "हंसना"
+
+
+def test_indonesian_meny_recoding():
+    # meny+V: recode to s (menyapu -> sapu)
+    assert indonesian_stem("menyapu") == "sapu"
+    # peny+V recodes too
+    assert indonesian_stem("penyanyi") == "sanyi"
+
+
+def test_indonesian_light_mode():
+    # derivational=False strips only inflectional particles/possessives
+    assert indonesian_stem("bukunyalah", False) == "buku"
+    assert indonesian_stem("memberikan", False) == "memberikan"
+
+
+def test_indonesian_si_guard():
+    # -i never strips after s (nasi stays nasi even with enough syllables)
+    assert indonesian_stem("berdiskusi") == "diskusi"
+
+
+def test_dispatch():
+    assert set(LIGHT_LANGS) == {"ar", "hi", "id"}
+    assert light_stem("id", "makanan") == "makan"
+    with pytest.raises(ValueError):
+        light_stem("xx", "word")
