@@ -424,6 +424,15 @@ _LIGHT_BATTERY = [
     ("id", "memberikan", "beri"), ("id", "diperlukan", "perlu"),
     ("id", "bukunya", "buku"), ("id", "pembangunan", "bangun"),
     ("id", "berjalanlah", "jalan"), ("id", "makanan", "makan"),
+    # cz/bg vectors match the reference fixtures
+    # (TestCzechStemmer.java / TestBulgarianStemmer.java)
+    ("cz", "pánové", "pán"), ("cz", "pánech", "pán"),
+    ("cz", "mužích", "muh"), ("cz", "strojů", "stroj"),
+    ("cz", "předsedové", "předsd"), ("cz", "hradem", "hrad"),
+    ("bg", "градовете", "град"), ("bg", "народите", "народ"),
+    ("bg", "пътищата", "път"), ("bg", "дядовците", "дяд"),
+    ("bg", "мъжете", "мъж"), ("bg", "краката", "крак"),
+    ("fa", "کتابی", "كتابي"), ("fa", "ۀ", "ه"),
 ]
 
 # Japanese morphological segmentation goldens: hand-pinned expected
@@ -2502,7 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from lucene_spark.analysis.lightstem import light_stem_udf
 
         frames = []
-        for lang in ("ar", "hi", "id"):
+        for lang in ("ar", "bg", "cz", "fa", "hi", "id"):
             words = [(w,) for lg, w, _ in _LIGHT_BATTERY if lg == lang]
             df = spark.createDataFrame(words, "word string").select(
                 F.lit(lang).alias("lang"),

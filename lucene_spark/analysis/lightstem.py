@@ -40,9 +40,12 @@ import pandas as pd
 __all__ = [
     "arabic_normalize",
     "arabic_stem",
+    "bulgarian_stem",
+    "czech_stem",
     "hindi_normalize",
     "hindi_stem",
     "indonesian_stem",
+    "persian_normalize",
     "light_stem",
     "light_stem_udf",
     "LIGHT_LANGS",
@@ -293,12 +296,157 @@ def indonesian_stem(word: str, derivational: bool = True) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Czech (`cz/CzechStemmer.java`: the Dolamic & Savoy light stemmer —
+# case-suffix tiers, possessive -ov/-in/-ův, then the palatalization
+# normalizations čt→ck, št→sk, c/č→k, z/ž→h, e-deletion, ů→o).
+
+_CZ_CASE_5 = ("atech",)
+_CZ_CASE_4 = ("ětem", "etem", "atům")
+_CZ_CASE_3 = ("ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ete",
+              "ěti", "eti", "ího", "iho", "ími", "ímu", "imu", "ách", "ata",
+              "aty", "ých", "ama", "ami", "ové", "ovi", "ými")
+_CZ_CASE_2 = ("em", "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým",
+              "mi", "ou")
+_CZ_CASE_1 = "aeiouůyáéíýě"
+
+
+def _cz_remove_case(w: str) -> str:
+    n = len(w)
+    if n > 7 and w.endswith(_CZ_CASE_5):
+        return w[:-5]
+    if n > 6 and w.endswith(_CZ_CASE_4):
+        return w[:-4]
+    if n > 5 and w.endswith(_CZ_CASE_3):
+        return w[:-3]
+    if n > 4 and w.endswith(_CZ_CASE_2):
+        return w[:-2]
+    if n > 3 and w[-1] in _CZ_CASE_1:
+        return w[:-1]
+    return w
+
+
+@lru_cache(maxsize=200_000)
+def czech_stem(word: str) -> str:
+    w = _cz_remove_case(word)
+    if len(w) > 5 and (w.endswith("ov") or w.endswith("in")
+                       or w.endswith("ův")):
+        w = w[:-2]
+    if not w:
+        return w
+    # normalize (first matching rule only, CzechStemmer.normalize)
+    if w.endswith("čt"):
+        return w[:-2] + "ck"
+    if w.endswith("št"):
+        return w[:-2] + "sk"
+    if w[-1] in "cč":
+        return w[:-1] + "k"
+    if w[-1] in "zž":
+        return w[:-1] + "h"
+    if len(w) > 1 and w[-2] == "e":
+        return w[:-2] + w[-1]
+    if len(w) > 2 and w[-2] == "ů":
+        return w[:-2] + "o" + w[-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Bulgarian (`bg/BulgarianStemmer.java`: Savoy's BUIR light stemmer —
+# definite article, plural with the к/г/х and я rewrites, final-vowel
+# drops, ен→н, ъ-elision; len<4 words untouched).
+
+
+def _bg_article(w: str) -> str:
+    n = len(w)
+    if n > 6 and w.endswith("ият"):
+        return w[:-3]
+    if n > 5 and w.endswith(("ът", "то", "те", "та", "ия")):
+        return w[:-2]
+    if n > 4 and w.endswith("ят"):
+        return w[:-2]
+    return w
+
+
+def _bg_plural(w: str) -> str:
+    n = len(w)
+    if n > 6:
+        if w.endswith("овци"):
+            return w[:-3]
+        if w.endswith("ове"):
+            return w[:-3]
+        if w.endswith("еве"):
+            return w[:-3] + "й"
+    if n > 5:
+        if w.endswith("ища"):
+            return w[:-3]
+        if w.endswith("та"):
+            return w[:-2]
+        if w.endswith("ци"):
+            return w[:-2] + "к"
+        if w.endswith("зи"):
+            return w[:-2] + "г"
+        if w[-3] == "е" and w[-1] == "и":
+            return w[:-3] + "я" + w[-2]
+    if n > 4:
+        if w.endswith("си"):
+            return w[:-2] + "х"
+        if w.endswith("и"):
+            return w[:-1]
+    return w
+
+
+@lru_cache(maxsize=200_000)
+def bulgarian_stem(word: str) -> str:
+    if len(word) < 4:
+        return word
+    if len(word) > 5 and word.endswith("ища"):
+        return word[:-3]
+    w = _bg_plural(_bg_article(word))
+    if len(w) > 3:
+        if w.endswith("я"):
+            w = w[:-1]
+        if w.endswith(("а", "о", "е")):
+            w = w[:-1]
+    if len(w) > 4 and w.endswith("ен"):
+        w = w[:-2] + "н"
+    if len(w) > 5 and w[-2] == "ъ":
+        w = w[:-2] + w[-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Persian (`fa/PersianNormalizer.java`: farsi yeh / yeh barree → arabic
+# yeh, keheh → kaf, heh-yeh / heh-goal → heh, hamza-above deleted; the
+# reference PersianAnalyzer has NO stemmer, so 'fa' dispatch is the
+# normalizer alone).
+
+_FA_FOLD = str.maketrans(
+    {
+        "ی": "ي",  # farsi yeh -> yeh
+        "ے": "ي",  # yeh barree -> yeh
+        "ک": "ك",  # keheh -> kaf
+        "ۀ": "ه",  # heh+yeh -> heh
+        "ہ": "ه",  # heh goal -> heh
+        "ٔ": None,      # hamza above
+    }
+)
+
+
+def persian_normalize(word: str) -> str:
+    # the reference chain applies ArabicNormalizationFilter first
+    # (PersianAnalyzer.java), then the Persian foldings
+    return arabic_normalize(word).translate(_FA_FOLD)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 
-LIGHT_LANGS = ("ar", "hi", "id")
+LIGHT_LANGS = ("ar", "bg", "cz", "fa", "hi", "id")
 
 _DISPATCH = {
     "ar": arabic_stem,
+    "bg": bulgarian_stem,
+    "cz": czech_stem,
+    "fa": persian_normalize,
     "hi": hindi_stem,
     "id": indonesian_stem,
 }
@@ -318,6 +466,19 @@ LIGHT_STOP = {
         """yang dan di ke dari ini itu dengan untuk pada adalah sebagai
         dalam tidak akan oleh juga saya kami kita mereka ada atau bisa
         karena telah sudah saat harus""".split()
+    ),
+    "bg": frozenset(
+        """и в на с за от по но или а да не се е като че тази този то
+        така само може при още обаче би което той тя ние вие те""".split()
+    ),
+    "cz": frozenset(
+        """a aby ale ani až bez by co či do i jak je jeho jen ještě ji
+        k kde kdy která které který ma mezi na nebo není o od pak po
+        pro proti se si tak také ten to u už v ve z za že""".split()
+    ),
+    "fa": frozenset(
+        """و در به از که این را با است برای آن یک خود تا بر هم نیز اما
+        یا هر ما من او شود شد های""".split()
     ),
 }
 

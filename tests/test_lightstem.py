@@ -1,5 +1,7 @@
-"""Light stemmers (ar/hi/id): normalizer foldings, rule-table vectors,
-flag-gated Indonesian suffix interactions, and dispatch."""
+"""Light stemmers (ar/bg/cz/fa/hi/id): normalizer foldings, rule-table
+vectors (cz/bg pinned to the reference's own TestCzechStemmer /
+TestBulgarianStemmer fixtures), flag-gated Indonesian suffix
+interactions, and dispatch."""
 
 import pytest
 
@@ -7,11 +9,64 @@ from lucene_spark.analysis.lightstem import (
     LIGHT_LANGS,
     arabic_normalize,
     arabic_stem,
+    bulgarian_stem,
+    czech_stem,
     hindi_normalize,
     hindi_stem,
     indonesian_stem,
     light_stem,
+    persian_normalize,
 )
+
+# exact rows from the reference fixtures
+CZ_VECTORS = [
+    ("pán", "pán"), ("páni", "pán"), ("pánové", "pán"), ("pána", "pán"),
+    ("pánů", "pán"), ("pánovi", "pán"), ("pánům", "pán"), ("pány", "pán"),
+    ("páne", "pán"), ("pánech", "pán"), ("pánem", "pán"),
+    ("hrad", "hrad"), ("hradu", "hrad"), ("hradem", "hrad"),
+    ("hradech", "hrad"), ("hradů", "hrad"),
+    ("muž", "muh"), ("muži", "muh"), ("muže", "muh"), ("mužů", "muh"),
+    ("mužích", "muh"), ("mužem", "muh"),
+    ("stroj", "stroj"), ("stroje", "stroj"), ("strojů", "stroj"),
+    ("strojích", "stroj"),
+    ("předseda", "předsd"), ("předsedové", "předsd"),
+    ("předsedy", "předsd"), ("předsedů", "předsd"),
+]
+
+BG_VECTORS = [
+    ("град", "град"), ("града", "град"), ("градът", "град"),
+    ("градове", "град"), ("градовете", "град"),
+    ("народ", "народ"), ("народа", "народ"), ("народът", "народ"),
+    ("народи", "народ"), ("народите", "народ"), ("народе", "народ"),
+    ("път", "път"), ("пътя", "път"), ("пътят", "път"),
+    ("пътища", "път"), ("пътищата", "път"),
+    ("градец", "градец"), ("градеца", "градец"), ("градецът", "градец"),
+    ("градовце", "градовц"), ("градовцете", "градовц"),
+    ("дядо", "дяд"), ("дядото", "дяд"), ("дядовци", "дяд"),
+    ("дядовците", "дяд"),
+    ("мъж", "мъж"), ("мъжа", "мъж"), ("мъже", "мъж"),
+    ("мъжете", "мъж"), ("мъжо", "мъж"), ("мъжът", "мъжът"),
+    ("крак", "крак"), ("крака", "крак"), ("кракът", "крак"),
+    ("краката", "крак"),
+    ("брат", "брат"), ("брата", "брат"), ("братът", "брат"),
+    ("братя", "брат"), ("братята", "брат"),
+]
+
+
+@pytest.mark.parametrize("word,want", CZ_VECTORS)
+def test_czech_reference_fixtures(word, want):
+    assert czech_stem(word) == want
+
+
+@pytest.mark.parametrize("word,want", BG_VECTORS)
+def test_bulgarian_reference_fixtures(word, want):
+    assert bulgarian_stem(word) == want
+
+
+def test_persian_normalizer():
+    # farsi yeh -> arabic yeh, keheh -> kaf, heh-yeh -> heh
+    assert persian_normalize("کتابی") == "كتابي"
+    assert persian_normalize("ۀ") == "ه"
 
 AR_VECTORS = [
     ("المدرسة", "مدرس"),      # al- prefix, teh-marbuta(->heh) suffix
@@ -92,7 +147,8 @@ def test_indonesian_si_guard():
 
 
 def test_dispatch():
-    assert set(LIGHT_LANGS) == {"ar", "hi", "id"}
+    assert set(LIGHT_LANGS) == {"ar", "bg", "cz", "fa", "hi", "id"}
     assert light_stem("id", "makanan") == "makan"
+    assert light_stem("cz", "pánové") == "pán"
     with pytest.raises(ValueError):
         light_stem("xx", "word")
