@@ -408,6 +408,42 @@ def main() -> None:
     queries["q_cosine_topk"] = round(
         timed(lambda: cosine_topk(emb, qvec, k=10).collect(), REPS), 3
     )
+    # web-page text extraction: synthesize Common-Crawl-style page html
+    # around each doc's text (nav chrome + content + link-dense footer),
+    # then run the full strip+boilerplate classifier — all pure-JVM
+    # regexp/HOF projections, so this leg measures codegen throughput
+    # over the whole documents table (no shuffle, no Python)
+    def _html_extract_rep():
+        from lucene_spark.pipeline.boilerplate import extract_main_content
+
+        enc = F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                F.lit("<"), F.lit("&lt;"),
+            ),
+            F.lit(">"), F.lit("&gt;"),
+        )
+        page = F.concat(
+            F.lit('<html><body><div class="nav"><a href="/">Home</a> '
+                  '<a href="/a">About</a></div><p>'),
+            enc,
+            F.lit('</p><div>Copyright <a href="/l">Legal</a> '
+                  '<a href="/p">Privacy</a></div></body></html>'),
+        )
+        return (
+            extract_main_content(docs.withColumn("html", page))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.octet_length("content")).alias("bytes"),
+            )
+            .collect()
+        )
+
+    queries["q_html_extract"] = round(timed(_html_extract_rep, REPS), 3)
+    extra["html_extract_docs_per_sec"] = round(
+        n_docs / max(queries["q_html_extract"], 1e-9)
+    )
+
     # filter, not LIMIT: a global limit coalesces everything downstream
     # onto one partition, serializing the shingle/minhash stages.
     # minhash persists its shingle frame, and Spark's CacheManager
