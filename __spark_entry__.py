@@ -433,6 +433,11 @@ _LIGHT_BATTERY = [
     ("bg", "пътищата", "път"), ("bg", "дядовците", "дяд"),
     ("bg", "мъжете", "мъж"), ("bg", "краката", "крак"),
     ("fa", "کتابی", "كتابي"), ("fa", "ۀ", "ه"),
+    # el vectors match the reference fixtures (TestGreekStemmer.java)
+    ("el", "άνθρωπος", "ανθρωπ"), ("el", "ανθρώπων", "ανθρωπ"),
+    ("el", "γυναίκα", "γυναικ"), ("el", "γυναικών", "γυναικ"),
+    ("el", "παιδιά", "παιδ"), ("el", "παιδιών", "παιδ"),
+    ("el", "καθεστώτα", "καθεστ"), ("el", "γεγονότων", "γεγον"),
 ]
 
 # Japanese morphological segmentation goldens: hand-pinned expected
@@ -2511,7 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from lucene_spark.analysis.lightstem import light_stem_udf
 
         frames = []
-        for lang in ("ar", "bg", "cz", "fa", "hi", "id"):
+        for lang in ("ar", "bg", "cz", "el", "fa", "hi", "id"):
             words = [(w,) for lg, w, _ in _LIGHT_BATTERY if lg == lang]
             df = spark.createDataFrame(words, "word string").select(
                 F.lit(lang).alias("lang"),

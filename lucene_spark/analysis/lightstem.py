@@ -438,14 +438,19 @@ def persian_normalize(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# dispatch
+# dispatch (Greek lives in `analysis/greek.py` — the Ntais/Saroukos
+# 22-rule stemmer is big enough for its own module — but dispatches
+# from here so one UDF surface covers all the rule-stemmer languages)
 
-LIGHT_LANGS = ("ar", "bg", "cz", "fa", "hi", "id")
+from lucene_spark.analysis.greek import greek_stem  # noqa: E402
+
+LIGHT_LANGS = ("ar", "bg", "cz", "el", "fa", "hi", "id")
 
 _DISPATCH = {
     "ar": arabic_stem,
     "bg": bulgarian_stem,
     "cz": czech_stem,
+    "el": greek_stem,
     "fa": persian_normalize,
     "hi": hindi_stem,
     "id": indonesian_stem,

@@ -147,7 +147,8 @@ def test_indonesian_si_guard():
 
 
 def test_dispatch():
-    assert set(LIGHT_LANGS) == {"ar", "bg", "cz", "fa", "hi", "id"}
+    assert set(LIGHT_LANGS) == {"ar", "bg", "cz", "el", "fa", "hi", "id"}
+    assert light_stem("el", "άνθρωπος") == "ανθρωπ"
     assert light_stem("id", "makanan") == "makan"
     assert light_stem("cz", "pánové") == "pán"
     with pytest.raises(ValueError):
