@@ -438,6 +438,11 @@ _LIGHT_BATTERY = [
     ("el", "γυναίκα", "γυναικ"), ("el", "γυναικών", "γυναικ"),
     ("el", "παιδιά", "παιδ"), ("el", "παιδιών", "παιδ"),
     ("el", "καθεστώτα", "καθεστ"), ("el", "γεγονότων", "γεγον"),
+    # fi: Savoy CLEF-2003 light; lv vectors match TestLatvianStemmer.java
+    ("fi", "taloissa", "talo"), ("fi", "kirjoja", "kirjo"),
+    ("fi", "presidentti", "president"), ("fi", "opiskelijoiden", "opiskelijo"),
+    ("lv", "tēviem", "tēv"), ("lv", "lāčiem", "lāc"),
+    ("lv", "akmeņos", "akmen"), ("lv", "kurmjiem", "kurm"),
 ]
 
 # Japanese morphological segmentation goldens: hand-pinned expected
@@ -2516,7 +2521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from lucene_spark.analysis.lightstem import light_stem_udf
 
         frames = []
-        for lang in ("ar", "bg", "cz", "el", "fa", "hi", "id"):
+        for lang in ("ar", "bg", "cz", "el", "fa", "fi", "hi", "id", "lv"):
             words = [(w,) for lg, w, _ in _LIGHT_BATTERY if lg == lang]
             df = spark.createDataFrame(words, "word string").select(
                 F.lit(lang).alias("lang"),

@@ -1,4 +1,5 @@
-"""Light stemmers + normalizers for Arabic, Hindi, Indonesian.
+"""Light stemmers + normalizers for Arabic, Hindi, Indonesian, Czech,
+Bulgarian, Finnish, Latvian, Persian (and Greek via `analysis/greek.py`).
 
 Re-expresses the reference's non-Snowball rule stemmers for three of
 the largest web languages:
@@ -42,9 +43,11 @@ __all__ = [
     "arabic_stem",
     "bulgarian_stem",
     "czech_stem",
+    "finnish_stem",
     "hindi_normalize",
     "hindi_stem",
     "indonesian_stem",
+    "latvian_stem",
     "persian_normalize",
     "light_stem",
     "light_stem_udf",
@@ -438,13 +441,192 @@ def persian_normalize(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Finnish (`fi/FinnishLightStemmer.java`: Savoy's CLEF-2003 light
+# stemmer — ä/å/ö fold, recursive -kin/-ko particle strip, case-ending
+# tiers with the s-rewrites (nnen→s…, den→s…, hde→ksi), then the two
+# normalization passes including the k/p/t geminate collapse).
+
+_FI_VOWELS = set("aeiouy")
+
+
+def _fi_step1(w: str) -> str:
+    if len(w) > 8:
+        if w.endswith("kin"):
+            return _fi_step1(w[:-3])
+        if w.endswith("ko"):
+            return _fi_step1(w[:-2])
+    if len(w) > 11:
+        if w.endswith("dellinen"):
+            return w[:-8]
+        if w.endswith("dellisuus"):
+            return w[:-9]
+    return w
+
+
+def _fi_step2(w: str) -> str:
+    if len(w) > 5:
+        if w.endswith(("lla", "tse", "sti")):
+            return w[:-3]
+        if w.endswith("ni"):
+            return w[:-2]
+        if w.endswith("aa"):
+            return w[:-1]
+    return w
+
+
+def _fi_step3(w: str) -> str:
+    n = len(w)
+    if n > 8:
+        if w.endswith("nnen"):
+            return w[:-4] + "s"
+        if w.endswith("ntena"):
+            return w[:-5] + "s"
+        if w.endswith("tten"):
+            return w[:-4]
+        if w.endswith("eiden"):
+            return w[:-5]
+    if n > 6:
+        if w.endswith(("neen", "niin", "seen", "teen", "inen")):
+            return w[:-4]
+        if w[-3] == "h" and w[-2] in _FI_VOWELS and w[-1] == "n":
+            return w[:-3]
+        if w.endswith("den"):
+            return w[:-3] + "s"
+        if w.endswith("ksen"):
+            return w[:-4] + "s"
+        if w.endswith(("ssa", "sta", "lla", "lta", "tta", "ksi", "lle")):
+            return w[:-3]
+    if n > 5:
+        if w.endswith(("na", "ne")):
+            return w[:-2]
+        if w.endswith("nei"):
+            return w[:-3]
+    if n > 4:
+        if w.endswith(("ja", "ta")):
+            return w[:-2]
+        if w[-1] == "a":
+            return w[:-1]
+        if w[-1] == "n" and w[-2] in _FI_VOWELS:
+            return w[:-2]
+        if w[-1] == "n":
+            return w[:-1]
+    return w
+
+
+def _fi_norm1(w: str) -> str:
+    if len(w) > 5 and w.endswith("hde"):
+        w = w[:-3] + "ksi"
+    if len(w) > 4 and w.endswith(("ei", "at")):
+        return w[:-2]
+    if len(w) > 3 and w[-1] in "tsjeai":
+        return w[:-1]
+    return w
+
+
+def _fi_norm2(w: str) -> str:
+    if len(w) > 8 and w[-1] in "eou":
+        w = w[:-1]
+    if len(w) > 4:
+        if w[-1] == "i":
+            w = w[:-1]
+        if len(w) > 4:
+            # collapse runs of k/p/t geminates
+            out = [w[0]]
+            for c in w[1:]:
+                if c == out[-1] and c in "kpt":
+                    continue
+                out.append(c)
+            w = "".join(out)
+    return w
+
+
+@lru_cache(maxsize=200_000)
+def finnish_stem(word: str) -> str:
+    if len(word) < 4:
+        return word
+    w = word.translate(_FI_FOLD)
+    return _fi_norm2(_fi_norm1(_fi_step3(_fi_step2(_fi_step1(w)))))
+
+
+_FI_FOLD = str.maketrans({"ä": "a", "å": "a", "ö": "o"})
+
+
+# ---------------------------------------------------------------------------
+# Latvian (`lv/LatvianStemmer.java`: the light version of Kreslins'
+# stemmer — first matching affix from the ordered table, guarded by
+# whole-word vowel count > the affix's own and stem length ≥ 3, with
+# un-palatalization fired only by the marked affixes; the two
+# u-only rewrites kš→kst / ņņ→nn inspect the REMOVED suffix's first
+# char, exactly like the reference's `s[len]` peek).
+
+# (affix, vowel_count, palatalizes) in the reference's table order
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False),
+    ("ai", 2, False), ("ei", 2, False), ("ām", 1, False),
+    ("am", 1, False), ("ēm", 1, False), ("īm", 1, False),
+    ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False),
+    ("os", 1, True), ("ij", 1, False), ("īs", 1, False),
+    ("ēs", 1, False), ("is", 1, False), ("ie", 1, False),
+    ("u", 1, True), ("a", 1, True), ("i", 1, True), ("e", 1, False),
+    ("ā", 1, False), ("ē", 1, False), ("ī", 1, False), ("ū", 1, False),
+    ("o", 1, False), ("s", 0, False), ("š", 0, False),
+)
+
+_LV_VOWELS = set("aeiouāīēū")
+
+
+def _lv_unpalatalize(stem: str, removed_first: str) -> str:
+    if removed_first == "u":
+        if stem.endswith("kš"):
+            return stem[:-1] + "st"  # kš -> kst
+        if stem.endswith("ņņ"):
+            return stem[:-2] + "nn"
+    if stem.endswith(("pj", "bj", "mj", "vj")):
+        return stem[:-1]
+    if stem.endswith("šņ"):
+        return stem[:-2] + "sn"
+    if stem.endswith("žņ"):
+        return stem[:-2] + "zn"
+    if stem.endswith("šļ"):
+        return stem[:-2] + "sl"
+    if stem.endswith("žļ"):
+        return stem[:-2] + "zl"
+    if stem.endswith("ļņ"):
+        return stem[:-2] + "ln"
+    if stem.endswith("ļļ"):
+        return stem[:-2] + "ll"
+    if stem.endswith("č"):
+        return stem[:-1] + "c"
+    if stem.endswith("ļ"):
+        return stem[:-1] + "l"
+    if stem.endswith("ņ"):
+        return stem[:-1] + "n"
+    return stem
+
+
+@lru_cache(maxsize=200_000)
+def latvian_stem(word: str) -> str:
+    nv = sum(1 for c in word if c in _LV_VOWELS)
+    for affix, vc, palatalizes in _LV_AFFIXES:
+        if nv > vc and len(word) >= len(affix) + 3 and word.endswith(affix):
+            stem = word[: -len(affix)]
+            if palatalizes:
+                return _lv_unpalatalize(stem, affix[0])
+            return stem
+    return word
+
+
+# ---------------------------------------------------------------------------
 # dispatch (Greek lives in `analysis/greek.py` — the Ntais/Saroukos
 # 22-rule stemmer is big enough for its own module — but dispatches
 # from here so one UDF surface covers all the rule-stemmer languages)
 
 from lucene_spark.analysis.greek import greek_stem  # noqa: E402
 
-LIGHT_LANGS = ("ar", "bg", "cz", "el", "fa", "hi", "id")
+LIGHT_LANGS = ("ar", "bg", "cz", "el", "fa", "fi", "hi", "id", "lv")
 
 _DISPATCH = {
     "ar": arabic_stem,
@@ -452,8 +634,10 @@ _DISPATCH = {
     "cz": czech_stem,
     "el": greek_stem,
     "fa": persian_normalize,
+    "fi": finnish_stem,
     "hi": hindi_stem,
     "id": indonesian_stem,
+    "lv": latvian_stem,
 }
 
 LIGHT_STOP = {
@@ -484,6 +668,18 @@ LIGHT_STOP = {
     "fa": frozenset(
         """و در به از که این را با است برای آن یک خود تا بر هم نیز اما
         یا هر ما من او شود شد های""".split()
+    ),
+    "el": frozenset(
+        """ο η το οι τα του τησ των τον την και κι να δε δεν μη μην με
+        σε απο για προσ θα που πωσ αυτοσ αυτη αυτο ειναι""".split()
+    ),
+    "fi": frozenset(
+        """ja ei on en se että oli hän ole mutta niin kun myös jos tai
+        vain ovat kuin mitä tämä nyt sen ne joka sitä""".split()
+    ),
+    "lv": frozenset(
+        """un ir es tu viņš kas ar uz no par pie bet ka vai šis tas
+        tā būt viņa mēs jūs tie""".split()
     ),
 }
 

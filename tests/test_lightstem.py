@@ -147,9 +147,171 @@ def test_indonesian_si_guard():
 
 
 def test_dispatch():
-    assert set(LIGHT_LANGS) == {"ar", "bg", "cz", "el", "fa", "hi", "id"}
+    assert set(LIGHT_LANGS) == {
+        "ar", "bg", "cz", "el", "fa", "fi", "hi", "id", "lv",
+    }
+    assert light_stem("fi", "taloissa") == "talo"
+    assert light_stem("lv", "tēviem") == "tēv"
     assert light_stem("el", "άνθρωπος") == "ανθρωπ"
     assert light_stem("id", "makanan") == "makan"
     assert light_stem("cz", "pánové") == "pán"
     with pytest.raises(ValueError):
         light_stem("xx", "word")
+
+
+# ---------------------------------------------------------------------------
+# Latvian: the COMPLETE fixture set from the reference's
+# TestLatvianStemmer.java (deduplicated, analyzer-trimmed inputs)
+
+LV_FIXTURES = [
+    ("tēvs", "tēv"),
+    ("tēvi", "tēv"),
+    ("tēva", "tēv"),
+    ("tēvu", "tēv"),
+    ("tēvam", "tēv"),
+    ("tēviem", "tēv"),
+    ("tēvus", "tēv"),
+    ("tēvā", "tēv"),
+    ("tēvos", "tēv"),
+    ("lācis", "lāc"),
+    ("lāči", "lāc"),
+    ("lāča", "lāc"),
+    ("lāču", "lāc"),
+    ("lācim", "lāc"),
+    ("lāčiem", "lāc"),
+    ("lāci", "lāc"),
+    ("lāčus", "lāc"),
+    ("lācī", "lāc"),
+    ("lāčos", "lāc"),
+    ("akmens", "akmen"),
+    ("akmeņi", "akmen"),
+    ("akmeņu", "akmen"),
+    ("akmenim", "akmen"),
+    ("akmeņiem", "akmen"),
+    ("akmeni", "akmen"),
+    ("akmeņus", "akmen"),
+    ("akmenī", "akmen"),
+    ("akmeņos", "akmen"),
+    ("kurmis", "kurm"),
+    ("kurmji", "kurm"),
+    ("kurmja", "kurm"),
+    ("kurmju", "kurm"),
+    ("kurmim", "kurm"),
+    ("kurmjiem", "kurm"),
+    ("kurmi", "kurm"),
+    ("kurmjus", "kurm"),
+    ("kurmī", "kurm"),
+    ("kurmjos", "kurm"),
+    ("lietus", "liet"),
+    ("lieti", "liet"),
+    ("lietu", "liet"),
+    ("lietum", "liet"),
+    ("lietiem", "liet"),
+    ("lietū", "liet"),
+    ("lietos", "liet"),
+    ("lapa", "lap"),
+    ("lapas", "lap"),
+    ("lapu", "lap"),
+    ("lapai", "lap"),
+    ("lapām", "lap"),
+    ("lapā", "lap"),
+    ("lapās", "lap"),
+    ("puika", "puik"),
+    ("puikas", "puik"),
+    ("puiku", "puik"),
+    ("puikam", "puik"),
+    ("puikām", "puik"),
+    ("puikā", "puik"),
+    ("puikās", "puik"),
+    ("egle", "egl"),
+    ("egles", "egl"),
+    ("egļu", "egl"),
+    ("eglei", "egl"),
+    ("eglēm", "egl"),
+    ("egli", "egl"),
+    ("eglē", "egl"),
+    ("eglēs", "egl"),
+    ("govs", "gov"),
+    ("govis", "gov"),
+    ("govju", "gov"),
+    ("govij", "gov"),
+    ("govīm", "gov"),
+    ("govi", "gov"),
+    ("govī", "gov"),
+    ("govīs", "gov"),
+    ("zils", "zil"),
+    ("zilais", "zil"),
+    ("zili", "zil"),
+    ("zilie", "zil"),
+    ("zila", "zil"),
+    ("zilā", "zil"),
+    ("zilas", "zil"),
+    ("zilās", "zil"),
+    ("zilu", "zil"),
+    ("zilo", "zil"),
+    ("zilam", "zil"),
+    ("zilajam", "zil"),
+    ("ziliem", "zil"),
+    ("zilajiem", "zil"),
+    ("zilai", "zil"),
+    ("zilajai", "zil"),
+    ("zilām", "zil"),
+    ("zilajām", "zil"),
+    ("zilus", "zil"),
+    ("zilos", "zil"),
+    ("zilajā", "zil"),
+    ("zilajos", "zil"),
+    ("zilajās", "zil"),
+    ("krāsns", "krāsn"),
+    ("krāšņu", "krāsn"),
+    ("zvaigzne", "zvaigzn"),
+    ("zvaigžņu", "zvaigzn"),
+    ("kāpslis", "kāpsl"),
+    ("kāpšļu", "kāpsl"),
+    ("zizlis", "zizl"),
+    ("zižļu", "zizl"),
+    ("vilnis", "viln"),
+    ("viļņu", "viln"),
+    ("lelle", "lell"),
+    ("leļļu", "lell"),
+    ("pinne", "pinn"),
+    ("piņņu", "pinn"),
+    ("rīkste", "rīkst"),
+    ("rīkšu", "rīkst"),
+    ("usa", "usa"),
+    ("60ms", "60ms"),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("word,want", LV_FIXTURES)
+def test_latvian_reference_fixtures(word, want):
+    from lucene_spark.analysis.lightstem import latvian_stem
+    assert latvian_stem(word) == want
+
+
+FI_VECTORS = [
+    # hand-traced through the Savoy CLEF-2003 rules
+    ("taloissa", "talo"),        # -ssa case, -i norm
+    ("kirjoja", "kirjo"),        # -ja partitive
+    ("kaupungin", "kaupung"),    # -Vn genitive
+    ("presidentti", "president"),  # -i norm + tt geminate collapse
+    ("opiskelijoiden", "opiskelijo"),  # -eiden
+    ("yhteiskunnallinen", "yhteiskunnall"),  # -inen
+    ("kysymyksen", "kysymy"),    # ksen -> s, then norm1 drops final s
+    ("kahdeksan", "kahdek"),     # -Vn, then norm1 drops final s
+    ("talokin", "talok"),        # -kin needs len > 8; -Vn still fires
+    ("asuntokin", "asunto"),     # recursive particle strip (9 chars)
+]
+
+
+@pytest.mark.parametrize("word,want", FI_VECTORS)
+def test_finnish_vectors(word, want):
+    from lucene_spark.analysis.lightstem import finnish_stem
+    assert finnish_stem(word) == want
+
+
+def test_finnish_fold_and_short():
+    from lucene_spark.analysis.lightstem import finnish_stem
+    assert finnish_stem("työ") == "työ"  # len < 4: untouched, no fold
+    assert finnish_stem("tytöt")[0] == "t"
