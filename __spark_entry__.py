@@ -443,6 +443,11 @@ _LIGHT_BATTERY = [
     ("fi", "presidentti", "president"), ("fi", "opiskelijoiden", "opiskelijo"),
     ("lv", "tēviem", "tēv"), ("lv", "lāčiem", "lāc"),
     ("lv", "akmeņos", "akmen"), ("lv", "kurmjiem", "kurm"),
+    # hu: Savoy UniNE light; tr vectors match TestTurkishLowerCaseFilter
+    ("hu", "házakat", "haz"), ("hu", "házban", "haz"),
+    ("hu", "kocsija", "kocs"), ("hu", "kocsi", "kocs"),
+    ("tr", "İSTANBUL", "istanbul"), ("tr", "İZMİR", "izmir"),
+    ("tr", "ISPARTA", "ısparta"),
 ]
 
 # Japanese morphological segmentation goldens: hand-pinned expected
@@ -2521,7 +2526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from lucene_spark.analysis.lightstem import light_stem_udf
 
         frames = []
-        for lang in ("ar", "bg", "cz", "el", "fa", "fi", "hi", "id", "lv"):
+        for lang in ("ar", "bg", "cz", "el", "fa", "fi", "hi", "hu",
+                     "id", "lv", "tr"):
             words = [(w,) for lg, w, _ in _LIGHT_BATTERY if lg == lang]
             df = spark.createDataFrame(words, "word string").select(
                 F.lit(lang).alias("lang"),

@@ -620,13 +620,168 @@ def latvian_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Hungarian (`hu/HungarianLightStemmer.java`: Savoy's UniNE light
+# stemmer — accent fold, case endings with the double-consonant
+# guards, possessive tiers, plural -k with the a/o/e fallthrough,
+# final-vowel normalization).
+
+_HU_FOLD = str.maketrans(
+    {
+        "á": "a", "ë": "e", "é": "e", "í": "i",
+        "ó": "o", "ő": "o", "õ": "o", "ö": "o",
+        "ú": "u", "ű": "u", "ũ": "u", "û": "u", "ü": "u",
+    }
+)
+_HU_VOWELS = set("aeiouy")
+
+
+def _hu_case(w: str) -> str:
+    n = len(w)
+    if n > 6 and w.endswith("kent"):
+        return w[:-4]
+    if n > 5:
+        if w.endswith(("nak", "nek", "val", "vel", "ert", "rol", "ban",
+                       "ben", "bol", "nal", "nel", "hoz", "hez", "tol")):
+            return w[:-3]
+        if w.endswith(("al", "el")):
+            if w[-3] not in _HU_VOWELS and w[-3] == w[-4]:
+                return w[:-3]
+    if n > 4:
+        if w.endswith(("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+                       "be", "ul", "ig")):
+            return w[:-2]
+        if w.endswith(("on", "en")) and w[-3] not in _HU_VOWELS:
+            return w[:-2]
+        if w[-1] in "tn":
+            return w[:-1]
+        if w[-1] in "ae" and w[-2] == w[-3] and w[-2] not in _HU_VOWELS:
+            return w[:-2]
+    return w
+
+
+def _hu_possessive(w: str) -> str:
+    n = len(w)
+    if n > 6:
+        if w[-5] not in _HU_VOWELS and w.endswith(("atok", "otok",
+                                                   "etek")):
+            return w[:-4]
+        if w.endswith(("itek", "itok")):
+            return w[:-4]
+    if n > 5:
+        if w[-4] not in _HU_VOWELS and w.endswith(("unk", "tok", "tek")):
+            return w[:-3]
+        if w[-4] in _HU_VOWELS and w.endswith("juk"):
+            return w[:-3]
+        if w.endswith("ink"):
+            return w[:-3]
+    if n > 4:
+        if w[-3] not in _HU_VOWELS and w.endswith(("am", "em", "om",
+                                                   "ad", "ed", "od",
+                                                   "uk")):
+            return w[:-2]
+        if w[-3] in _HU_VOWELS and w.endswith(("nk", "ja", "je")):
+            return w[:-2]
+        if w.endswith(("im", "id", "ik")):
+            return w[:-2]
+    if n > 3:
+        if w[-1] in "ae" and w[-2] not in _HU_VOWELS:
+            return w[:-1]
+        if w[-1] in "md" and w[-2] in _HU_VOWELS:
+            return w[:-1]
+        if w[-1] == "i":
+            return w[:-1]
+    return w
+
+
+def _hu_plural(w: str) -> str:
+    if len(w) > 3 and w[-1] == "k":
+        if w[-2] in "aoe" and len(w) > 4:
+            return w[:-2]
+        return w[:-1]  # the reference's intentional fallthrough
+    return w
+
+
+@lru_cache(maxsize=200_000)
+def hungarian_stem(word: str) -> str:
+    w = word.translate(_HU_FOLD)
+    w = _hu_plural(_hu_possessive(_hu_case(w)))
+    if len(w) > 3 and w[-1] in "aeio":
+        return w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Turkish (`tr/TurkishLowerCaseFilter.java`: dotted/dotless-i-correct
+# lowercasing — I → ı unless a combining dot above follows (then i, dot
+# consumed), İ → i; `tr/ApostropheFilter.java`: drop the suffix from
+# the first apostrophe on. TurkishAnalyzer chains apostrophe →
+# lowercase; the Snowball Turkish stemmer is NOT claimed).
+
+import unicodedata as _ud  # noqa: E402
+
+
+def _tr_before_dot(chars, pos: int) -> bool:
+    for j in range(pos, len(chars)):
+        if _ud.category(chars[j]) != "Mn":
+            return False
+        if chars[j] == "̇":
+            return True
+    return False
+
+
+def turkish_lowercase(word: str) -> str:
+    chars = list(word)
+    out = []
+    i = 0
+    i_or_after = False
+    while i < len(chars):
+        ch = chars[i]
+        i_or_after = ch == "I" or (
+            i_or_after and _ud.category(ch) == "Mn"
+        )
+        if i_or_after:
+            if ch == "̇":  # combining dot above: consumed
+                i += 1
+                continue
+            if ch == "I":
+                if _tr_before_dot(chars, i + 1):
+                    out.append("i")
+                else:
+                    out.append("ı")
+                    i_or_after = False
+                i += 1
+                continue
+        if ch == "İ":
+            out.append("i")  # single codepoint, like Java toLowerCase
+        else:
+            out.append(ch.lower())
+        i += 1
+    return "".join(out)
+
+
+def turkish_apostrophe(word: str) -> str:
+    # the reference truncates at the FIRST of ' or ’ only
+    # (ApostropheFilter.java:49)
+    for i, ch in enumerate(word):
+        if ch in "'’":
+            return word[:i]
+    return word
+
+
+@lru_cache(maxsize=200_000)
+def turkish_normalize(word: str) -> str:
+    return turkish_lowercase(turkish_apostrophe(word))
+
+
+# ---------------------------------------------------------------------------
 # dispatch (Greek lives in `analysis/greek.py` — the Ntais/Saroukos
 # 22-rule stemmer is big enough for its own module — but dispatches
 # from here so one UDF surface covers all the rule-stemmer languages)
 
 from lucene_spark.analysis.greek import greek_stem  # noqa: E402
 
-LIGHT_LANGS = ("ar", "bg", "cz", "el", "fa", "fi", "hi", "id", "lv")
+LIGHT_LANGS = ("ar", "bg", "cz", "el", "fa", "fi", "hi", "hu", "id",
+               "lv", "tr")
 
 _DISPATCH = {
     "ar": arabic_stem,
@@ -636,8 +791,10 @@ _DISPATCH = {
     "fa": persian_normalize,
     "fi": finnish_stem,
     "hi": hindi_stem,
+    "hu": hungarian_stem,
     "id": indonesian_stem,
     "lv": latvian_stem,
+    "tr": turkish_normalize,
 }
 
 LIGHT_STOP = {

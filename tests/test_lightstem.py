@@ -148,8 +148,10 @@ def test_indonesian_si_guard():
 
 def test_dispatch():
     assert set(LIGHT_LANGS) == {
-        "ar", "bg", "cz", "el", "fa", "fi", "hi", "id", "lv",
+        "ar", "bg", "cz", "el", "fa", "fi", "hi", "hu", "id", "lv", "tr",
     }
+    assert light_stem("hu", "házakat") == "haz"
+    assert light_stem("tr", "İSTANBUL") == "istanbul"
     assert light_stem("fi", "taloissa") == "talo"
     assert light_stem("lv", "tēviem") == "tēv"
     assert light_stem("el", "άνθρωπος") == "ανθρωπ"
@@ -315,3 +317,41 @@ def test_finnish_fold_and_short():
     from lucene_spark.analysis.lightstem import finnish_stem
     assert finnish_stem("työ") == "työ"  # len < 4: untouched, no fold
     assert finnish_stem("tytöt")[0] == "t"
+
+
+# ---------------------------------------------------------------------------
+# Hungarian (Savoy UniNE light) + Turkish (dotted/dotless-i lowercase,
+# apostrophe suffix strip — vectors mirror TestTurkishLowerCaseFilter)
+
+HU_VECTORS = [
+    ("házakat", "haz"), ("házban", "haz"), ("házak", "haz"),
+    ("kocsija", "kocs"), ("kocsi", "kocs"), ("babakocsi", "babakocs"),
+    ("magyarország", "magyarorszag"),
+]
+
+
+@pytest.mark.parametrize("word,want", HU_VECTORS)
+def test_hungarian(word, want):
+    from lucene_spark.analysis.lightstem import hungarian_stem
+    assert hungarian_stem(word) == want
+
+
+def test_turkish_lowercase_reference_vectors():
+    from lucene_spark.analysis.lightstem import (
+        turkish_lowercase,
+        turkish_normalize,
+    )
+    # composed forms (TestTurkishLowerCaseFilter.java)
+    assert turkish_lowercase("İSTANBUL") == "istanbul"
+    assert turkish_lowercase("İZMİR") == "izmir"
+    assert turkish_lowercase("ISPARTA") == "ısparta"
+    # decomposed forms
+    assert turkish_lowercase("İSTANBUL") == "istanbul"
+    assert turkish_lowercase("İZMİR") == "izmir"
+    # decomposed with an extra combining mark between I and the dot
+    assert turkish_lowercase("İ̖STANBUL") == "i̖stanbul"
+    assert turkish_lowercase("I̖SPARTA") == "ı̖sparta"
+    assert turkish_lowercase("İ") == "i"
+    # apostrophe filter composes in
+    assert turkish_normalize("Türkiye'nin") == "türkiye"
+    assert turkish_normalize("İstanbul’da") == "istanbul"
