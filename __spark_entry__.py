@@ -494,6 +494,19 @@ _ZH_GOLDEN = [
     ("我有2台iPhone手机", ["我", "有", "2", "台", "iphone", "手机"]),
 ]
 
+# Thai segmentation goldens (tokenizer output, pre-stop, pre-lowercase
+# folding happens only in analyze mode); sentences mirror the
+# reference's TestThaiAnalyzer fixtures (ThaiTokenizer.java:36)
+_TH_GOLDEN = [
+    ("การที่ได้ต้องแสดงว่างานดี",
+     ["การ", "ที่", "ได้", "ต้อง", "แสดง", "ว่า", "งาน", "ดี"]),
+    ("ประเทศไทยมีภาษาไทย", ["ประเทศ", "ไทย", "มี", "ภาษา", "ไทย"]),
+    ("ฉันกินข้าวที่บ้าน", ["ฉัน", "กิน", "ข้าว", "ที่", "บ้าน"]),
+    ("เด็กนักเรียนไปโรงเรียน", ["เด็ก", "นักเรียน", "ไป", "โรงเรียน"]),
+    ("การที่ได้ต้องthe แสดงว่างานดี",
+     ["การ", "ที่", "ได้", "ต้อง", "the", "แสดง", "ว่า", "งาน", "ดี"]),
+]
+
 _NORM_BYTE_CASE = (
     "CASE WHEN dl < 24 THEN dl WHEN (dl - 24) < 8 THEN dl "
     "ELSE 24 + (((dl - 24) >> (length(bin(dl - 24)) - 4)) % 8) "
@@ -522,7 +535,7 @@ _DRIVER_PRIORITY = [
     "id_version_updates", "knn_factory_topk", "lm_perplexity",
     "dsir_resample", "dv_multi_range", "point_nearest",
     # round-5 late-session additions
-    "html_strip_text", "boilerplate_extract", "light_stems",
+    "html_strip_text", "boilerplate_extract", "light_stems", "thai_tokens",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -2496,6 +2509,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.groupBy("term").agg(F.count(F.lit(1)).alias("n")).orderBy("term")
 
     out["zh_smart_tokens"] = zh_smart_tokens
+
+    # Thai dictionary segmentation (ThaiTokenizer.java:36 analog):
+    # pinned golden sentences fanned over doc_ids, term counts
+    def thai_tokens(spark, sf):
+        from lucene_spark.analysis.th import thai_tokens_udf
+
+        sents = F.array(*[F.lit(s) for s, _ in _TH_GOLDEN])
+        d = (
+            _docs(spark, sf)
+            .select("doc_id")
+            .filter(F.col("doc_id") < 500)
+            .select(
+                F.element_at(
+                    sents, (F.col("doc_id") % len(_TH_GOLDEN) + 1).cast("int")
+                ).alias("sent")
+            )
+            .select(F.explode(thai_tokens_udf()(F.col("sent"))).alias("term"))
+        )
+        return d.groupBy("term").agg(F.count(F.lit(1)).alias("n")).orderBy("term")
+
+    out["thai_tokens"] = thai_tokens
 
     # Snowball stemmer battery (GermanStemmer.java + 5 siblings via
     # FrenchAnalyzer.java:43 etc.): distributed stemming of the pinned
@@ -4815,6 +4849,18 @@ FROM g JOIN d USING (i) GROUP BY term ORDER BY term
     out["zh_smart_tokens"] = f"""
 WITH g(i, term) AS (VALUES {_zh_rows}),
 d AS (SELECT doc_id % {len(_ZH_GOLDEN)} AS i, count(*) AS nd
+      FROM documents WHERE doc_id < 500 GROUP BY 1)
+SELECT term, CAST(sum(nd) AS BIGINT) AS n
+FROM g JOIN d USING (i) GROUP BY term ORDER BY term
+"""
+    _th_rows = ", ".join(
+        f"({i}, '{tok}')"
+        for i, (_, toks) in enumerate(_TH_GOLDEN)
+        for tok in toks
+    )
+    out["thai_tokens"] = f"""
+WITH g(i, term) AS (VALUES {_th_rows}),
+d AS (SELECT doc_id % {len(_TH_GOLDEN)} AS i, count(*) AS nd
       FROM documents WHERE doc_id < 500 GROUP BY 1)
 SELECT term, CAST(sum(nd) AS BIGINT) AS n
 FROM g JOIN d USING (i) GROUP BY term ORDER BY term
