@@ -536,6 +536,7 @@ _DRIVER_PRIORITY = [
     "dsir_resample", "dv_multi_range", "point_nearest",
     # round-5 late-session additions
     "html_strip_text", "boilerplate_extract", "light_stems", "thai_tokens",
+    "warc_roundtrip",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3433,6 +3434,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["boilerplate_extract"] = boilerplate_extract
 
+    # --- WARC source round trip (sources/warc.py, ISO 28500): build
+    # real WARC/1.0 response records in pure SQL (Content-Length is the
+    # UTF-8 octet count, so multi-byte text exercises byte slicing),
+    # parse them back with the connector's record parser, and prove the
+    # archived page bytes come back byte-identical
+    def warc_roundtrip(spark, sf):
+        from pyspark.sql.types import (
+            StringType,
+            StructField,
+            StructType,
+        )
+        from lucene_spark.sources.warc import parse_warc_records
+
+        d = _docs(spark, sf).filter(F.col("doc_id") < 400)
+        enc = F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                F.lit("<"),
+                F.lit("&lt;"),
+            ),
+            F.lit(">"),
+            F.lit("&gt;"),
+        )
+        html = F.concat(F.lit("<p>"), enc, F.lit("</p>"))
+        url = F.concat(F.lit("http://example.com/doc/"),
+                       F.col("doc_id").cast("string"))
+        http = F.concat(
+            F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                  "Content-Length: "),
+            F.octet_length(html).cast("string"),
+            F.lit("\r\n\r\n"),
+            html,
+        )
+        rec = F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+            url,
+            F.lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Type: "
+                  "application/http; msgtype=response\r\nContent-Length: "),
+            F.octet_length(http).cast("string"),
+            F.lit("\r\n\r\n"),
+            http,
+            F.lit("\r\n\r\n"),
+        )
+
+        parsed_t = StructType([
+            StructField("url", StringType()),
+            StructField("ts", StringType()),
+            StructField("payload", StringType()),
+        ])
+
+        @F.pandas_udf(parsed_t)
+        def _parse(s):
+            import pandas as pd
+
+            def one(raw):
+                recs = list(parse_warc_records(raw.encode("utf-8")))
+                if len(recs) != 1:
+                    return ("", "", "")
+                rt, u, ts, status, ct, payload = recs[0]
+                if rt != "response" or status != 200:
+                    return ("", "", "")
+                return (u, ts, payload.decode("utf-8"))
+
+            return pd.DataFrame(
+                [one(x) for x in s], columns=["url", "ts", "payload"]
+            )
+
+        p = d.select("doc_id", url.alias("url"), html.alias("html"),
+                     _parse(rec).alias("p"))
+        return p.select(
+            "doc_id",
+            (F.col("p.url") == F.col("url")).cast("int").alias("url_ok"),
+            (F.col("p.ts") == F.lit("2026-01-01T00:00:00Z"))
+            .cast("int").alias("ts_ok"),
+            (F.col("p.payload") == F.col("html")).cast("int")
+            .alias("byte_identical"),
+            F.md5(F.encode("p.payload", "UTF-8")).alias("html_md5"),
+        ).orderBy("doc_id")
+
+    out["warc_roundtrip"] = warc_roundtrip
+
     # --- WordDelimiterGraphFilter core splits over deterministic
     # mixed-case/product-code tokens synthesized from doc_id
     def word_delimiter_terms(spark, sf):
@@ -5666,6 +5748,17 @@ SELECT doc_id, CAST(n_blocks AS INTEGER) AS n_blocks,
        CAST(octet_length(encode(content)) AS INTEGER) AS n_bytes,
        md5(content) AS content_md5
 FROM final ORDER BY doc_id
+"""
+
+    # WARC round trip: the oracle derives the expected payload md5
+    # straight from the source text — any byte drift in the SQL-side
+    # serialization OR the parser's header/body slicing turns it red
+    out["warc_roundtrip"] = """
+SELECT doc_id, 1 AS url_ok, 1 AS ts_ok, 1 AS byte_identical,
+       md5('<p>' || replace(replace(replace(text, '&', '&amp;'),
+                                    '<', '&lt;'), '>', '&gt;') || '</p>')
+         AS html_md5
+FROM documents WHERE doc_id < 400 ORDER BY doc_id
 """
 
     # WordDelimiterGraph splits: the same capture-group boundary

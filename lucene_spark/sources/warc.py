@@ -1,0 +1,179 @@
+"""WARC (Web ARChive, ISO 28500) source connector.
+
+The north-rule input is an Iceberg-style table of Common-Crawl-style
+pages `(url, warc_ts, html, text, lang)`; Common Crawl itself ships
+WARC containers, so this module closes the loop from raw archive
+bytes to that table shape — a *source* the reference engine leaves to
+its ingestion layer (Lucene consumes already-extracted documents;
+cite: the reference has no WARC reader, this is pipeline-pillar
+surface, implemented from the PUBLIC ISO 28500 / WARC 1.0/1.1 spec).
+
+Format essentials implemented here:
+
+- a WARC file is a sequence of records; each record is a version line
+  (``WARC/1.0`` or ``WARC/1.1``), CRLF-separated named headers
+  (``WARC-Type``, ``WARC-Target-URI``, ``WARC-Date``,
+  ``Content-Length``, …), CRLF CRLF, then exactly ``Content-Length``
+  payload bytes, then CRLF CRLF.
+- ``response`` records wrap an HTTP response: the page bytes follow
+  the first empty line of the inner HTTP message.
+- Common Crawl stores each record as its own gzip member; members are
+  concatenated. Python's stdlib zlib handles multi-member streams, so
+  gzipped input is REAL here, not stubbed.
+
+Spark-first shape: `read_warc` scans files with the built-in
+``binaryFile`` source (one row per archive — Common Crawl WARCs are
+~1 GB each, sized for exactly this per-file parallelism at 100 TB:
+100k files spread across executors with no shuffle), then splits
+records in an Arrow-batched ``mapInPandas``. Record parsing never
+touches the driver; downstream extraction (`analysis/htmlstrip.py`)
+and the index build consume the resulting (url, warc_ts, html) rows
+as a normal DataFrame.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator, List, Optional, Tuple
+
+__all__ = ["parse_warc_records", "read_warc", "warc_bytes", "WARC_SCHEMA"]
+
+WARC_SCHEMA = (
+    "src_file string, record_type string, url string, warc_ts string, "
+    "http_status int, content_type string, html binary"
+)
+
+_CRLF = b"\r\n"
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members (Common Crawl layout)."""
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(data))
+        out.append(d.flush())
+        if not d.eof:  # truncated member: stop rather than loop
+            break
+        data = d.unused_data
+    return b"".join(out)
+
+
+def parse_warc_records(
+    data: bytes,
+) -> Iterator[Tuple[str, str, str, Optional[int], str, bytes]]:
+    """Yield (record_type, url, warc_ts, http_status, content_type,
+    payload) for each record in one WARC file's bytes.
+
+    ``response`` payloads have the inner HTTP envelope stripped (page
+    bytes only, exactly as archived — byte-identical round-trip).
+    """
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while data.startswith(_CRLF, pos):
+            pos += 2
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            break  # not a record boundary: stop loudly-by-truncation
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            break
+        headers: dict = {}
+        for line in data[pos:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("ascii", "replace")] = (
+                v.strip().decode("utf-8", "replace")
+            )
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = hdr_end + 4
+        payload = data[body_start:body_start + clen]
+        pos = body_start + clen
+        rtype = headers.get("warc-type", "")
+        url = headers.get("warc-target-uri", "")
+        ts = headers.get("warc-date", "")
+        status: Optional[int] = None
+        ctype = headers.get("content-type", "")
+        if rtype == "response" and payload[:5] in (b"HTTP/",):
+            http_end = payload.find(_CRLF + _CRLF)
+            if http_end >= 0:
+                http_head = payload[:http_end].split(_CRLF)
+                first = http_head[0].split(b" ")
+                if len(first) >= 2 and first[1].isdigit():
+                    status = int(first[1])
+                for line in http_head[1:]:
+                    k, _, v = line.partition(b":")
+                    if k.strip().lower() == b"content-type":
+                        ctype = v.strip().decode("utf-8", "replace")
+                payload = payload[http_end + 4:]
+        yield rtype, url, ts, status, ctype, payload
+
+
+def read_warc(spark, path: str, record_types: Tuple[str, ...] = ("response",)):
+    """DataFrame over WARC archives: one row per record.
+
+    ``binaryFile`` scan (one task per archive) → Arrow-batched
+    ``mapInPandas`` record split — no shuffle, no driver work;
+    partition count == file count, the Common-Crawl-native layout.
+    """
+    import pandas as pd
+
+    keep = tuple(record_types)
+
+    def _split(batches: Iterator["pd.Series"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows: List[tuple] = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for rtype, url, ts, status, ctype, payload in (
+                    parse_warc_records(bytes(content))
+                ):
+                    if keep and rtype not in keep:
+                        continue
+                    rows.append((fpath, rtype, url, ts, status, ctype,
+                                 payload))
+            yield pd.DataFrame(
+                rows,
+                columns=["src_file", "record_type", "url", "warc_ts",
+                         "http_status", "content_type", "html"],
+            )
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(_split, WARC_SCHEMA)
+
+
+def warc_bytes(
+    records: List[Tuple[str, str, bytes]],
+    gzip_members: bool = False,
+) -> bytes:
+    """Serialize (url, warc_ts, html_bytes) rows as a WARC/1.0 file of
+    ``response`` records (deterministic; used by tests and the
+    round-trip gate — and it makes the parser's spec executable)."""
+    out = []
+    for url, ts, html in records:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n"
+            + html
+        )
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            b"WARC-Date: " + ts.encode() + b"\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+            + http + b"\r\n\r\n"
+        )
+        if gzip_members:
+            import gzip as _gz
+
+            rec = _gz.compress(rec, mtime=0)
+        out.append(rec)
+    return b"".join(out)

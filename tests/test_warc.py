@@ -1,0 +1,72 @@
+"""WARC source connector: record parsing, gzip members, HTTP envelope
+stripping, byte-identical round trips, and the Spark binaryFile →
+mapInPandas path."""
+
+import pytest
+
+from lucene_spark.sources.warc import (
+    parse_warc_records,
+    read_warc,
+    warc_bytes,
+)
+
+RECS = [
+    ("http://example.com/a", "2026-01-01T00:00:00Z", "<p>page A</p>".encode()),
+    ("http://example.com/b", "2026-01-02T00:00:00Z",
+     "<html>ünïcode &amp; bytes</html>".encode()),
+    ("http://example.com/c", "2026-01-03T00:00:00Z", b""),
+]
+
+
+def test_roundtrip_plain():
+    parsed = list(parse_warc_records(warc_bytes(RECS)))
+    assert len(parsed) == 3
+    for (url, ts, html), (rtype, purl, pts, status, ctype, payload) in zip(
+        RECS, parsed
+    ):
+        assert rtype == "response"
+        assert (purl, pts) == (url, ts)
+        assert status == 200
+        assert ctype == "text/html"
+        assert payload == html  # byte-identical
+
+
+def test_roundtrip_gzip_members():
+    data = warc_bytes(RECS, gzip_members=True)
+    assert data[:2] == b"\x1f\x8b"
+    parsed = list(parse_warc_records(data))
+    assert [p[5] for p in parsed] == [h for _, _, h in RECS]
+
+
+def test_non_response_records_parsed():
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: 9\r\n\r\n"
+        b"software\n\r\n\r\n"
+    ) + warc_bytes(RECS[:1])
+    parsed = list(parse_warc_records(raw))
+    assert parsed[0][0] == "warcinfo"
+    assert parsed[0][5] == b"software\n"
+    assert parsed[1][0] == "response"
+
+
+def test_truncated_input_stops_cleanly():
+    data = warc_bytes(RECS)[:40]
+    assert list(parse_warc_records(data)) == []
+
+
+def test_read_warc_spark(spark, tmp_path):
+    p = tmp_path / "archives"
+    p.mkdir()
+    (p / "part-0.warc").write_bytes(warc_bytes(RECS[:2]))
+    (p / "part-1.warc.gz").write_bytes(warc_bytes(RECS[2:], gzip_members=True))
+    df = read_warc(spark, str(p))
+    rows = {r.url: r for r in df.collect()}
+    assert set(rows) == {u for u, _, _ in RECS}
+    for url, ts, html in RECS:
+        assert bytes(rows[url].html) == html
+        assert rows[url].warc_ts == ts
+        assert rows[url].http_status == 200
+    # plan shape: binaryFile scan + one Arrow eval, no shuffle
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
