@@ -148,6 +148,49 @@ def read_warc(spark, path: str, record_types: Tuple[str, ...] = ("response",)):
     return files.select("path", "content").mapInPandas(_split, WARC_SCHEMA)
 
 
+def read_warc_stream(
+    spark, path: str, record_types: Tuple[str, ...] = ("response",)
+):
+    """Streaming variant: ``readStream.format('binaryFile')`` — each
+    newly-arrived archive becomes one task of one micro-batch, feeding
+    the same Arrow record split; compose with
+    `streaming/incremental.index_stream`-style ``foreachBatch`` for
+    continuous Common-Crawl-drop ingestion (the checkpoint makes
+    re-delivered archives no-ops)."""
+    import pandas as pd
+
+    keep = tuple(record_types)
+
+    def _split(batches: Iterator["pd.Series"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows: List[tuple] = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for rtype, url, ts, status, ctype, payload in (
+                    parse_warc_records(bytes(content))
+                ):
+                    if keep and rtype not in keep:
+                        continue
+                    rows.append((fpath, rtype, url, ts, status, ctype,
+                                 payload))
+            yield pd.DataFrame(
+                rows,
+                columns=["src_file", "record_type", "url", "warc_ts",
+                         "http_status", "content_type", "html"],
+            )
+
+    files = (
+        spark.readStream.format("binaryFile")
+        # streaming file sources require the schema up front;
+        # binaryFile's is fixed
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(path)
+    )
+    return files.select("path", "content").mapInPandas(_split, WARC_SCHEMA)
+
+
 def warc_bytes(
     records: List[Tuple[str, str, bytes]],
     gzip_members: bool = False,

@@ -70,3 +70,69 @@ def test_read_warc_spark(spark, tmp_path):
     # plan shape: binaryFile scan + one Arrow eval, no shuffle
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_warc_stream_to_index(spark, tmp_path):
+    """End-to-end Common-Crawl-drop shape: WARC archives arrive →
+    streaming record split → HTML strip → deterministic doc_ids →
+    index build in foreachBatch → BM25 term search."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis.htmlstrip import extract_html_text
+    from lucene_spark.index.builder import InvertedIndex
+    from lucene_spark.sources.warc import read_warc_stream
+
+    recs = [
+        ("http://x.com/1", "2026-01-01T00:00:00Z",
+         b"<p>spark indexes archives</p>"),
+        ("http://x.com/2", "2026-01-02T00:00:00Z",
+         b"<p>archives of the web</p>"),
+    ]
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "crawl-0.warc").write_bytes(warc_bytes(recs))
+
+    built = {}
+
+    def handle(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        pages = extract_html_text(batch_df, binary=True, out_col="text")
+        from pyspark.sql.window import Window
+
+        corpus = (
+            pages.withColumn(
+                "doc_id",
+                F.row_number().over(Window.orderBy("warc_ts", "url")) - 1,
+            )
+            .select("doc_id", F.trim("text").alias("text"), "url")
+            # sever lineage from the micro-batch source: the index
+            # outlives the batch (same pattern as streaming/incremental)
+            .localCheckpoint()
+        )
+        # standard analyzer: web text isn't space-normalized (the
+        # simple analyzer's single-space split is for oracle parity)
+        built["idx"] = InvertedIndex.build(
+            corpus, analyzer="standard", docs_per_segment=8
+        )
+        built["corpus"] = corpus.collect()
+
+    q = (
+        read_warc_stream(spark, str(src))
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert "idx" in built
+    from lucene_spark.search.query import TermQuery
+    from lucene_spark.search.searcher import IndexSearcher
+
+    hits = IndexSearcher(built["idx"]).search(
+        TermQuery("archives"), k=5
+    ).collect()
+    assert len(hits) == 2  # both pages match
+    # extracted text is the stripped page body
+    texts = {r.url: r.text.strip() for r in built["corpus"]}
+    assert texts["http://x.com/1"] == "spark indexes archives"
