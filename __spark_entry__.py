@@ -536,7 +536,7 @@ _DRIVER_PRIORITY = [
     "dsir_resample", "dv_multi_range", "point_nearest",
     # round-5 late-session additions
     "html_strip_text", "boilerplate_extract", "light_stems", "thai_tokens",
-    "warc_roundtrip",
+    "warc_roundtrip", "decompound_terms", "path_prefix_facets",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3515,6 +3515,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["warc_roundtrip"] = warc_roundtrip
 
+    # --- DictionaryCompoundWordTokenFilter analog
+    # (DictionaryCompoundWordTokenFilter.java:43): the reference's own
+    # Swedish test battery, decompounded distributed, order-preserving
+    def decompound_terms(spark, sf):
+        from lucene_spark.analysis.compound import decompound_udf
+
+        se_dict = ["Bil", "Dörr", "Motor", "Tak", "Borr", "Slag",
+                   "Hammar", "Pelar", "Glas", "Ögon", "Fodral", "Bas",
+                   "Fiol", "Makare", "Gesäll", "Sko", "Vind", "Rute",
+                   "Torkare", "Blad"]
+        words = ["Bildörr", "Bilmotor", "Slagborr", "Hammarborr",
+                 "Glasögonfodral", "Basfiolsfodral",
+                 "Basfiolsfodralmakaregesäll", "Skomakare",
+                 "Vindrutetorkare", "Vindrutetorkarblad", "abba"]
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        return (
+            df.select(
+                "word",
+                F.posexplode(decompound_udf(se_dict)("word"))
+                .alias("ord", "part"),
+            )
+            .orderBy("word", "ord")
+        )
+
+    out["decompound_terms"] = decompound_terms
+
+    # --- PathHierarchyTokenizer analog (PathHierarchyTokenizer.java:35)
+    # as a pure-Column HOF projection: synthesize a 3-level URL path per
+    # doc, expand every hierarchy prefix, facet-count by prefix — the
+    # oracle derives the same three levels arithmetically
+    def path_prefix_facets(spark, sf):
+        from lucene_spark.analysis.path import path_prefixes_col
+
+        d = _docs(spark, sf).filter(F.col("doc_id") < 2000)
+        path = F.concat(
+            F.lit("/cat"), (F.col("doc_id") % 5).cast("string"),
+            F.lit("/sub"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("/item"), F.col("doc_id").cast("string"),
+        )
+        return (
+            d.select(F.explode(path_prefixes_col(path)).alias("prefix"))
+            .groupBy("prefix")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= 2)  # depth-3 singletons stay out
+            .orderBy(F.col("cnt").desc(), F.col("prefix").asc())
+        )
+
+    out["path_prefix_facets"] = path_prefix_facets
+
     # --- WordDelimiterGraphFilter core splits over deterministic
     # mixed-case/product-code tokens synthesized from doc_id
     def word_delimiter_terms(spark, sf):
@@ -5759,6 +5808,52 @@ SELECT doc_id, 1 AS url_ok, 1 AS ts_ok, 1 AS byte_identical,
                                     '<', '&lt;'), '>', '&gt;') || '</p>')
          AS html_md5
 FROM documents WHERE doc_id < 400 ORDER BY doc_id
+"""
+
+    # Decompounding: pinned rows from the reference's Swedish battery
+    # (TestCompoundWordTokenFilter.testDumbCompoundWordsSE)
+    _dc_rows = ", ".join(
+        f"('{w}', {i}, '{p}')"
+        for w, parts in [
+            ("Bildörr", ["Bildörr", "Bil", "dörr"]),
+            ("Bilmotor", ["Bilmotor", "Bil", "motor"]),
+            ("Slagborr", ["Slagborr", "Slag", "borr"]),
+            ("Hammarborr", ["Hammarborr", "Hammar", "borr"]),
+            ("Glasögonfodral", ["Glasögonfodral", "Glas", "ögon", "fodral"]),
+            ("Basfiolsfodral", ["Basfiolsfodral", "Bas", "fiol", "fodral"]),
+            ("Basfiolsfodralmakaregesäll",
+             ["Basfiolsfodralmakaregesäll", "Bas", "fiol", "fodral",
+              "makare", "gesäll"]),
+            ("Skomakare", ["Skomakare", "Sko", "makare"]),
+            ("Vindrutetorkare", ["Vindrutetorkare", "Vind", "rute",
+                                 "torkare"]),
+            ("Vindrutetorkarblad", ["Vindrutetorkarblad", "Vind", "rute",
+                                    "blad"]),
+            ("abba", ["abba"]),
+        ]
+        for i, p in enumerate(parts)
+    )
+    out["decompound_terms"] = f"""
+SELECT word, CAST(ord AS INTEGER) AS ord, part
+FROM (VALUES {_dc_rows}) AS t(word, ord, part)
+ORDER BY word, ord
+"""
+
+    out["path_prefix_facets"] = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+lv AS (
+  SELECT '/cat' || CAST(doc_id % 5 AS VARCHAR) AS p FROM d
+  UNION ALL
+  SELECT '/cat' || CAST(doc_id % 5 AS VARCHAR)
+         || '/sub' || CAST(doc_id % 7 AS VARCHAR) FROM d
+  UNION ALL
+  SELECT '/cat' || CAST(doc_id % 5 AS VARCHAR)
+         || '/sub' || CAST(doc_id % 7 AS VARCHAR)
+         || '/item' || CAST(doc_id AS VARCHAR) FROM d
+)
+SELECT p AS prefix, CAST(count(*) AS BIGINT) AS cnt
+FROM lv GROUP BY p HAVING count(*) >= 2
+ORDER BY cnt DESC, prefix ASC
 """
 
     # WordDelimiterGraph splits: the same capture-group boundary
