@@ -494,6 +494,44 @@ _ZH_GOLDEN = [
     ("我有2台iPhone手机", ["我", "有", "2", "台", "iphone", "手机"]),
 ]
 
+# Hunspell gate dictionary (original, NOT a reference fixture): -s/-ed/
+# -ing suffixes with e-elision variants, un- prefix cross-producting
+_HUNSPELL_AFF = """SET UTF-8
+
+SFX S Y 1
+SFX S 0 s [^s]
+
+SFX D Y 2
+SFX D 0 ed [^e]
+SFX D e ed e
+
+SFX G Y 2
+SFX G 0 ing [^e]
+SFX G e ing e
+
+PFX U Y 1
+PFX U 0 un .
+"""
+_HUNSPELL_DIC = """5
+walk/SDG
+bake/SDG
+jump/SD
+tie/SD
+lock/SDGU
+"""
+# (word, first-stem-or-self) — hand-derived through the affix rules
+_HUNSPELL_BATTERY = [
+    ("walk", "walk"), ("walks", "walk"), ("walked", "walk"),
+    ("walking", "walk"),
+    ("bake", "bake"), ("bakes", "bake"), ("baked", "bake"),
+    ("baking", "bake"),
+    ("jumped", "jump"), ("jumping", "jumping"),  # no G flag on jump
+    ("ties", "tie"), ("tied", "tie"),
+    ("unlocked", "lock"), ("unlocking", "lock"), ("unlocks", "lock"),
+    ("untied", "untied"),  # tie has no U flag: cross product blocked
+    ("zzz", "zzz"),
+]
+
 # Thai segmentation goldens (tokenizer output, pre-stop, pre-lowercase
 # folding happens only in analyze mode); sentences mirror the
 # reference's TestThaiAnalyzer fixtures (ThaiTokenizer.java:36)
@@ -537,6 +575,7 @@ _DRIVER_PRIORITY = [
     # round-5 late-session additions
     "html_strip_text", "boilerplate_extract", "light_stems", "thai_tokens",
     "warc_roundtrip", "decompound_terms", "path_prefix_facets",
+    "hunspell_stems",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3564,6 +3603,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["path_prefix_facets"] = path_prefix_facets
 
+    # --- Hunspell dictionary stemming (hunspell/Dictionary.java:77,
+    # Stemmer.java): a compact English-ish .aff/.dic, every surface
+    # form stemmed distributed; the oracle pins hand-derived roots
+    def hunspell_stems(spark, sf):
+        from lucene_spark.analysis.hunspell import hunspell_stem_udf
+
+        words = [w for w, _ in _HUNSPELL_BATTERY]
+        df = spark.createDataFrame([(w,) for w in words], "word string")
+        return (
+            df.select(
+                "word",
+                hunspell_stem_udf(_HUNSPELL_AFF, _HUNSPELL_DIC)("word")
+                .alias("stem"),
+            )
+            .orderBy("word")
+        )
+
+    out["hunspell_stems"] = hunspell_stems
+
     # --- WordDelimiterGraphFilter core splits over deterministic
     # mixed-case/product-code tokens synthesized from doc_id
     def word_delimiter_terms(spark, sf):
@@ -5837,6 +5895,14 @@ FROM documents WHERE doc_id < 400 ORDER BY doc_id
 SELECT word, CAST(ord AS INTEGER) AS ord, part
 FROM (VALUES {_dc_rows}) AS t(word, ord, part)
 ORDER BY word, ord
+"""
+
+    _hs_rows = ", ".join(
+        f"('{w}', '{s}')" for w, s in _HUNSPELL_BATTERY
+    )
+    out["hunspell_stems"] = f"""
+SELECT word, stem FROM (VALUES {_hs_rows}) AS t(word, stem)
+ORDER BY word
 """
 
     out["path_prefix_facets"] = """
