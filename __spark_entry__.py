@@ -601,7 +601,7 @@ _DRIVER_PRIORITY = [
     "search_after",
     # round-3 additions
     "prefix_semijoin_topk", "classic_term_topk", "lmdirichlet_topk",
-    "boolean_sim_topk", "lmjm_topk", "tfidf_doc_topk",
+    "boolean_sim_topk", "lmjm_topk",
     "geo_polygon", "simple_parse_match", "sloppy_parse_match",
     "payload_avg_score", "soft_deletes_search", "bm25f_weighted",
     "block_join_children", "dfr_topk", "axiomatic_topk",
