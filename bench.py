@@ -150,6 +150,11 @@ def main() -> None:
         BooleanClause(BoostQuery(TermQuery("segment"), 2.0), Occur.SHOULD),
     )
     mark_load("q_syn")
+    # one-off lazy-frame materialization, kept out of the query legs
+    # (same protocol as index_warm_first_search below)
+    t0 = time.time()
+    syn_searcher.search(TermQuery("data"), 10, "exhaustive").collect()
+    queries["syn_warm_first_search"] = round(time.time() - t0, 3)
     queries["q_syn_wand"] = round(
         timed(lambda: syn_searcher.search(syn_disj, 10, "wand").collect(), REPS), 3
     )
