@@ -47,12 +47,17 @@ _CRLF = b"\r\n"
 
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (Common Crawl layout)."""
+    """Decompress concatenated gzip members (Common Crawl layout).
+    Corrupt/truncated members truncate the stream instead of raising —
+    the parser's contract is records-until-damage, never an exception."""
     out = []
     while data:
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(data))
+            out.append(d.flush())
+        except zlib.error:
+            break
         if not d.eof:  # truncated member: stop rather than loop
             break
         data = d.unused_data

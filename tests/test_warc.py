@@ -136,3 +136,28 @@ def test_warc_stream_to_index(spark, tmp_path):
     # extracted text is the stripped page body
     texts = {r.url: r.text.strip() for r in built["corpus"]}
     assert texts["http://x.com/1"] == "spark indexes archives"
+
+
+def test_parser_never_raises_on_garbage():
+    """Robustness: arbitrary bytes (truncated records, bad lengths,
+    non-UTF8 headers, fake gzip magic) parse to a (possibly empty)
+    record list, never an exception."""
+    import random
+
+    rnd = random.Random(42)
+    samples = [
+        b"",
+        b"\x1f\x8b",                       # gzip magic, truncated
+        b"\x1f\x8b\x08\x00garbage",
+        b"WARC/1.0\r\n",                    # headers never terminated
+        b"WARC/1.0\r\nContent-Length: zzz\r\n\r\nbody",
+        b"WARC/1.0\r\nContent-Length: 999999\r\n\r\nshort",
+        b"not a warc at all",
+        bytes(rnd.randrange(256) for _ in range(512)),
+        warc_bytes(RECS)[:-7],              # truncated tail
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 4\r\n\r\n"
+        b"\xff\xfe\x00\x01\r\n\r\n",       # binary payload
+    ]
+    for s in samples:
+        recs = list(parse_warc_records(s))
+        assert isinstance(recs, list)
