@@ -364,3 +364,18 @@ def common_grams(tokens_col: Column, common_words, separator: str = "_") -> Colu
         ),
     )
     return F.filter(pairs, lambda x: x.isNotNull())
+
+
+def fingerprint(tokens_col: Column, separator: str = " ",
+                max_output_size: int = 1024) -> Column:
+    """FingerprintFilter (`analysis/common/.../miscellaneous/
+    FingerprintFilter.java:34`): ONE token = the sorted, de-duplicated
+    input tokens joined by ``separator`` — the classic clustering /
+    record-linkage key. Emits NULL when the concatenation would exceed
+    ``max_output_size`` (the reference emits nothing). All-JVM
+    array_distinct + array_sort + array_join, zero shuffles — at
+    100 TB this is a projection feeding a normal dedup groupBy."""
+    joined = F.array_join(
+        F.array_sort(F.array_distinct(tokens_col)), separator
+    )
+    return F.when(F.length(joined) <= max_output_size, joined)

@@ -206,3 +206,31 @@ def test_common_grams_and_reverse(spark):
         r["r"] for r in df.select(reverse_tokens(F.col("t")).alias("r")).collect()
     ]
     assert rev == [["eht", "kciuq", "xof", "fo", "mood"], [], ["eno"]]
+
+
+def test_fingerprint(spark):
+    """FingerprintFilter: sorted dedup concat, size cap → NULL
+    (TestFingerprintFilter.java behaviors)."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis.filters import fingerprint
+
+    df = spark.createDataFrame(
+        [
+            (["B", "A", "B"],),
+            (["singleton"],),
+            ([],),
+            (["x" * 600, "y" * 600],),  # exceeds 1024 with separator
+        ],
+        "toks array<string>",
+    )
+    rows = df.select(fingerprint(F.col("toks")).alias("fp")).collect()
+    assert rows[0].fp == "A B"
+    assert rows[1].fp == "singleton"
+    assert rows[2].fp == ""
+    assert rows[3].fp is None
+    # custom separator, like the reference's configurable char
+    r = df.limit(1).select(
+        fingerprint(F.col("toks"), separator="_").alias("fp")
+    ).first()
+    assert r.fp == "A_B"
