@@ -97,6 +97,8 @@ def extract_main_content(
     out_col: str = "content",
     min_text_len: int = 25,
     max_link_density_thirds: int = 1,
+    stopwords=None,
+    min_stop_density_tenths: int = 0,
 ):
     """Add ``content`` (kept blocks joined by newline), ``n_blocks``
     and ``n_kept`` columns.
@@ -104,17 +106,41 @@ def extract_main_content(
     ``max_link_density_thirds``: the density threshold expressed as
     thirds so the comparison stays in integers on both engines —
     1 ⇒ keep iff 3·link_chars < text_chars (jusText's ~0.33 default).
+
+    ``stopwords`` + ``min_stop_density_tenths``: optional jusText
+    stopword-density feature — keep additionally requires
+    10·stop_tokens ≥ tenths·total_tokens (e.g. 3 ⇒ ≥30% function
+    words, the published "good block" signal). Integer math so the
+    DuckDB oracle reproduces it bit-for-bit.
     """
     from pyspark.sql import functions as F
 
     blocks = F.split(F.col(html_col), BLOCK_SPLIT_RE)
+    stop_arr = (
+        F.array(*[F.lit(w) for w in sorted(set(stopwords))])
+        if stopwords
+        else None
+    )
 
     def _keep(b):
         t = _text_of(b)
-        return (F.length(t) >= F.lit(min_text_len)) & (
+        cond = (F.length(t) >= F.lit(min_text_len)) & (
             F.lit(3) * _link_chars_of(b)
             < F.lit(max_link_density_thirds) * F.length(t)
         )
+        if stop_arr is not None and min_stop_density_tenths > 0:
+            toks = F.filter(
+                F.split(F.lower(t), r"[^\p{L}\p{N}]+"),
+                lambda w: w != F.lit(""),
+            )
+            n_stop = F.size(
+                F.filter(toks, lambda w: F.array_contains(stop_arr, w))
+            )
+            cond = cond & (
+                F.lit(10) * n_stop
+                >= F.lit(min_stop_density_tenths) * F.size(toks)
+            )
+        return cond
 
     kept = F.filter(blocks, _keep)
     return (
@@ -130,6 +156,8 @@ def oracle_main_content_sql(
     html_expr: str,
     min_text_len: int = 25,
     max_link_density_thirds: int = 1,
+    stopwords=None,
+    min_stop_density_tenths: int = 0,
 ) -> str:
     """DuckDB expression set re-implementing the SAME algorithm over
     ``html_expr`` with list lambdas — returns a SQL fragment defining
@@ -150,6 +178,22 @@ def oracle_main_content_sql(
         "coalesce(list_sum(list_transform("
         f"regexp_extract_all(b, '{_q(LINK_RE)}', 1), y -> length(y))), 0)"
     )
+    stop_cond = ""
+    if stopwords and min_stop_density_tenths > 0:
+        stop_list = ", ".join(
+            f"'{_q(w)}'" for w in sorted(set(stopwords))
+        )
+        toks = (
+            f"list_filter(regexp_split_to_array(lower({text_of}), "
+            "'[^\\p{L}\\p{N}]+'), w -> w != '')"
+        )
+        n_stop = (
+            f"len(list_filter({toks}, "
+            f"w -> list_contains([{stop_list}], w)))"
+        )
+        stop_cond = (
+            f" AND 10 * {n_stop} >= {min_stop_density_tenths} * len({toks})"
+        )
     return f"""
   blocks AS (
     SELECT doc_id,
@@ -161,7 +205,8 @@ def oracle_main_content_sql(
            len(bl) AS n_blocks,
            list_filter(bl, b -> length({text_of}) >= {min_text_len}
                          AND 3 * {link_chars}
-                             < {max_link_density_thirds} * length({text_of}))
+                             < {max_link_density_thirds} * length({text_of})
+                         {stop_cond})
              AS kept
     FROM blocks
   ),

@@ -102,3 +102,40 @@ def test_thresholds_configurable(spark):
     loose = extract_main_content(df, min_text_len=3).first()
     assert strict.n_kept == 0
     assert loose.n_kept == 1 and loose.content == "12345"
+
+
+def test_stopword_density_feature(spark):
+    """jusText's stopword-density signal: a long but function-word-free
+    listing block drops when the density knob is on; prose survives.
+    Dual-engine parity for the extended rule."""
+    STOPS = ["the", "a", "of", "and", "is", "to", "in", "it"]
+    pages = [
+        (0, "<p>the quick fox is one of the animals in the forest and "
+            "it runs</p>"
+            "<p>alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima</p>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    off = extract_main_content(df).first()
+    on = extract_main_content(
+        df, stopwords=STOPS, min_stop_density_tenths=2
+    ).first()
+    assert off.n_kept == 2
+    assert on.n_kept == 1
+    assert on.content.startswith("the quick fox")
+
+    con = duckdb.connect()
+    vals = ",".join(
+        "({}, '{}')".format(i, h.replace("'", "''")) for i, h in pages
+    )
+    con.execute(
+        f"CREATE TABLE src AS SELECT * FROM (VALUES {vals}) t(doc_id, html)"
+    )
+    frag = oracle_main_content_sql(
+        "html", stopwords=STOPS, min_stop_density_tenths=2
+    )
+    nb, nk, ct = con.execute(
+        f"WITH {frag.strip()} "
+        "SELECT n_blocks, n_kept, content FROM final"
+    ).fetchone()
+    assert (on.n_blocks, on.n_kept, on.content) == (nb, nk, ct)
