@@ -49,6 +49,7 @@ __all__ = [
     "indonesian_stem",
     "latvian_stem",
     "persian_normalize",
+    "light_analyze",
     "light_stem",
     "light_stem_udf",
     "LIGHT_LANGS",
@@ -839,6 +840,36 @@ LIGHT_STOP = {
         tā būt viņa mēs jūs tie""".split()
     ),
 }
+
+
+def light_analyze(lang: str):
+    """Callable analyzer for ``InvertedIndex.build(analyzer=...)``:
+    UAX#29 tokenize → lowercase → per-language stopset → light stem —
+    the ArabicAnalyzer/HindiAnalyzer/…-analog chains (each reference
+    analyzer composes exactly tokenizer + lowercase + stop + its
+    stemmer/normalizer). Positions are pre-stop ordinals, same
+    contract as `snowball.snowball_analyze`.
+
+    For ``tr`` the chain lowercases with the dotted/dotless-i rules
+    (apostrophe strip included via `turkish_normalize`) instead of
+    plain ``str.lower``, like the reference's TurkishAnalyzer."""
+    from typing import List, Tuple
+
+    from lucene_spark.analysis.uax29 import uax29_tokenize
+
+    stop = LIGHT_STOP.get(lang, frozenset())
+    fn = _DISPATCH[lang]
+
+    def _an(text: str) -> List[Tuple[str, int]]:
+        out: List[Tuple[str, int]] = []
+        for pos, tok in enumerate(uax29_tokenize(text)):
+            t = turkish_normalize(tok) if lang == "tr" else tok.lower()
+            if t and t not in stop:
+                out.append((fn(t) if lang != "tr" else t, pos))
+        return out
+
+    _an.__name__ = f"light_{lang}_analyze"
+    return _an
 
 
 def light_stem(lang: str, word: str) -> str:

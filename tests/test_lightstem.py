@@ -355,3 +355,19 @@ def test_turkish_lowercase_reference_vectors():
     # apostrophe filter composes in
     assert turkish_normalize("Türkiye'nin") == "türkiye"
     assert turkish_normalize("İstanbul’da") == "istanbul"
+
+
+def test_light_analyze_chains():
+    """Analyzer chains: tokenize → lowercase → stop → stem, positions
+    pre-stop (ArabicAnalyzer/HindiAnalyzer/…-analog composition)."""
+    from lucene_spark.analysis.lightstem import light_analyze
+
+    an = light_analyze("id")
+    # 'yang'/'di' are stopwords; positions are pre-stop ordinals
+    assert an("yang makanan di pasar") == [("makan", 1), ("pasar", 3)]
+    an_ar = light_analyze("ar")
+    toks = an_ar("المدرسة الكبيرة")
+    assert toks[0] == ("مدرس", 0)
+    # Turkish: dotted/dotless-i lowercase + apostrophe, no stemming
+    an_tr = light_analyze("tr")
+    assert an_tr("İstanbul'da ISPARTA") == [("istanbul", 0), ("ısparta", 1)]
