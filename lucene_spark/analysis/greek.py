@@ -31,7 +31,8 @@ from functools import lru_cache
 
 import pandas as pd
 
-__all__ = ["greek_lowercase", "greek_stem", "greek_stem_udf", "GREEK_STOP"]
+__all__ = ["greek_lowercase", "greek_stem", "greek_analyze",
+           "greek_stem_udf", "GREEK_STOP"]
 
 _EL_FOLD = str.maketrans(
     {
@@ -524,6 +525,20 @@ GREEK_STOP = frozenset(
     αυτουσ αυτεσ αυτα εκεινοσ εκεινη εκεινο εκεινοι εκεινεσ εκεινα
     εκεινων εκεινουσ οπωσ ομωσ ισωσ οσο οτι""".split()
 )
+
+
+def greek_analyze(text):
+    """GreekAnalyzer-analog chain: UAX#29 tokenize → Greek lowercase
+    fold → stopwords (compared post-fold, as the reference's stopset
+    is final-sigma/tonos-folded) → stem. Positions pre-stop."""
+    from lucene_spark.analysis.uax29 import uax29_tokenize
+
+    out = []
+    for pos, tok in enumerate(uax29_tokenize(text)):
+        t = greek_lowercase(tok)
+        if t and t not in GREEK_STOP:
+            out.append((greek_stem(t), pos))
+    return out
 
 
 def greek_stem_udf():
