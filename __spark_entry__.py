@@ -448,6 +448,60 @@ _LIGHT_BATTERY = [
     ("hu", "kocsija", "kocs"), ("hu", "kocsi", "kocs"),
     ("tr", "İSTANBUL", "istanbul"), ("tr", "İZMİR", "izmir"),
     ("tr", "ISPARTA", "ısparta"),
+    # ckb vectors match TestSoraniStemFilter.java (stem after
+    # normalize, the SoraniAnalyzer chain order); bn vectors match
+    # TestBengaliStemmer.java (stem-only, U+09DF precomposed forms)
+    ("ckb", "پیاوەکان", "پیاو"),
+    ("ckb", "دەرگایەک", "دەرگا"),
+    ("ckb", "هۆتیلێکی", "هۆتیل"),
+    ("ckb", "نیوەشەودا", "نیوەشەو"),
+    ("ckb", "پارەیان", "پارە"),
+    ("ckb", "دوورەوە", "دوور"),
+    ("bn", "করেছিলাম", "কর"),
+    ("bn", "যাইবে", "যা"),
+    ("bn", "মেয়েদেরকে", "মে"),
+    ("bn", "একটি", "এক"),
+    ("bn", "মানুষগুলি", "মানুষ"),
+]
+
+# Normalization filter battery (GermanNormalizationFilter.java,
+# ScandinavianNormalizer.java, ScandinavianFoldingFilter.java,
+# SerbianNormalizationFilter.java, IrishLowerCaseFilter.java,
+# ElisionFilter.java): every vector transcribed from the reference's
+# own unit tests, so the oracle VALUES table is the reference's truth
+_NORMALIZE_BATTERY = [
+    ("de_norm", "Schaltflächen", "Schaltflachen"),
+    ("de_norm", "Schaltflaechen", "Schaltflachen"),
+    ("de_norm", "dauer", "dauer"),
+    ("de_norm", "weißbier", "weissbier"),
+    ("scn_norm", "blaabaersyltetöj", "blåbærsyltetøj"),
+    ("scn_norm", "räksmörgås", "ræksmørgås"),
+    ("scn_norm", "raeksmörgaos", "ræksmørgås"),
+    ("scn_norm", "raeksmoergås", "ræksmørgås"),
+    ("scn_norm", "aeäaeeeae", "æææeeæ"),
+    ("scn_norm", "bOEen", "bØen"),
+    ("scn_fold", "blaabaarsyltetoej", "blabarsyltetoj"),
+    ("scn_fold", "räksmörgås", "raksmorgas"),
+    ("scn_fold", "ræksmörgaos", "raksmorgas"),
+    ("scn_fold", "aeäaeeeae", "aaaeea"),
+    ("scn_fold", "åene", "aene"),
+    ("sr_norm", "абвгдђежзијклљмнњопрстћуфхцчџш",
+     "abvgddjezzijklljmnnjoprstcufhccdzs"),
+    ("sr_norm", "abcčćddžđefghijklljmnnjoprsštuvzž",
+     "abcccddzdjefghijklljmnnjoprsstuvzz"),
+    ("ga_lower", "nAthair", "n-athair"),
+    ("ga_lower", "tUISCE", "t-uisce"),
+    ("ga_lower", "hARD", "hard"),
+    ("elision_fr", "l'embrouille", "embrouille"),
+    ("elision_fr", "qu'avez", "avez"),
+    ("elision_fr", "jusqu'ici", "ici"),
+    ("elision_fr", "O'brian", "O'brian"),
+    ("elision_fr", "M'enfin", "enfin"),
+    ("elision_fr", "L’avion", "avion"),
+    ("elision_it", "dell'arte", "arte"),
+    ("elision_it", "sull'onda", "onda"),
+    ("elision_ca", "l'aigua", "aigua"),
+    ("elision_ga", "d'athair", "athair"),
 ]
 
 # Japanese morphological segmentation goldens: hand-pinned expected
@@ -575,7 +629,7 @@ _DRIVER_PRIORITY = [
     # round-5 late-session additions
     "html_strip_text", "boilerplate_extract", "light_stems", "thai_tokens",
     "warc_roundtrip", "decompound_terms", "path_prefix_facets",
-    "hunspell_stems",
+    "hunspell_stems", "normalize_terms",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -2600,8 +2654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from lucene_spark.analysis.lightstem import light_stem_udf
 
         frames = []
-        for lang in ("ar", "bg", "cz", "el", "fa", "fi", "hi", "hu",
-                     "id", "lv", "tr"):
+        for lang in ("ar", "bg", "bn", "ckb", "cz", "el", "fa", "fi",
+                     "hi", "hu", "id", "lv", "tr"):
             words = [(w,) for lg, w, _ in _LIGHT_BATTERY if lg == lang]
             df = spark.createDataFrame(words, "word string").select(
                 F.lit(lang).alias("lang"),
@@ -2615,6 +2669,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out_df.orderBy("lang", "word")
 
     out["light_stems"] = light_stems
+
+    # Normalization filter battery (GermanNormalizationFilter.java:41,
+    # ScandinavianNormalizer.java:32, ScandinavianFoldingFilter.java:56,
+    # SerbianNormalizationFilter.java:32, IrishLowerCaseFilter.java:28,
+    # ElisionFilter.java:31): distributed normalization of the pinned
+    # reference-test vocab; the oracle replays the reference's expected
+    # outputs as a VALUES table
+    def normalize_terms(spark, sf):
+        from lucene_spark.analysis.normalize import normalize_udf
+
+        frames = []
+        for kind in ("de_norm", "scn_norm", "scn_fold", "sr_norm",
+                     "ga_lower", "elision_fr", "elision_it",
+                     "elision_ca", "elision_ga"):
+            words = [(w,) for k, w, _ in _NORMALIZE_BATTERY if k == kind]
+            df = spark.createDataFrame(words, "word string").select(
+                F.lit(kind).alias("kind"),
+                "word",
+                normalize_udf(kind)("word").alias("norm"),
+            )
+            frames.append(df)
+        out_df = frames[0]
+        for f in frames[1:]:
+            out_df = out_df.unionByName(f)
+        return out_df.orderBy("kind", "word")
+
+    out["normalize_terms"] = normalize_terms
 
     # end-to-end French chain: index the pinned sentences with the
     # FrenchAnalyzer-analog (tokenize → stop → FrenchStemmer), BM25 on
@@ -4979,6 +5060,16 @@ ORDER BY lang, word
     out["light_stems"] = f"""
 SELECT lang, word, stem FROM (VALUES {_ls_rows}) AS t(lang, word, stem)
 ORDER BY lang, word
+"""
+    _nz_rows = ", ".join(
+        "('{}', '{}', '{}')".format(
+            k, w.replace("'", "''"), s.replace("'", "''")
+        )
+        for k, w, s in _NORMALIZE_BATTERY
+    )
+    out["normalize_terms"] = f"""
+SELECT kind, word, norm FROM (VALUES {_nz_rows}) AS t(kind, word, norm)
+ORDER BY kind, word
 """
     _fr_tok_rows = ", ".join(
         f"({i}, '{t}')" for i, toks in enumerate(_FR_STEMS) for t in toks

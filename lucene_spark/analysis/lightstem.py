@@ -41,7 +41,11 @@ import pandas as pd
 __all__ = [
     "arabic_normalize",
     "arabic_stem",
+    "bengali_normalize",
+    "bengali_stem",
     "bulgarian_stem",
+    "sorani_normalize",
+    "sorani_stem",
     "czech_stem",
     "finnish_stem",
     "hindi_normalize",
@@ -775,18 +779,295 @@ def turkish_normalize(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Sorani Kurdish (ckb/SoraniNormalizer.java:35, ckb/SoraniStemmer.java:20)
+
+_CKB_DIACRITICS = frozenset(
+    "ـًٌٍَُِّْ"
+)
+
+
+def sorani_normalize(word: str) -> str:
+    """SoraniNormalizer.java:71 ``normalize``: alternate yeh forms →
+    FARSI YEH, KAF → KEHEH, heh+ZWNJ / word-final heh / teh marbuta →
+    AE, HEH DOACHASHMEE → heh, word-initial reh / reh-with-v-above →
+    RREH, harakat + tatweel + format characters deleted. Streaming
+    translation: word-final is the original last index (chars after
+    ``i`` are untouched when Java tests ``i == len-1``), word-initial
+    means nothing emitted yet (earlier deletions emit nothing)."""
+    import unicodedata
+
+    out = []
+    last = len(word) - 1
+    for i, c in enumerate(word):
+        if c in ("ي", "ى"):      # yeh / dotless yeh
+            out.append("ی")           # farsi yeh
+        elif c == "ك":                # kaf
+            out.append("ک")           # keheh
+        elif c == "‌":                # ZWNJ
+            if out and out[-1] == "ه":
+                out[-1] = "ە"         # heh+ZWNJ → ae
+        elif c == "ه":                # heh
+            out.append("ە" if i == last else "ه")
+        elif c == "ة":                # teh marbuta
+            out.append("ە")
+        elif c == "ھ":                # heh doachashmee
+            out.append("ه")
+        elif c == "ر":                # reh
+            out.append("ڕ" if not out else "ر")
+        elif c == "ڒ":                # reh with ring above
+            out.append("ڕ")
+        elif c in _CKB_DIACRITICS:
+            pass
+        elif unicodedata.category(c) == "Cf":
+            pass
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _sorani_stem_core(w: str) -> str:
+    """SoraniStemmer.java:30 ``stem``: postposition and possessive
+    strips compose; the ezafe/definite/plural/demonstrative suffix
+    ladder is a single else-if chain (first match wins)."""
+    n = len(w)
+    # postposition
+    if n > 5 and w.endswith("دا"):            # -dA
+        w = w[:-2]; n -= 2
+    elif n > 4 and w.endswith("نا"):          # -nA (strips 1)
+        w = w[:-1]; n -= 1
+    elif n > 6 and w.endswith("ەوە"):    # -awa
+        w = w[:-3]; n -= 3
+    # possessive pronoun
+    if n > 6 and (
+        w.endswith("مان")                # -mAn
+        or w.endswith("یان")             # -yAn
+        or w.endswith("تان")             # -tAn
+    ):
+        w = w[:-3]; n -= 3
+    # indefinite singular ezafe
+    if n > 6 and w.endswith("ێکی"):
+        return w[:-3]
+    if n > 7 and w.endswith("یەکی"):
+        return w[:-4]
+    # indefinite singular
+    if n > 5 and w.endswith("ێک"):
+        return w[:-2]
+    if n > 6 and w.endswith("یەک"):
+        return w[:-3]
+    # definite singular
+    if n > 6 and w.endswith("ەکە"):
+        return w[:-3]
+    if n > 5 and w.endswith("کە"):
+        return w[:-2]
+    # definite plural
+    if n > 7 and w.endswith("ەکان"):
+        return w[:-4]
+    if n > 6 and w.endswith("کان"):
+        return w[:-3]
+    # indefinite plural ezafe
+    if n > 7 and w.endswith("یانی"):
+        return w[:-4]
+    if n > 6 and w.endswith("انی"):
+        return w[:-3]
+    # indefinite plural
+    if n > 6 and w.endswith("یان"):
+        return w[:-3]
+    if n > 5 and w.endswith("ان"):
+        return w[:-2]
+    # demonstrative plural
+    if n > 7 and w.endswith("یانە"):
+        return w[:-4]
+    if n > 6 and w.endswith("انە"):
+        return w[:-3]
+    # demonstrative singular
+    if n > 5 and (
+        w.endswith("ایە") or w.endswith("ەیە")
+    ):
+        return w[:-2]
+    if n > 4 and w.endswith("ە"):
+        return w[:-1]
+    # absolute singular ezafe
+    if n > 4 and w.endswith("ی"):
+        return w[:-1]
+    return w
+
+
+@lru_cache(maxsize=200_000)
+def sorani_stem(word: str) -> str:
+    """SoraniAnalyzer.java chain order: normalization precedes
+    stemming, so the suffix table (written in KEHEH/AE forms) matches
+    text typed with arabic kaf/heh variants too."""
+    return _sorani_stem_core(sorani_normalize(word))
+
+
+# ---------------------------------------------------------------------------
+# Bengali (bn/BengaliNormalizer.java:27, bn/BengaliStemmer.java:29)
+
+
+def bengali_normalize(word: str) -> str:
+    """BengaliNormalizer.java:35 ``normalize`` — the UzZaman-Khan
+    Double-Metaphone-for-Bangla folds. In-place list translation that
+    mirrors the Java buffer/index mechanics exactly (ja-phala and
+    ba-phala rules look back at already-rewritten positions and
+    re-scan after deletions)."""
+    s = list(word)
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "ঁ":                  # chandrabindu: delete
+            del s[i]
+            continue
+        elif c == "ী":                # dirgho-i kar → rossho-i kar
+            s[i] = "ি"
+        elif c == "ূ":                # dirgho-u kar → rossho-u kar
+            s[i] = "ু"
+        elif c == "ক":                # ka + hoshonto + i-kar (khio)
+            if i + 2 < len(s) and s[i + 1] == "্" and s[i + 2] == "ি":
+                if i == 0:
+                    s[i] = "খ"
+                    del s[i + 2]
+                    del s[i + 1]
+                else:
+                    s[i + 1] = "খ"
+                    del s[i + 2]
+        elif c == "ঙ":                # nga → anusvara
+            s[i] = "ং"
+        elif c == "য":                # ja phala
+            if i - 2 == 0 and s[i - 1] == "্":
+                s[i - 1] = "ে"
+                if i + 1 < len(s) and s[i + 1] == "া":
+                    del s[i + 1]
+                del s[i]
+                continue
+            elif i - 1 >= 0 and s[i - 1] == "্":
+                del s[i]
+                del s[i - 1]
+                i -= 1
+                continue
+        elif c == "ব":                # ba phalaa
+            if (i >= 1 and s[i - 1] != "্") or i == 0:
+                pass
+            elif i - 2 == 0:
+                del s[i]
+                del s[i - 1]
+                i -= 1
+                continue
+            elif i - 5 >= 0 and s[i - 3] == "্":
+                del s[i]
+                del s[i - 1]
+                i -= 1
+                continue
+            elif i - 2 >= 0:
+                s[i - 1] = s[i - 2]
+                del s[i]
+                continue
+        elif c == "ঃ":                # visarga
+            if i == len(s) - 1:
+                if len(s) <= 3:
+                    s[i] = "হ"
+                else:
+                    del s[i]
+                    continue
+            else:
+                s[i] = s[i + 1]
+        elif c in ("শ", "ষ"):    # sh forms → sa
+            s[i] = "স"
+        elif c == "ণ":                # retroflex na → na
+            s[i] = "ন"
+        elif c in ("ড়", "ঢ়"):    # ra forms
+            s[i] = "র"
+        elif c == "ৎ":                # khanda-ta → ta
+            s[i] = "ত"
+        i += 1
+    return "".join(s)
+
+
+# (min_word_len, suffixes) groups extracted verbatim from
+# BengaliStemmer.java:33-163 — first matching group wins, stripping
+# len(suffix) chars (the source's `return len - k` with k == |suffix|)
+_BN_SUFFIX_GROUPS = (
+    (9, ("িয়াছিলাম",
+         "িতেছিলাম",
+         "িতেছিলেন",
+         "ইতেছিলেন",
+         "িয়াছিলেন",
+         "ইয়াছিলেন")),
+    (8, ("িতেছিলি",
+         "িতেছিলে",
+         "িয়াছিলা",
+         "িয়াছিলে",
+         "িতেছিলা",
+         "িয়াছিলি",
+         "য়েদেরকে")),
+    (7, ("িতেছিস",
+         "িতেছেন",
+         "িয়াছিস",
+         "িয়াছেন",
+         "েছিলাম",
+         "েছিলেন",
+         "েদেরকে")),
+    (6, ("িতেছি", "িতেছা",
+         "িতেছে", "ছিলাম",
+         "ছিলেন", "িয়াছি",
+         "িয়াছা", "িয়াছে",
+         "েছিলে", "েছিলা",
+         "য়েদের", "দেরকে")),
+    (5, ("িলাম", "িলেন",
+         "িতাম", "িতেন",
+         "িবেন", "ছিলি",
+         "ছিলে", "ছিলা",
+         "তেছে", "িতেছ",
+         "খানা", "খানি",
+         "গুলো", "গুলি",
+         "য়েরা", "েদের")),
+    (4, ("লাম", "িলি", "ইলি",
+         "িলে", "ইলে", "লেন",
+         "িলা", "ইলা", "তাম",
+         "িতি", "ইতি", "িতে",
+         "ইতে", "তেন", "িতা",
+         "িবা", "ইবা", "িবি",
+         "ইবি", "বেন", "িবে",
+         "ইবে", "ছেন", "য়োন",
+         "য়ের", "েরা", "দের")),
+    (3, ("িস", "েন", "লি", "লে",
+         "লা", "তি", "তে", "তা",
+         "বি", "বে", "বা", "ছি",
+         "ছা", "ছে", "ুন", "ুক",
+         "টা", "টি", "নি", "ের",
+         "রা", "কে")),
+    (2, ("ি", "ী", "া", "ো", "ে", "ব",
+         "ত")),
+)
+
+
+@lru_cache(maxsize=200_000)
+def bengali_stem(word: str) -> str:
+    """BengaliStemmer.java:30 ``stem`` (Sengupta-Chaudhuri verb-phrase
+    suffixes + Savoy light criteria): longest-group-first, one strip."""
+    n = len(word)
+    for min_len, sufs in _BN_SUFFIX_GROUPS:
+        if n > min_len:
+            for suf in sufs:
+                if word.endswith(suf):
+                    return word[: n - len(suf)]
+    return word
+
+
+# ---------------------------------------------------------------------------
 # dispatch (Greek lives in `analysis/greek.py` — the Ntais/Saroukos
 # 22-rule stemmer is big enough for its own module — but dispatches
 # from here so one UDF surface covers all the rule-stemmer languages)
 
 from lucene_spark.analysis.greek import greek_stem  # noqa: E402
 
-LIGHT_LANGS = ("ar", "bg", "cz", "el", "fa", "fi", "hi", "hu", "id",
-               "lv", "tr")
+LIGHT_LANGS = ("ar", "bg", "bn", "ckb", "cz", "el", "fa", "fi", "hi",
+               "hu", "id", "lv", "tr")
 
 _DISPATCH = {
     "ar": arabic_stem,
     "bg": bulgarian_stem,
+    "bn": bengali_stem,
+    "ckb": sorani_stem,
     "cz": czech_stem,
     "el": greek_stem,
     "fa": persian_normalize,
@@ -839,6 +1120,15 @@ LIGHT_STOP = {
         """un ir es tu viņš kas ar uz no par pie bet ka vai šis tas
         tā būt viņa mēs jūs tie""".split()
     ),
+    "ckb": frozenset(
+        """و کە ی کرد ئەوەی سەر دوو هەروەها لەو دەکات چەند
+        هەر ئەو ئەم""".split()
+    ),
+    "bn": frozenset(
+        """এই ও থেকে করে এ না ওই নিয়ে করা বলেন সঙ্গে যে তা আর
+        কোনো বলে সেই দিন হয় কি পরে সব মধ্যে এর শুরু কাজ কিছু কাছে সে
+        তবে বা আগে""".split()
+    ),
 }
 
 
@@ -859,6 +1149,12 @@ def light_analyze(lang: str):
 
     stop = LIGHT_STOP.get(lang, frozenset())
     fn = _DISPATCH[lang]
+    if lang == "bn":
+        # BengaliAnalyzer.java chain applies BengaliNormalizationFilter
+        # before BengaliStemFilter (the stemmer itself, unlike ar/hi/ckb,
+        # does not normalize — its unit fixtures are stem-only)
+        def fn(w, _stem=bengali_stem):  # noqa: F811
+            return _stem(bengali_normalize(w))
 
     def _an(text: str) -> List[Tuple[str, int]]:
         out: List[Tuple[str, int]] = []

@@ -1,0 +1,122 @@
+"""Sorani (ckb) and Bengali (bn) light stemmers/normalizers vs the
+reference unit-test vectors (TestSoraniNormalizationFilter.java,
+TestSoraniStemFilter.java, TestBengaliNormalizer.java,
+TestBengaliStemmer.java) — transcribed verbatim from the test sources."""
+
+import pytest
+
+from lucene_spark.analysis.lightstem import (
+    bengali_normalize,
+    bengali_stem,
+    light_analyze,
+    light_stem,
+    sorani_normalize,
+    sorani_stem,
+)
+
+SORANI_NORM = [
+    ("\u064A", "\u06CC"), ("\u0649", "\u06CC"), ("\u06CC", "\u06CC"),
+    ("\u0643", "\u06A9"), ("\u06A9", "\u06A9"),
+    ("\u0647\u200C", "\u06D5"), ("\u0647\u200C\u06A9", "\u06D5\u06A9"),
+    ("\u06BE", "\u0647"), ("\u0629", "\u06D5"),
+    ("\u0647\u0647\u0647", "\u0647\u0647\u06D5"),
+    ("\u0692", "\u0695"), ("\u0631\u0631\u0631", "\u0695\u0631\u0631"),
+    ("\u0640", ""), ("\u064B", ""), ("\u064C", ""), ("\u064D", ""),
+    ("\u064E", ""), ("\u064F", ""), ("\u0650", ""), ("\u0651", ""),
+    ("\u0652", ""), ("\u200C", ""), ("\u206D", ""),
+]
+
+SORANI_STEM = [
+    ("پیاوێک", "پیاو"), ("دەرگایەک", "دەرگا"),
+    ("پیاوەكە", "پیاو"), ("دەرگاكە", "دەرگا"),
+    ("کتاویە", "کتاوی"), ("دەرگایە", "دەرگا"),
+    ("پیاوان", "پیاو"), ("دەرگایان", "دەرگا"),
+    ("پیاوەکان", "پیاو"), ("دەرگاکان", "دەرگا"),
+    ("پیاوانە", "پیاو"), ("دەرگایانە", "دەرگا"),
+    ("هۆتیلی", "هۆتیل"), ("هۆتیلێکی", "هۆتیل"),
+    ("هۆتیلانی", "هۆتیل"),
+    ("دوورەوە", "دوور"), ("نیوەشەودا", "نیوەشەو"),
+    ("سۆرانا", "سۆران"),
+    ("پارەمان", "پارە"), ("پارەتان", "پارە"),
+    ("پارەیان", "پارە"),
+]
+
+BENGALI_NORM = [
+    ("চাঁদ", "চাদ"),
+    ("বাড়ী", "বারি"),
+    ("তীর", "তির"),
+    ("ভূল", "ভুল"),
+    ("অনূপ", "অনুপ"),
+    ("বাঙলা", "বাংলা"),
+    ("ব্যাক্তি", "বেক্তি"),
+    ("সন্ধ্যা", "সন্ধা"),
+    ("স্বদেশ", "সদেস"),
+    ("তত্ত্ব", "তত্ত"),
+    ("বিশ্ব", "বিসস"),
+    ("দুঃখ", "দুখখ"),
+    ("উঃ", "উহ"),
+    ("পুনঃ", "পুন"),
+    ("কণা", "কনা"),
+    ("শরীর", "সরির"),
+    ("বাড়ি", "বারি"),
+]
+
+BENGALI_STEM = [
+    ("করেছিলাম", "কর"),
+    ("করিতেছিলে", "কর"),
+    ("খাইতাম", "খাই"),
+    ("যাইবে", "যা"),
+    ("করছিলাম", "কর"),
+    ("করছিলে", "কর"),
+    ("করতাম", "কর"),
+    ("যাব", "যা"),
+    ("যাবে", "যা"),
+    ("করি", "কর"),
+    ("করো", "কর"),
+    ("মেয়েরা", "মে"),
+    ("মেয়েদেরকে", "মে"),
+    ("মেয়েদের", "মে"),
+    ("একটি", "এক"),
+    ("মানুষগুলি", "মানুষ"),
+]
+
+
+@pytest.mark.parametrize("word,expected", SORANI_NORM)
+def test_sorani_normalize(word, expected):
+    assert sorani_normalize(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", SORANI_STEM)
+def test_sorani_stem(word, expected):
+    # the analyzer chain normalizes before stemming, so expected
+    # fixture outputs normalize too (word-final heh → AE cases)
+    assert sorani_stem(word) == sorani_normalize(expected)
+
+
+@pytest.mark.parametrize("word,expected", BENGALI_NORM)
+def test_bengali_normalize(word, expected):
+    assert bengali_normalize(word) == expected
+
+
+@pytest.mark.parametrize("word,expected", BENGALI_STEM)
+def test_bengali_stem(word, expected):
+    assert bengali_stem(word) == expected
+
+
+def test_dispatch_langs():
+    assert light_stem("ckb", "پیاوان") == "پیاو"
+    assert light_stem("bn", "করি") == "কর"
+
+
+def test_bn_analyze_normalizes_before_stem():
+    # the analyzer chain (not the bare stemmer) applies the normalizer
+    an = light_analyze("bn")
+    toks = an("শরীর")
+    assert [t for t, _ in toks] == ["সরির"]
+
+
+def test_empty_terms():
+    assert sorani_normalize("") == ""
+    assert sorani_stem("") == ""
+    assert bengali_normalize("") == ""
+    assert bengali_stem("") == ""

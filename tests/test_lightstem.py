@@ -148,7 +148,8 @@ def test_indonesian_si_guard():
 
 def test_dispatch():
     assert set(LIGHT_LANGS) == {
-        "ar", "bg", "cz", "el", "fa", "fi", "hi", "hu", "id", "lv", "tr",
+        "ar", "bg", "bn", "ckb", "cz", "el", "fa", "fi", "hi", "hu",
+        "id", "lv", "tr",
     }
     assert light_stem("hu", "házakat") == "haz"
     assert light_stem("tr", "İSTANBUL") == "istanbul"
