@@ -504,6 +504,101 @@ _NORMALIZE_BATTERY = [
     ("elision_ga", "d'athair", "athair"),
 ]
 
+
+# RSLP stemmer battery (pt/RSLPStemmerBase.java engine over
+# portuguese.rslp + galician.rslp): evenly-spaced samples of the
+# reference vocabulary archives (gltestdata.zip ptrslptestdata.zip
+# ptminimaltestdata.zip ptlighttestdata.zip — the FULL 105,464-vector
+# set was replayed offline with zero mismatches, see tests/test_rslp.py)
+_RSLP_BATTERY = [
+    ("gl", "a", "a"),
+    ("gl", "aluguer", "alugu"),
+    ("gl", "augas", "aug"),
+    ("gl", "causou", "caus"),
+    ("gl", "concorrencia", "concorr"),
+    ("gl", "cuncha", "cun"),
+    ("gl", "despreocuparse", "despreocupars"),
+    ("gl", "emprazado", "empraz"),
+    ("gl", "estraño", "estrañ"),
+    ("gl", "formiga", "formig"),
+    ("gl", "incapaces", "incapaz"),
+    ("gl", "levarse", "levars"),
+    ("gl", "modiño", "mod"),
+    ("gl", "orgánico", "org"),
+    ("gl", "plans", "pl"),
+    ("gl", "pronunciamentos", "pronunciament"),
+    ("gl", "regulamentismo", "regulamentism"),
+    ("gl", "saínte", "sai"),
+    ("gl", "superlativamente", "superlativ"),
+    ("gl", "universais", "univers"),
+    ("gl_minimal", "elefantes", "elefante"),
+    ("gl_minimal", "kalóres", "kalór"),
+    ("gl_minimal", "mas", "mas"),
+    ("gl_minimal", "barcelonês", "barcelonês"),
+    ("gl_minimal", "bons", "bon"),
+    ("gl_minimal", "pires", "pires"),
+    ("pt_rslp", "a", "a"),
+    ("pt_rslp", "analfabetismo", "analfabet"),
+    ("pt_rslp", "autor", "autor"),
+    ("pt_rslp", "camargo", "camarg"),
+    ("pt_rslp", "colocasse", "coloc"),
+    ("pt_rslp", "costureiras", "costur"),
+    ("pt_rslp", "desmitificação", "desmitific"),
+    ("pt_rslp", "emídio", "emidi"),
+    ("pt_rslp", "estrelas", "estrel"),
+    ("pt_rslp", "fortune", "fortun"),
+    ("pt_rslp", "honolulu", "honolulu"),
+    ("pt_rslp", "iph", "iph"),
+    ("pt_rslp", "macarronada", "macarron"),
+    ("pt_rslp", "mordomias", "mordom"),
+    ("pt_rslp", "pág", "pag"),
+    ("pt_rslp", "posar", "pos"),
+    ("pt_rslp", "readaptou", "readapt"),
+    ("pt_rslp", "rudolph", "rudolph"),
+    ("pt_rslp", "subornavam", "suborn"),
+    ("pt_rslp", "tremenda", "tremend"),
+    ("pt_minimal", "a", "a"),
+    ("pt_minimal", "analfabetismo", "analfabetismo"),
+    ("pt_minimal", "autor", "autor"),
+    ("pt_minimal", "camargo", "camargo"),
+    ("pt_minimal", "colocasse", "colocasse"),
+    ("pt_minimal", "costureiras", "costureira"),
+    ("pt_minimal", "desmitificação", "desmitificação"),
+    ("pt_minimal", "emídio", "emídio"),
+    ("pt_minimal", "estrelas", "estrela"),
+    ("pt_minimal", "fortune", "fortune"),
+    ("pt_minimal", "honolulu", "honolulu"),
+    ("pt_minimal", "iph", "iph"),
+    ("pt_minimal", "macarronada", "macarronada"),
+    ("pt_minimal", "mordomias", "mordomia"),
+    ("pt_minimal", "pág", "pág"),
+    ("pt_minimal", "posar", "posar"),
+    ("pt_minimal", "readaptou", "readaptou"),
+    ("pt_minimal", "rudolph", "rudolph"),
+    ("pt_minimal", "subornavam", "subornavam"),
+    ("pt_minimal", "tremenda", "tremenda"),
+    ("pt_light", "a", "a"),
+    ("pt_light", "analfabetismo", "analfabetism"),
+    ("pt_light", "autor", "autor"),
+    ("pt_light", "camargo", "camarg"),
+    ("pt_light", "colocasse", "colocass"),
+    ("pt_light", "costureiras", "costureir"),
+    ("pt_light", "desmitificação", "desmitificaca"),
+    ("pt_light", "emídio", "emidi"),
+    ("pt_light", "estrelas", "estrel"),
+    ("pt_light", "fortune", "fortun"),
+    ("pt_light", "honolulu", "honolulu"),
+    ("pt_light", "iph", "iph"),
+    ("pt_light", "macarronada", "macarronad"),
+    ("pt_light", "mordomias", "mordomi"),
+    ("pt_light", "pág", "pág"),
+    ("pt_light", "posar", "posar"),
+    ("pt_light", "readaptou", "readaptou"),
+    ("pt_light", "rudolph", "rudolph"),
+    ("pt_light", "subornavam", "subornavam"),
+    ("pt_light", "tremenda", "tremend"),
+]
+
 # Japanese morphological segmentation goldens: hand-pinned expected
 # token sequences (normal mode) for the kuromoji-analog Viterbi
 # tokenizer; sentences mirror the reference TestJapaneseTokenizer
@@ -629,7 +724,7 @@ _DRIVER_PRIORITY = [
     # round-5 late-session additions
     "html_strip_text", "boilerplate_extract", "light_stems", "thai_tokens",
     "warc_roundtrip", "decompound_terms", "path_prefix_facets",
-    "hunspell_stems", "normalize_terms",
+    "hunspell_stems", "normalize_terms", "rslp_stems",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -2696,6 +2791,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out_df.orderBy("kind", "word")
 
     out["normalize_terms"] = normalize_terms
+
+    # RSLP stemmer battery (PortugueseStemmer.java:27,
+    # GalicianStemmer.java:28, PortugueseMinimalStemmer.java:29,
+    # GalicianMinimalStemmer.java:29, PortugueseLightStemmer.java:63):
+    # distributed stemming of the pinned vocabulary samples
+    def rslp_stems(spark, sf):
+        from lucene_spark.analysis.rslp import rslp_stem_udf
+
+        frames = []
+        for kind in ("gl", "gl_minimal", "pt_rslp", "pt_minimal",
+                     "pt_light"):
+            words = [(w,) for k, w, _ in _RSLP_BATTERY if k == kind]
+            df = spark.createDataFrame(words, "word string").select(
+                F.lit(kind).alias("kind"),
+                "word",
+                rslp_stem_udf(kind)("word").alias("stem"),
+            )
+            frames.append(df)
+        out_df = frames[0]
+        for f in frames[1:]:
+            out_df = out_df.unionByName(f)
+        return out_df.orderBy("kind", "word")
+
+    out["rslp_stems"] = rslp_stems
 
     # end-to-end French chain: index the pinned sentences with the
     # FrenchAnalyzer-analog (tokenize → stop → FrenchStemmer), BM25 on
@@ -5069,6 +5188,13 @@ ORDER BY lang, word
     )
     out["normalize_terms"] = f"""
 SELECT kind, word, norm FROM (VALUES {_nz_rows}) AS t(kind, word, norm)
+ORDER BY kind, word
+"""
+    _rslp_rows = ", ".join(
+        "('{}', '{}', '{}')".format(k, w, s) for k, w, s in _RSLP_BATTERY
+    )
+    out["rslp_stems"] = f"""
+SELECT kind, word, stem FROM (VALUES {_rslp_rows}) AS t(kind, word, stem)
 ORDER BY kind, word
 """
     _fr_tok_rows = ", ".join(
