@@ -599,6 +599,139 @@ _RSLP_BATTERY = [
     ("pt_light", "tremenda", "tremend"),
 ]
 
+
+# UniNE light/minimal stemmer battery (GermanLightStemmer.java,
+# SpanishPluralStemmer.java, FrenchLightStemmer.java, etc.):
+# evenly-spaced samples of the 9 reference vocabulary archives
+# (293,793 vectors replayed offline with zero mismatches, see
+# tests/test_unine.py) plus hand vectors for the archive-less kinds
+_UNINE_BATTERY = [
+    ("de_light", "a", "a"),
+    ("de_light", "aussteigen", "aussteig"),
+    ("de_light", "cogitare", "cogitar"),
+    ("de_light", "erledigung", "erledigung"),
+    ("de_light", "gemachter", "gemacht"),
+    ("de_light", "herrenhaus", "herrenhaus"),
+    ("de_light", "kontradiktorisch", "kontradiktorisch"),
+    ("de_light", "mutlos", "mutlos"),
+    ("de_light", "rodeten", "rodet"),
+    ("de_light", "spreemetropole", "spreemetropol"),
+    ("de_light", "ungleichartiger", "ungleichartig"),
+    ("de_light", "wächter", "wacht"),
+    ("de_minimal", "a", "a"),
+    ("de_minimal", "aussteigen", "aussteig"),
+    ("de_minimal", "cogitare", "cogitar"),
+    ("de_minimal", "erledigung", "erledigung"),
+    ("de_minimal", "gemachter", "gemacht"),
+    ("de_minimal", "herrenhaus", "herrenhau"),
+    ("de_minimal", "kontradiktorisch", "kontradiktorisch"),
+    ("de_minimal", "mutlos", "mutlo"),
+    ("de_minimal", "rodeten", "rodet"),
+    ("de_minimal", "spreemetropole", "spreemetropol"),
+    ("de_minimal", "ungleichartiger", "ungleichartig"),
+    ("de_minimal", "wächter", "wacht"),
+    ("es_light", "a", "a"),
+    ("es_light", "arrojó", "arroj"),
+    ("es_light", "cavazos", "cavaz"),
+    ("es_light", "cortoplazo", "cortoplaz"),
+    ("es_light", "domiciliarias", "domiciliari"),
+    ("es_light", "facturación", "facturacion"),
+    ("es_light", "implanté", "implant"),
+    ("es_light", "logrará", "lograr"),
+    ("es_light", "obstinación", "obstinacion"),
+    ("es_light", "prescriben", "prescriben"),
+    ("es_light", "retratarse", "retratars"),
+    ("es_light", "tarjetahabientes", "tarjetahabient"),
+    ("es_plural", "abuelos", "abuelo"),
+    ("es_plural", "apoyasen", "apoyasen"),
+    ("es_plural", "caracter", "caracter"),
+    ("es_plural", "controlarse", "controlarse"),
+    ("es_plural", "disertara", "disertara"),
+    ("es_plural", "explicando", "explicando"),
+    ("es_plural", "ibarra", "ibarra"),
+    ("es_plural", "llamo", "llamo"),
+    ("es_plural", "nunciatura", "nunciatura"),
+    ("es_plural", "prehispanico", "prehispanico"),
+    ("es_plural", "retinitis", "retiniti"),
+    ("es_plural", "tarado", "tarado"),
+    ("fr_light", "a", "a"),
+    ("fr_light", "attribuera", "atribuera"),
+    ("fr_light", "cherchais", "cherchai"),
+    ("fr_light", "décachetées", "decachet"),
+    ("fr_light", "el", "el"),
+    ("fr_light", "fermiers", "fermi"),
+    ("fr_light", "impuissants", "impui"),
+    ("fr_light", "marchande", "marchand"),
+    ("fr_light", "pamphlets", "pamphlet"),
+    ("fr_light", "promenant", "promenant"),
+    ("fr_light", "réuni", "reuni"),
+    ("fr_light", "surveillait", "surveilait"),
+    ("fr_minimal", "a", "a"),
+    ("fr_minimal", "attribuera", "attribuera"),
+    ("fr_minimal", "cherchais", "cherchai"),
+    ("fr_minimal", "décachetées", "décachet"),
+    ("fr_minimal", "el", "el"),
+    ("fr_minimal", "fermiers", "fermi"),
+    ("fr_minimal", "impuissants", "impuissant"),
+    ("fr_minimal", "marchande", "marchand"),
+    ("fr_minimal", "pamphlets", "pamphlet"),
+    ("fr_minimal", "promenant", "promenant"),
+    ("fr_minimal", "réuni", "réuni"),
+    ("fr_minimal", "surveillait", "surveillait"),
+    ("it_light", "a", "a"),
+    ("it_light", "asterràdal", "asterradal"),
+    ("it_light", "cellulare", "cellular"),
+    ("it_light", "cuicchi", "cuicc"),
+    ("it_light", "etampes", "etampes"),
+    ("it_light", "ieltsin", "ieltsin"),
+    ("it_light", "lettera", "letter"),
+    ("it_light", "nulla", "nulla"),
+    ("it_light", "preoccupati", "preoccupat"),
+    ("it_light", "rimettermi", "rimetterm"),
+    ("it_light", "sfarzosi", "sfarzos"),
+    ("it_light", "tema", "tema"),
+    ("ru_light", "а", "а"),
+    ("ru_light", "возглаголят", "возглаголят"),
+    ("ru_light", "дерет", "дерет"),
+    ("ru_light", "захотите", "захотит"),
+    ("ru_light", "лакейщину", "лакейщин"),
+    ("ru_light", "начинкой", "начинк"),
+    ("ru_light", "осилил", "осилил"),
+    ("ru_light", "подписывались", "подписывалис"),
+    ("ru_light", "примеров", "пример"),
+    ("ru_light", "решением", "решен"),
+    ("ru_light", "сошлются", "сошлютс"),
+    ("ru_light", "узаконенной", "узаконен"),
+    ("sv_light", "a", "a"),
+    ("sv_light", "bloddroppe", "bloddropp"),
+    ("sv_light", "erkänner", "erkänn"),
+    ("sv_light", "förord", "förord"),
+    ("sv_light", "holm", "holm"),
+    ("sv_light", "klädd", "klädd"),
+    ("sv_light", "låt", "låt"),
+    ("sv_light", "olycklige", "olycklig"),
+    ("sv_light", "rydbergs", "rydberg"),
+    ("sv_light", "snusige", "snusig"),
+    ("sv_light", "till", "till"),
+    ("sv_light", "vagga", "vagg"),
+    ("sv_minimal", "bilar", "bil"),
+    ("sv_minimal", "bilarna", "bil"),
+    ("sv_minimal", "bilens", "bil"),
+    ("sv_minimal", "jakten", "jakt"),
+    ("es_minimal", "casas", "casa"),
+    ("es_minimal", "voces", "voz"),
+    ("es_minimal", "reses", "res"),
+    ("es_minimal", "libros", "libro"),
+    ("no_light", "bilens", "bil"),
+    ("no_light", "hemmeligheten", "hemmelig"),
+    ("no_light", "hemmeligheter", "hemmelig"),
+    ("no_light", "kristendom", "kristen"),
+    ("no_minimal", "bilene", "bil"),
+    ("no_minimal", "huset", "hus"),
+    ("no_minimal", "kaker", "kak"),
+    ("no_minimal", "jenta", "jent"),
+]
+
 # Japanese morphological segmentation goldens: hand-pinned expected
 # token sequences (normal mode) for the kuromoji-analog Viterbi
 # tokenizer; sentences mirror the reference TestJapaneseTokenizer
@@ -725,6 +858,7 @@ _DRIVER_PRIORITY = [
     "html_strip_text", "boilerplate_extract", "light_stems", "thai_tokens",
     "warc_roundtrip", "decompound_terms", "path_prefix_facets",
     "hunspell_stems", "normalize_terms", "rslp_stems",
+    "unine_stems",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -2815,6 +2949,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out_df.orderBy("kind", "word")
 
     out["rslp_stems"] = rslp_stems
+
+    # UniNE light stemmer battery (de/es/fr/it/ru/sv/no light+minimal
+    # + es plural): distributed stemming of the pinned vocabulary
+    # samples
+    def unine_stems(spark, sf):
+        from lucene_spark.analysis.unine import unine_stem_udf
+
+        frames = []
+        for kind in ("de_light", "de_minimal", "es_light", "es_minimal",
+                     "es_plural", "fr_light", "fr_minimal", "it_light",
+                     "no_light", "no_minimal", "ru_light", "sv_light",
+                     "sv_minimal"):
+            words = [(w,) for k, w, _ in _UNINE_BATTERY if k == kind]
+            if not words:
+                continue
+            df = spark.createDataFrame(words, "word string").select(
+                F.lit(kind).alias("kind"),
+                "word",
+                unine_stem_udf(kind)("word").alias("stem"),
+            )
+            frames.append(df)
+        out_df = frames[0]
+        for f in frames[1:]:
+            out_df = out_df.unionByName(f)
+        return out_df.orderBy("kind", "word")
+
+    out["unine_stems"] = unine_stems
 
     # end-to-end French chain: index the pinned sentences with the
     # FrenchAnalyzer-analog (tokenize → stop → FrenchStemmer), BM25 on
@@ -5195,6 +5356,13 @@ ORDER BY kind, word
     )
     out["rslp_stems"] = f"""
 SELECT kind, word, stem FROM (VALUES {_rslp_rows}) AS t(kind, word, stem)
+ORDER BY kind, word
+"""
+    _un_rows = ", ".join(
+        "('{}', '{}', '{}')".format(k, w, s) for k, w, s in _UNINE_BATTERY
+    )
+    out["unine_stems"] = f"""
+SELECT kind, word, stem FROM (VALUES {_un_rows}) AS t(kind, word, stem)
 ORDER BY kind, word
 """
     _fr_tok_rows = ", ".join(

