@@ -858,7 +858,7 @@ _DRIVER_PRIORITY = [
     "html_strip_text", "boilerplate_extract", "light_stems", "thai_tokens",
     "warc_roundtrip", "decompound_terms", "path_prefix_facets",
     "hunspell_stems", "normalize_terms", "rslp_stems",
-    "unine_stems",
+    "unine_stems", "facet_set_counts",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -2976,6 +2976,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out_df.orderBy("kind", "word")
 
     out["unine_stems"] = unine_stems
+
+    # FacetSets (facet/facetset/MatchingFacetSetsCounts.java:41,
+    # ExactFacetSetMatcher.java:27, RangeFacetSetMatcher.java:27):
+    # per-order facet sets (quantity, ship-month) matched by exact and
+    # range matchers; counts are per matching SET, total is per DOC —
+    # the reference's exact counting semantics
+    def facet_set_counts(spark, sf):
+        from lucene_spark.search.facetset import (
+            dim_range,
+            exact_matcher,
+            matching_facet_sets_counts,
+            range_matcher,
+        )
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        docs = (
+            li.select(
+                "l_orderkey",
+                F.array(
+                    F.col("l_quantity").cast("long"),
+                    F.month("l_shipdate").cast("long"),
+                ).alias("fs"),
+            )
+            .groupBy("l_orderkey")
+            .agg(F.collect_list("fs").alias("sets"))
+        )
+        matchers = [
+            exact_matcher("qty17_mar", [17, 3]),
+            exact_matcher("qty36_jun", [36, 6]),
+            range_matcher("q10_20_h1", [dim_range(10, 20), dim_range(1, 6)]),
+            range_matcher(
+                "q1_50_dec",
+                [dim_range(0, 50, min_inclusive=False), dim_range(12, 12)],
+            ),
+        ]
+        return matching_facet_sets_counts(docs, "sets", matchers).orderBy(
+            "label"
+        )
+
+    out["facet_set_counts"] = facet_set_counts
 
     # end-to-end French chain: index the pinned sentences with the
     # FrenchAnalyzer-analog (tokenize → stop → FrenchStemmer), BM25 on
@@ -5364,6 +5404,31 @@ ORDER BY kind, word
     out["unine_stems"] = f"""
 SELECT kind, word, stem FROM (VALUES {_un_rows}) AS t(kind, word, stem)
 ORDER BY kind, word
+"""
+    out["facet_set_counts"] = """
+WITH s AS (
+  SELECT l_orderkey AS doc,
+         CAST(l_quantity AS BIGINT) AS d0,
+         CAST(month(l_shipdate) AS BIGINT) AS d1
+  FROM lineitem
+), m AS (
+  SELECT doc,
+         CASE WHEN d0 = 17 AND d1 = 3 THEN 1 ELSE 0 END AS m0,
+         CASE WHEN d0 = 36 AND d1 = 6 THEN 1 ELSE 0 END AS m1,
+         CASE WHEN d0 BETWEEN 10 AND 20 AND d1 BETWEEN 1 AND 6
+              THEN 1 ELSE 0 END AS m2,
+         CASE WHEN d0 BETWEEN 1 AND 50 AND d1 = 12
+              THEN 1 ELSE 0 END AS m3
+  FROM s
+)
+SELECT label, cnt FROM (
+  SELECT 'qty17_mar' AS label, CAST(SUM(m0) AS BIGINT) AS cnt FROM m
+  UNION ALL SELECT 'qty36_jun', CAST(SUM(m1) AS BIGINT) FROM m
+  UNION ALL SELECT 'q10_20_h1', CAST(SUM(m2) AS BIGINT) FROM m
+  UNION ALL SELECT 'q1_50_dec', CAST(SUM(m3) AS BIGINT) FROM m
+  UNION ALL SELECT '__total__', CAST(COUNT(DISTINCT doc) AS BIGINT) FROM m
+            WHERE m0 + m1 + m2 + m3 > 0
+) ORDER BY label
 """
     _fr_tok_rows = ", ".join(
         f"({i}, '{t}')" for i, toks in enumerate(_FR_STEMS) for t in toks
