@@ -732,6 +732,41 @@ _UNINE_BATTERY = [
     ("no_minimal", "jenta", "jent"),
 ]
 
+
+# Brazilian stemmer battery (br/BrazilianStemmer.java:25):
+# every 3rd checkOneTerm vector from TestBrazilianAnalyzer.java
+# (the full 84-row set is pinned in tests/test_br.py)
+_BR_BATTERY = [
+    ("boa", "boa"),
+    ("bôas", "boas"),
+    ("boate", "boat"),
+    ("bob", "bob"),
+    ("bobagens", "bobagens"),
+    ("bobeira", "bobeir"),
+    ("bobo", "bob"),
+    ("bocadas", "boc"),
+    ("bocaiúva", "bocaiuv"),
+    ("bocas", "boc"),
+    ("body", "body"),
+    ("boemia", "boem"),
+    ("boi", "boi"),
+    ("quiabo", "quiab"),
+    ("quieto", "quiet"),
+    ("quilates", "quilat"),
+    ("quilombo", "quilomb"),
+    ("quilômetro", "quilometr"),
+    ("quimica", "quimic"),
+    ("quimicas", "quimic"),
+    ("quimioterapia", "quimioterap"),
+    ("quinhão", "quinha"),
+    ("quino", "quin"),
+    ("quintana", "quintan"),
+    ("quintessência", "quintessente"),
+    ("quintos", "quint"),
+    ("quinzena", "quinzen"),
+    ("Brasília", "brasil"),
+]
+
 # Japanese morphological segmentation goldens: hand-pinned expected
 # token sequences (normal mode) for the kuromoji-analog Viterbi
 # tokenizer; sentences mirror the reference TestJapaneseTokenizer
@@ -858,7 +893,7 @@ _DRIVER_PRIORITY = [
     "html_strip_text", "boilerplate_extract", "light_stems", "thai_tokens",
     "warc_roundtrip", "decompound_terms", "path_prefix_facets",
     "hunspell_stems", "normalize_terms", "rslp_stems",
-    "unine_stems", "facet_set_counts",
+    "unine_stems", "facet_set_counts", "brazilian_stems",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3016,6 +3051,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["facet_set_counts"] = facet_set_counts
+
+    # Brazilian stemmer (br/BrazilianStemmer.java:25): distributed
+    # stemming of the pinned TestBrazilianAnalyzer vectors
+    def brazilian_stems(spark, sf):
+        from lucene_spark.analysis.br import brazilian_stem_udf
+
+        words = [(w,) for w, _ in _BR_BATTERY]
+        return (
+            spark.createDataFrame(words, "word string")
+            .select("word", brazilian_stem_udf()("word").alias("stem"))
+            .orderBy("word")
+        )
+
+    out["brazilian_stems"] = brazilian_stems
 
     # end-to-end French chain: index the pinned sentences with the
     # FrenchAnalyzer-analog (tokenize → stop → FrenchStemmer), BM25 on
@@ -5429,6 +5478,13 @@ SELECT label, cnt FROM (
   UNION ALL SELECT '__total__', CAST(COUNT(DISTINCT doc) AS BIGINT) FROM m
             WHERE m0 + m1 + m2 + m3 > 0
 ) ORDER BY label
+"""
+    _br_rows = ", ".join(
+        "('{}', '{}')".format(w, s) for w, s in _BR_BATTERY
+    )
+    out["brazilian_stems"] = f"""
+SELECT word, stem FROM (VALUES {_br_rows}) AS t(word, stem)
+ORDER BY word
 """
     _fr_tok_rows = ", ".join(
         f"({i}, '{t}')" for i, toks in enumerate(_FR_STEMS) for t in toks
