@@ -894,6 +894,7 @@ _DRIVER_PRIORITY = [
     "warc_roundtrip", "decompound_terms", "path_prefix_facets",
     "hunspell_stems", "normalize_terms", "rslp_stems",
     "unine_stems", "facet_set_counts", "brazilian_stems",
+    "date_range_day_facets", "date_range_relations",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3065,6 +3066,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["brazilian_stems"] = brazilian_stems
+
+    # DateRangePrefixTree faceting analog (spatial-extras
+    # NumberRangePrefixTreeStrategy.java:38 facets at the day level):
+    # synthetic per-event ranges [ts, ts + (event_id % 72 + 1) hours]
+    # counted per calendar day they touch
+    def date_range_day_facets(spark, sf):
+        from lucene_spark.search.daterange import date_range_facet_counts
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            F.col("ts").alias("s"),
+            (
+                F.col("ts")
+                + F.make_interval(
+                    hours=(F.col("event_id") % 72 + 1).cast("int")
+                )
+            ).alias("e"),
+        )
+        return date_range_facet_counts(ev, "s", "e", "day")
+
+    out["date_range_day_facets"] = date_range_day_facets
+
+    # relation counts over the same ranges (SpatialOperation
+    # Intersects/IsWithin/Contains/IsDisjointTo vs a query interval)
+    def date_range_relations(spark, sf):
+        from lucene_spark.search.daterange import date_range_relation
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            F.col("ts").alias("s"),
+            (
+                F.col("ts")
+                + F.make_interval(
+                    hours=(F.col("event_id") % 72 + 1).cast("int")
+                )
+            ).alias("e"),
+        )
+        import datetime
+
+        qs = datetime.datetime(2024, 1, 10)
+        qe = datetime.datetime(2024, 1, 15)
+        rows = None
+        for rel in ("intersects", "within", "contains", "disjoint"):
+            r = ev.select(
+                date_range_relation(F.col("s"), F.col("e"), qs, qe, rel)
+                .cast("long")
+                .alias("m")
+            ).agg(
+                F.lit(rel).alias("relation"),
+                F.sum("m").alias("cnt"),
+            )
+            rows = r if rows is None else rows.unionByName(r)
+        return rows.orderBy("relation")
+
+    out["date_range_relations"] = date_range_relations
 
     # end-to-end French chain: index the pinned sentences with the
     # FrenchAnalyzer-analog (tokenize → stop → FrenchStemmer), BM25 on
@@ -5485,6 +5539,46 @@ SELECT label, cnt FROM (
     out["brazilian_stems"] = f"""
 SELECT word, stem FROM (VALUES {_br_rows}) AS t(word, stem)
 ORDER BY word
+"""
+    out["date_range_day_facets"] = """
+WITH r AS (
+  SELECT ts AS s,
+         ts + ((event_id % 72 + 1) * INTERVAL 1 HOUR) AS e
+  FROM events
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+  SELECT unnest(generate_series(date_trunc('day', s),
+                                date_trunc('day', e),
+                                INTERVAL 1 DAY)) AS bucket
+  FROM r
+) GROUP BY bucket ORDER BY bucket
+"""
+    out["date_range_relations"] = """
+WITH r AS (
+  SELECT ts AS s,
+         ts + ((event_id % 72 + 1) * INTERVAL 1 HOUR) AS e
+  FROM events
+), q AS (
+  SELECT TIMESTAMP '2024-01-10 00:00:00' AS qs,
+         TIMESTAMP '2024-01-15 00:00:00' AS qe
+)
+SELECT relation, cnt FROM (
+  SELECT 'intersects' AS relation,
+         CAST(SUM(CASE WHEN s <= qe AND e >= qs THEN 1 ELSE 0 END)
+              AS BIGINT) AS cnt FROM r, q
+  UNION ALL
+  SELECT 'within',
+         CAST(SUM(CASE WHEN s >= qs AND e <= qe THEN 1 ELSE 0 END)
+              AS BIGINT) FROM r, q
+  UNION ALL
+  SELECT 'contains',
+         CAST(SUM(CASE WHEN s <= qs AND e >= qe THEN 1 ELSE 0 END)
+              AS BIGINT) FROM r, q
+  UNION ALL
+  SELECT 'disjoint',
+         CAST(SUM(CASE WHEN s > qe OR e < qs THEN 1 ELSE 0 END)
+              AS BIGINT) FROM r, q
+) ORDER BY relation
 """
     _fr_tok_rows = ", ".join(
         f"({i}, '{t}')" for i, toks in enumerate(_FR_STEMS) for t in toks
