@@ -1150,11 +1150,21 @@ def light_analyze(lang: str):
     stop = LIGHT_STOP.get(lang, frozenset())
     fn = _DISPATCH[lang]
     if lang == "bn":
-        # BengaliAnalyzer.java chain applies BengaliNormalizationFilter
-        # before BengaliStemFilter (the stemmer itself, unlike ar/hi/ckb,
-        # does not normalize — its unit fixtures are stem-only)
-        def fn(w, _stem=bengali_stem):  # noqa: F811
-            return _stem(bengali_normalize(w))
+        # BengaliAnalyzer.java chain: IndicNormalizationFilter →
+        # BengaliNormalizationFilter → BengaliStemFilter (the stemmer
+        # itself, unlike ar/hi/ckb, does not normalize — its unit
+        # fixtures are stem-only)
+        from lucene_spark.analysis.indic import indic_normalize
+
+        def fn(w, _stem=bengali_stem, _in=indic_normalize):  # noqa: F811
+            return _stem(bengali_normalize(_in(w)))
+    elif lang == "hi":
+        # HindiAnalyzer.java chain applies IndicNormalizationFilter
+        # before HindiNormalizationFilter (hindi_stem normalizes)
+        from lucene_spark.analysis.indic import indic_normalize
+
+        def fn(w, _stem=hindi_stem, _in=indic_normalize):  # noqa: F811
+            return _stem(_in(w))
 
     def _an(text: str) -> List[Tuple[str, int]]:
         out: List[Tuple[str, int]] = []

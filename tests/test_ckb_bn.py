@@ -172,3 +172,35 @@ SORANI_VOCAB = [
 @pytest.mark.parametrize("word,expected", SORANI_VOCAB)
 def test_sorani_vocabulary(word, expected):
     assert sorani_stem(word) == expected
+
+
+def test_indic_normalizer():
+    # TestIndicNormalizer.java:32-39 vectors (Devanagari compositions
+    # + the Bengali ZWJ khanda-ta)
+    from lucene_spark.analysis.indic import indic_normalize
+
+    vecs = [
+        ("अाॅअाॅ", "ऑऑ"),
+        ("अाॆअाॆ", "ऒऒ"),
+        ("अाेअाे", "ओओ"),
+        ("अाैअाै", "औऔ"),
+        ("अाअा", "आआ"),
+        ("अाैर", "और"),
+        ("ত্‍", "ৎ"),
+        ("", ""),
+        ("latin", "latin"),
+    ]
+    for w, e in vecs:
+        assert indic_normalize(w) == e
+
+
+def test_hi_analyze_applies_indic_normalization():
+    # the chain composes IndicNormalization first (HindiAnalyzer.java):
+    # अ+ा composes to आ, which HindiNormalizer then shortens to अ —
+    # without the indic pass the same input leaves a stray matra
+    from lucene_spark.analysis.lightstem import hindi_stem
+
+    an = light_analyze("hi")
+    toks = an("अाअा")
+    assert [t for t, _ in toks] == ["अअ"]
+    assert hindi_stem("अाअा") != "अअ"  # indic pass is load-bearing
