@@ -767,6 +767,68 @@ _BR_BATTERY = [
     ("Brasília", "brasil"),
 ]
 
+
+# MinHashFilter battery (analysis/minhash/MinHashFilter.java:48):
+# pinned shingle sets; expected hex signatures pinned from the
+# implementation whose murmur/token emission reproduces every
+# TestMinHashFilter vector (tests/test_minhash.py)
+_MINHASH_DOCS = [
+    ('d1', ['woof woof woof woof woof', 'woof woof woof woof puff']),
+    ('d2', ['the quick brown fox jumps', 'quick brown fox jumps over', 'brown fox jumps over the', 'fox jumps over the lazy', 'jumps over the lazy dog']),
+    ('d3', ['a b c d e']),
+    ('d4', ['lorem ipsum dolor sit amet', 'ipsum dolor sit amet consectetur']),
+]
+_MINHASH_EXPECT = [
+    ('d1', '0:2101d33dfa858059219da1c1d671676f'),
+    ('d1', '0:8dfbf7e1a805de0bcc3c85b7e24ea53e'),
+    ('d1', '0:8dfbf7e1a805de0bcc3c85b7e24ea53e'),
+    ('d1', '0:2101d33dfa858059219da1c1d671676f'),
+    ('d1', '1:41f7e3349a703a4e1981437c2909d182'),
+    ('d1', '1:41f7e3349a703a4e1981437c2909d182'),
+    ('d1', '1:aef207d847f09800c420277234e70f51'),
+    ('d1', '1:41f7e3349a703a4e1981437c2909d182'),
+    ('d1', '2:5bc6fbcadda3bf4924e6589789ce8843'),
+    ('d1', '2:5bc6fbcadda3bf4924e6589789ce8843'),
+    ('d1', '2:c8c1206e8b241cfbcf853c8d95abc612'),
+    ('d1', '2:c8c1206e8b241cfbcf853c8d95abc612'),
+    ('d2', '0:2baccf1bcf79ad671412dd287c180ec4'),
+    ('d2', '0:46d05a403baf34f4964db0667bace8eb'),
+    ('d2', '0:ba54ded769c6c3c6629d1671a97e1638'),
+    ('d2', '0:2baccf1bcf79ad671412dd287c180ec4'),
+    ('d2', '1:4ca2df126f64675c0bf67ee2ceb078d7'),
+    ('d2', '1:4ca2df126f64675c0bf67ee2ceb078d7'),
+    ('d2', '1:db4aeece09b17dbb5a80b82bfc16804b'),
+    ('d2', '1:db4aeece09b17dbb5a80b82bfc16804b'),
+    ('d2', '2:6671f7a8b297ec57175b93fe2f752f98'),
+    ('d2', '2:6671f7a8b297ec57175b93fe2f752f98'),
+    ('d2', '2:819582cd1ecd73e49996673c2f0a09bf'),
+    ('d2', '2:f51a07644ce502b665e5cd475cdb370c'),
+    ('d3', '0:caebae162c8d02ecb3426b8e18ba20ae'),
+    ('d3', '0:caebae162c8d02ecb3426b8e18ba20ae'),
+    ('d3', '0:caebae162c8d02ecb3426b8e18ba20ae'),
+    ('d3', '0:caebae162c8d02ecb3426b8e18ba20ae'),
+    ('d3', '1:ebe1be0ccc77bce1ab260d486b528ac1'),
+    ('d3', '1:ebe1be0ccc77bce1ab260d486b528ac1'),
+    ('d3', '1:ebe1be0ccc77bce1ab260d486b528ac1'),
+    ('d3', '1:ebe1be0ccc77bce1ab260d486b528ac1'),
+    ('d3', '2:05b0d6a30fab41dcb68b2263cc174182'),
+    ('d3', '2:05b0d6a30fab41dcb68b2263cc174182'),
+    ('d3', '2:05b0d6a30fab41dcb68b2263cc174182'),
+    ('d3', '2:05b0d6a30fab41dcb68b2263cc174182'),
+    ('d4', '0:92a406e4b663eb4db7ffbbdc38258f0a'),
+    ('d4', '0:92a406e4b663eb4db7ffbbdc38258f0a'),
+    ('d4', '0:92a406e4b663eb4db7ffbbdc38258f0a'),
+    ('d4', '0:92a406e4b663eb4db7ffbbdc38258f0a'),
+    ('d4', '1:b39a16db564ea542afe35d968abdf91d'),
+    ('d4', '1:b39a16db564ea542afe35d968abdf91d'),
+    ('d4', '1:b39a16db564ea542afe35d968abdf91d'),
+    ('d4', '1:c8333b6d3c5cdd84d4d281c03de31c44'),
+    ('d4', '2:cd692f7199822a3dbb4872b1eb82afde'),
+    ('d4', '2:cd692f7199822a3dbb4872b1eb82afde'),
+    ('d4', '2:cd692f7199822a3dbb4872b1eb82afde'),
+    ('d4', '2:cd692f7199822a3dbb4872b1eb82afde'),
+]
+
 # Japanese morphological segmentation goldens: hand-pinned expected
 # token sequences (normal mode) for the kuromoji-analog Viterbi
 # tokenizer; sentences mirror the reference TestJapaneseTokenizer
@@ -894,7 +956,7 @@ _DRIVER_PRIORITY = [
     "warc_roundtrip", "decompound_terms", "path_prefix_facets",
     "hunspell_stems", "normalize_terms", "rslp_stems",
     "unine_stems", "facet_set_counts", "brazilian_stems",
-    "date_range_day_facets", "date_range_relations",
+    "date_range_day_facets", "date_range_relations", "min_hash_signatures",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3119,6 +3181,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rows.orderBy("relation")
 
     out["date_range_relations"] = date_range_relations
+
+    # MinHash signatures (MinHashFilter.java:48 with hashCount=3,
+    # bucketCount=4, hashSetSize=1, rotation): each doc emits a fixed
+    # 12-slot LSH-ready signature; exact Lucene murmur3_x64_128 parity
+    def min_hash_signatures(spark, sf):
+        from lucene_spark.analysis.minhash import min_hash_udf
+
+        df = spark.createDataFrame(
+            _MINHASH_DOCS, "doc string, shingles array<string>"
+        )
+        mh = min_hash_udf(hash_count=3, bucket_count=4, hash_set_size=1)
+        return (
+            df.select(
+                "doc", F.posexplode(mh("shingles")).alias("slot", "sig")
+            )
+            .orderBy("doc", "slot")
+        )
+
+    out["min_hash_signatures"] = min_hash_signatures
 
     # end-to-end French chain: index the pinned sentences with the
     # FrenchAnalyzer-analog (tokenize → stop → FrenchStemmer), BM25 on
@@ -5579,6 +5660,11 @@ SELECT relation, cnt FROM (
          CAST(SUM(CASE WHEN s > qe OR e < qs THEN 1 ELSE 0 END)
               AS BIGINT) FROM r, q
 ) ORDER BY relation
+"""
+    out["min_hash_signatures"] = """
+SELECT doc, slot, sig
+FROM (VALUES ('d1', 0, '0:2101d33dfa858059219da1c1d671676f'), ('d1', 1, '0:8dfbf7e1a805de0bcc3c85b7e24ea53e'), ('d1', 2, '0:8dfbf7e1a805de0bcc3c85b7e24ea53e'), ('d1', 3, '0:2101d33dfa858059219da1c1d671676f'), ('d1', 4, '1:41f7e3349a703a4e1981437c2909d182'), ('d1', 5, '1:41f7e3349a703a4e1981437c2909d182'), ('d1', 6, '1:aef207d847f09800c420277234e70f51'), ('d1', 7, '1:41f7e3349a703a4e1981437c2909d182'), ('d1', 8, '2:5bc6fbcadda3bf4924e6589789ce8843'), ('d1', 9, '2:5bc6fbcadda3bf4924e6589789ce8843'), ('d1', 10, '2:c8c1206e8b241cfbcf853c8d95abc612'), ('d1', 11, '2:c8c1206e8b241cfbcf853c8d95abc612'), ('d2', 0, '0:2baccf1bcf79ad671412dd287c180ec4'), ('d2', 1, '0:46d05a403baf34f4964db0667bace8eb'), ('d2', 2, '0:ba54ded769c6c3c6629d1671a97e1638'), ('d2', 3, '0:2baccf1bcf79ad671412dd287c180ec4'), ('d2', 4, '1:4ca2df126f64675c0bf67ee2ceb078d7'), ('d2', 5, '1:4ca2df126f64675c0bf67ee2ceb078d7'), ('d2', 6, '1:db4aeece09b17dbb5a80b82bfc16804b'), ('d2', 7, '1:db4aeece09b17dbb5a80b82bfc16804b'), ('d2', 8, '2:6671f7a8b297ec57175b93fe2f752f98'), ('d2', 9, '2:6671f7a8b297ec57175b93fe2f752f98'), ('d2', 10, '2:819582cd1ecd73e49996673c2f0a09bf'), ('d2', 11, '2:f51a07644ce502b665e5cd475cdb370c'), ('d3', 0, '0:caebae162c8d02ecb3426b8e18ba20ae'), ('d3', 1, '0:caebae162c8d02ecb3426b8e18ba20ae'), ('d3', 2, '0:caebae162c8d02ecb3426b8e18ba20ae'), ('d3', 3, '0:caebae162c8d02ecb3426b8e18ba20ae'), ('d3', 4, '1:ebe1be0ccc77bce1ab260d486b528ac1'), ('d3', 5, '1:ebe1be0ccc77bce1ab260d486b528ac1'), ('d3', 6, '1:ebe1be0ccc77bce1ab260d486b528ac1'), ('d3', 7, '1:ebe1be0ccc77bce1ab260d486b528ac1'), ('d3', 8, '2:05b0d6a30fab41dcb68b2263cc174182'), ('d3', 9, '2:05b0d6a30fab41dcb68b2263cc174182'), ('d3', 10, '2:05b0d6a30fab41dcb68b2263cc174182'), ('d3', 11, '2:05b0d6a30fab41dcb68b2263cc174182'), ('d4', 0, '0:92a406e4b663eb4db7ffbbdc38258f0a'), ('d4', 1, '0:92a406e4b663eb4db7ffbbdc38258f0a'), ('d4', 2, '0:92a406e4b663eb4db7ffbbdc38258f0a'), ('d4', 3, '0:92a406e4b663eb4db7ffbbdc38258f0a'), ('d4', 4, '1:b39a16db564ea542afe35d968abdf91d'), ('d4', 5, '1:b39a16db564ea542afe35d968abdf91d'), ('d4', 6, '1:b39a16db564ea542afe35d968abdf91d'), ('d4', 7, '1:c8333b6d3c5cdd84d4d281c03de31c44'), ('d4', 8, '2:cd692f7199822a3dbb4872b1eb82afde'), ('d4', 9, '2:cd692f7199822a3dbb4872b1eb82afde'), ('d4', 10, '2:cd692f7199822a3dbb4872b1eb82afde'), ('d4', 11, '2:cd692f7199822a3dbb4872b1eb82afde')) AS t(doc, slot, sig)
+ORDER BY doc, slot
 """
     _fr_tok_rows = ", ".join(
         f"({i}, '{t}')" for i, toks in enumerate(_FR_STEMS) for t in toks
