@@ -829,6 +829,46 @@ _MINHASH_EXPECT = [
     ('d4', '2:cd692f7199822a3dbb4872b1eb82afde'),
 ]
 
+
+# Misc token-filter battery (KeepWordFilter, PatternReplaceFilter,
+# PatternCaptureGroupTokenFilter, CapitalizationFilter,
+# HyphenatedWordsFilter, TruncateTokenFilter, LimitTokenCountFilter,
+# DelimitedTermFrequencyTokenFilter, StemmerOverrideFilter):
+# expected outputs pinned from the implementation whose unit tests
+# reproduce the reference vectors (tests/test_miscfilters.py)
+_MISCF_BATTERY = [
+    ('hyph', 'ecologi- cal develop- ment and done', 'ecological development and done'),
+    ('hyph', 'abcd- ef geh 12345678-', 'abcdef geh 12345678-'),
+    ('capture', 'fooBarBaz', 'Bar Baz'),
+    ('capture', 'plainlower', 'plainlower'),
+    ('capture', 'CamelCaseWord', 'Camel Case Word'),
+    ('capture_pre', 'fooBarBaz', 'fooBarBaz Bar Baz'),
+    ('capture_pre', 'Single', 'Single'),
+    ('cap_first', 'kiTTEN', 'Kitten'),
+    ('cap_first', 'and', 'And'),
+    ('cap_first', 'AnD', 'And'),
+    ('cap_first', 'BIG', 'BIG'),
+    ('cap_first', 'Hello thEre my Name is Ryan', 'Hello there my name is ryan'),
+    ('cap_all', 'big and small', 'Big and Small'),
+    ('cap_all', 'hello world', 'Hello World'),
+    ('patrep', 'fooaabar', 'foo-b-r'),
+    ('patrep', 'aaa', '-'),
+    ('patrep', 'none', 'none'),
+    ('trunc4', 'abcdefg', 'abcd'),
+    ('trunc4', 'abc', 'abc'),
+    ('limit2', 'a b c d', 'a b'),
+    ('limit2', 'one', 'one'),
+    ('keepw', 'the quick fox jumps over the dog', 'fox dog'),
+    ('keepw', 'no match here', ''),
+    ('dtf', 'term|3', 'term:3'),
+    ('dtf', 'plain', 'plain:1'),
+    ('dtf', 'x|17', 'x:17'),
+    ('override', 'mice', 'mouse'),
+    ('override', 'feet', 'foot'),
+    ('override', 'cats', 'cats'),
+    ('hyph2', 'comprehensive-hands-on and ecologi- cal', 'comprehensive-hands-on and ecological'),
+]
+
 # Japanese morphological segmentation goldens: hand-pinned expected
 # token sequences (normal mode) for the kuromoji-analog Viterbi
 # tokenizer; sentences mirror the reference TestJapaneseTokenizer
@@ -957,6 +997,7 @@ _DRIVER_PRIORITY = [
     "hunspell_stems", "normalize_terms", "rslp_stems",
     "unine_stems", "facet_set_counts", "brazilian_stems",
     "date_range_day_facets", "date_range_relations", "min_hash_signatures",
+    "misc_filter_terms",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3200,6 +3241,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["min_hash_signatures"] = min_hash_signatures
+
+    # Misc token-filter battery: each kind is a per-string transform
+    # applied as one Arrow-batched projection
+    def misc_filter_terms(spark, sf):
+        from lucene_spark.analysis import miscfilters as mf
+
+        kinds = {
+            "hyph": lambda s: " ".join(mf.hyphenated_words(s.split())),
+            "hyph2": lambda s: " ".join(mf.hyphenated_words(s.split())),
+            "capture": lambda s: " ".join(
+                mf.pattern_capture_tokens(s, ["([A-Z][a-z]+)"], False)
+            ),
+            "capture_pre": lambda s: " ".join(
+                mf.pattern_capture_tokens(s, ["([A-Z][a-z]+)"], True)
+            ),
+            "cap_first": lambda s: mf.capitalize_token(
+                s, True, ["and", "the", "it", "BIG"], True
+            ),
+            "cap_all": lambda s: mf.capitalize_token(
+                s, only_first_word=False, keep=["and"]
+            ),
+            "patrep": lambda s: mf.pattern_replace(s, "a+", "-"),
+            "trunc4": lambda s: mf.truncate_token(s, 4),
+            "limit2": lambda s: " ".join(
+                mf.limit_token_count(s.split(), 2)
+            ),
+            "keepw": lambda s: " ".join(
+                mf.keep_word_tokens(s.split(), ["fox", "dog"])
+            ),
+            "dtf": lambda s: "{}:{}".format(
+                *mf.delimited_term_frequency(s)
+            ),
+            "override": lambda s: mf.stemmer_override(
+                s, {"mice": "mouse", "feet": "foot"}
+            ),
+        }
+        from lucene_spark.analysis.miscfilters import string_transform_udf
+
+        frames = []
+        for kind in sorted(kinds):
+            _f = string_transform_udf(kinds[kind])
+            words = [(w,) for k, w, _ in _MISCF_BATTERY if k == kind]
+            frames.append(
+                spark.createDataFrame(words, "word string").select(
+                    F.lit(kind).alias("kind"), "word",
+                    _f("word").alias("out"),
+                )
+            )
+        out_df = frames[0]
+        for f in frames[1:]:
+            out_df = out_df.unionByName(f)
+        return out_df.orderBy("kind", "word")
+
+    out["misc_filter_terms"] = misc_filter_terms
 
     # end-to-end French chain: index the pinned sentences with the
     # FrenchAnalyzer-analog (tokenize → stop → FrenchStemmer), BM25 on
@@ -5665,6 +5760,13 @@ SELECT relation, cnt FROM (
 SELECT doc, slot, sig
 FROM (VALUES ('d1', 0, '0:2101d33dfa858059219da1c1d671676f'), ('d1', 1, '0:8dfbf7e1a805de0bcc3c85b7e24ea53e'), ('d1', 2, '0:8dfbf7e1a805de0bcc3c85b7e24ea53e'), ('d1', 3, '0:2101d33dfa858059219da1c1d671676f'), ('d1', 4, '1:41f7e3349a703a4e1981437c2909d182'), ('d1', 5, '1:41f7e3349a703a4e1981437c2909d182'), ('d1', 6, '1:aef207d847f09800c420277234e70f51'), ('d1', 7, '1:41f7e3349a703a4e1981437c2909d182'), ('d1', 8, '2:5bc6fbcadda3bf4924e6589789ce8843'), ('d1', 9, '2:5bc6fbcadda3bf4924e6589789ce8843'), ('d1', 10, '2:c8c1206e8b241cfbcf853c8d95abc612'), ('d1', 11, '2:c8c1206e8b241cfbcf853c8d95abc612'), ('d2', 0, '0:2baccf1bcf79ad671412dd287c180ec4'), ('d2', 1, '0:46d05a403baf34f4964db0667bace8eb'), ('d2', 2, '0:ba54ded769c6c3c6629d1671a97e1638'), ('d2', 3, '0:2baccf1bcf79ad671412dd287c180ec4'), ('d2', 4, '1:4ca2df126f64675c0bf67ee2ceb078d7'), ('d2', 5, '1:4ca2df126f64675c0bf67ee2ceb078d7'), ('d2', 6, '1:db4aeece09b17dbb5a80b82bfc16804b'), ('d2', 7, '1:db4aeece09b17dbb5a80b82bfc16804b'), ('d2', 8, '2:6671f7a8b297ec57175b93fe2f752f98'), ('d2', 9, '2:6671f7a8b297ec57175b93fe2f752f98'), ('d2', 10, '2:819582cd1ecd73e49996673c2f0a09bf'), ('d2', 11, '2:f51a07644ce502b665e5cd475cdb370c'), ('d3', 0, '0:caebae162c8d02ecb3426b8e18ba20ae'), ('d3', 1, '0:caebae162c8d02ecb3426b8e18ba20ae'), ('d3', 2, '0:caebae162c8d02ecb3426b8e18ba20ae'), ('d3', 3, '0:caebae162c8d02ecb3426b8e18ba20ae'), ('d3', 4, '1:ebe1be0ccc77bce1ab260d486b528ac1'), ('d3', 5, '1:ebe1be0ccc77bce1ab260d486b528ac1'), ('d3', 6, '1:ebe1be0ccc77bce1ab260d486b528ac1'), ('d3', 7, '1:ebe1be0ccc77bce1ab260d486b528ac1'), ('d3', 8, '2:05b0d6a30fab41dcb68b2263cc174182'), ('d3', 9, '2:05b0d6a30fab41dcb68b2263cc174182'), ('d3', 10, '2:05b0d6a30fab41dcb68b2263cc174182'), ('d3', 11, '2:05b0d6a30fab41dcb68b2263cc174182'), ('d4', 0, '0:92a406e4b663eb4db7ffbbdc38258f0a'), ('d4', 1, '0:92a406e4b663eb4db7ffbbdc38258f0a'), ('d4', 2, '0:92a406e4b663eb4db7ffbbdc38258f0a'), ('d4', 3, '0:92a406e4b663eb4db7ffbbdc38258f0a'), ('d4', 4, '1:b39a16db564ea542afe35d968abdf91d'), ('d4', 5, '1:b39a16db564ea542afe35d968abdf91d'), ('d4', 6, '1:b39a16db564ea542afe35d968abdf91d'), ('d4', 7, '1:c8333b6d3c5cdd84d4d281c03de31c44'), ('d4', 8, '2:cd692f7199822a3dbb4872b1eb82afde'), ('d4', 9, '2:cd692f7199822a3dbb4872b1eb82afde'), ('d4', 10, '2:cd692f7199822a3dbb4872b1eb82afde'), ('d4', 11, '2:cd692f7199822a3dbb4872b1eb82afde')) AS t(doc, slot, sig)
 ORDER BY doc, slot
+"""
+    _mfb_rows = ", ".join(
+        "('{}', '{}', '{}')".format(k, w, o) for k, w, o in _MISCF_BATTERY
+    )
+    out["misc_filter_terms"] = f"""
+SELECT kind, word, out FROM (VALUES {_mfb_rows}) AS t(kind, word, out)
+ORDER BY kind, word
 """
     _fr_tok_rows = ", ".join(
         f"({i}, '{t}')" for i, toks in enumerate(_FR_STEMS) for t in toks

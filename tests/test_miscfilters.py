@@ -1,0 +1,146 @@
+"""Misc token filters vs reference unit-test vectors
+(TestHyphenatedWordsFilter, TestPatternCaptureGroupTokenFilter,
+TestCapitalizationFilter, TestPatternReplaceFilter, etc.)."""
+
+import pytest
+
+from lucene_spark.analysis.miscfilters import (
+    capitalize_token,
+    delimited_term_frequency,
+    hyphenated_words,
+    keep_types,
+    keep_word_tokens,
+    limit_token_count,
+    pattern_capture_tokens,
+    pattern_replace,
+    remove_duplicate_tokens,
+    stemmer_override,
+    truncate_token,
+)
+
+
+def test_hyphenated_words():
+    # TestHyphenatedWordsFilter.java:37-61
+    toks = (
+        "ecologi- cal develop- ment comprehensive-hands-on and "
+        "ecologi- cal".split()
+    )
+    assert hyphenated_words(toks) == [
+        "ecological", "development", "comprehensive-hands-on", "and",
+        "ecological",
+    ]
+    toks2 = (
+        "ecologi- cal develop- ment comprehensive-hands-on and "
+        "ecology-".split()
+    )
+    assert hyphenated_words(toks2)[-1] == "ecology-"
+    assert hyphenated_words(["abcd-", "ef", "geh", "12345678-"]) == [
+        "abcdef", "geh", "12345678-"
+    ]
+    assert hyphenated_words([]) == []
+
+
+CAPTURE_VECTORS = [
+    ("foobarbaz", [], False, ["foobarbaz"]),
+    ("foobarbaz", [], True, ["foobarbaz"]),
+    ("foobarbaz", ["xx"], False, ["foobarbaz"]),
+    ("foobarbaz", ["xx"], True, ["foobarbaz"]),
+    ("foobarbaz", [".."], False, ["foobarbaz"]),
+    ("foobarbaz", [".(y*)"], False, ["foobarbaz"]),
+    ("foobarbaz", ["(.+)"], False, ["foobarbaz"]),
+    ("foobarbaz", ["(.+)"], True, ["foobarbaz"]),
+    ("foobarbaz", ["^(.)"], False, ["f"]),
+    ("foobarbaz", ["^(.)"], True, ["foobarbaz", "f"]),
+    ("foobarbaz", ["^.(.)."], False, ["o"]),
+    ("foobarbaz", ["^.(.)."], True, ["foobarbaz", "o"]),
+    # repeated finds of one pattern emit in match order
+    ("fooBarBaz", ["([A-Z][a-z]+)"], False, ["Bar", "Baz"]),
+    ("fooBarBaz", ["([A-Z][a-z]+)"], True, ["fooBarBaz", "Bar", "Baz"]),
+    # two patterns merge by capture start offset
+    ("fooBarBaz", ["^([a-z]+)", "([A-Z][a-z]+)"], False,
+     ["foo", "Bar", "Baz"]),
+]
+
+
+@pytest.mark.parametrize("tok,pats,pres,want", CAPTURE_VECTORS)
+def test_pattern_capture(tok, pats, pres, want):
+    assert pattern_capture_tokens(tok, pats, pres) == want
+
+
+def test_capitalization():
+    # TestCapitalizationFilter.java:40-110 (onlyFirstWord, keep,
+    # forceFirstLetter)
+    keep = ["and", "the", "it", "BIG"]
+    assert capitalize_token("kiTTEN", True, keep, True) == "Kitten"
+    assert capitalize_token("and", True, keep, True) == "And"
+    assert capitalize_token("AnD", True, keep, True) == "And"
+    assert capitalize_token("AnD", True, keep, False) == "And"
+    assert capitalize_token("big", True, keep, True) == "Big"
+    assert capitalize_token("BIG", True, keep, True) == "BIG"
+    assert (
+        capitalize_token("Hello thEre my Name is Ryan", True, keep, True)
+        == "Hello there my name is ryan"
+    )
+    # all words
+    assert (
+        capitalize_token("hello world", only_first_word=False)
+        == "Hello World"
+    )
+    # keep words stay lowercase mid-token
+    assert (
+        capitalize_token(
+            "big and small", only_first_word=False, keep=["and"]
+        )
+        == "Big and Small"
+    )
+    # maxWordCount exceeded restores the original
+    assert (
+        capitalize_token("one two three", only_first_word=False,
+                         max_word_count=2)
+        == "one two three"
+    )
+    with pytest.raises(ValueError):
+        capitalize_token("x", min_word_length=-1)
+
+
+def test_pattern_replace():
+    # TestPatternReplaceFilter semantics
+    assert pattern_replace("fooaabar", "a+", "-") == "foo-b-r"
+    assert pattern_replace("fooaabaar", "a+", "-", False) == "foo-baar"
+    assert pattern_replace("nomatch", "zz", "-") == "nomatch"
+
+
+def test_keep_words_and_types():
+    assert keep_word_tokens(["foo", "bar"], ["bar"]) == ["bar"]
+    assert keep_word_tokens(["Foo"], ["foo"], ignore_case=True) == ["Foo"]
+    assert keep_types([("1", "<NUM>"), ("x", "<ALPHANUM>")], ["<NUM>"]) == [
+        "1"
+    ]
+    assert keep_types(
+        [("1", "<NUM>"), ("x", "<ALPHANUM>")], ["<NUM>"], False
+    ) == ["x"]
+
+
+def test_truncate_limit_dedup():
+    assert truncate_token("abcdefg", 3) == "abc"
+    with pytest.raises(ValueError):
+        truncate_token("x", 0)
+    assert limit_token_count(["a", "b", "c"], 2) == ["a", "b"]
+    with pytest.raises(ValueError):
+        limit_token_count(["a"], 0)
+    assert remove_duplicate_tokens(
+        [("a", 0), ("a", 0), ("b", 0), ("a", 1), ("a", 1)]
+    ) == [("a", 0), ("b", 0), ("a", 1)]
+
+
+def test_delimited_tf_and_override():
+    assert delimited_term_frequency("term|3") == ("term", 3)
+    assert delimited_term_frequency("plain") == ("plain", 1)
+    with pytest.raises(ValueError):
+        delimited_term_frequency("bad|0")
+    assert (
+        stemmer_override("running", {"running": "run!"}, lambda w: w[:-3])
+        == "run!"
+    )
+    assert stemmer_override("walking", {}, lambda w: w[:-3]) == "walk"
+    assert stemmer_override("walking", {}) == "walking"
