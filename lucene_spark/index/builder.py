@@ -751,22 +751,51 @@ class InvertedIndex:
             self.blocks.unpersist()
         self.terms.unpersist()
 
+    @staticmethod
+    def _term_bloom_options(ndv: int) -> dict:
+        """Writer options for the term-column bloom filter (shared by
+        save() and the tests that assert the physical filter)."""
+        return {
+            "parquet.bloom.filter.enabled#term": "true",
+            "parquet.bloom.filter.expected.ndv#term": str(int(ndv)),
+        }
+
     # ------------------------------------------------------------------
-    def save(self, index_dir: str) -> None:
+    def save(self, index_dir: str, term_bloom: bool = False) -> None:
         """Persist index to parquet + JSON manifest (commit point).
 
         Blocks are written partitioned-sorted by term so parquet
         row-group min/max statistics give term-seek pruning (the role
         of Lucene's FST term dictionary, SURVEY §2.2).
+
+        ``term_bloom=True`` additionally writes a parquet bloom filter
+        on the ``term`` column of the blocks files — the
+        BloomFilteringPostingsFormat analog
+        (codecs/bloom/BloomFilteringPostingsFormat.java:62): a point
+        term lookup can then skip row groups whose min/max RANGE spans
+        the term but whose bloom says it is absent — the dominant case
+        for rare terms once blocks are term-sorted. parquet-mr only
+        materializes the filter for column chunks that overflow
+        dictionary encoding (a fully dict-encoded chunk already gives
+        exact membership pruning), so at toy scale the option is a
+        no-op by design and at 100 TB — where term dictionaries blow
+        the 1 MB dictionary-page budget — it is the piece that keeps
+        point lookups row-group-local. Pure reader-side: results are
+        identical either way.
         """
-        (
+        w = (
             self.blocks.repartition(
                 max(self.spark.sparkContext.defaultParallelism, 4), "term"
             )
             .sortWithinPartitions("term", "segment_id", "block_ord")
             .write.mode("overwrite")
-            .parquet(os.path.join(index_dir, "blocks"))
         )
+        if term_bloom:
+            for k, v in self._term_bloom_options(
+                max(1024, self.terms.count())
+            ).items():
+                w = w.option(k, v)
+        w.parquet(os.path.join(index_dir, "blocks"))
         self.terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
         self.norms.write.mode("overwrite").parquet(os.path.join(index_dir, "norms"))
         if self.deletes is not None and self.num_deleted > 0:
