@@ -997,7 +997,7 @@ _DRIVER_PRIORITY = [
     "hunspell_stems", "normalize_terms", "rslp_stems",
     "unine_stems", "facet_set_counts", "brazilian_stems",
     "date_range_day_facets", "date_range_relations", "min_hash_signatures",
-    "misc_filter_terms",
+    "misc_filter_terms", "quality_eval",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3295,6 +3295,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out_df.orderBy("kind", "word")
 
     out["misc_filter_terms"] = misc_filter_terms
+
+    # Search-quality evaluation (benchmark/quality/QualityStats.java:28):
+    # P@k / recall@k / AP / windowed MRR / nDCG per query over a
+    # deterministic run (term-containment retrieval scored by
+    # length(text) % 101) and judgments (doc_id % 5 == 0, double grade
+    # on % 10); the oracle re-implements every metric in SQL windows
+    def quality_eval(spark, sf):
+        from lucene_spark.search.quality import quality_stats
+
+        docs = _docs(spark, sf).select("doc_id", "text")
+        frames = []
+        for q in ("spark", "merge", "window"):
+            frames.append(
+                docs.filter(F.col("text").contains(q)).select(
+                    F.lit(q).alias("query_id"),
+                    "doc_id",
+                    (F.length("text") % 101).cast("double").alias("score"),
+                )
+            )
+        run = frames[0]
+        for f in frames[1:]:
+            run = run.unionByName(f)
+        judg = run.filter(F.col("doc_id") % 5 == 0).select(
+            "query_id",
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 0, F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("grade"),
+        )
+        return quality_stats(run, judg, k=10).orderBy("query_id")
+
+    out["quality_eval"] = quality_eval
 
     # end-to-end French chain: index the pinned sentences with the
     # FrenchAnalyzer-analog (tokenize → stop → FrenchStemmer), BM25 on
@@ -5767,6 +5799,61 @@ ORDER BY doc, slot
     out["misc_filter_terms"] = f"""
 SELECT kind, word, out FROM (VALUES {_mfb_rows}) AS t(kind, word, out)
 ORDER BY kind, word
+"""
+    out["quality_eval"] = """
+WITH run AS (
+  SELECT q.query_id, d.doc_id,
+         CAST(length(d.text) % 101 AS DOUBLE) AS score
+  FROM documents d
+  JOIN (VALUES ('spark'), ('merge'), ('window')) AS q(query_id)
+    ON d.text LIKE '%' || q.query_id || '%'
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM run
+), judg AS (
+  SELECT query_id, doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END AS grade
+  FROM run WHERE doc_id % 5 = 0
+), totals AS (
+  SELECT query_id, count(*) AS max_good,
+         SUM(CASE WHEN jrank <= 10
+                  THEN grade / log2(jrank + 1) ELSE 0 END) AS idcg
+  FROM (SELECT query_id, grade, row_number() OVER (
+          PARTITION BY query_id ORDER BY grade DESC, doc_id ASC) AS jrank
+        FROM judg)
+  GROUP BY query_id
+), hits AS (
+  SELECT r.query_id, r.doc_id, r.rank,
+         COALESCE(j.grade, 0) AS grade,
+         CASE WHEN COALESCE(j.grade, 0) > 0 THEN 1 ELSE 0 END AS rel
+  FROM ranked r LEFT JOIN judg j USING (query_id, doc_id)
+), cum AS (
+  SELECT *, SUM(rel) OVER (
+    PARTITION BY query_id ORDER BY rank
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rel
+  FROM hits
+), per_q AS (
+  SELECT query_id,
+    SUM(CASE WHEN rank <= 10 THEN rel ELSE 0 END) / 10.0 AS p_at_k,
+    SUM(CASE WHEN rank <= 10 THEN rel ELSE 0 END) AS rel_at_k,
+    SUM(CASE WHEN rel = 1 THEN CAST(cum_rel AS DOUBLE) / rank
+             ELSE 0 END) AS sum_prec,
+    MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+    SUM(CASE WHEN rank <= 10 AND grade > 0
+             THEN grade / log2(rank + 1) ELSE 0 END) AS dcg
+  FROM cum GROUP BY query_id
+)
+SELECT p.query_id,
+  ROUND(p.p_at_k, 6) AS p_at_k,
+  ROUND(p.rel_at_k / GREATEST(t.max_good, 1), 6) AS recall_at_k,
+  ROUND(p.sum_prec / GREATEST(t.max_good, 1), 6) AS ap,
+  ROUND(CASE WHEN p.first_rel <= 5 THEN 1.0 / p.first_rel
+             ELSE 0.0 END, 6) AS mrr,
+  ROUND(CASE WHEN t.idcg > 0 THEN p.dcg / t.idcg ELSE 0.0 END, 6)
+    AS ndcg_at_k
+FROM per_q p LEFT JOIN totals t USING (query_id)
+ORDER BY query_id
 """
     _fr_tok_rows = ", ".join(
         f"({i}, '{t}')" for i, toks in enumerate(_FR_STEMS) for t in toks
