@@ -869,6 +869,74 @@ _MISCF_BATTERY = [
     ('hyph2', 'comprehensive-hands-on and ecologi- cal', 'comprehensive-hands-on and ecological'),
 ]
 
+
+# Phonetic codec battery (PhoneticFilterFactory.java:65 registry:
+# refinedSoundex, caverphone2, nysiis): reference TestPhoneticFilter
+# vectors + published spec examples, rest pinned from the verified
+# implementation (tests/test_phonetic_codecs.py)
+_PHON_BATTERY = [
+    ('refined', 'Darda', 'D60960'),
+    ('caver2', 'Darda', 'TTA1111111'),
+    ('nysiis', 'Darda', 'DARD'),
+    ('refined', 'Karleen', 'K309708'),
+    ('caver2', 'Karleen', 'KLN1111111'),
+    ('nysiis', 'Karleen', 'CARLAN'),
+    ('refined', 'Datha', 'D6060'),
+    ('caver2', 'Datha', 'TTA1111111'),
+    ('nysiis', 'Datha', 'DAT'),
+    ('refined', 'Carlene', 'C3097080'),
+    ('caver2', 'Carlene', 'KLN1111111'),
+    ('nysiis', 'Carlene', 'CARLAN'),
+    ('refined', 'Stevenson', 'S360208308'),
+    ('caver2', 'Stevenson', 'STFNSN1111'),
+    ('nysiis', 'Stevenson', 'STAFAN'),
+    ('refined', 'Peter', 'P10609'),
+    ('caver2', 'Peter', 'PTA1111111'),
+    ('nysiis', 'Peter', 'PATAR'),
+    ('refined', 'Thompson', 'T6081308'),
+    ('caver2', 'Thompson', 'TMPSN11111'),
+    ('nysiis', 'Thompson', 'TANPSA'),
+    ('refined', 'aaa', 'A0'),
+    ('caver2', 'aaa', 'AA11111111'),
+    ('nysiis', 'aaa', 'A'),
+    ('refined', 'bbb', 'B1'),
+    ('caver2', 'bbb', 'P111111111'),
+    ('nysiis', 'bbb', 'B'),
+    ('refined', 'ccc', 'C3'),
+    ('caver2', 'ccc', 'K111111111'),
+    ('nysiis', 'ccc', 'C'),
+    ('refined', 'easgasg', 'E034034'),
+    ('caver2', 'easgasg', 'ASKSK11111'),
+    ('nysiis', 'easgasg', 'EASGAS'),
+    ('refined', 'MACINTOSH', 'M803086030'),
+    ('caver2', 'MACINTOSH', 'MSNTS11111'),
+    ('nysiis', 'MACINTOSH', 'MCANT'),
+    ('refined', 'KNUTH', 'K38060'),
+    ('caver2', 'KNUTH', 'KNT1111111'),
+    ('nysiis', 'KNUTH', 'NAT'),
+    ('refined', 'PHILLIPSON', 'P10701308'),
+    ('caver2', 'PHILLIPSON', 'FLPSN11111'),
+    ('nysiis', 'PHILLIPSON', 'FALAPS'),
+    ('refined', 'robert', 'R901096'),
+    ('caver2', 'robert', 'RPT1111111'),
+    ('nysiis', 'robert', 'RABAD'),
+    ('refined', 'rupert', 'R901096'),
+    ('caver2', 'rupert', 'RPT1111111'),
+    ('nysiis', 'rupert', 'RAPAD'),
+    ('refined', 'smith', 'S38060'),
+    ('caver2', 'smith', 'SMT1111111'),
+    ('nysiis', 'smith', 'SNAT'),
+    ('refined', 'smyth', 'S38060'),
+    ('caver2', 'smyth', 'SMT1111111'),
+    ('nysiis', 'smyth', 'SNYT'),
+    ('refined', 'catherine', 'C30609080'),
+    ('caver2', 'catherine', 'KTRN111111'),
+    ('nysiis', 'catherine', 'CATARA'),
+    ('refined', 'kathryn', 'K3060908'),
+    ('caver2', 'kathryn', 'KTRN111111'),
+    ('nysiis', 'kathryn', 'CATRYN'),
+]
+
 # Japanese morphological segmentation goldens: hand-pinned expected
 # token sequences (normal mode) for the kuromoji-analog Viterbi
 # tokenizer; sentences mirror the reference TestJapaneseTokenizer
@@ -997,7 +1065,7 @@ _DRIVER_PRIORITY = [
     "hunspell_stems", "normalize_terms", "rslp_stems",
     "unine_stems", "facet_set_counts", "brazilian_stems",
     "date_range_day_facets", "date_range_relations", "min_hash_signatures",
-    "misc_filter_terms", "quality_eval",
+    "misc_filter_terms", "quality_eval", "phonetic_codecs",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3327,6 +3395,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return quality_stats(run, judg, k=10).orderBy("query_id")
 
     out["quality_eval"] = quality_eval
+
+    # Phonetic codecs (RefinedSoundex / Caverphone 2.0 / NYSIIS):
+    # distributed encoding of the pinned battery
+    def phonetic_codecs(spark, sf):
+        from lucene_spark.analysis.miscfilters import string_transform_udf
+        from lucene_spark.analysis.phonetic import (
+            caverphone2,
+            nysiis,
+            refined_soundex,
+        )
+
+        fns = {"refined": refined_soundex, "caver2": caverphone2,
+               "nysiis": nysiis}
+        frames = []
+        for kind in sorted(fns):
+            words = [(w,) for k, w, _ in _PHON_BATTERY if k == kind]
+            frames.append(
+                spark.createDataFrame(words, "word string").select(
+                    F.lit(kind).alias("kind"), "word",
+                    string_transform_udf(fns[kind])("word").alias("code"),
+                )
+            )
+        out_df = frames[0]
+        for f in frames[1:]:
+            out_df = out_df.unionByName(f)
+        return out_df.orderBy("kind", "word")
+
+    out["phonetic_codecs"] = phonetic_codecs
 
     # end-to-end French chain: index the pinned sentences with the
     # FrenchAnalyzer-analog (tokenize → stop → FrenchStemmer), BM25 on
@@ -5854,6 +5950,13 @@ SELECT p.query_id,
     AS ndcg_at_k
 FROM per_q p LEFT JOIN totals t USING (query_id)
 ORDER BY query_id
+"""
+    _ph_rows = ", ".join(
+        "('{}', '{}', '{}')".format(k, w, c) for k, w, c in _PHON_BATTERY
+    )
+    out["phonetic_codecs"] = f"""
+SELECT kind, word, code FROM (VALUES {_ph_rows}) AS t(kind, word, code)
+ORDER BY kind, word
 """
     _fr_tok_rows = ", ".join(
         f"({i}, '{t}')" for i, toks in enumerate(_FR_STEMS) for t in toks

@@ -112,3 +112,182 @@ def phonetic_match(
         .select(id_col)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# RefinedSoundex / Caverphone 2.0 / NYSIIS — the other commons-codec
+# encoders PhoneticFilter wraps (PhoneticFilterFactory.java:65 name
+# registry). Python-side (memoized, Arrow-batched via
+# `miscfilters.string_transform_udf`); vectors from
+# TestPhoneticFilter.java:36-100.
+
+# RefinedSoundex.US_ENGLISH mapping, A..Z
+_REFINED_MAP = "01360240043788015936020505"
+
+
+def refined_soundex(word: str) -> str:
+    """commons-codec RefinedSoundex: first letter + one digit per
+    letter with consecutive duplicate codes collapsed, no length cap
+    (aaa → A0, easgasg → E034034)."""
+    letters = [c for c in word.upper() if "A" <= c <= "Z"]
+    if not letters:
+        return ""
+    out = [letters[0]]
+    last = None
+    for c in letters:
+        d = _REFINED_MAP[ord(c) - 65]
+        if d != last:
+            out.append(d)
+        last = d
+    return "".join(out)
+
+
+# Caverphone 2.0 (David Hood, Caversham Project, University of Otago,
+# 2004): the exact ordered rewrite ladder, padded to 10 with '1'.
+_CAVER2_RULES = [
+    ("e$", ""),
+    ("^cough", "cou2f"),
+    ("^rough", "rou2f"),
+    ("^tough", "tou2f"),
+    ("^enough", "enou2f"),
+    ("^trough", "trou2f"),
+    ("^gn", "2n"),
+    ("mb$", "m2"),
+    ("cq", "2q"),
+    ("ci", "si"),
+    ("ce", "se"),
+    ("cy", "sy"),
+    ("tch", "2ch"),
+    ("c", "k"),
+    ("q", "k"),
+    ("x", "k"),
+    ("v", "f"),
+    ("dg", "2g"),
+    ("tio", "sio"),
+    ("tia", "sia"),
+    ("d", "t"),
+    ("ph", "fh"),
+    ("b", "p"),
+    ("sh", "s2"),
+    ("z", "s"),
+    ("^[aeiou]", "A"),
+    ("[aeiou]", "3"),
+    ("j", "y"),
+    ("^y3", "Y3"),
+    ("^y", "A"),
+    ("y", "3"),
+    ("3gh3", "3kh3"),
+    ("gh", "22"),
+    ("g", "k"),
+    ("s+", "S"),
+    ("t+", "T"),
+    ("p+", "P"),
+    ("k+", "K"),
+    ("f+", "F"),
+    ("m+", "M"),
+    ("n+", "N"),
+    ("w3", "W3"),
+    ("wh3", "Wh3"),
+    ("w$", "3"),
+    ("w", "2"),
+    ("^h", "A"),
+    ("h", "2"),
+    ("r3", "R3"),
+    ("r$", "3"),
+    ("r", "2"),
+    ("l3", "L3"),
+    ("l$", "3"),
+    ("l", "2"),
+    ("2", ""),
+    ("3$", "A"),
+    ("3", ""),
+]
+
+
+def caverphone2(word: str) -> str:
+    """Caverphone 2.0 revised algorithm (commons-codec Caverphone2):
+    lowercase+strip, the ordered rewrite ladder above, then pad/cut to
+    exactly 10 chars with '1' (Darda/Datha → TTA1111111)."""
+    import re as _re
+
+    w = "".join(c for c in word.lower() if "a" <= c <= "z")
+    for pat, rep in _CAVER2_RULES:
+        w = _re.sub(pat, rep, w)
+    return (w + "1" * 10)[:10]
+
+
+_NY_VOWELS = frozenset("AEIOU")
+
+
+def nysiis(word: str, strict: bool = True) -> str:
+    """NYSIIS (New York State Identification and Intelligence System,
+    1970; commons-codec Nysiis): prefix/suffix rewrites, per-letter
+    translation with the EV/H/W context rules, consecutive-duplicate
+    collapse, suffix cleanup; strict mode truncates to 6."""
+    w = "".join(c for c in word.upper() if "A" <= c <= "Z")
+    if not w:
+        return ""
+    # prefix rewrites
+    if w.startswith("MAC"):
+        w = "MCC" + w[3:]
+    elif w.startswith("KN"):
+        w = "NN" + w[2:]
+    elif w.startswith("K"):
+        w = "C" + w[1:]
+    elif w.startswith("PH") or w.startswith("PF"):
+        w = "FF" + w[2:]
+    elif w.startswith("SCH"):
+        w = "SSS" + w[3:]
+    # suffix rewrites
+    if w.endswith("EE") or w.endswith("IE"):
+        w = w[:-2] + "Y"
+    elif w[-2:] in ("DT", "RT", "RD", "NT", "ND"):
+        w = w[:-2] + "D"
+    key = [w[0]]
+    i = 1
+    chars = list(w)
+    while i < len(chars):
+        c = chars[i]
+        nxt = chars[i + 1] if i + 1 < len(chars) else ""
+        if c in _NY_VOWELS:
+            if c == "E" and nxt == "V":
+                chars[i], chars[i + 1] = "A", "F"
+            else:
+                chars[i] = "A"
+        elif c == "Q":
+            chars[i] = "G"
+        elif c == "Z":
+            chars[i] = "S"
+        elif c == "M":
+            chars[i] = "N"
+        elif c == "K":
+            if nxt == "N":
+                chars[i] = "N"
+            else:
+                chars[i] = "C"
+        elif c == "S" and chars[i : i + 3] == ["S", "C", "H"]:
+            chars[i : i + 3] = ["S", "S", "S"]
+        elif c == "P" and nxt == "H":
+            chars[i], chars[i + 1] = "F", "F"
+        elif c == "H" and (
+            chars[i - 1] not in _NY_VOWELS
+            or (nxt and nxt not in _NY_VOWELS)
+        ):
+            chars[i] = chars[i - 1]
+        elif c == "W" and chars[i - 1] in _NY_VOWELS:
+            chars[i] = chars[i - 1]
+        if chars[i] != key[-1]:
+            key.append(chars[i])
+        i += 1
+    # suffix cleanup
+    if key[-1] == "S" and len(key) > 1:
+        key.pop()
+    if len(key) >= 2 and key[-2:] == ["A", "Y"]:
+        key = key[:-2] + ["Y"]
+    if key[-1] == "A" and len(key) > 1:
+        key.pop()
+    s = "".join(key)
+    return s[:6] if strict else s
+
+
+__all__ += ["refined_soundex", "caverphone2", "nysiis"]
