@@ -937,6 +937,40 @@ _PHON_BATTERY = [
     ('nysiis', 'kathryn', 'CATRYN'),
 ]
 
+
+# Double Metaphone battery (DoubleMetaphoneFilter.java:29):
+# reference filter vectors + the published algorithm's canonical
+# examples (tests/test_doublemetaphone.py)
+_DM_BATTERY = [
+    ('international', 'ANTR', 'ANTR'),
+    ('Kuczewski', 'KSSK', 'KXFS'),
+    ('hello', 'HL', 'HL'),
+    ('easgasg', 'ASKS', 'ASKS'),
+    ('testing', 'TSTN', 'TSTN'),
+    ('The', '0', 'T'),
+    ('quick', 'KK', 'KK'),
+    ('brown', 'PRN', 'PRN'),
+    ('fox', 'FKS', 'FKS'),
+    ('jumped', 'JMPT', 'AMPT'),
+    ('over', 'AFR', 'AFR'),
+    ('lazy', 'LS', 'LS'),
+    ('dogs', 'TKS', 'TKS'),
+    ('jose', 'HS', 'HS'),
+    ('smith', 'SM0', 'XMT'),
+    ('schmidt', 'XMT', 'SMT'),
+    ('snider', 'SNTR', 'XNTR'),
+    ('school', 'SKL', 'SKL'),
+    ('ghislane', 'JLN', 'JLN'),
+    ('caesar', 'SSR', 'SSR'),
+    ('chianti', 'KNT', 'KNT'),
+    ('michael', 'MKL', 'MXL'),
+    ('thomas', 'TMS', 'TMS'),
+    ('knox', 'NKS', 'NKS'),
+    ('accident', 'AKST', 'AKST'),
+    ('Xavier', 'SF', 'SFR'),
+    ('Wright', 'RT', 'RT'),
+]
+
 # Japanese morphological segmentation goldens: hand-pinned expected
 # token sequences (normal mode) for the kuromoji-analog Viterbi
 # tokenizer; sentences mirror the reference TestJapaneseTokenizer
@@ -1066,6 +1100,7 @@ _DRIVER_PRIORITY = [
     "unine_stems", "facet_set_counts", "brazilian_stems",
     "date_range_day_facets", "date_range_relations", "min_hash_signatures",
     "misc_filter_terms", "quality_eval", "phonetic_codecs",
+    "double_metaphone_codes",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3423,6 +3458,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out_df.orderBy("kind", "word")
 
     out["phonetic_codecs"] = phonetic_codecs
+
+    # Double Metaphone (primary + alternate codes, max length 4)
+    def double_metaphone_codes(spark, sf):
+        from lucene_spark.analysis.doublemetaphone import (
+            double_metaphone_udf,
+        )
+
+        words = [(w,) for w, _, _ in _DM_BATTERY]
+        return (
+            spark.createDataFrame(words, "word string")
+            .select(
+                "word",
+                double_metaphone_udf(4)("word").alias("primary"),
+                double_metaphone_udf(4, alternate=True)("word").alias(
+                    "alternate"
+                ),
+            )
+            .orderBy("word")
+        )
+
+    out["double_metaphone_codes"] = double_metaphone_codes
 
     # end-to-end French chain: index the pinned sentences with the
     # FrenchAnalyzer-analog (tokenize → stop → FrenchStemmer), BM25 on
@@ -5957,6 +6013,14 @@ ORDER BY query_id
     out["phonetic_codecs"] = f"""
 SELECT kind, word, code FROM (VALUES {_ph_rows}) AS t(kind, word, code)
 ORDER BY kind, word
+"""
+    _dm_rows = ", ".join(
+        "('{}', '{}', '{}')".format(w, pp, aa) for w, pp, aa in _DM_BATTERY
+    )
+    out["double_metaphone_codes"] = f"""
+SELECT word, "primary", alternate
+FROM (VALUES {_dm_rows}) AS t(word, "primary", alternate)
+ORDER BY word
 """
     _fr_tok_rows = ", ".join(
         f"({i}, '{t}')" for i, toks in enumerate(_FR_STEMS) for t in toks
