@@ -84,6 +84,7 @@ _INDEX_CACHE: dict = {}
 _COMMIT_CACHE: dict = {}
 _BP_CACHE: dict = {}
 _REPLICA_CACHE: dict = {}
+_SORTED_STORE_CACHE: dict = {}
 
 TOK_CTE = (
     "tok AS (SELECT doc_id, term FROM (SELECT doc_id, "
@@ -1101,6 +1102,8 @@ _DRIVER_PRIORITY = [
     "date_range_day_facets", "date_range_relations", "min_hash_signatures",
     "misc_filter_terms", "quality_eval", "phonetic_codecs",
     "double_metaphone_codes",
+    # round-5 final-session additions
+    "heatmap_facets", "sorted_early_topk", "embedding_ivfpq_topk",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -4535,6 +4538,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf, WildcardQuery("*er"), k=100
     )
 
+    # --- HeatmapFacetCounter analog (spatial-extras/prefix/
+    # HeatmapFacetCounter.java:40): level-4 quad grid (22.5 x 11.25 deg
+    # cells) over the deterministic geo points; one partially-aggregated
+    # groupBy on codegen'd cell ids — the oracle consumes the SAME
+    # emitted cell arithmetic
+    def heatmap_facets(spark, sf):
+        from lucene_spark.search.heatmap import heatmap_counts
+
+        return heatmap_counts(
+            _geo_points(spark, sf), -60.0, 70.0, -150.0, 160.0, level=4
+        ).orderBy("grid_x", "grid_y")
+
+    out["heatmap_facets"] = heatmap_facets
+
+    # --- early-terminated sorted top-k (TopFieldCollector.
+    # canEarlyTerminate, search/TopFieldCollector.java:147 +
+    # index/Sorter.java:34): docID == sort rank, so top-k is a
+    # partition-pruning docID bound — segments past the bound are never
+    # opened (the distributed early termination)
+    def sorted_early_topk(spark, sf):
+        import os
+        import tempfile
+
+        from lucene_spark.index.sorting import (
+            early_terminated_topk,
+            save_sorted,
+            sort_docs,
+        )
+
+        if sf not in _SORTED_STORE_CACHE:
+            path = os.path.join(
+                tempfile.mkdtemp(prefix="lucene_spark_sorted_"), "docs_by_chars"
+            )
+            s = sort_docs(
+                _docs(spark, sf),
+                [F.col("n_chars").desc(), F.col("orig_doc_id")],
+            )
+            save_sorted(s, path, docs_per_segment=128)
+            _SORTED_STORE_CACHE[sf] = path
+        return early_terminated_topk(spark, _SORTED_STORE_CACHE[sf], k=12).select(
+            F.col("orig_doc_id").alias("doc_id"), "n_chars"
+        )
+
+    out["sorted_early_topk"] = sorted_early_topk
+
+    # --- IVF-PQ (faiss "IVF8,PQ8" factory leg, sandbox/codecs/faiss/
+    # FaissKnnVectorsFormat.java:59; Jegou et al. TPAMI 2011): all 8
+    # lists probed + generous ADC shortlist + exact float re-rank ==
+    # brute force (the tight-budget regime is recall-tested in pytest)
+    def embedding_ivfpq_topk(spark, sf):
+        from lucene_spark.pipeline.similarity import (
+            ivf_assign,
+            ivf_pq_topk,
+            pq_encode,
+            pq_train,
+        )
+
+        emb = _emb(spark, sf)
+        assigned, cent = ivf_assign(emb, n_lists=8, seed=7)
+        books = pq_train(emb, m=8, ksub=32, seed=7)
+        coded = pq_encode(assigned, books)
+        return ivf_pq_topk(
+            coded, cent, books, _qvec(spark, sf), k=15, n_probes=8, refine=20
+        )
+
+    out["embedding_ivfpq_topk"] = embedding_ivfpq_topk
+
     return _driver_order(out)
 
 
@@ -7007,4 +7077,32 @@ WITH {TOK_CTE}
 SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_term_freq
 FROM tok GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 10
 """
+
+    # heatmap grid counts: the oracle consumes the SAME emitted cell
+    # arithmetic the Spark plan runs (heatmap_counts_sql shares
+    # _gx_sql/_gy_sql with heatmap_counts)
+    from lucene_spark.search.heatmap import heatmap_counts_sql
+
+    out["heatmap_facets"] = (
+        "SELECT grid_x, grid_y, cnt FROM ("
+        + heatmap_counts_sql(
+            f"WITH {_GEO_CTE} SELECT * FROM pts",
+            -60.0,
+            70.0,
+            -150.0,
+            160.0,
+            level=4,
+        )
+        + ") ORDER BY grid_x, grid_y"
+    )
+
+    # early-terminated sorted top-k == the full sort's top-k (that is
+    # the early-termination contract)
+    out["sorted_early_topk"] = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id ASC LIMIT 12
+"""
+
+    # IVF-PQ at full probes + generous refine is exact vs brute force
+    out["embedding_ivfpq_topk"] = out["embedding_cosine_topk"]
     return out

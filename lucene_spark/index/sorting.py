@@ -29,11 +29,13 @@ docID map held by the Sorter) so results translate back.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import List, Optional, Sequence, Union
 
-from pyspark.sql import Column, DataFrame, functions as F, Window
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, Window
 
-__all__ = ["sort_docs"]
+__all__ = ["sort_docs", "save_sorted", "early_terminated_topk"]
 
 
 def sort_docs(
@@ -86,3 +88,97 @@ def sort_docs(
         .drop("_pid", "_rn", "_off")
     )
     return ranked
+
+
+def save_sorted(
+    sorted_df: DataFrame,
+    path: str,
+    doc_id_col: str = "doc_id",
+    docs_per_segment: int = 65_536,
+) -> None:
+    """Persist a :func:`sort_docs` output as a segment-partitioned
+    sorted store.
+
+    Each ``seg = doc_id // docs_per_segment`` becomes a Hive partition
+    directory holding one contiguous docID range — the on-disk shape
+    of Lucene's index-sorted segments (`index/Sorter.java:34` applies
+    the sort at flush; each segment's docIDs then follow the sort
+    order). Partition values are the *coarse* sort positions, so a
+    docID bound turns into PARTITION pruning (whole directories never
+    listed into the scan) plus row-group min/max pruning inside the
+    boundary segment. A tiny JSON manifest records the layout.
+    """
+    n_docs = sorted_df.count()
+    seg = (F.col(doc_id_col) / docs_per_segment).cast("long").alias("seg")
+    (
+        sorted_df.withColumn("seg", seg)
+        .repartition("seg")
+        .sortWithinPartitions(doc_id_col)
+        .write.mode("overwrite")
+        .partitionBy("seg")
+        .parquet(path)
+    )
+    meta = {
+        "doc_id_col": doc_id_col,
+        "docs_per_segment": int(docs_per_segment),
+        "n_docs": int(n_docs),
+    }
+    with open(os.path.join(path, "_sorted_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def early_terminated_topk(
+    spark: SparkSession,
+    path: str,
+    k: int,
+    deleted: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Top-k in index-sort order with early termination.
+
+    The analog of `TopFieldCollector.canEarlyTerminate`
+    (`search/TopFieldCollector.java:147`): when the query sort is a
+    prefix of the index sort (or docID order itself), Lucene stops
+    collecting after k competitive hits per segment instead of scoring
+    the segment to its end. Distributed, "stop reading early" becomes
+    "never read at all": because :func:`sort_docs` made docID *equal*
+    to the sort rank, the global top-k is exactly ``doc_id < bound``,
+    and the bound becomes
+
+    - a PartitionFilter on ``seg`` — segments past the boundary are
+      pruned from the file listing (never opened, the distributed
+      early termination), and
+    - a PushedFilter on ``doc_id`` — row groups inside the boundary
+      segment prune on parquet min/max stats.
+
+    With tombstones (`deleted`: frame with the doc_id column), the
+    bound widens by the deleted count inside the prefix — the
+    iteration is Lucene's "collect until k *live* competitive hits",
+    run as a driver fixpoint over tiny aggregate counts (at most a few
+    rounds, each one COUNT over the small tombstone frame; the corpus
+    itself is never touched until the final pruned scan).
+    """
+    with open(os.path.join(path, "_sorted_meta.json")) as f:
+        meta = json.load(f)
+    doc_id_col = meta["doc_id_col"]
+    dps = int(meta["docs_per_segment"])
+    n_docs = int(meta["n_docs"])
+
+    bound = min(k, n_docs)
+    if deleted is not None:
+        while True:
+            d = deleted.filter(F.col(doc_id_col) < bound).count()
+            new_bound = min(k + d, n_docs)
+            if new_bound == bound:
+                break
+            bound = new_bound
+
+    df = spark.read.parquet(path)
+    out = df.filter(
+        (F.col("seg") <= (max(bound, 1) - 1) // dps)
+        & (F.col(doc_id_col) < bound)
+    )
+    if deleted is not None:
+        out = out.join(
+            F.broadcast(deleted.select(doc_id_col)), doc_id_col, "left_anti"
+        )
+    return out.orderBy(doc_id_col).limit(k).drop("seg")

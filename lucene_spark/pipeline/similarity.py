@@ -32,6 +32,10 @@ __all__ = [
     "ivf_topk",
     "ivf_quantize",
     "ivf_quantized_topk",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
+    "ivf_pq_topk",
 ]
 
 
@@ -401,4 +405,191 @@ def ivf_quantized_topk(
         .withColumn("cos", F.round(F.col("cos"), 6))
         .orderBy(F.col("cos").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ)
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 32,
+    seed: int = 42,
+    kmeans_iters: int = 10,
+    sample_fraction: float = 0.2,
+    max_train_rows: int = 200_000,
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jegou, Douze, Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+    the `PQ{m}` leg of the faiss index-factory strings the sandbox
+    codec accepts, `sandbox/codecs/faiss/FaissKnnVectorsFormat.java:59`).
+
+    The dimension is split into ``m`` contiguous subspaces; each
+    subspace gets its own ``ksub``-centroid k-means codebook trained
+    on a deterministic row-capped sample (the same driver-budget
+    discipline as :func:`ivf_assign`'s coarse training). Vectors are
+    L2-normalized first, so the quantized inner product approximates
+    cosine. Returns ``codebooks`` of shape (m, ksub, dim // m),
+    float32 — a few KB, broadcast to every encode/search task.
+    """
+    dim = _infer_dim(df, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    sample = np.array(
+        df.sample(fraction=sample_fraction, seed=seed)
+        .select(vec_col)
+        .limit(max_train_rows)
+        .toPandas()[vec_col]
+        .tolist(),
+        dtype=np.float32,
+    )
+    if len(sample) < ksub:
+        sample = np.array(
+            df.select(vec_col).limit(max_train_rows).toPandas()[vec_col].tolist(),
+            dtype=np.float32,
+        )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float32)
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)]
+        if len(cent) < ksub:  # degenerate tiny input: repeat rows
+            cent = np.resize(cent, (ksub, dsub))
+        for _ in range(kmeans_iters):
+            # squared-L2 assignment (classic PQ trains in L2 space)
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode every vector to ``m`` one-byte subspace codes.
+
+    One Arrow-batched pandas UDF; per batch the work is m small
+    (batch x ksub) distance matrices — no per-row Python. At 100 TB
+    the code column is what the probes scan: m bytes per vector
+    (dim/ m-fold less IO than float32), while the float column is only
+    touched by the final re-rank of <= k*refine rows.
+    """
+    m, ksub, dsub = codebooks.shape
+    if ksub > 256:
+        raise ValueError("ksub > 256 does not fit one byte per subspace")
+    bc = df.sparkSession.sparkContext.broadcast(codebooks)
+
+    @F.pandas_udf(T.BinaryType())
+    def code_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        books = bc.value
+        for s in it:
+            v = np.array(s.tolist(), dtype=np.float32)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(v), m), dtype=np.uint8)
+            for j in range(m):
+                sub = v[:, j * dsub : (j + 1) * dsub]
+                cent = books[j]
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; row-constant
+                # ||x||^2 does not change the argmin
+                d2 = (cent**2).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+            yield pd.Series([c.tobytes() for c in codes])
+
+    return df.withColumn(code_col, code_udf(F.col(vec_col)))
+
+
+def pq_topk(
+    coded: DataFrame,
+    codebooks: np.ndarray,
+    qvec: Sequence[float],
+    k: int = 10,
+    refine: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes + exact re-rank.
+
+    The query stays float: per subspace, a (ksub,) lookup table of
+    ``<q_sub, centroid>`` inner products is built once on the driver
+    and broadcast; each vector's approximate cosine is the sum of m
+    table lookups (one fancy-index + reduce per Arrow batch). The top
+    ``k * refine`` by ADC score are re-ranked with the exact float64
+    cosine — only those rows ever read the float column.
+    """
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray(qvec, dtype=np.float32)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    # ADC lookup tables: table[j, c] = <q_sub_j, codebook[j][c]>
+    tables = np.einsum(
+        "jd,jcd->jc", qn.reshape(m, dsub), codebooks.astype(np.float32)
+    ).astype(np.float32)
+    sc = coded.sparkSession.sparkContext
+    bt = sc.broadcast(tables)
+
+    @F.pandas_udf(T.FloatType())
+    def adc_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        t = bt.value
+        for s in it:
+            codes = np.frombuffer(b"".join(s.tolist()), dtype=np.uint8).reshape(
+                len(s), m
+            )
+            yield pd.Series(t[np.arange(m)[None, :], codes].sum(axis=1))
+
+    cand = (
+        coded.withColumn("_adc", adc_udf(F.col(code_col)))
+        .orderBy(F.col("_adc").desc(), F.col(id_col).asc())
+        .limit(int(k * refine))
+    )
+    return (
+        cand.select(id_col, _cosine_col(F.col(vec_col), qvec).alias("cos"))
+        .withColumn("cos", F.round(F.col("cos"), 6))
+        .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    assigned_coded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    qvec: Sequence[float],
+    k: int = 10,
+    n_probes: int = 4,
+    refine: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF-PQ search (the faiss ``IVF{n},PQ{m}`` factory string): probe
+    the ``n_probes`` nearest coarse lists (partition pruning when the
+    table is written partitioned by ``ivf_list``), ADC-rank the codes
+    inside them, exact re-rank of the top ``k * refine``."""
+    q = np.asarray(qvec, dtype=np.float32)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = np.argsort(-(centroids @ qn))[:n_probes].tolist()
+    cand = assigned_coded.filter(
+        F.col("ivf_list").isin([int(p) for p in probes])
+    )
+    return pq_topk(
+        cand,
+        codebooks,
+        qvec,
+        k=k,
+        refine=refine,
+        vec_col=vec_col,
+        id_col=id_col,
+        code_col=code_col,
     )
