@@ -1104,6 +1104,7 @@ _DRIVER_PRIORITY = [
     "double_metaphone_codes",
     # round-5 final-session additions
     "heatmap_facets", "sorted_early_topk", "embedding_ivfpq_topk",
+    "perceptron_classify", "knn_fuzzy_classifier",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -4605,6 +4606,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["embedding_ivfpq_topk"] = embedding_ivfpq_topk
 
+    # --- BooleanPerceptronClassifier (classification/BooleanPerceptron
+    # Classifier.java:60): epoch-0 decision function (weights = corpus
+    # totalTermFreq, bias = avg doc length); the sequential training
+    # pass is fixture-pinned in tests/test_classify_ext.py
+    def perceptron_classify(spark, sf):
+        from lucene_spark.search.classify import (
+            perceptron_assign,
+            perceptron_init,
+        )
+
+        docs = _docs(spark, sf)
+        w0, bias = perceptron_init(docs)
+        return (
+            perceptron_assign(docs, w0, bias)
+            .filter(F.col("doc_id") < 150)
+            .withColumn("score", F.round("score", 6))
+            .orderBy("doc_id")
+        )
+
+    out["perceptron_classify"] = perceptron_classify
+
+    # --- KNearestFuzzyClassifier (classification/KNearestFuzzy
+    # Classifier.java:46): FuzzyLikeThis retrieval + the kNN class fold
+    def knn_fuzzy_classifier(spark, sf):
+        from lucene_spark.search.classify import knn_fuzzy_classify
+
+        return knn_fuzzy_classify(
+            _index(spark, sf),
+            _docs(spark, sf),
+            ["merg", "jon"],
+            k=15,
+            max_edits=1,
+            prefix_length=1,
+        )
+
+    out["knn_fuzzy_classifier"] = knn_fuzzy_classifier
+
     return _driver_order(out)
 
 
@@ -7105,4 +7143,18 @@ ORDER BY n_chars DESC, doc_id ASC LIMIT 12
 
     # IVF-PQ at full probes + generous refine is exact vs brute force
     out["embedding_ivfpq_topk"] = out["embedding_cosine_topk"]
+
+    from lucene_spark.search.classify import (
+        oracle_knn_fuzzy_sql,
+        oracle_perceptron_sql,
+    )
+
+    out["perceptron_classify"] = (
+        "SELECT doc_id, output, assigned, round(score, 6) AS score FROM ("
+        + oracle_perceptron_sql(where="doc_id < 150")
+        + ") ORDER BY doc_id"
+    )
+    out["knn_fuzzy_classifier"] = oracle_knn_fuzzy_sql(
+        ["merg", "jon"], k=15, max_edits=1, prefix_length=1
+    )
     return out

@@ -164,6 +164,7 @@ def fuzzy_like_this_topk(
     max_variants_per_term: int = 50,
     max_num_terms: int = 25,
     ignore_tf: bool = False,
+    round_score: bool = True,
 ) -> DataFrame:
     """Top-k docs for the rewritten FuzzyLikeThis disjunction."""
     variants = fuzzy_like_this_variants(
@@ -180,7 +181,7 @@ def fuzzy_like_this_topk(
         # SHOULD clause per source in the reference tree — additive
         boosts[term] = boosts.get(term, 0.0) + score
     sim = BooleanSimilarity() if ignore_tf else _unit_df_classic()
-    return similarity_topk_f64(index, boosts, sim, k=k)
+    return similarity_topk_f64(index, boosts, sim, k=k, round_score=round_score)
 
 
 def oracle_fuzzy_like_this_sql(
@@ -192,6 +193,7 @@ def oracle_fuzzy_like_this_sql(
     max_num_terms: int = 25,
     ignore_tf: bool = False,
     table: str = "documents",
+    rounded: bool = True,
 ) -> str:
     """Full-pipeline DuckDB oracle: dictionary + df from the token
     stream, damerau_levenshtein expansion, per-source top-variants,
@@ -269,6 +271,6 @@ scores AS (
   FROM tf JOIN boosts USING (term) JOIN dlq USING (doc_id) CROSS JOIN nd
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(s, 4) AS score FROM scores
+SELECT doc_id, {"round(s, 4)" if rounded else "s"} AS score FROM scores
 ORDER BY s DESC, doc_id ASC LIMIT {k}
 """

@@ -197,6 +197,7 @@ def similarity_topk_f64(
     term_boosts: Dict[str, float],
     similarity,
     k: int = 10,
+    round_score: bool = True,
 ) -> DataFrame:
     """Top-k disjunction scored by a pluggable :class:`Similarity`
     (`search/similarities/Similarity.java`): per-doc score is the sum
@@ -248,10 +249,11 @@ def similarity_topk_f64(
     hidden = index.hidden_docs
     if hidden is not None:
         scored = scored.join(hidden, "doc_id", "left_anti")
+    score = F.round(F.col("s"), 4) if round_score else F.col("s")
     return (
         scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
         .limit(k)
-        .select("doc_id", F.round(F.col("s"), 4).alias("score"))
+        .select("doc_id", score.alias("score"))
     )
 
 
