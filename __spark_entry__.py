@@ -1104,7 +1104,7 @@ _DRIVER_PRIORITY = [
     "double_metaphone_codes",
     # round-5 final-session additions
     "heatmap_facets", "sorted_early_topk", "embedding_ivfpq_topk",
-    "perceptron_classify", "knn_fuzzy_classifier",
+    "perceptron_classify", "knn_fuzzy_classifier", "shape_grid_query",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -4643,6 +4643,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["knn_fuzzy_classifier"] = knn_fuzzy_classifier
 
+    # --- prefix-tree shape grid (spatial-extras/prefix/RecursivePrefix
+    # TreeStrategy.java:45): adaptive-level cell cover -> probe-set
+    # semi-join -> exact refine; results identical to the full scan
+    # (the grid is a pure pre-filter), which is what the oracle checks
+    def shape_grid_query(spark, sf):
+        from lucene_spark.search.shapegrid import (
+            shape_grid_box_query,
+            shape_grid_cells,
+        )
+
+        shapes = (
+            _docs(spark, sf)
+            .select("doc_id")
+            .filter(F.col("doc_id") < 400)
+            .withColumn(
+                "lats",
+                F.expr(
+                    "transform(sequence(0, 3), j -> "
+                    "((doc_id * 37 + j * 59) % 40) / 8.0 - 2.5)"
+                ),
+            )
+            .withColumn(
+                "lons",
+                F.expr(
+                    "transform(sequence(0, 3), j -> "
+                    "((doc_id * 23 + j * 83) % 40) / 8.0 - 2.5)"
+                ),
+            )
+        )
+        cells = shape_grid_cells(shapes, max_level=8, max_cells=16)
+        return (
+            shape_grid_box_query(
+                shapes, cells, (-2.0, 1.0, -1.0, 2.0), "intersects", polygon=True
+            )
+            .select("doc_id")
+            .orderBy("doc_id")
+        )
+
+    out["shape_grid_query"] = shape_grid_query
+
     return _driver_order(out)
 
 
@@ -7157,4 +7197,19 @@ ORDER BY n_chars DESC, doc_id ASC LIMIT 12
     out["knn_fuzzy_classifier"] = oracle_knn_fuzzy_sql(
         ["merg", "jon"], k=15, max_edits=1, prefix_length=1
     )
+
+    # grid-prefiltered shape query == the exact full-scan relation
+    out["shape_grid_query"] = f"""
+WITH shp AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 3),
+           j -> ((doc_id * 37 + j * 59) % 40) / 8.0 - 2.5) AS lats,
+         list_transform(generate_series(0, 3),
+           j -> ((doc_id * 23 + j * 83) % 40) / 8.0 - 2.5) AS lons
+  FROM documents WHERE doc_id < 400
+)
+SELECT doc_id FROM shp
+WHERE {oracle_polygon_box_sql('lats', 'lons', _box, 'intersects')}
+ORDER BY doc_id
+"""
     return out
