@@ -362,6 +362,76 @@ def main() -> None:
         )
     )
 
+    # 15. early-terminated sorted top-k: the docID bound becomes a
+    # PARTITION filter (segment dirs past the bound never open) plus a
+    # pushed parquet filter (row-group pruning inside the boundary
+    # segment) — the distributed form of TopFieldCollector's
+    # early termination on index sort
+    from lucene_spark.index.sorting import (
+        early_terminated_topk,
+        save_sorted,
+        sort_docs,
+    )
+
+    sorted_dir = os.path.join(tempfile.mkdtemp(prefix="planaudit_"), "sorted")
+    save_sorted(
+        sort_docs(docs, [F.col("n_chars").desc(), F.col("orig_doc_id")]),
+        sorted_dir,
+        docs_per_segment=128,
+    )
+    p15 = plan_of(early_terminated_topk(spark, sorted_dir, k=10))
+    checks.append(
+        (
+            "sorted early termination: partition + pushed docID bound",
+            bool(re.search(r"PartitionFilters: \[.*seg", p15))
+            and bool(re.search(r"PushedFilters: \[.*LessThan\(doc_id", p15)),
+            "PartitionFilters on seg; PushedFilters LessThan(doc_id)",
+            p15,
+        )
+    )
+
+    # 16. shape grid query: cell probe + candidate semi-join + exact
+    # refine is all JVM (zero Python nodes), with the probe as a
+    # broadcastable semi-join/filter — geometry never leaves codegen
+    from lucene_spark.search.shapegrid import (
+        shape_grid_box_query,
+        shape_grid_cells,
+    )
+
+    shapes16 = (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") < 400)
+        .withColumn(
+            "lats",
+            F.expr(
+                "transform(sequence(0, 3), j -> "
+                "((doc_id * 37 + j * 59) % 40) / 8.0 - 2.5)"
+            ),
+        )
+        .withColumn(
+            "lons",
+            F.expr(
+                "transform(sequence(0, 3), j -> "
+                "((doc_id * 23 + j * 83) % 40) / 8.0 - 2.5)"
+            ),
+        )
+    )
+    cells16 = shape_grid_cells(shapes16, max_level=8, max_cells=16)
+    p16 = plan_of(
+        shape_grid_box_query(
+            shapes16, cells16, (-2.0, 1.0, -1.0, 2.0), "intersects", polygon=True
+        )
+    )
+    n_py16 = len(re.findall(r"EvalPython|MapInPandas|FlatMapGroupsInPandas", p16))
+    checks.append(
+        (
+            "shape grid: JVM-only probe semi-join + geometry refine",
+            n_py16 == 0 and "LeftSemi" in p16,
+            f"{n_py16} Python node(s); LeftSemi candidate join present",
+            p16,
+        )
+    )
+
     # report
     ok_all = all(ok for _, ok, _, _ in checks)
     rows = "\n".join(
