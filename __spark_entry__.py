@@ -1105,6 +1105,7 @@ _DRIVER_PRIORITY = [
     # round-5 final-session additions
     "heatmap_facets", "sorted_early_topk", "embedding_ivfpq_topk",
     "perceptron_classify", "knn_fuzzy_classifier", "shape_grid_query",
+    "bbox_overlap_topk",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -4683,6 +4684,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["shape_grid_query"] = shape_grid_query
 
+    # --- BBoxStrategy overlap-ratio ranking (spatial-extras/bbox/
+    # BBoxOverlapRatioValueSource.java:70): deterministic per-doc boxes,
+    # top-15 by queryRatio*p + targetRatio*(1-p); the score expression
+    # text is shared verbatim with the DuckDB oracle
+    def bbox_overlap_gate(spark, sf):
+        from lucene_spark.search.bbox import bbox_overlap_topk
+
+        boxes = _docs(spark, sf).select(
+            "doc_id",
+            (((F.col("doc_id") * 13) % 120) / 2.0 - 30.0).alias("min_lat"),
+            (
+                ((F.col("doc_id") * 13) % 120) / 2.0
+                - 30.0
+                + ((F.col("doc_id") * 7) % 40) / 2.0
+            ).alias("max_lat"),
+            (((F.col("doc_id") * 29) % 240) / 2.0 - 60.0).alias("min_lon"),
+            (
+                ((F.col("doc_id") * 29) % 240) / 2.0
+                - 60.0
+                + ((F.col("doc_id") * 11) % 60) / 2.0
+            ).alias("max_lon"),
+        )
+        return bbox_overlap_topk(boxes, (-10.0, 25.0, -20.0, 40.0), k=15)
+
+    out["bbox_overlap_topk"] = bbox_overlap_gate
+
     return _driver_order(out)
 
 
@@ -7211,5 +7238,26 @@ WITH shp AS (
 SELECT doc_id FROM shp
 WHERE {oracle_polygon_box_sql('lats', 'lons', _box, 'intersects')}
 ORDER BY doc_id
+"""
+
+    # BBox overlap ratio: the score expression is the SAME emitted text
+    # the Spark plan runs
+    from lucene_spark.search.bbox import bbox_overlap_score_sql
+
+    _bb_score = bbox_overlap_score_sql((-10.0, 25.0, -20.0, 40.0))
+    out["bbox_overlap_topk"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         ((doc_id * 13) % 120) / 2.0 - 30.0 AS min_lat,
+         ((doc_id * 13) % 120) / 2.0 - 30.0
+           + ((doc_id * 7) % 40) / 2.0 AS max_lat,
+         ((doc_id * 29) % 240) / 2.0 - 60.0 AS min_lon,
+         ((doc_id * 29) % 240) / 2.0 - 60.0
+           + ((doc_id * 11) % 60) / 2.0 AS max_lon
+  FROM documents
+),
+s AS (SELECT doc_id, {_bb_score} AS sc FROM b)
+SELECT doc_id, round(sc, 6) AS score FROM s WHERE sc > 0.0
+ORDER BY sc DESC, doc_id ASC LIMIT 15
 """
     return out
