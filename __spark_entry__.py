@@ -1105,7 +1105,7 @@ _DRIVER_PRIORITY = [
     # round-5 final-session additions
     "heatmap_facets", "sorted_early_topk", "embedding_ivfpq_topk",
     "perceptron_classify", "knn_fuzzy_classifier", "shape_grid_query",
-    "bbox_overlap_topk",
+    "bbox_overlap_topk", "semdedup_keep",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -4710,6 +4710,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bbox_overlap_topk"] = bbox_overlap_gate
 
+    # --- SemDeDup (Abbas et al. 2023): n_lists=1 is the exact regime
+    # (clustering affects cost only), so the oracle is the brute-force
+    # pair closure; the bucketed regime is recall-tested in pytest
+    def semdedup_keep(spark, sf):
+        from lucene_spark.pipeline.similarity import semdedup
+
+        return semdedup(
+            _emb(spark, sf).filter(F.col("vec_id") < 300),
+            threshold=0.4,
+            n_lists=1,
+            seed=7,
+        ).orderBy("vec_id")
+
+    out["semdedup_keep"] = semdedup_keep
+
     return _driver_order(out)
 
 
@@ -7259,5 +7274,38 @@ WITH b AS (
 s AS (SELECT doc_id, {_bb_score} AS sc FROM b)
 SELECT doc_id, round(sc, 6) AS score FROM s WHERE sc > 0.0
 ORDER BY sc DESC, doc_id ASC LIMIT 15
+"""
+
+    # SemDeDup exact regime: transitive closure of cosine>=t pairs,
+    # min-label components, keeper = own label
+    out["semdedup_keep"] = """
+WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+z AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+),
+s AS (
+  SELECT vec_a, vec_b, sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nb
+  FROM z GROUP BY vec_a, vec_b
+),
+pairs AS (
+  SELECT vec_a, vec_b FROM s
+  WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.4
+),
+und AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+        UNION SELECT vec_b, vec_a FROM pairs),
+reach AS (
+  SELECT u, v FROM und
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u
+),
+lab AS (SELECT u AS vec_id, least(u, min(v)) AS cluster_id
+        FROM reach GROUP BY u)
+SELECT e.vec_id,
+       coalesce(lab.cluster_id, e.vec_id) AS cluster_id,
+       coalesce(lab.cluster_id, e.vec_id) = e.vec_id AS keep
+FROM e LEFT JOIN lab USING (vec_id)
+ORDER BY e.vec_id
 """
     return out

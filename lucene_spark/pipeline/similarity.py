@@ -36,6 +36,7 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivf_pq_topk",
+    "semdedup",
 ]
 
 
@@ -592,4 +593,81 @@ def ivf_pq_topk(
         vec_col=vec_col,
         id_col=id_col,
         code_col=code_col,
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means cluster the
+    embedding space, compare pairs ONLY within a cluster (semantic
+    duplicates land together), connected-component the >= threshold
+    pairs, keep one representative (min id) per component.
+
+    Returns (id, cluster_id, keep): ``cluster_id`` is the duplicate
+    component's representative (itself for non-duplicates), ``keep``
+    marks the row a dedup pass retains. The pairwise leg is an
+    equi-join on the cluster id — never all-pairs across the corpus —
+    so cost is Σ|cluster|², bounded by raising ``n_lists`` (the paper
+    uses ~11k clusters for LAION); the cosine is a JVM HOF, the
+    component fold is the same min-label propagation as the text
+    near-dup clusters. ``n_lists=1`` degenerates to exact all-pairs
+    (the oracle regime; clustering then has no effect on the result,
+    only on cost)."""
+    from .dedup import duplicate_clusters
+
+    assigned, _ = ivf_assign(
+        df.select(id_col, vec_col), vec_col=vec_col, n_lists=n_lists, seed=seed
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"a.{vec_col}"),
+            F.col(f"b.{vec_col}"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(
+            F.col(f"{side}.{vec_col}"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    pairs = (
+        a.join(b, "ivf_list")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.round(dot / (norm("a") * norm("b")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b")
+    )
+    comps = duplicate_clusters(pairs, a_col="vec_a", b_col="vec_b")
+    return (
+        df.select(F.col(id_col))
+        .join(
+            comps.select(
+                F.col("doc_id").alias(id_col), F.col("cluster_id")
+            ),
+            id_col,
+            "left_outer",
+        )
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col)).alias(
+                "keep"
+            ),
+        )
     )
