@@ -1105,7 +1105,7 @@ _DRIVER_PRIORITY = [
     # round-5 final-session additions
     "heatmap_facets", "sorted_early_topk", "embedding_ivfpq_topk",
     "perceptron_classify", "knn_fuzzy_classifier", "shape_grid_query",
-    "bbox_overlap_topk", "semdedup_keep",
+    "bbox_overlap_topk", "semdedup_keep", "context_suggest",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -4725,6 +4725,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["semdedup_keep"] = semdedup_keep
 
+    # --- ContextQuery / ContextSuggestField (suggest/document/
+    # ContextQuery.java:63): per-language term popularity as the
+    # context table; prefix completion boosted 2x for English
+    def context_suggest_gate(spark, sf):
+        from lucene_spark.search.suggest import context_suggest
+
+        sug = (
+            _docs(spark, sf)
+            .select(
+                "doc_id",
+                F.col("lang").alias("context"),
+                F.explode(F.split(F.col("text"), " ")).alias("suggestion"),
+            )
+            .filter(F.col("suggestion") != "")
+            .groupBy("suggestion", "context")
+            .agg(F.countDistinct("doc_id").alias("weight"))
+        )
+        return context_suggest(sug, "s", {"en": 2.0, "de": 1.0}, n=12)
+
+    out["context_suggest"] = context_suggest_gate
+
     return _driver_order(out)
 
 
@@ -7307,5 +7328,27 @@ SELECT e.vec_id,
        coalesce(lab.cluster_id, e.vec_id) = e.vec_id AS keep
 FROM e LEFT JOIN lab USING (vec_id)
 ORDER BY e.vec_id
+"""
+
+    # ContextQuery: boosted per-context prefix completion, best score
+    # per suggestion
+    out["context_suggest"] = f"""
+WITH {TOK_CTE},
+sug AS (
+  SELECT term AS suggestion, d.lang AS context,
+         count(DISTINCT tok.doc_id) AS weight
+  FROM tok JOIN documents d ON d.doc_id = tok.doc_id
+  GROUP BY term, d.lang
+),
+m AS (
+  SELECT suggestion,
+         max(weight * CASE WHEN context = 'en' THEN 2.0
+                           WHEN context = 'de' THEN 1.0 END) AS score
+  FROM sug
+  WHERE suggestion LIKE 's%' AND context IN ('en', 'de')
+  GROUP BY suggestion
+)
+SELECT suggestion, score FROM m
+ORDER BY score DESC, suggestion ASC LIMIT 12
 """
     return out

@@ -34,6 +34,7 @@ __all__ = [
     "freetext_suggest",
     "word_break_suggest",
     "word_combine_suggest",
+    "context_suggest",
 ]
 
 
@@ -426,4 +427,60 @@ def word_combine_suggest(
         j.select("word1", "word2", "combined", "freq")
         .orderBy(F.col("freq").desc(), F.col("combined").asc())
         .limit(k)
+    )
+
+
+def context_suggest(
+    suggestions: DataFrame,
+    prefix: str,
+    contexts: "dict[str, float] | None" = None,
+    n: int = 10,
+    exact: bool = True,
+) -> DataFrame:
+    """ContextQuery over ContextSuggestField entries
+    (`suggest/document/ContextQuery.java:63`,
+    `ContextSuggestField.java:33`): prefix completion filtered and/or
+    boosted by per-suggestion contexts.
+
+    `suggestions` is the (suggestion, context, weight) table the
+    reference encodes as ``context<sep>suggestion`` FST keys; here it
+    is a plain frame (written sorted/bucketed by suggestion prefix at
+    scale so the prefix predicate prunes). Semantics follow the
+    reference:
+
+    - ``contexts=None`` ≡ ``addAllContexts()``: every context matches
+      with boost 1;
+    - otherwise a suggestion row matches when its context equals a key
+      (``exact=True``) or starts with it (``exact=False``,
+      `addContext(ctx, boost, false)`), and scores
+      ``weight * boost``;
+    - a suggestion visible under several matching contexts keeps its
+      best score (the FST union's max), dedup'd in one groupBy.
+
+    Returns (suggestion, score) ordered score desc / suggestion asc.
+    """
+    cand = suggestions.filter(F.col("suggestion").startswith(prefix))
+    if contexts:
+        boost = None
+        for ctx, b in sorted(contexts.items()):
+            cond = (
+                (F.col("context") == ctx)
+                if exact
+                else F.col("context").startswith(ctx)
+            )
+            leg = F.when(cond, F.lit(float(b)))
+            boost = leg if boost is None else boost.when(cond, F.lit(float(b)))
+        # chained when(): the FIRST matching context in sorted order
+        # wins the boost slot; ties across contexts resolved by the
+        # max-score groupBy below, so order only matters within one row
+        cand = cand.withColumn("_boost", boost).filter(
+            F.col("_boost").isNotNull()
+        )
+    else:
+        cand = cand.withColumn("_boost", F.lit(1.0))
+    return (
+        cand.groupBy("suggestion")
+        .agg(F.max(F.col("weight") * F.col("_boost")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("suggestion").asc())
+        .limit(n)
     )
