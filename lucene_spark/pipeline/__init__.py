@@ -22,10 +22,15 @@ from lucene_spark.pipeline.urls import (
 from lucene_spark.pipeline.similarity import (
     ivf_assign,
     ivf_topk,
+    ivf_pq_topk,
     cosine_topk,
     embedding_near_dups,
     lsh_bucket_topk,
     lsh_signatures,
+    pq_encode,
+    pq_topk,
+    pq_train,
+    semdedup,
 )
 from lucene_spark.pipeline.dsir import (
     dsir_log_weights,
@@ -83,4 +88,11 @@ __all__ = [
     "ngram_spans",
     "repeated_ngrams",
     "duplicated_span_starts",
+    "ivf_assign",
+    "ivf_topk",
+    "ivf_pq_topk",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
+    "semdedup",
 ]
