@@ -1106,6 +1106,7 @@ _DRIVER_PRIORITY = [
     "heatmap_facets", "sorted_early_topk", "embedding_ivfpq_topk",
     "perceptron_classify", "knn_fuzzy_classifier", "shape_grid_query",
     "bbox_overlap_topk", "semdedup_keep", "context_suggest",
+    "sorted_range_docs",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -4746,6 +4747,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["context_suggest"] = context_suggest_gate
 
+    # --- IndexSortSortedNumericDocValuesRangeQuery (search/IndexSort
+    # SortedNumericDocValuesRangeQuery.java:69): a range on the index-
+    # sort field binary-searches the manifest's per-segment bounds —
+    # non-overlapping segment dirs are never opened (PartitionFilter)
+    def sorted_range_docs(spark, sf):
+        import os
+        import tempfile
+
+        from lucene_spark.index.sorting import (
+            save_sorted,
+            sort_docs,
+            sorted_range_query,
+        )
+
+        key = ("range", sf)
+        if key not in _SORTED_STORE_CACHE:
+            path = os.path.join(
+                tempfile.mkdtemp(prefix="lucene_spark_sortedrq_"), "by_chars"
+            )
+            s = sort_docs(
+                _docs(spark, sf),
+                [F.col("n_chars").asc(), F.col("orig_doc_id")],
+            )
+            save_sorted(s, path, docs_per_segment=128, stats_cols=["n_chars"])
+            _SORTED_STORE_CACHE[key] = path
+        return (
+            sorted_range_query(
+                spark, _SORTED_STORE_CACHE[key], "n_chars", 200, 400
+            )
+            .select(F.col("orig_doc_id").alias("doc_id"), "n_chars")
+            .orderBy("doc_id")
+        )
+
+    out["sorted_range_docs"] = sorted_range_docs
+
     return _driver_order(out)
 
 
@@ -7350,5 +7386,13 @@ m AS (
 )
 SELECT suggestion, score FROM m
 ORDER BY score DESC, suggestion ASC LIMIT 12
+"""
+
+    # index-sort range query == the plain range predicate (segment
+    # pruning is a physical property, plan-asserted in pytest)
+    out["sorted_range_docs"] = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars BETWEEN 200 AND 400
+ORDER BY doc_id
 """
     return out

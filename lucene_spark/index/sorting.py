@@ -35,7 +35,12 @@ from typing import List, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F, Window
 
-__all__ = ["sort_docs", "save_sorted", "early_terminated_topk"]
+__all__ = [
+    "sort_docs",
+    "save_sorted",
+    "early_terminated_topk",
+    "sorted_range_query",
+]
 
 
 def sort_docs(
@@ -95,6 +100,7 @@ def save_sorted(
     path: str,
     doc_id_col: str = "doc_id",
     docs_per_segment: int = 65_536,
+    stats_cols: Optional[Sequence[str]] = None,
 ) -> None:
     """Persist a :func:`sort_docs` output as a segment-partitioned
     sorted store.
@@ -106,13 +112,17 @@ def save_sorted(
     order). Partition values are the *coarse* sort positions, so a
     docID bound turns into PARTITION pruning (whole directories never
     listed into the scan) plus row-group min/max pruning inside the
-    boundary segment. A tiny JSON manifest records the layout.
+    boundary segment. A tiny JSON manifest records the layout and,
+    when `stats_cols` is given, per-segment min/max of those columns —
+    the per-leaf sort bounds `IndexSortSortedNumericDocValuesRangeQuery`
+    binary-searches against (`search/IndexSortSortedNumericDocValues
+    RangeQuery.java:69`), queryable driver-side without touching data.
     """
     n_docs = sorted_df.count()
     seg = (F.col(doc_id_col) / docs_per_segment).cast("long").alias("seg")
+    with_seg = sorted_df.withColumn("seg", seg)
     (
-        sorted_df.withColumn("seg", seg)
-        .repartition("seg")
+        with_seg.repartition("seg")
         .sortWithinPartitions(doc_id_col)
         .write.mode("overwrite")
         .partitionBy("seg")
@@ -123,6 +133,17 @@ def save_sorted(
         "docs_per_segment": int(docs_per_segment),
         "n_docs": int(n_docs),
     }
+    if stats_cols:
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        stats = {
+            int(r["seg"]): {
+                c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
+            }
+            for r in with_seg.groupBy("seg").agg(*aggs).collect()
+        }
+        meta["seg_stats"] = {str(k): v for k, v in sorted(stats.items())}
     with open(os.path.join(path, "_sorted_meta.json"), "w") as f:
         json.dump(meta, f)
 
@@ -182,3 +203,52 @@ def early_terminated_topk(
             F.broadcast(deleted.select(doc_id_col)), doc_id_col, "left_anti"
         )
     return out.orderBy(doc_id_col).limit(k).drop("seg")
+
+
+def sorted_range_query(
+    spark: SparkSession,
+    path: str,
+    field: str,
+    lo=None,
+    hi=None,
+) -> DataFrame:
+    """Range query on the index-sort field with segment binary search.
+
+    The analog of `IndexSortSortedNumericDocValuesRangeQuery`
+    (`search/IndexSortSortedNumericDocValuesRangeQuery.java:69`): when
+    the index is sorted on the queried field, the matching docs are a
+    CONTIGUOUS docID range, found by binary search on the sort values
+    instead of a points/terms structure. Distributed, the binary
+    search becomes a driver-side scan of the manifest's per-segment
+    (min, max) sort bounds (`save_sorted(stats_cols=[field])`): only
+    segments whose bounds overlap [lo, hi] enter the scan — a
+    PartitionFilter, so non-overlapping segment directories are never
+    opened — and the exact predicate pushes into parquet for row-group
+    pruning inside the boundary segments. Bounds are inclusive;
+    ``None`` means unbounded (the reference's missing-bound rewrite).
+    A store saved without stats falls back to the full pushed-predicate
+    scan (still correct, no segment pruning).
+    """
+    with open(os.path.join(path, "_sorted_meta.json")) as f:
+        meta = json.load(f)
+    df = spark.read.parquet(path)
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(field) >= lo)
+    if hi is not None:
+        pred = pred & (F.col(field) <= hi)
+
+    stats = meta.get("seg_stats") or {}
+    if stats and all(field in v for v in stats.values()):
+        keep = [
+            int(s)
+            for s, v in stats.items()
+            if (hi is None or v[field][0] <= hi)
+            and (lo is None or v[field][1] >= lo)
+        ]
+        if not keep:
+            return df.filter(F.lit(False)).drop("seg")
+        # contiguous rank ranges: overlapping segments form an interval,
+        # so the partition filter is a BETWEEN, not a long IN list
+        df = df.filter(F.col("seg").between(min(keep), max(keep)))
+    return df.filter(pred).drop("seg")

@@ -90,3 +90,64 @@ def test_k_exceeds_corpus(spark, tmp_path):
     assert len(got) == 50
     scores = [r.score for r in got]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_sorted_range_query_matches_full_scan(spark, tmp_path):
+    from lucene_spark.index.sorting import sorted_range_query
+
+    corpus = _corpus(spark, 200)
+    s = sort_docs(corpus, [F.col("score").asc(), F.col("orig_doc_id")])
+    path = str(tmp_path / "rq")
+    save_sorted(s, path, docs_per_segment=32, stats_cols=["score"])
+    got = {
+        (r.orig_doc_id, r.score)
+        for r in sorted_range_query(spark, path, "score", 40, 75).collect()
+    }
+    want = {
+        (r.doc_id, r.score)
+        for r in corpus.filter(F.col("score").between(40, 75)).collect()
+    }
+    assert got == want and len(got) == 36
+
+
+def test_sorted_range_query_prunes_segments(spark, tmp_path):
+    from lucene_spark.index.sorting import sorted_range_query
+
+    s = sort_docs(_corpus(spark, 200), [F.col("score").asc(), F.col("orig_doc_id")])
+    path = str(tmp_path / "rq2")
+    save_sorted(s, path, docs_per_segment=32, stats_cols=["score"])
+    plan = (
+        sorted_range_query(spark, path, "score", 0, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the manifest binary search becomes a partition filter on seg
+    assert "PartitionFilters" in plan and "seg" in plan
+    # scores 0..10 are ranks 0..10 -> only segment 0 survives
+    import re
+
+    assert re.search(r"seg#?\d* <= 0\)", plan)
+
+
+def test_sorted_range_query_unbounded_and_empty(spark, tmp_path):
+    from lucene_spark.index.sorting import sorted_range_query
+
+    corpus = _corpus(spark, 60)
+    s = sort_docs(corpus, [F.col("score").asc(), F.col("orig_doc_id")])
+    path = str(tmp_path / "rq3")
+    save_sorted(s, path, docs_per_segment=16, stats_cols=["score"])
+    assert sorted_range_query(spark, path, "score", lo=50).count() == 10
+    assert sorted_range_query(spark, path, "score", hi=None, lo=None).count() == 60
+    assert sorted_range_query(spark, path, "score", 1000, 2000).count() == 0
+
+
+def test_sorted_range_query_no_stats_fallback(spark, tmp_path):
+    from lucene_spark.index.sorting import sorted_range_query
+
+    corpus = _corpus(spark, 60)
+    s = sort_docs(corpus, [F.col("score").asc(), F.col("orig_doc_id")])
+    path = str(tmp_path / "rq4")
+    save_sorted(s, path, docs_per_segment=16)  # no stats_cols
+    got = sorted_range_query(spark, path, "score", 10, 20).count()
+    assert got == 11
