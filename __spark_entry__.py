@@ -1106,7 +1106,7 @@ _DRIVER_PRIORITY = [
     "heatmap_facets", "sorted_early_topk", "embedding_ivfpq_topk",
     "perceptron_classify", "knn_fuzzy_classifier", "shape_grid_query",
     "bbox_overlap_topk", "semdedup_keep", "context_suggest",
-    "sorted_range_docs",
+    "sorted_range_docs", "collation_range",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -4782,6 +4782,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["sorted_range_docs"] = sorted_range_docs
 
+    # --- CollationKeyAnalyzer (collation/CollationKeyAnalyzer.java:48):
+    # locale term ranges via Spark 4 native collations. UTF8_LCASE is
+    # dual-emittable (lowercased UTF-8 byte order == lower() in DuckDB);
+    # ICU locale collations are pinned by golden-order pytests.
+    def collation_range_gate(spark, sf):
+        from lucene_spark.analysis.collation import collation_range
+
+        terms = (
+            _docs(spark, sf)
+            .select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+            .filter(F.col("term").rlike("^[A-Za-z]+$"))
+            .distinct()
+        )
+        hits = collation_range(terms, "term", "m", "q", collation="UTF8_LCASE")
+        return hits.select(
+            "term", F.lower(F.col("term")).alias("ckey")
+        ).orderBy("ckey", "term")
+
+    out["collation_range"] = collation_range_gate
+
     return _driver_order(out)
 
 
@@ -7394,5 +7414,18 @@ ORDER BY score DESC, suggestion ASC LIMIT 12
 SELECT doc_id, n_chars FROM documents
 WHERE n_chars BETWEEN 200 AND 400
 ORDER BY doc_id
+"""
+
+    # UTF8_LCASE collation range == lower() byte-order range (the ICU
+    # locale collations have no SQL analog and are golden-pinned in
+    # tests/test_collation.py instead)
+    out["collation_range"] = """
+WITH t AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT term, lower(term) AS ckey FROM t
+WHERE regexp_matches(term, '^[A-Za-z]+$')
+  AND lower(term) >= 'm' AND lower(term) <= 'q'
+ORDER BY ckey, term
 """
     return out
