@@ -1106,7 +1106,7 @@ _DRIVER_PRIORITY = [
     "heatmap_facets", "sorted_early_topk", "embedding_ivfpq_topk",
     "perceptron_classify", "knn_fuzzy_classifier", "shape_grid_query",
     "bbox_overlap_topk", "semdedup_keep", "context_suggest",
-    "sorted_range_docs", "collation_range",
+    "sorted_range_docs", "collation_range", "cyrillic_translit",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -4802,6 +4802,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["collation_range"] = collation_range_gate
 
+    # --- ICUTransformFilter (icu/ICUTransformFilter.java:58): ISO 9
+    # Cyrillic→Latin is a 1:1 pinned table → pure-JVM translate; the
+    # oracle applies the identical table via DuckDB translate()
+    def cyrillic_translit_gate(spark, sf):
+        from lucene_spark.analysis.translit import icu_transform
+
+        words = F.array(
+            F.lit("Москва"), F.lit("щука"), F.lit("Ёж"), F.lit("журнал"),
+            F.lit("чай"), F.lit("эхо"), F.lit("юг"), F.lit("яблоко"),
+        )
+        src = _docs(spark, sf).filter(F.col("doc_id") < 64).select(
+            "doc_id",
+            F.concat(
+                F.element_at(words, (F.col("doc_id") % 8 + 1).cast("int")),
+                F.lit(" "),
+                F.element_at(words, (F.col("doc_id") % 5 + 1).cast("int")),
+            ).alias("cyr"),
+        )
+        return src.select(
+            "doc_id",
+            icu_transform(F.col("cyr"), "Cyrillic-Latin").alias("latin"),
+        ).orderBy("doc_id")
+
+    out["cyrillic_translit"] = cyrillic_translit_gate
+
     return _driver_order(out)
 
 
@@ -7427,5 +7452,20 @@ SELECT term, lower(term) AS ckey FROM t
 WHERE regexp_matches(term, '^[A-Za-z]+$')
   AND lower(term) >= 'm' AND lower(term) <= 'q'
 ORDER BY ckey, term
+"""
+
+    # the identical ISO 9 table, applied via DuckDB translate()
+    from lucene_spark.analysis.translit import _iso9_table
+
+    _t = _iso9_table()
+    _src, _dst = "".join(_t.keys()), "".join(_t.values())
+    out["cyrillic_translit"] = f"""
+WITH w AS (
+  SELECT ['Москва','щука','Ёж','журнал','чай','эхо','юг','яблоко'] AS a
+)
+SELECT doc_id,
+       translate(a[CAST(doc_id % 8 AS INT) + 1] || ' ' ||
+                 a[CAST(doc_id % 5 AS INT) + 1], '{_src}', '{_dst}') AS latin
+FROM documents, w WHERE doc_id < 64 ORDER BY doc_id
 """
     return out
