@@ -1087,6 +1087,9 @@ _DRIVER_PRIORITY = [
     "top_passages", "shape_polygon_relations", "segments_info",
     "bm25_nb_classifier", "word_break", "commit_point_search",
     "phrase_wildcard",
+    # round-5 continuation-session additions (grouping-module completion)
+    "all_group_heads", "distinct_values_group", "range_group_topk",
+    "block_grouping_top", "group_facets",
     # round-5 additions
     "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
     "french_term_topk",
@@ -4827,6 +4830,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["cyrillic_translit"] = cyrillic_translit_gate
 
+    # --- grouping-module completion (grouping/AllGroupHeadsCollector.java:41,
+    # DistinctValuesCollector.java:31, LongRangeFactory.java:47,
+    # BlockGroupingCollector.java:46, TermGroupFacetCollector.java:37)
+    def all_group_heads_gate(spark, sf):
+        from lucene_spark.search.grouping import all_group_heads
+
+        m = (
+            _docs(spark, sf)
+            .filter(F.col("n_chars") >= 150)
+            .select("doc_id", "source", F.col("n_chars").cast("double").alias("s"))
+        )
+        return all_group_heads(m, "source", score_col="s", tie_col="doc_id")
+
+    out["all_group_heads"] = all_group_heads_gate
+
+    def distinct_values_group_gate(spark, sf):
+        from lucene_spark.search.grouping import distinct_values_per_group
+
+        m = _docs(spark, sf).filter(F.col("n_chars") < 230)
+        return distinct_values_per_group(m, "lang", "source", k_groups=3)
+
+    out["distinct_values_group"] = distinct_values_group_gate
+
+    def range_group_topk_gate(spark, sf):
+        from lucene_spark.search.grouping import range_group_topk
+
+        ev = _events(spark, sf).select(
+            "event_id", F.floor("value").cast("long").alias("v")
+        )
+        return range_group_topk(
+            ev, "v", 50, 100, 400, k_within=2, tie_col="event_id"
+        )
+
+    out["range_group_topk"] = range_group_topk_gate
+
+    def block_grouping_top_gate(spark, sf):
+        from lucene_spark.search.grouping import block_grouping_topk
+
+        c = _events(spark, sf).select(
+            "event_id",
+            (F.col("user_id") % 37).alias("pk"),
+            F.col("value").alias("s"),
+        )
+        return block_grouping_topk(
+            c, "pk", "s", k_groups=5, k_within=2, tie_col="event_id"
+        )
+
+    out["block_grouping_top"] = block_grouping_top_gate
+
+    def group_facets_gate(spark, sf):
+        from lucene_spark.search.grouping import group_facet_counts
+
+        m = _docs(spark, sf).filter(F.col("n_chars") < 260)
+        return group_facet_counts(m, "lang", "source")
+
+    out["group_facets"] = group_facets_gate
+
     return _driver_order(out)
 
 
@@ -7467,5 +7527,75 @@ SELECT doc_id,
        translate(a[CAST(doc_id % 8 AS INT) + 1] || ' ' ||
                  a[CAST(doc_id % 5 AS INT) + 1], '{_src}', '{_dst}') AS latin
 FROM documents, w WHERE doc_id < 64 ORDER BY doc_id
+"""
+
+    # grouping-module completion: every collector is a rank window /
+    # groupBy over narrow metadata in both engines
+    out["all_group_heads"] = """
+WITH m AS (
+  SELECT source AS grp, doc_id, CAST(n_chars AS DOUBLE) AS s
+  FROM documents WHERE n_chars >= 150
+), r AS (
+  SELECT grp, doc_id, s,
+         row_number() OVER (PARTITION BY grp ORDER BY s DESC, doc_id ASC) AS rn
+  FROM m
+)
+SELECT grp AS "group", doc_id, round(s, 4) AS score
+FROM r WHERE rn = 1 ORDER BY "group"
+"""
+    out["distinct_values_group"] = """
+WITH m AS (SELECT lang, source FROM documents WHERE n_chars < 230),
+top_g AS (
+  SELECT lang AS grp FROM m GROUP BY 1
+  ORDER BY count(*) DESC, lang ASC LIMIT 3
+)
+SELECT m.lang AS "group",
+       CAST(count(DISTINCT m.source) AS BIGINT) AS n_distinct,
+       string_agg(DISTINCT m.source, '|' ORDER BY m.source) AS "values"
+FROM m JOIN top_g ON m.lang = top_g.grp
+GROUP BY 1 ORDER BY "group"
+"""
+    out["range_group_topk"] = """
+WITH v AS (
+  SELECT event_id, CAST(floor(value) AS BIGINT) AS v FROM events
+), g AS (
+  SELECT event_id, v,
+    CASE WHEN v < 50 THEN -9223372036854775808
+         WHEN v >= 400 THEN 400
+         ELSE 50 + ((v - 50) // 100) * 100 END AS gmin,
+    CASE WHEN v < 50 THEN 50
+         WHEN v >= 400 THEN 9223372036854775807
+         ELSE 50 + ((v - 50) // 100) * 100 + 100 END AS gmax
+  FROM v
+), r AS (
+  SELECT gmin, gmax, event_id, v,
+         row_number() OVER (PARTITION BY gmin, gmax
+                            ORDER BY v ASC, event_id ASC) AS rn
+  FROM g
+)
+SELECT gmin, gmax, event_id AS doc_id, v AS value
+FROM r WHERE rn <= 2 ORDER BY gmin, gmax, doc_id
+"""
+    out["block_grouping_top"] = """
+WITH c AS (
+  SELECT event_id, user_id % 37 AS pk, value AS s FROM events
+), r AS (
+  SELECT event_id, pk, s,
+         row_number() OVER (PARTITION BY pk ORDER BY s DESC, event_id ASC) AS rn
+  FROM c
+), t AS (
+  SELECT pk, s AS gs FROM r WHERE rn = 1
+  ORDER BY gs DESC, pk ASC LIMIT 5
+)
+SELECT r.pk AS "group", round(t.gs, 4) AS group_score,
+       r.event_id AS doc_id, round(r.s, 4) AS score
+FROM r JOIN t ON r.pk = t.pk
+WHERE r.rn <= 2
+ORDER BY group_score DESC, "group" ASC, score DESC, doc_id ASC
+"""
+    out["group_facets"] = """
+SELECT source AS facet, CAST(count(DISTINCT lang) AS BIGINT) AS n_groups
+FROM documents WHERE n_chars < 260
+GROUP BY 1 ORDER BY n_groups DESC, facet ASC
 """
     return out
