@@ -1090,6 +1090,7 @@ _DRIVER_PRIORITY = [
     # round-5 continuation-session additions (grouping-module completion)
     "all_group_heads", "distinct_values_group", "range_group_topk",
     "block_grouping_top", "group_facets",
+    "string_value_facets", "long_value_facets", "range_on_range_facets",
     # round-5 additions
     "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
     "french_term_topk",
@@ -4887,6 +4888,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["group_facets"] = group_facets_gate
 
+    # --- value-source facets (facet/StringValueFacetCounts.java:176,
+    # facet/LongValueFacetCounts.java:413): taxonomy-free DV faceting
+    # with the totalDocCount/childCount header fields
+    def string_value_facets_gate(spark, sf):
+        from lucene_spark.search.facets import string_value_facet_counts
+
+        m = _docs(spark, sf).filter(F.col("n_chars") < 240)
+        return string_value_facet_counts(m, "source", top_n=5)
+
+    out["string_value_facets"] = string_value_facets_gate
+
+    def long_value_facets_gate(spark, sf):
+        from lucene_spark.search.facets import long_value_facet_counts
+
+        ev = _events(spark, sf).select((F.col("user_id") % 23).alias("uv"))
+        return long_value_facet_counts(ev, "uv", top_n=6)
+
+    out["long_value_facets"] = long_value_facets_gate
+
+    # --- RangeOnRangeFacetCounts (facet/rangeonrange/
+    # RangeOnRangeFacetCounts.java:35): the doc field is itself a range
+    def range_on_range_facets_gate(spark, sf):
+        from lucene_spark.search.facets import range_on_range_counts
+
+        ev = _events(spark, sf).select(
+            F.col("value").alias("rmin"),
+            (F.col("value") + (F.col("user_id") % 10) + F.lit(1.0)).alias("rmax"),
+        )
+        return range_on_range_counts(
+            ev,
+            "rmin",
+            "rmax",
+            [("low", 0.0, 100.0), ("mid", 50.0, 250.0), ("high", 240.0, 500.0)],
+            relation="intersects",
+        )
+
+    out["range_on_range_facets"] = range_on_range_facets_gate
+
     return _driver_order(out)
 
 
@@ -7597,5 +7636,40 @@ ORDER BY group_score DESC, "group" ASC, score DESC, doc_id ASC
 SELECT source AS facet, CAST(count(DISTINCT lang) AS BIGINT) AS n_groups
 FROM documents WHERE n_chars < 260
 GROUP BY 1 ORDER BY n_groups DESC, facet ASC
+"""
+    # value-source facets: count desc, label/value-asc ties, with the
+    # totalDocCount/childCount header fields on every row
+    out["string_value_facets"] = """
+WITH m AS (SELECT doc_id, source FROM documents WHERE n_chars < 240),
+c AS (SELECT source AS label, CAST(count(*) AS BIGINT) AS cnt FROM m GROUP BY 1),
+h AS (SELECT CAST(count(*) AS BIGINT) AS child_count,
+             CAST(sum(cnt) AS BIGINT) AS total_docs FROM c)
+SELECT label, cnt, h.total_docs, h.child_count FROM c, h
+ORDER BY cnt DESC, label ASC LIMIT 5
+"""
+    out["long_value_facets"] = """
+WITH v AS (SELECT user_id % 23 AS uv FROM events),
+c AS (SELECT uv, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1),
+h AS (SELECT CAST(count(*) AS BIGINT) AS child_count,
+             CAST(sum(cnt) AS BIGINT) AS total_docs FROM c),
+t AS (SELECT uv, cnt FROM c ORDER BY cnt DESC, uv ASC LIMIT 6)
+SELECT CAST(t.uv AS VARCHAR) AS label, t.cnt, h.total_docs, h.child_count
+FROM t, h ORDER BY cnt DESC, label ASC
+"""
+    out["range_on_range_facets"] = """
+WITH r AS (
+  SELECT value AS rmin, value + (user_id % 10) + 1.0 AS rmax FROM events
+)
+SELECT * FROM (
+  SELECT 'low' AS label,
+         CAST(count(*) FILTER (rmin <= 100.0 AND rmax >= 0.0) AS BIGINT) AS cnt,
+         CAST(count(*) AS BIGINT) AS total_docs FROM r
+  UNION ALL
+  SELECT 'mid', CAST(count(*) FILTER (rmin <= 250.0 AND rmax >= 50.0) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM r
+  UNION ALL
+  SELECT 'high', CAST(count(*) FILTER (rmin <= 500.0 AND rmax >= 240.0) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM r
+)
 """
     return out

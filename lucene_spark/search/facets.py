@@ -32,6 +32,9 @@ __all__ = [
     "association_children",
     "long_range_counts",
     "sampled_facet_counts",
+    "string_value_facet_counts",
+    "long_value_facet_counts",
+    "range_on_range_counts",
 ]
 
 _SEP = "/"
@@ -327,3 +330,134 @@ def dynamic_range_facets(
             cum.unpersist()
     finally:
         parts.unpersist()
+
+
+def string_value_facet_counts(
+    df: DataFrame,
+    values_col: str,
+    top_n: int = 10,
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """StringValueFacetCounts (`facet/StringValueFacetCounts.java:176`):
+    taxonomy-free faceting directly over a doc-values field. A
+    multi-valued doc counts once per DISTINCT value; ``totalDocCount``
+    is the number of docs with at least one value; ``childCount`` is
+    the number of distinct labels with a non-zero count; top-N is
+    ordered count desc with ties broken by label asc (the
+    TopOrdAndIntQueue ord ordering).
+
+    Spark re-expression: explode-distinct to (doc, label) pairs, one
+    partial-agg'd groupBy for the per-label counts, and one scalar
+    aggregate row broadcast onto the top-N result for the
+    totalDocCount/childCount header fields. Label cardinality bounds
+    reducer state; the corpus shuffles only narrow (doc, label) pairs.
+
+    ``values_col`` may be a scalar string column or an array column
+    (the SortedSetDocValues multi-valued shape)."""
+    col = F.col(values_col)
+    dt = dict(df.dtypes).get(values_col, "string")
+    if dt.startswith("array"):
+        pairs = df.select(
+            F.col(doc_col).alias("_doc"),
+            F.explode(F.array_distinct(col)).alias("label"),
+        )
+        with_val = df.filter(F.size(col) > 0)
+    else:
+        pairs = df.filter(col.isNotNull()).select(
+            F.col(doc_col).alias("_doc"), col.alias("label")
+        )
+        with_val = df.filter(col.isNotNull())
+    counts = pairs.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+    header = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("child_count")
+    ).crossJoin(with_val.agg(F.count(F.lit(1)).cast("long").alias("total_docs")))
+    return (
+        counts.orderBy(F.col("cnt").desc(), F.col("label").asc())
+        .limit(top_n)
+        .crossJoin(F.broadcast(header))
+        .select("label", F.col("cnt").cast("long").alias("cnt"),
+                "total_docs", "child_count")
+        .orderBy(F.col("cnt").desc(), F.col("label").asc())
+    )
+
+
+def long_value_facet_counts(
+    df: DataFrame,
+    value_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """LongValueFacetCounts (`facet/LongValueFacetCounts.java:413`):
+    value-source faceting over a long column — top-N by count desc,
+    ties by value ASC (the reference's explicit comparator), label is
+    the decimal string of the value, plus the totCount/childCount
+    header fields. Same one-groupBy plan as the string variant."""
+    v = F.col(value_col)
+    pairs = df.filter(v.isNotNull()).select(v.cast("long").alias("value"))
+    counts = pairs.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    header = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("child_count"),
+        F.sum("cnt").cast("long").alias("total_docs"),
+    )
+    return (
+        counts.orderBy(F.col("cnt").desc(), F.col("value").asc())
+        .limit(top_n)
+        .crossJoin(F.broadcast(header))
+        .select(
+            F.col("value").cast("string").alias("label"),
+            F.col("cnt").cast("long").alias("cnt"),
+            "total_docs",
+            "child_count",
+        )
+        .orderBy(F.col("cnt").desc(), F.col("label").asc())
+    )
+
+
+def range_on_range_counts(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    ranges: Sequence[tuple],
+    relation: str = "intersects",
+) -> DataFrame:
+    """RangeOnRangeFacetCounts (`facet/rangeonrange/
+    RangeOnRangeFacetCounts.java:35`, Long/DoubleRangeOnRangeFacetCounts):
+    the doc field is itself a range ``[min_col, max_col]`` and each
+    labelled facet bucket is a query range counted under a
+    RangeFieldQuery.QueryType relation (INTERSECTS / WITHIN /
+    CONTAINS / CROSSES). Ranges may overlap, so like
+    ``long_range_counts`` this is one conditional-sum aggregate over a
+    single scan — never a groupBy on a bucket key, never a per-range
+    scan. Also emits the reference's ``totCount`` header (docs with a
+    value) on every row. ``ranges`` is (label, lo, hi), both inclusive
+    (the rangeonrange encoding is closed on both ends)."""
+    from lucene_spark.search.rangefield import range_relation_cond
+
+    rmin, rmax = F.col(min_col), F.col(max_col)
+    has = rmin.isNotNull() & rmax.isNotNull()
+    aggs = [
+        F.sum(F.when(has, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_tot")
+    ]
+    labels = []
+    for label, lo, hi in ranges:
+        cond = has & range_relation_cond(rmin, rmax, lo, hi, relation)
+        aggs.append(
+            F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"_r{len(labels)}")
+        )
+        labels.append(label)
+    one = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(lbl).alias("label"),
+                F.col(f"_r{i}").alias("cnt"),
+            )
+            for i, lbl in enumerate(labels)
+        ]
+    )
+    return one.select(F.explode(pairs).alias("p"), F.col("_tot")).select(
+        "p.label", "p.cnt", F.col("_tot").alias("total_docs")
+    )
