@@ -1091,6 +1091,7 @@ _DRIVER_PRIORITY = [
     "all_group_heads", "distinct_values_group", "range_group_topk",
     "block_grouping_top", "group_facets",
     "string_value_facets", "long_value_facets", "range_on_range_facets",
+    "block_join_sort",
     # round-5 additions
     "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
     "french_term_topk",
@@ -4926,6 +4927,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["range_on_range_facets"] = range_on_range_facets_gate
 
+    # --- ToParentBlockJoinSortField (join/ToParentBlockJoinSortField.java:48):
+    # parents sorted by the MIN/MAX value of their filtered children
+    def block_join_sort_gate(spark, sf):
+        from lucene_spark.search.blockjoin import parent_sort_by_child
+
+        orders = spark.read.parquet(f"{sf}/orders.parquet").select("o_orderkey")
+        items = spark.read.parquet(f"{sf}/lineitem.parquet").filter(
+            F.col("l_quantity") > 45
+        )
+        return parent_sort_by_child(
+            orders,
+            items,
+            "o_orderkey",
+            "l_orderkey",
+            F.col("l_extendedprice"),
+            selector="max",
+            ascending=False,
+            k=12,
+            tie_col="o_orderkey",
+        ).select("o_orderkey", F.round("sort_value", 4).alias("sort_value"))
+
+    out["block_join_sort"] = block_join_sort_gate
+
     return _driver_order(out)
 
 
@@ -7671,5 +7695,14 @@ SELECT * FROM (
   SELECT 'high', CAST(count(*) FILTER (rmin <= 500.0 AND rmax >= 240.0) AS BIGINT),
          CAST(count(*) AS BIGINT) FROM r
 )
+"""
+    out["block_join_sort"] = """
+WITH pp AS (
+  SELECT l_orderkey AS ck, max(l_extendedprice) AS sv
+  FROM lineitem WHERE l_quantity > 45 GROUP BY 1
+)
+SELECT o_orderkey, round(sv, 4) AS sort_value
+FROM orders LEFT JOIN pp ON orders.o_orderkey = pp.ck
+ORDER BY sv DESC NULLS LAST, o_orderkey ASC LIMIT 12
 """
     return out

@@ -105,3 +105,43 @@ def parent_children_block_join(
     if child_score is not None:
         out = out.withColumn("score", child_score.cast("double"))
     return out
+
+
+def parent_sort_by_child(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_key: str,
+    child_value: Column,
+    selector: str = "min",
+    ascending: bool = True,
+    k: int | None = None,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """ToParentBlockJoinSortField (`join/ToParentBlockJoinSortField.java:48`
+    + `BlockJoinSelector.java`): sort PARENT hits by a value selected
+    from their (pre-filtered) CHILD documents — the reverse flag maps
+    to ``BlockJoinSelector.Type.MAX`` vs ``MIN`` (:146), i.e. the
+    lowest or highest child field value represents the block.
+
+    Spark re-expression: one partial-agg'd groupBy over the child key
+    (min/max combine map-side, so the shuffle carries one row per
+    parent), then a join back to the parent hits and a
+    TakeOrderedAndProject when ``k`` is given. Parents with no
+    children sort last (the reference's missing-value treatment for
+    absent child values). Returns the parent rows + ``sort_value``."""
+    if selector not in ("min", "max"):
+        raise ValueError("selector must be 'min' or 'max'")
+    agg = (F.min if selector == "min" else F.max)(
+        child_value.cast("double")
+    ).alias("sort_value")
+    per_parent = children.groupBy(F.col(child_key).alias("_ck")).agg(agg)
+    joined = parents.join(
+        per_parent, parents[parent_key] == F.col("_ck"), "left"
+    ).drop("_ck")
+    sv = F.col("sort_value")
+    order = [sv.asc_nulls_last() if ascending else sv.desc_nulls_last()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    out = joined.orderBy(*order)
+    return out.limit(k) if k is not None else out

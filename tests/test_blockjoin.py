@@ -90,3 +90,30 @@ def test_association_children(spark):
     assert under_en == [("book", 100.0), ("web", 10.0)]
     with pytest.raises(ValueError):
         association_children(df, "cat", "val", agg="median")
+
+
+def test_parent_sort_by_child_selector_and_missing(spark):
+    # ToParentBlockJoinSortField.java:146 — reverse flag selects
+    # BlockJoinSelector.Type.MAX vs MIN; parents with no (filtered)
+    # children sort last
+    from lucene_spark.search.blockjoin import parent_sort_by_child
+    from pyspark.sql import functions as F
+
+    parents = spark.createDataFrame([(1,), (2,), (3,)], "pk bigint")
+    children = spark.createDataFrame(
+        [(1, 5.0), (1, 9.0), (2, 7.0)], "ck bigint, v double"
+    )
+    rows = parent_sort_by_child(
+        parents, children, "pk", "ck", F.col("v"), selector="min",
+        ascending=True, tie_col="pk",
+    ).collect()
+    assert [(r.pk, r.sort_value) for r in rows] == [
+        (1, 5.0), (2, 7.0), (3, None),
+    ]
+    rows = parent_sort_by_child(
+        parents, children, "pk", "ck", F.col("v"), selector="max",
+        ascending=False, tie_col="pk",
+    ).collect()
+    assert [(r.pk, r.sort_value) for r in rows] == [
+        (1, 9.0), (2, 7.0), (3, None),
+    ]
