@@ -1091,7 +1091,7 @@ _DRIVER_PRIORITY = [
     "all_group_heads", "distinct_values_group", "range_group_topk",
     "block_grouping_top", "group_facets",
     "string_value_facets", "long_value_facets", "range_on_range_facets",
-    "block_join_sort",
+    "block_join_sort", "named_matches", "match_positions",
     # round-5 additions
     "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
     "french_term_topk",
@@ -4950,6 +4950,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["block_join_sort"] = block_join_sort_gate
 
+    # --- Matches API (search/NamedMatches.java:44, MatchesIterator.java:33)
+    def named_matches_gate(spark, sf):
+        from lucene_spark.search.matches import named_matches
+
+        return named_matches(
+            _index(spark, sf),
+            {"q1": ["hash"], "q2": ["join", "merge"], "q3": ["scan"]},
+        ).filter(F.col("doc_id") < 300)
+
+    out["named_matches"] = named_matches_gate
+
+    def match_positions_gate(spark, sf):
+        from lucene_spark.search.matches import term_match_positions
+
+        return term_match_positions(
+            _index(spark, sf), ["hash", "join"], max_doc=120
+        )
+
+    out["match_positions"] = match_positions_gate
+
     return _driver_order(out)
 
 
@@ -7704,5 +7724,32 @@ WITH pp AS (
 SELECT o_orderkey, round(sv, 4) AS sort_value
 FROM orders LEFT JOIN pp ON orders.o_orderkey = pp.ck
 ORDER BY sv DESC NULLS LAST, o_orderkey ASC LIMIT 12
+"""
+    out["named_matches"] = f"""
+WITH {TOK_CTE},
+nm AS (
+  SELECT DISTINCT doc_id, 'q1' AS name FROM tok WHERE term = 'hash'
+  UNION ALL
+  SELECT DISTINCT doc_id, 'q2' FROM tok WHERE term IN ('join', 'merge')
+  UNION ALL
+  SELECT DISTINCT doc_id, 'q3' FROM tok WHERE term = 'scan'
+)
+SELECT doc_id, string_agg(name, '|' ORDER BY name) AS names,
+       CAST(count(*) AS BIGINT) AS n_matched
+FROM nm WHERE doc_id < 300 GROUP BY doc_id ORDER BY doc_id
+"""
+    out["match_positions"] = f"""
+WITH {_POS_CTE},
+p AS (
+  SELECT doc_id, term, i - 1 AS pos FROM (
+    SELECT doc_id, l[i] AS term, i
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
+  ) WHERE term IN ('hash', 'join')
+)
+SELECT doc_id, term,
+       string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions,
+       CAST(count(*) AS BIGINT) AS freq
+FROM p WHERE doc_id < 120
+GROUP BY doc_id, term ORDER BY doc_id, term
 """
     return out

@@ -1,0 +1,47 @@
+"""Matches API analog semantics (search/NamedMatches.java:44,
+MatchesIterator.java:33): which named sub-queries matched, and the
+per-term match positions surface."""
+
+from lucene_spark.index.builder import InvertedIndex
+from lucene_spark.search.matches import named_matches, term_match_positions
+
+
+def _idx(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "hash join hash", "en", "s", 14),
+            (1, "merge sort", "en", "s", 10),
+            (2, "scan only here", "en", "s", 14),
+            (3, "plain text", "en", "s", 10),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return InvertedIndex.build(docs, analyzer="simple", positions=True)
+
+
+def test_named_matches(spark):
+    idx = _idx(spark)
+    rows = named_matches(
+        idx, {"a": ["hash"], "b": ["merge", "scan"], "c": ["plain"]}
+    ).collect()
+    assert [(r.doc_id, r.names, r.n_matched) for r in rows] == [
+        (0, "a", 1),
+        (1, "b", 1),
+        (2, "b", 1),
+        (3, "c", 1),
+    ]
+
+
+def test_named_matches_multiple_names_per_doc(spark):
+    idx = _idx(spark)
+    rows = named_matches(idx, {"a": ["hash"], "b": ["join"]}).collect()
+    assert [(r.doc_id, r.names, r.n_matched) for r in rows] == [(0, "a|b", 2)]
+
+
+def test_term_match_positions(spark):
+    idx = _idx(spark)
+    rows = term_match_positions(idx, ["hash", "join"]).collect()
+    assert [(r.doc_id, r.term, r.positions, r.freq) for r in rows] == [
+        (0, "hash", "0,2", 2),
+        (0, "join", "1", 1),
+    ]
