@@ -1092,6 +1092,7 @@ _DRIVER_PRIORITY = [
     "block_grouping_top", "group_facets",
     "string_value_facets", "long_value_facets", "range_on_range_facets",
     "block_join_sort", "named_matches", "match_positions",
+    "suggest_exact_first",
     # round-5 additions
     "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
     "french_term_topk",
@@ -4970,6 +4971,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["match_positions"] = match_positions_gate
 
+    # --- AnalyzingSuggester EXACT_FIRST / WFSTCompletionLookup
+    # exactFirst (analyzing/AnalyzingSuggester.java:716): the exact key
+    # outranks higher-weight completions ('a' df=388 beats 'agg' df=397)
+    def suggest_exact_first_gate(spark, sf):
+        from lucene_spark.search.suggest import exact_first_suggest
+
+        return exact_first_suggest(_index(spark, sf), "a", n=8)
+
+    out["suggest_exact_first"] = suggest_exact_first_gate
+
     return _driver_order(out)
 
 
@@ -7751,5 +7762,15 @@ SELECT doc_id, term,
        CAST(count(*) AS BIGINT) AS freq
 FROM p WHERE doc_id < 120
 GROUP BY doc_id, term ORDER BY doc_id, term
+"""
+    out["suggest_exact_first"] = f"""
+WITH {TOK_CTE},
+df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS weight
+  FROM tok GROUP BY 1
+)
+SELECT term, weight, CAST(term = 'a' AS INT) AS is_exact
+FROM df WHERE term LIKE 'a%'
+ORDER BY is_exact DESC, weight DESC, term ASC LIMIT 8
 """
     return out

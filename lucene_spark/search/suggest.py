@@ -484,3 +484,29 @@ def context_suggest(
         .orderBy(F.col("score").desc(), F.col("suggestion").asc())
         .limit(n)
     )
+
+
+def exact_first_suggest(
+    index: InvertedIndex, prefix: str, n: int = 10
+) -> DataFrame:
+    """AnalyzingSuggester with EXACT_FIRST
+    (`analyzing/AnalyzingSuggester.java:115,716`; also the
+    WFSTCompletionLookup `exactFirst` flag,
+    `suggest/fst/WFSTCompletionLookup.java:76`): a completion whose
+    analyzed form EQUALS the typed key outranks every other
+    completion regardless of weight; the rest follow weight desc /
+    term asc. One extra boolean sort key over the same
+    prefix-pruned terms-table scan as :func:`prefix_suggest` — the
+    TakeOrderedAndProject stays k-bounded."""
+    return (
+        index.terms.filter(F.col("term").startswith(prefix))
+        .select(
+            "term",
+            F.col("doc_freq").alias("weight"),
+            (F.col("term") == F.lit(prefix)).cast("int").alias("is_exact"),
+        )
+        .orderBy(
+            F.col("is_exact").desc(), F.col("weight").desc(), F.col("term").asc()
+        )
+        .limit(n)
+    )

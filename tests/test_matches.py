@@ -45,3 +45,20 @@ def test_term_match_positions(spark):
         (0, "hash", "0,2", 2),
         (0, "join", "1", 1),
     ]
+
+
+def test_exact_first_suggest_outranks_weight(spark):
+    # AnalyzingSuggester.java:716 — the exact key precedes a
+    # higher-weight completion
+    from lucene_spark.search.suggest import exact_first_suggest
+
+    docs = spark.createDataFrame(
+        [(i, "agg x" if i < 5 else ("a y" if i < 8 else "ab z"), "en", "s", 5)
+         for i in range(10)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    idx = InvertedIndex.build(docs, analyzer="simple", positions=False)
+    rows = exact_first_suggest(idx, "a", n=3).collect()
+    assert [(r.term, r.is_exact) for r in rows] == [
+        ("a", 1), ("agg", 0), ("ab", 0),
+    ]
