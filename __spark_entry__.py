@@ -1092,7 +1092,7 @@ _DRIVER_PRIORITY = [
     "block_grouping_top", "group_facets",
     "string_value_facets", "long_value_facets", "range_on_range_facets",
     "block_join_sort", "named_matches", "match_positions",
-    "suggest_exact_first",
+    "suggest_exact_first", "paragraph_dedup",
     # round-5 additions
     "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
     "french_term_topk",
@@ -4981,6 +4981,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["suggest_exact_first"] = suggest_exact_first_gate
 
+    # --- paragraph-level exact dedup (RefinedWeb/Falcon line-dedup
+    # stage): deterministic multi-paragraph docs with heavy repeats
+    def paragraph_dedup_gate(spark, sf):
+        from lucene_spark.pipeline.dedup import paragraph_dedup
+
+        p4 = F.array(
+            F.lit("alpha beta"), F.lit("gamma delta"),
+            F.lit("epsilon zeta"), F.lit("eta theta"),
+        )
+        p3 = F.array(
+            F.lit("alpha beta"), F.lit("gamma delta"), F.lit("epsilon zeta")
+        )
+        d = _docs(spark, sf).filter(F.col("doc_id") < 200).select(
+            "doc_id",
+            F.concat(
+                F.element_at(p4, (F.col("doc_id") % 4 + 1).cast("int")),
+                F.lit("\n"),
+                F.element_at(p3, (F.col("doc_id") % 3 + 1).cast("int")),
+                F.lit("\nunique "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        return paragraph_dedup(d)
+
+    out["paragraph_dedup"] = paragraph_dedup_gate
+
     return _driver_order(out)
 
 
@@ -7772,5 +7798,39 @@ df AS (
 SELECT term, weight, CAST(term = 'a' AS INT) AS is_exact
 FROM df WHERE term LIKE 'a%'
 ORDER BY is_exact DESC, weight DESC, term ASC LIMIT 8
+"""
+    out["paragraph_dedup"] = """
+WITH d AS (
+  SELECT doc_id,
+         ['alpha beta','gamma delta','epsilon zeta','eta theta'][CAST(doc_id % 4 AS INT) + 1]
+         || chr(10) ||
+         ['alpha beta','gamma delta','epsilon zeta'][CAST(doc_id % 3 AS INT) + 1]
+         || chr(10) || 'unique ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id < 200
+),
+paras AS (
+  SELECT doc_id, i - 1 AS pos, p[i] AS para
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS p FROM d),
+       LATERAL (SELECT unnest(generate_series(1, len(p))) AS i)
+  WHERE len(trim(p[i])) >= 1
+),
+kept AS (
+  SELECT doc_id, pos, para FROM (
+    SELECT doc_id, pos, para,
+           row_number() OVER (PARTITION BY md5(para)
+                              ORDER BY doc_id, pos) AS rn
+    FROM paras
+  ) WHERE rn = 1
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs FROM paras GROUP BY 1),
+reb AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT tot.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+       tot.n_paragraphs, coalesce(reb.n_kept, 0) AS n_kept
+FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+ORDER BY tot.doc_id
 """
     return out

@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 __all__ = [
     "duplicate_clusters",
     "exact_duplicates",
+    "paragraph_dedup",
     "word_shingles",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -450,3 +451,80 @@ def duplicate_clusters(
             break
     edges.unpersist()
     return labels
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Paragraph-level exact deduplication (the RefinedWeb/Falcon and
+    Gopher pipelines' line/paragraph dedup stage; same contract as
+    repeating the doc-level `exact_duplicates` at paragraph
+    granularity): split each document on ``sep``, keep a paragraph
+    only in the document with the smallest (id, position) occurrence,
+    and reassemble every document from its surviving paragraphs in
+    their original order.
+
+    Returns (id_col, clean_text, n_paragraphs, n_kept).
+
+    Plan shape at 100 TB: posexplode keeps (doc, pos, para) narrow;
+    the keeper choice is ONE min_by aggregate on the md5 key (partial
+    map-side combine — the duplicated-paragraph skew collapses before
+    the shuffle because min(struct(id,pos)) combines locally), then a
+    semi-join back and a per-doc sort_array reassembly. No window over
+    the full corpus, no text in the shuffle beyond one md5 per
+    paragraph occurrence."""
+    paras = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+        )
+        .filter(F.length(F.trim(F.col("_para"))) >= min_chars)
+        .withColumn("_h", F.md5(F.col("_para")))
+    )
+    keepers = paras.groupBy("_h").agg(
+        F.min(F.struct("_id", "_pos")).alias("_k")
+    )
+    kept = paras.join(
+        keepers,
+        (paras["_h"] == keepers["_h"])
+        & (paras["_id"] == F.col("_k._id"))
+        & (paras["_pos"] == F.col("_k._pos")),
+    ).select(paras["_id"], paras["_pos"], paras["_para"])
+    totals = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.size(
+                F.filter(
+                    F.split(F.col(text_col), sep),
+                    lambda p: F.length(F.trim(p)) >= min_chars,
+                )
+            ).cast("long").alias("n_paragraphs"),
+        )
+    )
+    rebuilt = (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_pos", "_para"))),
+                    lambda s: s["_para"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+    )
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_paragraphs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy(id_col)
+    )

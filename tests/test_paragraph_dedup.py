@@ -1,0 +1,32 @@
+"""Paragraph-level exact dedup (RefinedWeb/Falcon line-dedup stage):
+first-(doc,pos) keeper, within-doc repeats collapse, order-preserving
+reassembly, empty-paragraph filtering."""
+
+from lucene_spark.pipeline.dedup import paragraph_dedup
+
+
+def test_paragraph_dedup_keeper_and_rebuild(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "A\nB\nA"),      # within-doc repeat of A
+            (2, "B\nC"),          # B already seen in doc 1
+            (3, "C\n\n  \nD"),   # blank paragraphs dropped from counts
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert rows[1].clean_text == "A\nB" and rows[1].n_paragraphs == 3
+    assert rows[1].n_kept == 2
+    assert rows[2].clean_text == "C" and rows[2].n_kept == 1
+    assert rows[3].clean_text == "D" and rows[3].n_paragraphs == 2
+    assert rows[3].n_kept == 1
+
+
+def test_paragraph_dedup_all_duplicate_doc_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "X"), (2, "X")], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert rows[1].clean_text == "X"
+    assert rows[2].clean_text == "" and rows[2].n_kept == 0
+    assert rows[2].n_paragraphs == 1
