@@ -1092,7 +1092,7 @@ _DRIVER_PRIORITY = [
     "block_grouping_top", "group_facets",
     "string_value_facets", "long_value_facets", "range_on_range_facets",
     "block_join_sort", "named_matches", "match_positions",
-    "suggest_exact_first", "paragraph_dedup",
+    "suggest_exact_first", "paragraph_dedup", "span_payload_check",
     # round-5 additions
     "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
     "french_term_topk",
@@ -5007,6 +5007,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["paragraph_dedup"] = paragraph_dedup_gate
 
+    # --- SpanPayloadCheckQuery (queries/payloads/SpanPayloadCheckQuery.java:54):
+    # span positions filtered by a payload predicate (payload = token
+    # index, same delimited-payload build as payload_avg_score)
+    def span_payload_check_gate(spark, sf):
+        from lucene_spark.analysis.filters import delimited_payload_analyzer
+        from lucene_spark.search.payloads import span_payload_check
+
+        docs = _docs(spark, sf).withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(split(text, ' '), "
+                    "(t, i) -> concat(t, '|', cast(i AS string)))"
+                ),
+            ),
+        )
+        idx = InvertedIndex.build(
+            docs,
+            analyzer=delimited_payload_analyzer(),
+            positions=True,
+            payloads=True,
+            docs_per_segment=2048,
+        )
+        return span_payload_check(idx, "hash", op="lt", value=6.0)
+
+    out["span_payload_check"] = span_payload_check_gate
+
     return _driver_order(out)
 
 
@@ -7832,5 +7860,16 @@ SELECT tot.doc_id, coalesce(reb.clean_text, '') AS clean_text,
        tot.n_paragraphs, coalesce(reb.n_kept, 0) AS n_kept
 FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
 ORDER BY tot.doc_id
+"""
+    out["span_payload_check"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+pos AS (
+  SELECT doc_id, i - 1 AS p, l[i] AS term
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
+),
+m AS (SELECT doc_id, p FROM pos WHERE term = 'hash' AND CAST(p AS DOUBLE) < 6.0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matching,
+       string_agg(CAST(p AS VARCHAR), ',' ORDER BY p) AS positions
+FROM m GROUP BY doc_id ORDER BY doc_id
 """
     return out

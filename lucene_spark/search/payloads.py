@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 from lucene_spark.index.builder import InvertedIndex
 from lucene_spark.search.positional import decode_positions
 
-__all__ = ["decode_payloads", "payload_score_topk"]
+__all__ = ["decode_payloads", "payload_score_topk", "span_payload_check"]
 
 
 def decode_payloads(
@@ -81,3 +81,57 @@ def payload_score_topk(
     if hidden is not None:
         scored = scored.join(hidden, "doc_id", "left_anti")
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+_OPS = {
+    "eq": lambda p, v: p == v,
+    "lt": lambda p, v: p < v,
+    "lte": lambda p, v: p <= v,
+    "gt": lambda p, v: p > v,
+    "gte": lambda p, v: p >= v,
+}
+
+
+def span_payload_check(
+    index: InvertedIndex,
+    term: str,
+    op: str = "eq",
+    value: float = 0.0,
+) -> DataFrame:
+    """SpanPayloadCheckQuery (`queries/payloads/SpanPayloadCheckQuery.java:54`
+    + `PayloadMatcherFactory.java` MatchOperation EQ/LT/LTE/GT/GTE): a
+    span term matches only at positions whose payload satisfies the
+    predicate; a doc matches when at least one position survives.
+    Returns (doc_id, n_matching, positions) for the surviving docs,
+    doc_id asc — the surviving-position count and list mirror the
+    reference's per-span verification.
+
+    Same one-term block decode as every payload operator (shared
+    `decode_positions` path); the predicate runs as a JVM
+    higher-order filter over the (positions, payloads) arrays — no
+    per-payload Python, no shuffle at all (doc-local projection)."""
+    if op not in _OPS:
+        raise ValueError(f"op must be one of {sorted(_OPS)}")
+    pred = _OPS[op]
+    d = decode_payloads(index, [term])
+    surviving = F.filter(
+        F.zip_with(
+            "positions",
+            "payloads",
+            lambda pos, pay: F.struct(pos.alias("pos"), pay.alias("pay")),
+        ),
+        lambda s: pred(s["pay"].cast("double"), F.lit(float(value))),
+    )
+    return (
+        d.withColumn("_surv", surviving)
+        .filter(F.size("_surv") > 0)
+        .select(
+            "doc_id",
+            F.size("_surv").cast("long").alias("n_matching"),
+            F.concat_ws(
+                ",",
+                F.transform("_surv", lambda s: s["pos"].cast("string")),
+            ).alias("positions"),
+        )
+        .orderBy("doc_id")
+    )

@@ -62,3 +62,31 @@ def test_exact_first_suggest_outranks_weight(spark):
     assert [(r.term, r.is_exact) for r in rows] == [
         ("a", 1), ("agg", 0), ("ab", 0),
     ]
+
+
+def test_span_payload_check_ops(spark):
+    # SpanPayloadCheckQuery.java:54 + PayloadMatcherFactory MatchOperation:
+    # payload = token index via the delimited-payload chain
+    from lucene_spark.analysis.filters import delimited_payload_analyzer
+    from lucene_spark.search.payloads import span_payload_check
+
+    docs = spark.createDataFrame(
+        [
+            (0, "w|0 hash|1 hash|2", "en", "s", 10),
+            (1, "hash|0 x|1", "en", "s", 10),
+            (2, "y|0 z|1", "en", "s", 10),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    idx = InvertedIndex.build(
+        docs, analyzer=delimited_payload_analyzer(), positions=True, payloads=True
+    )
+    rows = span_payload_check(idx, "hash", op="lt", value=2.0).collect()
+    assert [(r.doc_id, r.n_matching, r.positions) for r in rows] == [
+        (0, 1, "1"),
+        (1, 1, "0"),
+    ]
+    rows = span_payload_check(idx, "hash", op="eq", value=2.0).collect()
+    assert [(r.doc_id, r.positions) for r in rows] == [(0, "2")]
+    rows = span_payload_check(idx, "hash", op="gte", value=0.0).collect()
+    assert [(r.doc_id, r.n_matching) for r in rows] == [(0, 2), (1, 1)]
