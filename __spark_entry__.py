@@ -1093,6 +1093,7 @@ _DRIVER_PRIORITY = [
     "string_value_facets", "long_value_facets", "range_on_range_facets",
     "block_join_sort", "named_matches", "match_positions",
     "suggest_exact_first", "paragraph_dedup", "span_payload_check",
+    "function_range_match",
     # round-5 additions
     "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
     "french_term_topk",
@@ -5035,6 +5036,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["span_payload_check"] = span_payload_check_gate
 
+    # --- FunctionRangeQuery over the expressions language
+    # (queries/function/FunctionRangeQuery.java:37): computed
+    # DoubleValuesSource bounded to [20, 24]
+    def function_range_match_gate(spark, sf):
+        from lucene_spark.search.expressions import compile_expression
+        from lucene_spark.search.functionscore import function_range_match
+
+        c = compile_expression(
+            "sqrt(n_chars) + doc_id % 11",
+            {"n_chars": "n_chars", "doc_id": "doc_id"},
+        )
+        return function_range_match(
+            _docs(spark, sf), c.column(), lo=20.0, hi=24.0,
+            include_upper=False,
+        )
+
+    out["function_range_match"] = function_range_match_gate
+
     return _driver_order(out)
 
 
@@ -7871,5 +7890,17 @@ m AS (SELECT doc_id, p FROM pos WHERE term = 'hash' AND CAST(p AS DOUBLE) < 6.0)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matching,
        string_agg(CAST(p AS VARCHAR), ',' ORDER BY p) AS positions
 FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+    from lucene_spark.search.expressions import compile_expression as _ce
+
+    _frm = _ce(
+        "sqrt(n_chars) + doc_id % 11",
+        {"n_chars": "n_chars", "doc_id": "doc_id"},
+    ).duckdb_sql
+    out["function_range_match"] = f"""
+SELECT doc_id, round(CAST({_frm} AS DOUBLE), 4) AS value
+FROM documents
+WHERE CAST({_frm} AS DOUBLE) >= 20.0 AND CAST({_frm} AS DOUBLE) < 24.0
+ORDER BY doc_id
 """
     return out

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from lucene_spark.index.builder import InvertedIndex
 from lucene_spark.search.parity import _bm25_scored_f64
 
-__all__ = ["function_score_topk", "boost_by_query_topk"]
+__all__ = ["function_score_topk", "boost_by_query_topk", "function_range_match"]
 
 
 def function_score_topk(
@@ -108,4 +108,36 @@ def boost_by_query_topk(
         .orderBy(F.col("s").desc(), F.col("doc_id").asc())
         .limit(k)
         .select("doc_id", F.round("s", 4).alias("score"))
+    )
+
+
+def function_range_match(
+    df,
+    value_col,
+    lo: float | None = None,
+    hi: float | None = None,
+    include_lower: bool = True,
+    include_upper: bool = True,
+    id_col: str = "doc_id",
+):
+    """FunctionRangeQuery / FunctionMatchQuery
+    (`queries/function/FunctionRangeQuery.java:37`,
+    `FunctionMatchQuery.java:43`): match every doc whose computed
+    DoubleValuesSource value satisfies a range/predicate. The
+    reference warns this is a linear scan best combined with
+    restrictive queries; in Spark the predicate is a codegen'd filter
+    that participates in whole-stage codegen and — when the source is
+    a plain column — pushes to the parquet scan, so the "combine with
+    restrictive queries" guidance is exactly Catalyst's job. Returns
+    (id_col, value) rows, id asc."""
+    v = value_col.cast("double")
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (v >= F.lit(float(lo)) if include_lower else v > F.lit(float(lo)))
+    if hi is not None:
+        cond = cond & (v <= F.lit(float(hi)) if include_upper else v < F.lit(float(hi)))
+    return (
+        df.filter(cond)
+        .select(F.col(id_col), F.round(v, 4).alias("value"))
+        .orderBy(id_col)
     )
