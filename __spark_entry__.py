@@ -155,8 +155,11 @@ def _similarity_gates():
         DFIChiSquared,
         DFRInL2Similarity,
         IBLLSimilarity,
+        IndriDirichletSimilarity,
         LMDirichletSimilarity,
         LMJelinekMercerSimilarity,
+        MultiSimilarity,
+        RawTFSimilarity,
     )
 
     from lucene_spark.search.similarity import SweetSpotSimilarity
@@ -173,6 +176,12 @@ def _similarity_gates():
         # plateau length norm + baseline tf floor (misc module)
         "sweetspot_topk": lambda: SweetSpotSimilarity(
             tf_min=2.0, tf_base=1.5, ln_min=20, ln_max=40, steepness=0.5
+        ),
+        # Indri Dirichlet (negative log-prob scores, no clamp)
+        "indri_dirichlet_topk": IndriDirichletSimilarity,
+        # mean of sub-similarities (MultiSimilarity.MultiSimScorer)
+        "multi_sim_topk": lambda: MultiSimilarity(
+            (ClassicSimilarity(), RawTFSimilarity())
         ),
     }
 
@@ -1093,7 +1102,7 @@ _DRIVER_PRIORITY = [
     "string_value_facets", "long_value_facets", "range_on_range_facets",
     "block_join_sort", "named_matches", "match_positions",
     "suggest_exact_first", "paragraph_dedup", "span_payload_check",
-    "function_range_match",
+    "function_range_match", "indri_dirichlet_topk", "multi_sim_topk",
     # round-5 additions
     "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
     "french_term_topk",

@@ -68,6 +68,9 @@ __all__ = [
     "DFIChiSquared",
     "IBLLSimilarity",
     "ExpressionSimilarity",
+    "IndriDirichletSimilarity",
+    "RawTFSimilarity",
+    "MultiSimilarity",
 ]
 
 _LN2 = math.log(2.0)
@@ -341,3 +344,62 @@ class ExpressionSimilarity(Similarity):
         if self.sql is None:
             raise NotImplementedError("ExpressionSimilarity without sql")
         return self.sql
+
+
+@dataclass(frozen=True)
+class IndriDirichletSimilarity(Similarity):
+    """`core/search/similarities/IndriDirichletSimilarity.java:68`:
+    Indri's Dirichlet smoothing — score = ln((freq + mu*P(t|C)) /
+    (docLen + mu)) with the IndriCollectionModel probability
+    P(t|C) = totalTermFreq / sumTotalTermFreq (:111). Unlike
+    LMDirichlet there is NO clamp to zero: Indri scores are negative
+    log-probabilities by design (the reference returns Math.log
+    directly), so ordering is what matters."""
+
+    mu: float = 2000.0
+
+    def score_col(self, c):
+        p = c["ttf"] / c["sttf"]
+        return c["boost"] * F.log(
+            (c["freq"] + F.lit(self.mu) * p) / (c["dl"] + F.lit(self.mu))
+        )
+
+    def score_sql(self):
+        mu = repr(float(self.mu))
+        return (
+            f"boost * ln((freq + {mu} * (ttf * 1.0 / sttf)) / (dl + {mu}))"
+        )
+
+
+@dataclass(frozen=True)
+class RawTFSimilarity(Similarity):
+    """`core/search/similarities/RawTFSimilarity.java:16`: score is the
+    raw term frequency times boost — no idf, no length norm (the
+    building block for feature-style fields)."""
+
+    def score_col(self, c):
+        return c["boost"] * c["freq"]
+
+    def score_sql(self):
+        return "boost * freq"
+
+
+@dataclass(frozen=True)
+class MultiSimilarity(Similarity):
+    """`core/search/similarities/MultiSimilarity.java:33`
+    (MultiSimScorer.score): the arithmetic MEAN of the sub-scorers'
+    scores for the same (freq, norm). Pure expression composition —
+    the sub-formulas fuse into one codegen'd projection, so combining
+    k similarities costs zero extra passes."""
+
+    sims: tuple
+
+    def score_col(self, c):
+        s = self.sims[0].score_col(c)
+        for x in self.sims[1:]:
+            s = s + x.score_col(c)
+        return s / F.lit(float(len(self.sims)))
+
+    def score_sql(self):
+        parts = " + ".join(f"({x.score_sql()})" for x in self.sims)
+        return f"(({parts}) / {float(len(self.sims))!r})"
