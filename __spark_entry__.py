@@ -155,6 +155,9 @@ def _similarity_gates():
         DFIChiSquared,
         DFRInL2Similarity,
         IBLLSimilarity,
+        DFIStandardized,
+        DFRGB2Similarity,
+        IBSPLSimilarity,
         IndriDirichletSimilarity,
         LMDirichletSimilarity,
         LMJelinekMercerSimilarity,
@@ -183,6 +186,10 @@ def _similarity_gates():
         "multi_sim_topk": lambda: MultiSimilarity(
             (ClassicSimilarity(), RawTFSimilarity())
         ),
+        # the remaining DFR/IB/DFI framework members
+        "dfr_gb2_topk": DFRGB2Similarity,
+        "ib_spl_topk": IBSPLSimilarity,
+        "dfi_std_topk": DFIStandardized,
     }
 
 
@@ -1103,6 +1110,7 @@ _DRIVER_PRIORITY = [
     "block_join_sort", "named_matches", "match_positions",
     "suggest_exact_first", "paragraph_dedup", "span_payload_check",
     "function_range_match", "indri_dirichlet_topk", "multi_sim_topk",
+    "dfr_gb2_topk", "ib_spl_topk", "dfi_std_topk",
     # round-5 additions
     "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
     "french_term_topk",

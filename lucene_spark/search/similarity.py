@@ -71,6 +71,9 @@ __all__ = [
     "IndriDirichletSimilarity",
     "RawTFSimilarity",
     "MultiSimilarity",
+    "DFRGB2Similarity",
+    "IBSPLSimilarity",
+    "DFIStandardized",
 ]
 
 _LN2 = math.log(2.0)
@@ -403,3 +406,95 @@ class MultiSimilarity(Similarity):
     def score_sql(self):
         parts = " + ".join(f"({x.score_sql()})" for x in self.sims)
         return f"(({parts}) / {float(len(self.sims))!r})"
+
+
+@dataclass(frozen=True)
+class DFRGB2Similarity(Similarity):
+    """DFR GB2: geometric basic model + Bernoulli after-effect + H2
+    length normalization (`similarities/DFRSimilarity.java:127`
+    composing `BasicModelG.java:36` — lambda = F/(N+F) with F = ttf+1,
+    score (B - (B-A)/(1+tfn)) * aeTimes1pTfn — and
+    `AfterEffectB.java:32` — aeTimes1pTfn = (F+1)/n with F = ttf+1,
+    n = df+1 — and `NormalizationH2.java` tfn). Float64 end-to-end."""
+
+    c: float = 1.0
+
+    def score_col(self, c):
+        avgdl = c["sttf"] / c["n_docs"]
+        tfn = c["freq"] * (
+            F.log(F.lit(1.0) + F.lit(self.c) * avgdl / c["dl"]) / F.lit(_LN2)
+        )
+        big_f = c["ttf"] + F.lit(1.0)
+        lam = big_f / (c["n_docs"] + big_f)
+        a = F.log(lam + F.lit(1.0)) / F.lit(_LN2)
+        b = F.log((F.lit(1.0) + lam) / lam) / F.lit(_LN2)
+        ae = (big_f + F.lit(1.0)) / (c["doc_freq"] + F.lit(1.0))
+        return c["boost"] * (b - (b - a) / (F.lit(1.0) + tfn)) * ae
+
+    def score_sql(self):
+        cc, ln2 = repr(float(self.c)), repr(_LN2)
+        tfn = f"(freq * (ln(1.0 + {cc} * (sttf * 1.0 / n_docs) / dl) / {ln2}))"
+        lam = "((ttf + 1.0) / (n_docs + ttf + 1.0))"
+        a = f"(ln({lam} + 1.0) / {ln2})"
+        b = f"(ln((1.0 + {lam}) / {lam}) / {ln2})"
+        ae = "((ttf + 2.0) / (doc_freq + 1.0))"
+        return f"boost * ({b} - ({b} - {a}) / (1.0 + {tfn})) * {ae}"
+
+
+@dataclass(frozen=True)
+class IBSPLSimilarity(Similarity):
+    """Information-based model with the smoothed power-law
+    distribution and total-term-frequency lambda
+    (`similarities/IBSimilarity.java:115` composing
+    `DistributionSPL.java:35` — q = 1 - 1/(tfn+1),
+    -ln((lambda^q - lambda)/(1 - lambda)) — and `LambdaTTF.java:22`
+    lambda = (ttf+1)/(N+1), H2 normalization). The reference's ULP
+    nudges (lambda == 1, pow rounding to lambda) guard degenerate
+    stats that cannot occur off a real index (ttf < N·avgdl) — both
+    emitters compute the plain formula."""
+
+    c: float = 1.0
+
+    def score_col(self, c):
+        avgdl = c["sttf"] / c["n_docs"]
+        tfn = c["freq"] * (
+            F.log(F.lit(1.0) + F.lit(self.c) * avgdl / c["dl"]) / F.lit(_LN2)
+        )
+        lam = (c["ttf"] + F.lit(1.0)) / (c["n_docs"] + F.lit(1.0))
+        q = F.lit(1.0) - F.lit(1.0) / (tfn + F.lit(1.0))
+        return c["boost"] * -F.log(
+            (F.pow(lam, q) - lam) / (F.lit(1.0) - lam)
+        )
+
+    def score_sql(self):
+        cc, ln2 = repr(float(self.c)), repr(_LN2)
+        tfn = f"(freq * (ln(1.0 + {cc} * (sttf * 1.0 / n_docs) / dl) / {ln2}))"
+        lam = "((ttf + 1.0) / (n_docs + 1.0))"
+        q = f"(1.0 - 1.0 / ({tfn} + 1.0))"
+        return f"boost * -ln((pow({lam}, {q}) - {lam}) / (1.0 - {lam}))"
+
+
+@dataclass(frozen=True)
+class DFIStandardized(Similarity):
+    """Divergence From Independence with the standardized measure
+    (`similarities/DFISimilarity.java:70`,
+    `IndependenceStandardized.java:33` — (freq - expected) /
+    sqrt(expected)): same expected = (ttf+1)·dl/(sttf+1) and
+    freq <= expected -> 0 gating as :class:`DFIChiSquared`."""
+
+    def score_col(self, c):
+        expected = (c["ttf"] + F.lit(1.0)) * c["dl"] / (c["sttf"] + F.lit(1.0))
+        ind = (c["freq"] - expected) / F.sqrt(expected)
+        raw = F.log(ind + F.lit(1.0)) / F.lit(_LN2)
+        return F.when(c["freq"] <= expected, F.lit(0.0)).otherwise(
+            c["boost"] * raw
+        )
+
+    def score_sql(self):
+        ln2 = repr(_LN2)
+        exp = "((ttf + 1.0) * dl / (sttf + 1.0))"
+        ind = f"((freq - {exp}) / sqrt({exp}))"
+        return (
+            f"CASE WHEN freq <= {exp} THEN 0.0 "
+            f"ELSE boost * (ln({ind} + 1.0) / {ln2}) END"
+        )
