@@ -1110,7 +1110,7 @@ _DRIVER_PRIORITY = [
     "block_join_sort", "named_matches", "match_positions",
     "suggest_exact_first", "paragraph_dedup", "span_payload_check",
     "function_range_match", "indri_dirichlet_topk", "multi_sim_topk",
-    "dfr_gb2_topk", "ib_spl_topk", "dfi_std_topk",
+    "dfr_gb2_topk", "ib_spl_topk", "dfi_std_topk", "inet_queries",
     # round-5 additions
     "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
     "french_term_topk",
@@ -5071,6 +5071,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["function_range_match"] = function_range_match_gate
 
+    # --- InetAddressPoint (document/InetAddressPoint.java:41): IP
+    # range / CIDR-prefix / set / exact queries over the 16-byte
+    # sortable hex key (IPv4-mapped, like the reference's encode)
+    def inet_queries_gate(spark, sf):
+        from lucene_spark.search.inet import (
+            inet_exact_query,
+            inet_prefix_query,
+            inet_range_query,
+            inet_set_query,
+            ipv4_key_col,
+        )
+
+        ips = _events(spark, sf).select(
+            "event_id",
+            ipv4_key_col(
+                F.concat_ws(
+                    ".",
+                    F.lit("10"),
+                    (F.col("user_id") % 200).cast("string"),
+                    (F.expr("user_id div 7") % 50).cast("string"),
+                    (F.col("user_id") % 250).cast("string"),
+                )
+            ).alias("k"),
+        )
+        legs = [
+            ("prefix_10_64_s10", inet_prefix_query(ips, "k", "10.64.0.0/10")),
+            ("range_50_120", inet_range_query(ips, "k", "10.50.3.7", "10.120.9.200")),
+            ("set3", inet_set_query(ips, "k", ["10.1.0.1", "10.5.0.5", "8.8.8.8"])),
+            ("exact", inet_exact_query(ips, "k", "10.1.0.1")),
+        ]
+        res = None
+        for label, d in legs:
+            one = d.agg(F.count(F.lit(1)).cast("long").alias("cnt")).select(
+                F.lit(label).alias("label"), "cnt"
+            )
+            res = one if res is None else res.unionByName(one)
+        return res
+
+    out["inet_queries"] = inet_queries_gate
+
     return _driver_order(out)
 
 
@@ -7919,5 +7959,28 @@ SELECT doc_id, round(CAST({_frm} AS DOUBLE), 4) AS value
 FROM documents
 WHERE CAST({_frm} AS DOUBLE) >= 20.0 AND CAST({_frm} AS DOUBLE) < 24.0
 ORDER BY doc_id
+"""
+    from lucene_spark.search.inet import ip_key as _ipk
+
+    _IPS_CTE = (
+        "ips AS (SELECT event_id, printf("
+        "'00000000000000000000ffff%02x%02x%02x%02x', 10, "
+        "CAST(user_id % 200 AS INT), CAST((user_id // 7) % 50 AS INT), "
+        "CAST(user_id % 250 AS INT)) AS k FROM events)"
+    )
+    _ip_set = "', '".join(
+        _ipk(i) for i in ["10.1.0.1", "10.5.0.5", "8.8.8.8"]
+    )
+    out["inet_queries"] = f"""
+WITH {_IPS_CTE}
+SELECT 'prefix_10_64_s10' AS label, CAST(count(*) AS BIGINT) AS cnt FROM ips
+WHERE k BETWEEN '{_ipk("10.64.0.0")}' AND '{_ipk("10.127.255.255")}'
+UNION ALL
+SELECT 'range_50_120', CAST(count(*) AS BIGINT) FROM ips
+WHERE k BETWEEN '{_ipk("10.50.3.7")}' AND '{_ipk("10.120.9.200")}'
+UNION ALL
+SELECT 'set3', CAST(count(*) AS BIGINT) FROM ips WHERE k IN ('{_ip_set}')
+UNION ALL
+SELECT 'exact', CAST(count(*) AS BIGINT) FROM ips WHERE k = '{_ipk("10.1.0.1")}'
 """
     return out

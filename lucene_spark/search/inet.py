@@ -1,0 +1,92 @@
+"""InetAddressPoint analog: IP range / CIDR-prefix / set queries.
+
+Lucene's `core/src/java/org/apache/lucene/document/InetAddressPoint.java:41`
+stores every address as a 16-byte IPv6-form point (IPv4 is embedded as
+an IPv4-mapped address, :69) and offers `newExactQuery`,
+`newPrefixQuery` (CIDR, rewritten to a range via the network's first/
+last address, :121-140), `newRangeQuery`, and `newSetQuery`.
+
+Spark re-expression: the sortable byte key becomes a fixed-width
+lower-hex string (two hex chars per byte — lexicographic order ==
+byte order, the same trick the repo's collation and md5 keys use), so
+every query is a plain string-range predicate that pushes into the
+parquet scan (min/max pruning works because hex order is value
+order). Query constants are parsed driver-side with the stdlib
+`ipaddress` module; no UDF, no shuffle — pure pushed filters.
+
+At 100 TB: partition the table by a key prefix (the /16 is the
+natural Iceberg partition transform) and CIDR queries prune to the
+covered partitions exactly like Lucene's BKD tree visits only
+covering cells.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "ip_key",
+    "ipv4_key_col",
+    "inet_range_query",
+    "inet_prefix_query",
+    "inet_set_query",
+    "inet_exact_query",
+]
+
+
+def ip_key(ip: str) -> str:
+    """The 32-hex-char sortable key of one address (16 bytes, IPv4
+    embedded as IPv4-mapped ::ffff:a.b.c.d exactly like
+    `InetAddressPoint.encode`, :69)."""
+    a = ipaddress.ip_address(ip)
+    if isinstance(a, ipaddress.IPv4Address):
+        a = ipaddress.IPv6Address(b"\x00" * 10 + b"\xff\xff" + a.packed)
+    return a.packed.hex()
+
+
+def ipv4_key_col(dotted: Column) -> Column:
+    """Column form of :func:`ip_key` for dotted-quad IPv4 strings —
+    codegen'd split + format_string, no UDF."""
+    o = F.split(dotted, r"\.")
+    return F.format_string(
+        "00000000000000000000ffff%02x%02x%02x%02x",
+        F.get(o, 0).cast("int"),
+        F.get(o, 1).cast("int"),
+        F.get(o, 2).cast("int"),
+        F.get(o, 3).cast("int"),
+    )
+
+
+def inet_range_query(
+    df: DataFrame, key_col: str, lo: str, hi: str
+) -> DataFrame:
+    """`InetAddressPoint.newRangeQuery` (:158): both bounds inclusive."""
+    return df.filter(
+        (F.col(key_col) >= F.lit(ip_key(lo))) & (F.col(key_col) <= F.lit(ip_key(hi)))
+    )
+
+
+def inet_prefix_query(df: DataFrame, key_col: str, cidr: str) -> DataFrame:
+    """`InetAddressPoint.newPrefixQuery` (:121): a CIDR block, rewritten
+    to the [network-address, broadcast-address] range exactly like the
+    reference clears/sets the suffix bits."""
+    net = ipaddress.ip_network(cidr, strict=True)
+    return inet_range_query(
+        df, key_col, str(net.network_address), str(net.broadcast_address)
+    )
+
+
+def inet_set_query(
+    df: DataFrame, key_col: str, ips: Sequence[str]
+) -> DataFrame:
+    """`InetAddressPoint.newSetQuery` (:190): membership in an explicit
+    address set (an IN filter — pushes down like TermInSet)."""
+    return df.filter(F.col(key_col).isin([ip_key(i) for i in ips]))
+
+
+def inet_exact_query(df: DataFrame, key_col: str, ip: str) -> DataFrame:
+    """`InetAddressPoint.newExactQuery` (:104)."""
+    return df.filter(F.col(key_col) == F.lit(ip_key(ip)))

@@ -1,0 +1,49 @@
+"""InetAddressPoint analog semantics (document/InetAddressPoint.java:41):
+IPv4-mapped key encoding, CIDR rewrite to [network, broadcast], range
+inclusivity, set/exact membership, IPv6 ordering."""
+
+from lucene_spark.search.inet import (
+    inet_exact_query,
+    inet_prefix_query,
+    inet_range_query,
+    inet_set_query,
+    ip_key,
+    ipv4_key_col,
+)
+from pyspark.sql import functions as F
+
+
+def test_ip_key_matches_reference_encoding():
+    # IPv4 embeds as ::ffff:a.b.c.d (InetAddressPoint.encode:69)
+    assert ip_key("1.2.3.4") == "00000000000000000000ffff01020304"
+    assert ip_key("::1") == "0" * 31 + "1"
+    # key order == address order across the v4 space
+    assert ip_key("9.255.255.255") < ip_key("10.0.0.0") < ip_key("10.0.0.1")
+
+
+def test_ipv4_key_col_matches_python(spark):
+    df = spark.createDataFrame(
+        [("1.2.3.4",), ("10.200.49.249",), ("255.255.255.255",)], "ip string"
+    )
+    rows = df.select("ip", ipv4_key_col(F.col("ip")).alias("k")).collect()
+    for r in rows:
+        assert r.k == ip_key(r.ip)
+
+
+def test_prefix_and_range_queries(spark):
+    df = spark.createDataFrame(
+        [(i, ip) for i, ip in enumerate(
+            ["10.63.255.255", "10.64.0.0", "10.100.1.2", "10.127.255.255",
+             "10.128.0.0", "192.168.1.1"]
+        )],
+        "i bigint, ip string",
+    ).select("i", ipv4_key_col(F.col("ip")).alias("k"))
+    # /10 block = [10.64.0.0, 10.127.255.255] (newPrefixQuery:121)
+    got = sorted(r.i for r in inet_prefix_query(df, "k", "10.64.0.0/10").collect())
+    assert got == [1, 2, 3]
+    got = sorted(
+        r.i for r in inet_range_query(df, "k", "10.64.0.0", "10.128.0.0").collect()
+    )
+    assert got == [1, 2, 3, 4]  # both bounds inclusive (newRangeQuery:158)
+    assert [r.i for r in inet_set_query(df, "k", ["192.168.1.1"]).collect()] == [5]
+    assert [r.i for r in inet_exact_query(df, "k", "10.128.0.0").collect()] == [4]
