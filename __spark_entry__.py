@@ -1110,7 +1110,7 @@ _DRIVER_PRIORITY = [
     "block_join_sort", "named_matches", "match_positions",
     "suggest_exact_first", "paragraph_dedup", "span_payload_check",
     "function_range_match", "indri_dirichlet_topk", "multi_sim_topk",
-    "dfr_gb2_topk", "ib_spl_topk", "dfi_std_topk", "inet_queries",
+    "dfr_gb2_topk", "ib_spl_topk", "dfi_std_topk", "inet_queries", "bigint_range",
     # round-5 additions
     "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
     "french_term_topk",
@@ -5111,6 +5111,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["inet_queries"] = inet_queries_gate
 
+    # --- BigIntegerPoint (sandbox/document/BigIntegerPoint.java:36):
+    # 128-bit signed range over the sign-folded hex key
+    def bigint_range_gate(spark, sf):
+        from lucene_spark.search.inet import int128_key_col, int128_range_query
+
+        vals = _events(spark, sf).select(
+            "event_id",
+            int128_key_col(
+                F.col("user_id") - F.lit(500), F.col("event_id") * F.lit(1000000007)
+            ).alias("k"),
+        )
+        lo = (-300 << 64) | (17 * 1000000007)
+        hi = (250 << 64) | ((1 << 64) - 1)
+        m = int128_range_query(vals, "k", lo, hi)
+        return m.agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+
+    out["bigint_range"] = bigint_range_gate
+
     return _driver_order(out)
 
 
@@ -7982,5 +8004,22 @@ UNION ALL
 SELECT 'set3', CAST(count(*) AS BIGINT) FROM ips WHERE k IN ('{_ip_set}')
 UNION ALL
 SELECT 'exact', CAST(count(*) AS BIGINT) FROM ips WHERE k = '{_ipk("10.1.0.1")}'
+"""
+    from lucene_spark.search.inet import int128_key as _i128
+
+    _blo = _i128((-300 << 64) | (17 * 1000000007))
+    _bhi = _i128((250 << 64) | ((1 << 64) - 1))
+    out["bigint_range"] = f"""
+WITH v AS (
+  SELECT event_id,
+         printf('%016x%016x',
+                xor(CAST(user_id - 500 AS BIGINT),
+                    CAST(-9223372036854775808 AS BIGINT)),
+                CAST(event_id * 1000000007 AS BIGINT)) AS k
+  FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS cnt,
+       min(event_id) AS min_event, max(event_id) AS max_event
+FROM v WHERE k BETWEEN '{_blo}' AND '{_bhi}'
 """
     return out

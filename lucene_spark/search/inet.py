@@ -34,6 +34,9 @@ __all__ = [
     "inet_prefix_query",
     "inet_set_query",
     "inet_exact_query",
+    "int128_key",
+    "int128_key_col",
+    "int128_range_query",
 ]
 
 
@@ -90,3 +93,34 @@ def inet_set_query(
 def inet_exact_query(df: DataFrame, key_col: str, ip: str) -> DataFrame:
     """`InetAddressPoint.newExactQuery` (:104)."""
     return df.filter(F.col(key_col) == F.lit(ip_key(ip)))
+
+
+def int128_key(v: int) -> str:
+    """BigIntegerPoint (`sandbox/document/BigIntegerPoint.java:36`):
+    a 128-bit signed integer as the 32-hex-char sortable key — the
+    sign fold (+2^127) makes lexicographic hex order equal numeric
+    order, exactly like the reference's sortableBytes encoding."""
+    if not -(1 << 127) <= v < (1 << 127):
+        raise ValueError("out of 128-bit signed range")
+    return format(v + (1 << 127), "032x")
+
+
+def int128_key_col(hi: Column, lo: Column) -> Column:
+    """Column form of :func:`int128_key` for a value split into a
+    signed high word and an unsigned-interpreted low word
+    (v = hi·2^64 + (lo as unsigned)): flip the high word's sign bit
+    (two's complement → unsigned order) and hex-format both words.
+    Pure codegen (xor + format_string), no UDF; range predicates on
+    the key push into the scan like any string column."""
+    folded = hi.cast("long").bitwiseXOR(F.lit(-(2**63)))
+    return F.format_string("%016x%016x", folded, lo.cast("long"))
+
+
+def int128_range_query(
+    df: DataFrame, key_col: str, lo: int, hi: int
+) -> DataFrame:
+    """`BigIntegerPoint.newRangeQuery` (:73): inclusive 128-bit range."""
+    return df.filter(
+        (F.col(key_col) >= F.lit(int128_key(lo)))
+        & (F.col(key_col) <= F.lit(int128_key(hi)))
+    )

@@ -47,3 +47,28 @@ def test_prefix_and_range_queries(spark):
     assert got == [1, 2, 3, 4]  # both bounds inclusive (newRangeQuery:158)
     assert [r.i for r in inet_set_query(df, "k", ["192.168.1.1"]).collect()] == [5]
     assert [r.i for r in inet_exact_query(df, "k", "10.128.0.0").collect()] == [4]
+
+
+def test_int128_key_order_and_column_parity(spark):
+    # BigIntegerPoint.java:36 — sign fold gives numeric order; the
+    # column form agrees with the Python encoder across signs
+    from lucene_spark.search.inet import (
+        int128_key,
+        int128_key_col,
+        int128_range_query,
+    )
+
+    assert int128_key(-1) < int128_key(0) < int128_key(1)
+    assert int128_key(-(1 << 100)) < int128_key(-5) < int128_key(1 << 100)
+    df = spark.createDataFrame(
+        [(-3, 7), (0, 0), (5, 123), (-1, (1 << 63) - 1)],
+        "hi bigint, lo bigint",
+    ).select("hi", "lo", int128_key_col(F.col("hi"), F.col("lo")).alias("k"))
+    for r in df.collect():
+        v = (r.hi << 64) | (r.lo & ((1 << 64) - 1))
+        assert r.k == int128_key(v)
+    got = sorted(
+        (r.hi, r.lo)
+        for r in int128_range_query(df, "k", (-1 << 64), (5 << 64)).collect()
+    )
+    assert got == [(-1, (1 << 63) - 1), (0, 0)]
