@@ -149,7 +149,12 @@ _QPOLY = [(-2.005, -1.255), (1.755, -1.005), (2.005, 1.505), (-1.505, 2.005)]
 
 def _similarity_gates():
     from lucene_spark.search.similarity import (
+        AxiomaticF1EXP,
+        AxiomaticF1LOG,
         AxiomaticF2EXP,
+        AxiomaticF2LOG,
+        AxiomaticF3EXP,
+        AxiomaticF3LOG,
         BooleanSimilarity,
         ClassicSimilarity,
         DFIChiSquared,
@@ -190,6 +195,12 @@ def _similarity_gates():
         "dfr_gb2_topk": DFRGB2Similarity,
         "ib_spl_topk": IBSPLSimilarity,
         "dfi_std_topk": DFIStandardized,
+        # the remaining axiomatic variants (F2EXP is covered above)
+        "axiomatic_f1exp_topk": AxiomaticF1EXP,
+        "axiomatic_f1log_topk": AxiomaticF1LOG,
+        "axiomatic_f2log_topk": AxiomaticF2LOG,
+        "axiomatic_f3exp_topk": lambda: AxiomaticF3EXP(query_len=2),
+        "axiomatic_f3log_topk": lambda: AxiomaticF3LOG(query_len=2),
     }
 
 
@@ -1111,6 +1122,8 @@ _DRIVER_PRIORITY = [
     "suggest_exact_first", "paragraph_dedup", "span_payload_check",
     "function_range_match", "indri_dirichlet_topk", "multi_sim_topk",
     "dfr_gb2_topk", "ib_spl_topk", "dfi_std_topk", "inet_queries", "bigint_range",
+    "axiomatic_f1exp_topk", "axiomatic_f1log_topk", "axiomatic_f2log_topk",
+    "axiomatic_f3exp_topk", "axiomatic_f3log_topk",
     # round-5 additions
     "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
     "french_term_topk",

@@ -74,6 +74,11 @@ __all__ = [
     "DFRGB2Similarity",
     "IBSPLSimilarity",
     "DFIStandardized",
+    "AxiomaticF1EXP",
+    "AxiomaticF1LOG",
+    "AxiomaticF2LOG",
+    "AxiomaticF3EXP",
+    "AxiomaticF3LOG",
 ]
 
 _LN2 = math.log(2.0)
@@ -497,4 +502,147 @@ class DFIStandardized(Similarity):
         return (
             f"CASE WHEN freq <= {exp} THEN 0.0 "
             f"ELSE boost * (ln({ind} + 1.0) / {ln2}) END"
+        )
+
+
+def _ax_tf1_col(c):
+    # F1/F3 tf component (`AxiomaticF1EXP.java:59`): freq += 1, then
+    # 1 + ln(1 + ln(freq))
+    return F.lit(1.0) + F.log(F.lit(1.0) + F.log(c["freq"] + F.lit(1.0)))
+
+
+def _ax_tf1_sql():
+    return "(1.0 + ln(1.0 + ln(freq + 1.0)))"
+
+
+@dataclass(frozen=True)
+class AxiomaticF1EXP(Similarity):
+    """Axiomatic F1EXP (`similarities/AxiomaticF1EXP.java:59-85`,
+    composed per `Axiomatic.java:106-116` with the final
+    max(0, boost·score) clamp): tf · ln · idf with
+    tf = 1+ln(1+ln(freq+1)), ln = (avgdl+s)/(avgdl+dl·s),
+    idf = ((N+1)/df)^k."""
+
+    s: float = 0.25
+    k: float = 0.35
+
+    def score_col(self, c):
+        avgdl = c["sttf"] / c["n_docs"]
+        ln_c = (avgdl + F.lit(self.s)) / (avgdl + c["dl"] * F.lit(self.s))
+        idf = F.pow((c["n_docs"] + F.lit(1.0)) / c["doc_freq"], F.lit(self.k))
+        return F.greatest(c["boost"] * _ax_tf1_col(c) * ln_c * idf, F.lit(0.0))
+
+    def score_sql(self):
+        s, k = repr(float(self.s)), repr(float(self.k))
+        avgdl = "(sttf * 1.0 / n_docs)"
+        ln_c = f"(({avgdl} + {s}) / ({avgdl} + dl * {s}))"
+        idf = f"pow((n_docs + 1.0) / doc_freq, {k})"
+        return f"greatest(boost * {_ax_tf1_sql()} * {ln_c} * {idf}, 0.0)"
+
+
+@dataclass(frozen=True)
+class AxiomaticF1LOG(Similarity):
+    """Axiomatic F1LOG (`AxiomaticF1LOG.java:50-70`): like F1EXP with
+    idf = ln((N+1)/df)."""
+
+    s: float = 0.25
+
+    def score_col(self, c):
+        avgdl = c["sttf"] / c["n_docs"]
+        ln_c = (avgdl + F.lit(self.s)) / (avgdl + c["dl"] * F.lit(self.s))
+        idf = F.log((c["n_docs"] + F.lit(1.0)) / c["doc_freq"])
+        return F.greatest(c["boost"] * _ax_tf1_col(c) * ln_c * idf, F.lit(0.0))
+
+    def score_sql(self):
+        s = repr(float(self.s))
+        avgdl = "(sttf * 1.0 / n_docs)"
+        ln_c = f"(({avgdl} + {s}) / ({avgdl} + dl * {s}))"
+        return (
+            f"greatest(boost * {_ax_tf1_sql()} * {ln_c} "
+            f"* ln((n_docs + 1.0) / doc_freq), 0.0)"
+        )
+
+
+@dataclass(frozen=True)
+class AxiomaticF2LOG(Similarity):
+    """Axiomatic F2LOG (`AxiomaticF2LOG.java:61-70`): tfln · idf with
+    tfln = freq/(freq + s + s·dl/avgdl), idf = ln((N+1)/df)."""
+
+    s: float = 0.25
+
+    def score_col(self, c):
+        avgdl = c["sttf"] / c["n_docs"]
+        tfln = c["freq"] / (
+            c["freq"] + F.lit(self.s) + F.lit(self.s) * c["dl"] / avgdl
+        )
+        return F.greatest(
+            c["boost"] * tfln * F.log((c["n_docs"] + F.lit(1.0)) / c["doc_freq"]),
+            F.lit(0.0),
+        )
+
+    def score_sql(self):
+        s = repr(float(self.s))
+        tfln = f"(freq / (freq + {s} + {s} * dl / (sttf * 1.0 / n_docs)))"
+        return f"greatest(boost * {tfln} * ln((n_docs + 1.0) / doc_freq), 0.0)"
+
+
+@dataclass(frozen=True)
+class AxiomaticF3EXP(Similarity):
+    """Axiomatic F3EXP (`AxiomaticF3EXP.java:59-85`): tf · idf − gamma
+    with gamma = (dl − queryLen)·s·queryLen/avgdl (the component that
+    can push raw scores negative — the Axiomatic.java:115 clamp
+    applies)."""
+
+    s: float = 0.25
+    query_len: int = 1
+    k: float = 0.35
+
+    def score_col(self, c):
+        avgdl = c["sttf"] / c["n_docs"]
+        idf = F.pow((c["n_docs"] + F.lit(1.0)) / c["doc_freq"], F.lit(self.k))
+        gamma = (
+            (c["dl"] - F.lit(float(self.query_len)))
+            * F.lit(self.s)
+            * F.lit(float(self.query_len))
+            / avgdl
+        )
+        return F.greatest(
+            c["boost"] * (_ax_tf1_col(c) * idf - gamma), F.lit(0.0)
+        )
+
+    def score_sql(self):
+        s, k = repr(float(self.s)), repr(float(self.k))
+        ql = repr(float(self.query_len))
+        gamma = f"((dl - {ql}) * {s} * {ql} / (sttf * 1.0 / n_docs))"
+        idf = f"pow((n_docs + 1.0) / doc_freq, {k})"
+        return f"greatest(boost * ({_ax_tf1_sql()} * {idf} - {gamma}), 0.0)"
+
+
+@dataclass(frozen=True)
+class AxiomaticF3LOG(Similarity):
+    """Axiomatic F3LOG (`AxiomaticF3LOG.java:48-75`): like F3EXP with
+    idf = ln((N+1)/df)."""
+
+    s: float = 0.25
+    query_len: int = 1
+
+    def score_col(self, c):
+        avgdl = c["sttf"] / c["n_docs"]
+        idf = F.log((c["n_docs"] + F.lit(1.0)) / c["doc_freq"])
+        gamma = (
+            (c["dl"] - F.lit(float(self.query_len)))
+            * F.lit(self.s)
+            * F.lit(float(self.query_len))
+            / avgdl
+        )
+        return F.greatest(
+            c["boost"] * (_ax_tf1_col(c) * idf - gamma), F.lit(0.0)
+        )
+
+    def score_sql(self):
+        s, ql = repr(float(self.s)), repr(float(self.query_len))
+        gamma = f"((dl - {ql}) * {s} * {ql} / (sttf * 1.0 / n_docs))"
+        return (
+            f"greatest(boost * ({_ax_tf1_sql()} * ln((n_docs + 1.0) / doc_freq)"
+            f" - {gamma}), 0.0)"
         )
