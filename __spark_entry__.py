@@ -160,8 +160,10 @@ def _similarity_gates():
         DFIChiSquared,
         DFRInL2Similarity,
         IBLLSimilarity,
+        DFISaturated,
         DFIStandardized,
         DFRGB2Similarity,
+        DFRIFLH3Similarity,
         IBSPLSimilarity,
         IndriDirichletSimilarity,
         LMDirichletSimilarity,
@@ -201,6 +203,8 @@ def _similarity_gates():
         "axiomatic_f2log_topk": AxiomaticF2LOG,
         "axiomatic_f3exp_topk": lambda: AxiomaticF3EXP(query_len=2),
         "axiomatic_f3log_topk": lambda: AxiomaticF3LOG(query_len=2),
+        "dfr_ifh3_topk": DFRIFLH3Similarity,
+        "dfi_sat_topk": DFISaturated,
     }
 
 
@@ -1124,6 +1128,7 @@ _DRIVER_PRIORITY = [
     "dfr_gb2_topk", "ib_spl_topk", "dfi_std_topk", "inet_queries", "bigint_range",
     "axiomatic_f1exp_topk", "axiomatic_f1log_topk", "axiomatic_f2log_topk",
     "axiomatic_f3exp_topk", "axiomatic_f3log_topk",
+    "dfr_ifh3_topk", "dfi_sat_topk",
     # round-5 additions
     "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
     "french_term_topk",

@@ -79,6 +79,8 @@ __all__ = [
     "AxiomaticF2LOG",
     "AxiomaticF3EXP",
     "AxiomaticF3LOG",
+    "DFRIFLH3Similarity",
+    "DFISaturated",
 ]
 
 _LN2 = math.log(2.0)
@@ -645,4 +647,60 @@ class AxiomaticF3LOG(Similarity):
         return (
             f"greatest(boost * ({_ax_tf1_sql()} * ln((n_docs + 1.0) / doc_freq)"
             f" - {gamma}), 0.0)"
+        )
+
+
+@dataclass(frozen=True)
+class DFRIFLH3Similarity(Similarity):
+    """DFR I(F)/L/H3: inverse-term-frequency basic model + Laplace
+    after-effect + Dirichlet-prior length normalization
+    (`similarities/BasicModelIF.java:36` — A·aeTimes1pTfn·(1 − 1/(1+tfn))
+    with A = log2(1 + (N+1)/(F+0.5)) — `AfterEffectL.java:32`
+    aeTimes1pTfn = 1, `NormalizationH3.java:47`
+    tfn = (tf + mu·(ttf+1)/(sttf+1))/(dl + mu)·mu). Covers the H3
+    normalization axis the other DFR members don't."""
+
+    mu: float = 800.0
+
+    def score_col(self, c):
+        p = (c["ttf"] + F.lit(1.0)) / (c["sttf"] + F.lit(1.0))
+        tfn = (c["freq"] + F.lit(self.mu) * p) / (c["dl"] + F.lit(self.mu)) * F.lit(
+            self.mu
+        )
+        a = F.log(
+            F.lit(1.0) + (c["n_docs"] + F.lit(1.0)) / (c["ttf"] + F.lit(0.5))
+        ) / F.lit(_LN2)
+        return c["boost"] * a * (F.lit(1.0) - F.lit(1.0) / (F.lit(1.0) + tfn))
+
+    def score_sql(self):
+        mu, ln2 = repr(float(self.mu)), repr(_LN2)
+        tfn = (
+            f"((freq + {mu} * ((ttf + 1.0) / (sttf + 1.0))) / (dl + {mu}) * {mu})"
+        )
+        a = f"(ln(1.0 + (n_docs + 1.0) / (ttf + 0.5)) / {ln2})"
+        return f"boost * {a} * (1.0 - 1.0 / (1.0 + {tfn}))"
+
+
+@dataclass(frozen=True)
+class DFISaturated(Similarity):
+    """Divergence From Independence with the saturated measure
+    (`IndependenceSaturated.java:33` — (freq − expected)/expected):
+    completes the DFI independence axis (ChiSquared and Standardized
+    are gated above)."""
+
+    def score_col(self, c):
+        expected = (c["ttf"] + F.lit(1.0)) * c["dl"] / (c["sttf"] + F.lit(1.0))
+        ind = (c["freq"] - expected) / expected
+        raw = F.log(ind + F.lit(1.0)) / F.lit(_LN2)
+        return F.when(c["freq"] <= expected, F.lit(0.0)).otherwise(
+            c["boost"] * raw
+        )
+
+    def score_sql(self):
+        ln2 = repr(_LN2)
+        exp = "((ttf + 1.0) * dl / (sttf + 1.0))"
+        ind = f"((freq - {exp}) / {exp})"
+        return (
+            f"CASE WHEN freq <= {exp} THEN 0.0 "
+            f"ELSE boost * (ln({ind} + 1.0) / {ln2}) END"
         )
