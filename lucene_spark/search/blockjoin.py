@@ -145,3 +145,56 @@ def parent_sort_by_child(
         order.append(F.col(tie_col).asc())
     out = joined.orderBy(*order)
     return out.limit(k) if k is not None else out
+
+
+def check_join_index(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_key: str,
+) -> dict:
+    """CheckJoinIndex (`join/CheckJoinIndex.java:37`): validate the
+    parent/child structure before running block joins. The reference
+    walks each segment asserting every child doc lies under a parent
+    bit and live-ness matches within a block; the key-join data model
+    maps those invariants to:
+
+    - every child's ``child_key`` resolves to exactly one parent
+      (orphan children = the "child as last doc" / uncovered-doc
+      corruption);
+    - parent keys are unique (a duplicated parent key would make a
+      child belong to two blocks).
+
+    Both checks are one anti-join / one groupBy over keys only.
+    Returns {'parents': n, 'children': n} on success, raises
+    ``ValueError`` (the IllegalStateException analog) otherwise."""
+    from pyspark.sql import functions as F
+
+    dup = (
+        parents.groupBy(F.col(parent_key))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"duplicate parent key {dup[0][0]!r}: a child would belong to "
+            "two blocks"
+        )
+    orphan = (
+        children.select(F.col(child_key).alias("_ck"))
+        .join(
+            parents.select(F.col(parent_key).alias("_pk")),
+            F.col("_ck") == F.col("_pk"),
+            "left_anti",
+        )
+        .limit(1)
+        .collect()
+    )
+    if orphan:
+        raise ValueError(
+            f"orphan child key {orphan[0][0]!r}: every child must be "
+            "covered by a parent block"
+        )
+    return {"parents": parents.count(), "children": children.count()}

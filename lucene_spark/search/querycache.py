@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame
 
 from lucene_spark.search.query import Query, rewrite
 
-__all__ = ["LRUQueryCache"]
+__all__ = [
+    "LRUQueryCache",
+    "UsageTrackingQueryCachingPolicy",
+    "FrequencyTrackingRingBuffer",
+]
 
 
 class LRUQueryCache:
@@ -73,3 +77,78 @@ class LRUQueryCache:
         for df in self._entries.values():
             df.unpersist()
         self._entries.clear()
+
+
+class FrequencyTrackingRingBuffer:
+    """`core/util/FrequencyTrackingRingBuffer.java:30`: a fixed-size
+    FIFO of recently-seen keys with O(1) frequency lookups — the
+    oldest entry's count decrements as it falls out of the window."""
+
+    def __init__(self, max_size: int):
+        from collections import deque
+
+        self._max = int(max_size)
+        self._buf: "deque[str]" = deque()
+        self._freq: dict[str, int] = {}
+
+    def add(self, key: str) -> None:
+        self._buf.append(key)
+        self._freq[key] = self._freq.get(key, 0) + 1
+        if len(self._buf) > self._max:
+            old = self._buf.popleft()
+            n = self._freq[old] - 1
+            if n:
+                self._freq[old] = n
+            else:
+                del self._freq[old]
+
+    def frequency(self, key: str) -> int:
+        return self._freq.get(key, 0)
+
+
+class UsageTrackingQueryCachingPolicy:
+    """`core/search/UsageTrackingQueryCachingPolicy.java:28`: cache a
+    filter only once it has appeared often enough in the recent-use
+    history — 2 uses for COSTLY filters (MultiTermQuery expansions,
+    point/set queries, :45 `isCostly`), 5 for ordinary filters,
+    4 for compound Boolean/DisMax trees (:122-137, the "don't also
+    cache A and B when only 'A OR B' recurs" discount); TermQuery /
+    MatchAll / MatchNo / FieldExists are never cached because
+    re-running them is cheaper than a bitset (:56-75)."""
+
+    def __init__(self, history_size: int = 256):
+        from lucene_spark.search.query import (
+            BooleanQuery,
+            DisjunctionMaxQuery,
+            MatchAllDocsQuery,
+            MatchNoDocsQuery,
+            MultiTermQuery,
+            TermQuery,
+        )
+
+        self._never = (TermQuery, MatchAllDocsQuery, MatchNoDocsQuery)
+        self._costly = (MultiTermQuery,)
+        self._compound = (BooleanQuery, DisjunctionMaxQuery)
+        self._ring = FrequencyTrackingRingBuffer(history_size)
+
+    @staticmethod
+    def _key(query) -> str:
+        return repr(query)
+
+    def min_frequency_to_cache(self, query) -> int:
+        if isinstance(query, self._costly):
+            return 2
+        return 4 if isinstance(query, self._compound) else 5
+
+    def on_use(self, query) -> None:
+        if isinstance(query, self._never):
+            return
+        self._ring.add(self._key(query))
+
+    def frequency(self, query) -> int:
+        return self._ring.frequency(self._key(query))
+
+    def should_cache(self, query) -> bool:
+        if isinstance(query, self._never):
+            return False
+        return self.frequency(query) >= self.min_frequency_to_cache(query)
