@@ -1128,7 +1128,7 @@ _DRIVER_PRIORITY = [
     "dfr_gb2_topk", "ib_spl_topk", "dfi_std_topk", "inet_queries", "bigint_range",
     "axiomatic_f1exp_topk", "axiomatic_f1log_topk", "axiomatic_f2log_topk",
     "axiomatic_f3exp_topk", "axiomatic_f3log_topk",
-    "dfr_ifh3_topk", "dfi_sat_topk",
+    "dfr_ifh3_topk", "dfi_sat_topk", "sort_rescore",
     # round-5 additions
     "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
     "french_term_topk",
@@ -5151,6 +5151,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bigint_range"] = bigint_range_gate
 
+    # --- SortRescorer (core/search/SortRescorer.java:28): first-pass
+    # relevance window re-ordered by a sort field
+    def sort_rescore_gate(spark, sf):
+        from lucene_spark.search.rescore import sort_rescorer_topk
+
+        return sort_rescorer_topk(
+            _index(spark, sf),
+            {"hash": 1.0, "scan": 0.5},
+            _docs(spark, sf).select("doc_id", "n_chars"),
+            "n_chars",
+            first_pass_k=50,
+            top_n=10,
+            ascending=False,
+        )
+
+    out["sort_rescore"] = sort_rescore_gate
+
     return _driver_order(out)
 
 
@@ -8039,5 +8056,13 @@ WITH v AS (
 SELECT CAST(count(*) AS BIGINT) AS cnt,
        min(event_id) AS min_event, max(event_id) AS max_event
 FROM v WHERE k BETWEEN '{_blo}' AND '{_bhi}'
+"""
+    _srs_ctes = _bm25_scored_ctes({"hash": 1.0, "scan": 0.5})
+    out["sort_rescore"] = f"""
+WITH {_srs_ctes},
+fp AS (SELECT doc_id, s FROM first ORDER BY s DESC, doc_id ASC LIMIT 50)
+SELECT fp.doc_id, round(fp.s, 4) AS score, d.n_chars AS sort_value
+FROM fp JOIN documents d USING (doc_id)
+ORDER BY d.n_chars DESC, fp.doc_id ASC LIMIT 10
 """
     return out

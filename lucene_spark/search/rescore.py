@@ -155,3 +155,42 @@ def feature_bm25_topk(
         .limit(k)
         .select("doc_id", F.round(F.col("c"), 4).alias("score"))
     )
+
+
+def sort_rescorer_topk(
+    index: InvertedIndex,
+    term_boosts,
+    sort_df: DataFrame,
+    sort_col: str,
+    first_pass_k: int = 50,
+    top_n: int = 10,
+    ascending: bool = False,
+) -> DataFrame:
+    """SortRescorer (`core/search/SortRescorer.java:28`): take the
+    first-pass top-``first_pass_k`` relevance hits, then re-order that
+    WINDOW by an arbitrary sort field (the "retrieve by relevance,
+    present by recency/price" pattern), keeping ``top_n``.
+
+    Two TakeOrderedAndProjects: the first pass is the normal BM25
+    top-k; the second sorts only the k-row window joined (broadcast —
+    it is k rows) to the sort column, so the rescore costs one
+    broadcast join of k rows no matter the corpus size. Returns
+    (doc_id, score, sort_value), sort order then docID asc."""
+    from lucene_spark.search.parity import _bm25_scored_f64
+
+    first = (
+        _bm25_scored_f64(index, term_boosts)
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(first_pass_k)
+    )
+    joined = sort_df.join(
+        F.broadcast(first), "doc_id"
+    ).select(
+        "doc_id",
+        F.round("s", 4).alias("score"),
+        F.col(sort_col).alias("sort_value"),
+    )
+    order = (
+        F.col("sort_value").asc() if ascending else F.col("sort_value").desc()
+    )
+    return joined.orderBy(order, F.col("doc_id").asc()).limit(top_n)
