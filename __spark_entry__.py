@@ -1128,7 +1128,7 @@ _DRIVER_PRIORITY = [
     "dfr_gb2_topk", "ib_spl_topk", "dfi_std_topk", "inet_queries", "bigint_range",
     "axiomatic_f1exp_topk", "axiomatic_f1log_topk", "axiomatic_f2log_topk",
     "axiomatic_f3exp_topk", "axiomatic_f3log_topk",
-    "dfr_ifh3_topk", "dfi_sat_topk", "sort_rescore",
+    "dfr_ifh3_topk", "dfi_sat_topk", "sort_rescore", "ppl_buckets",
     # round-5 additions
     "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
     "french_term_topk",
@@ -5168,6 +5168,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["sort_rescore"] = sort_rescore_gate
 
+    # --- CCNet head/middle/tail perplexity buckets (Wenzek et al.
+    # 2020 §4.3) over the bigram-LM perplexity signal
+    def ppl_buckets_gate(spark, sf):
+        from lucene_spark.pipeline.lm import (
+            perplexity,
+            perplexity_buckets,
+            train_bigram_lm,
+        )
+
+        docs = _docs(spark, sf)
+        model = train_bigram_lm(docs.filter(F.col("doc_id") % 5 != 0))
+        ppl = perplexity(docs.filter(F.col("doc_id") < 1500), model)
+        return perplexity_buckets(ppl)
+
+    out["ppl_buckets"] = ppl_buckets_gate
+
     return _driver_order(out)
 
 
@@ -8064,5 +8080,23 @@ fp AS (SELECT doc_id, s FROM first ORDER BY s DESC, doc_id ASC LIMIT 50)
 SELECT fp.doc_id, round(fp.s, 4) AS score, d.n_chars AS sort_value
 FROM fp JOIN documents d USING (doc_id)
 ORDER BY d.n_chars DESC, fp.doc_id ASC LIMIT 10
+"""
+    from lucene_spark.pipeline.lm import oracle_perplexity_sql as _opsql
+
+    _ppl_q = _opsql(
+        ref_where="doc_id % 5 <> 0",
+        score_where="doc_id < 1500",
+        limit=1000000000,
+    )
+    out["ppl_buckets"] = f"""
+WITH p AS ({_ppl_q}),
+cuts AS (SELECT quantile_cont(log10_ppl, [1.0/3, 2.0/3]) AS c FROM p)
+SELECT CASE WHEN log10_ppl <= c[1] THEN 'head'
+            WHEN log10_ppl <= c[2] THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(log10_ppl), 6) AS min_ppl,
+       round(max(log10_ppl), 6) AS max_ppl
+FROM p, cuts GROUP BY 1 ORDER BY bucket
 """
     return out

@@ -36,7 +36,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["BigramLM", "train_bigram_lm", "perplexity"]
+__all__ = ["BigramLM", "train_bigram_lm", "perplexity", "perplexity_buckets"]
 
 _BOS = "<s>"
 
@@ -166,3 +166,43 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM lp GROUP BY doc_id
 ORDER BY log10_ppl ASC, doc_id ASC LIMIT {limit}
 """
+
+
+def perplexity_buckets(
+    ppl: DataFrame,
+    col: str = "log10_ppl",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): the
+    corpus is cut at the 1/3 and 2/3 perplexity quantiles — "head" is
+    the cleanest third, "tail" the noisiest. Cutoffs come from ONE
+    exact-percentile aggregate (at 100 TB swap in approx_percentile —
+    CCNet itself computes the cutoffs once per language on a sample);
+    the bucket assignment is then a codegen'd CASE against the two
+    broadcast cutoff scalars, no sort and no window over the corpus.
+    Returns (bucket, n_docs, min_ppl, max_ppl), bucket asc."""
+    cuts = ppl.agg(
+        F.expr(
+            f"percentile({col}, array(CAST(1.0 AS DOUBLE)/3, "
+            f"CAST(2.0 AS DOUBLE)/3))"
+        ).alias("c")
+    ).select(
+        F.col("c")[0].alias("_c1"), F.col("c")[1].alias("_c2")
+    )
+    v = F.col(col)
+    bucket = (
+        F.when(v <= F.col("_c1"), F.lit("head"))
+        .when(v <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ppl.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), v.alias("_p"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.min("_p"), 6).alias("min_ppl"),
+            F.round(F.max("_p"), 6).alias("max_ppl"),
+        )
+        .orderBy("bucket")
+    )

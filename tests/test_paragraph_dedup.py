@@ -30,3 +30,17 @@ def test_paragraph_dedup_all_duplicate_doc_empty(spark):
     assert rows[1].clean_text == "X"
     assert rows[2].clean_text == "" and rows[2].n_kept == 0
     assert rows[2].n_paragraphs == 1
+
+
+def test_perplexity_buckets_tertiles(spark):
+    # CCNet head/middle/tail: 9 docs with distinct ppl -> 3/3/3,
+    # head holds the lowest values
+    from lucene_spark.pipeline.lm import perplexity_buckets
+
+    ppl = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 10)], "doc_id bigint, log10_ppl double"
+    )
+    rows = {r.bucket: r for r in perplexity_buckets(ppl).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    assert rows["head"].n_docs == 3 and rows["head"].max_ppl == 3.0
+    assert rows["tail"].min_ppl == 7.0 and rows["tail"].n_docs == 3
