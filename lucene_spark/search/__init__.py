@@ -32,6 +32,22 @@ from lucene_spark.search.geo import (
 )
 from lucene_spark.search.collapse import collapse_topk
 from lucene_spark.search.covering import covering_matches
+from lucene_spark.search.grouping import (
+    all_group_heads,
+    all_groups,
+    block_grouping_topk,
+    distinct_values_per_group,
+    group_facet_counts,
+    range_group_topk,
+)
+from lucene_spark.search.inet import (
+    inet_prefix_query,
+    inet_range_query,
+    inet_set_query,
+    int128_range_query,
+)
+from lucene_spark.search.matches import named_matches, term_match_positions
+
 from lucene_spark.search.querycache import LRUQueryCache
 from lucene_spark.search.facets import (
     drill_down,
@@ -90,6 +106,18 @@ __all__ = [
     "SpanNearQuery",
     "collapse_topk",
     "covering_matches",
+    "all_groups",
+    "all_group_heads",
+    "block_grouping_topk",
+    "distinct_values_per_group",
+    "group_facet_counts",
+    "range_group_topk",
+    "inet_prefix_query",
+    "inet_range_query",
+    "inet_set_query",
+    "int128_range_query",
+    "named_matches",
+    "term_match_positions",
     "LRUQueryCache",
     "best_passages",
     "drill_down",
