@@ -1128,7 +1128,7 @@ _DRIVER_PRIORITY = [
     "dfr_gb2_topk", "ib_spl_topk", "dfi_std_topk", "inet_queries", "bigint_range",
     "axiomatic_f1exp_topk", "axiomatic_f1log_topk", "axiomatic_f2log_topk",
     "axiomatic_f3exp_topk", "axiomatic_f3log_topk",
-    "dfr_ifh3_topk", "dfi_sat_topk", "sort_rescore", "ppl_buckets",
+    "dfr_ifh3_topk", "dfi_sat_topk", "sort_rescore", "ppl_buckets", "index_overview",
     # round-5 additions
     "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
     "french_term_topk",
@@ -5184,6 +5184,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["ppl_buckets"] = ppl_buckets_gate
 
+    # --- Luke Overview-tab analog (luke/app/desktop — index overview:
+    # doc count, distinct terms, sum docFreq, sum totalTermFreq): pure
+    # aggregates over the terms-table METADATA, no posting decode
+    def index_overview_gate(spark, sf):
+        idx = _index(spark, sf)
+        return idx.terms.agg(
+            F.lit(int(idx.doc_count)).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("doc_freq").cast("long").alias("sum_doc_freq"),
+            F.sum("total_term_freq").cast("long").alias("sum_ttf"),
+        )
+
+    out["index_overview"] = index_overview_gate
+
     return _driver_order(out)
 
 
@@ -8098,5 +8112,17 @@ SELECT CASE WHEN log10_ppl <= c[1] THEN 'head'
        round(min(log10_ppl), 6) AS min_ppl,
        round(max(log10_ppl), 6) AS max_ppl
 FROM p, cuts GROUP BY 1 ORDER BY bucket
+"""
+    out["index_overview"] = f"""
+WITH {TOK_CTE},
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS ttf
+  FROM tok GROUP BY 1
+)
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(doc_freq) AS BIGINT) AS sum_doc_freq,
+       CAST(sum(ttf) AS BIGINT) AS sum_ttf
+FROM df
 """
     return out
