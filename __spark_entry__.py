@@ -1118,7 +1118,14 @@ _DRIVER_PRIORITY = [
     "top_passages", "shape_polygon_relations", "segments_info",
     "bm25_nb_classifier", "word_break", "commit_point_search",
     "phrase_wildcard",
-    # round-5 continuation-session additions (grouping-module completion)
+    # round-5 additions
+    "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
+    "french_term_topk",
+    "fvh_snippet", "dup_span_coverage", "flexible_parse_match",
+    "fuzzy_like_this", "merge_on_flush_topk", "geo3d_nearest",
+    "id_version_updates", "knn_factory_topk", "lm_perplexity",
+    "dsir_resample", "dv_multi_range", "point_nearest",
+    # round-5 continuation-session additions (driver-evidence after the verdict-directive gates)
     "all_group_heads", "distinct_values_group", "range_group_topk",
     "block_grouping_top", "group_facets",
     "string_value_facets", "long_value_facets", "range_on_range_facets",
@@ -1129,13 +1136,6 @@ _DRIVER_PRIORITY = [
     "axiomatic_f1exp_topk", "axiomatic_f1log_topk", "axiomatic_f2log_topk",
     "axiomatic_f3exp_topk", "axiomatic_f3log_topk",
     "dfr_ifh3_topk", "dfi_sat_topk", "sort_rescore", "ppl_buckets", "index_overview",
-    # round-5 additions
-    "ja_morph_tokens", "ko_morph_tokens", "zh_smart_tokens", "snowball_stems",
-    "french_term_topk",
-    "fvh_snippet", "dup_span_coverage", "flexible_parse_match",
-    "fuzzy_like_this", "merge_on_flush_topk", "geo3d_nearest",
-    "id_version_updates", "knn_factory_topk", "lm_perplexity",
-    "dsir_resample", "dv_multi_range", "point_nearest",
     # round-5 late-session additions
     "html_strip_text", "boilerplate_extract", "light_stems", "thai_tokens",
     "warc_roundtrip", "decompound_terms", "path_prefix_facets",
