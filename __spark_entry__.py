@@ -164,7 +164,9 @@ def _similarity_gates():
         DFIStandardized,
         DFRGB2Similarity,
         DFRIFLH3Similarity,
+        DFRIneB1Similarity,
         IBSPLSimilarity,
+        IBSPLZSimilarity,
         IndriDirichletSimilarity,
         LMDirichletSimilarity,
         LMJelinekMercerSimilarity,
@@ -205,6 +207,9 @@ def _similarity_gates():
         "axiomatic_f3log_topk": lambda: AxiomaticF3LOG(query_len=2),
         "dfr_ifh3_topk": DFRIFLH3Similarity,
         "dfi_sat_topk": DFISaturated,
+        # the last DFR/IB component axes: I(ne), H1, Z
+        "dfr_ineb1_topk": DFRIneB1Similarity,
+        "ib_splz_topk": IBSPLZSimilarity,
     }
 
 
@@ -1136,6 +1141,7 @@ _DRIVER_PRIORITY = [
     "axiomatic_f1exp_topk", "axiomatic_f1log_topk", "axiomatic_f2log_topk",
     "axiomatic_f3exp_topk", "axiomatic_f3log_topk",
     "dfr_ifh3_topk", "dfi_sat_topk", "sort_rescore", "ppl_buckets", "index_overview",
+    "dfr_ineb1_topk", "ib_splz_topk",
     # round-5 late-session additions
     "html_strip_text", "boilerplate_extract", "light_stems", "thai_tokens",
     "warc_roundtrip", "decompound_terms", "path_prefix_facets",

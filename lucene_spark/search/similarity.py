@@ -81,6 +81,8 @@ __all__ = [
     "AxiomaticF3LOG",
     "DFRIFLH3Similarity",
     "DFISaturated",
+    "DFRIneB1Similarity",
+    "IBSPLZSimilarity",
 ]
 
 _LN2 = math.log(2.0)
@@ -704,3 +706,62 @@ class DFISaturated(Similarity):
             f"CASE WHEN freq <= {exp} THEN 0.0 "
             f"ELSE boost * (ln({ind} + 1.0) / {ln2}) END"
         )
+
+
+@dataclass(frozen=True)
+class DFRIneB1Similarity(Similarity):
+    """DFR I(ne)/B/H1: the remaining basic-model and normalization
+    axes (`similarities/BasicModelIne.java:36` —
+    ne = N·(1 − ((N−1)/N)^F), A = log2((N+1)/(ne+0.5)),
+    A·aeTimes1pTfn·(1 − 1/(1+tfn)) — `AfterEffectB.java:32`
+    aeTimes1pTfn = (ttf+2)/(df+1), `NormalizationH1.java:44`
+    tfn = tf·c·avgdl/dl)."""
+
+    c: float = 1.0
+
+    def score_col(self, c):
+        avgdl = c["sttf"] / c["n_docs"]
+        tfn = c["freq"] * F.lit(self.c) * avgdl / c["dl"]
+        n = c["n_docs"]
+        ne = n * (
+            F.lit(1.0) - F.pow((n - F.lit(1.0)) / n, c["ttf"])
+        )
+        a = F.log((n + F.lit(1.0)) / (ne + F.lit(0.5))) / F.lit(_LN2)
+        ae = (c["ttf"] + F.lit(2.0)) / (c["doc_freq"] + F.lit(1.0))
+        return c["boost"] * a * ae * (
+            F.lit(1.0) - F.lit(1.0) / (F.lit(1.0) + tfn)
+        )
+
+    def score_sql(self):
+        cc, ln2 = repr(float(self.c)), repr(_LN2)
+        tfn = f"(freq * {cc} * (sttf * 1.0 / n_docs) / dl)"
+        ne = "(n_docs * (1.0 - pow((n_docs - 1.0) / n_docs, ttf)))"
+        a = f"(ln((n_docs + 1.0) / ({ne} + 0.5)) / {ln2})"
+        ae = "((ttf + 2.0) / (doc_freq + 1.0))"
+        return f"boost * {a} * {ae} * (1.0 - 1.0 / (1.0 + {tfn}))"
+
+
+@dataclass(frozen=True)
+class IBSPLZSimilarity(Similarity):
+    """IB SPL/L/Z: the NormalizationZ axis (`NormalizationZ.java:42`
+    tfn = tf·(avgdl/dl)^z, default z=0.30) under the smoothed
+    power-law distribution with TTF lambda — same SPL arithmetic as
+    :class:`IBSPLSimilarity`."""
+
+    z: float = 0.30
+
+    def score_col(self, c):
+        avgdl = c["sttf"] / c["n_docs"]
+        tfn = c["freq"] * F.pow(avgdl / c["dl"], F.lit(self.z))
+        lam = (c["ttf"] + F.lit(1.0)) / (c["n_docs"] + F.lit(1.0))
+        q = F.lit(1.0) - F.lit(1.0) / (tfn + F.lit(1.0))
+        return c["boost"] * -F.log(
+            (F.pow(lam, q) - lam) / (F.lit(1.0) - lam)
+        )
+
+    def score_sql(self):
+        zz = repr(float(self.z))
+        tfn = f"(freq * pow((sttf * 1.0 / n_docs) / dl, {zz}))"
+        lam = "((ttf + 1.0) / (n_docs + 1.0))"
+        q = f"(1.0 - 1.0 / ({tfn} + 1.0))"
+        return f"boost * -ln((pow({lam}, {q}) - {lam}) / (1.0 - {lam}))"
