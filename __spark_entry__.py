@@ -1141,7 +1141,7 @@ _DRIVER_PRIORITY = [
     "axiomatic_f1exp_topk", "axiomatic_f1log_topk", "axiomatic_f2log_topk",
     "axiomatic_f3exp_topk", "axiomatic_f3log_topk",
     "dfr_ifh3_topk", "dfi_sat_topk", "sort_rescore", "ppl_buckets", "index_overview",
-    "dfr_ineb1_topk", "ib_splz_topk",
+    "dfr_ineb1_topk", "ib_splz_topk", "temperature_mix",
     # round-5 late-session additions
     "html_strip_text", "boilerplate_extract", "light_stems", "thai_tokens",
     "warc_roundtrip", "decompound_terms", "path_prefix_facets",
@@ -5204,6 +5204,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["index_overview"] = index_overview_gate
 
+    # --- temperature-based domain mixing (Conneau & Lample 2019 §3.1):
+    # p_i ∝ n_i^alpha over per-language counts, expected draws for a
+    # 1000-doc epoch
+    def temperature_mix_gate(spark, sf):
+        from lucene_spark.pipeline.sampling import temperature_mixing_weights
+
+        return temperature_mixing_weights(
+            _docs(spark, sf), "lang", alpha=0.7, budget=1000
+        )
+
+    out["temperature_mix"] = temperature_mix_gate
+
     return _driver_order(out)
 
 
@@ -8130,5 +8142,16 @@ SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
        CAST(sum(doc_freq) AS BIGINT) AS sum_doc_freq,
        CAST(sum(ttf) AS BIGINT) AS sum_ttf
 FROM df
+"""
+    out["temperature_mix"] = """
+WITH c AS (
+  SELECT lang AS domain, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY 1
+),
+p AS (SELECT domain, n_docs, pow(CAST(n_docs AS DOUBLE), 0.7) AS w FROM c),
+t AS (SELECT sum(w) AS tw FROM p)
+SELECT domain, n_docs, round(w / tw, 6) AS weight,
+       round(round(w / tw, 6) * 1000.0, 4) AS expected
+FROM p, t ORDER BY domain
 """
     return out

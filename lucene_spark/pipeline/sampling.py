@@ -32,7 +32,12 @@ from typing import Dict, Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["hash_sample", "stratified_sample", "pack_sequences"]
+__all__ = [
+    "hash_sample",
+    "stratified_sample",
+    "pack_sequences",
+    "temperature_mixing_weights",
+]
 
 _BUCKETS = 1_000_000
 
@@ -125,3 +130,38 @@ def pack_sequences(
         )
         .drop("_pid", "_off", "_before")
     )
+
+
+def temperature_mixing_weights(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.7,
+    budget: int | None = None,
+) -> DataFrame:
+    """Temperature-based domain mixing (Conneau & Lample 2019 §3.1,
+    the multilingual-LM exponential smoothing): sampling probability
+    p_i ∝ n_i^alpha over per-domain counts — alpha < 1 up-weights
+    low-resource domains. With ``budget``, also emits the expected
+    document draw per domain for one epoch of that size.
+
+    One partial-agg'd groupBy for the counts (domain cardinality
+    bounds state), then pure arithmetic against the one-row total —
+    corpus never reshuffles. Returns
+    (domain, n_docs, weight[, expected]), domain asc."""
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    powered = counts.withColumn(
+        "_w", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    )
+    total = powered.agg(F.sum("_w").alias("_tw"))
+    out = powered.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        F.round(F.col("_w") / F.col("_tw"), 6).alias("weight"),
+    )
+    if budget is not None:
+        out = out.withColumn(
+            "expected", F.round(F.col("weight") * F.lit(float(budget)), 4)
+        )
+    return out.orderBy("domain")
