@@ -44,3 +44,24 @@ def test_perplexity_buckets_tertiles(spark):
     assert set(rows) == {"head", "middle", "tail"}
     assert rows["head"].n_docs == 3 and rows["head"].max_ppl == 3.0
     assert rows["tail"].min_ppl == 7.0 and rows["tail"].n_docs == 3
+
+
+def test_temperature_mixing_weights(spark):
+    # alpha=1 -> proportional; alpha=0 -> uniform; alpha=0.5 upweights
+    # the low-resource domain
+    from lucene_spark.pipeline.sampling import temperature_mixing_weights
+
+    df = spark.createDataFrame(
+        [("a",)] * 9 + [("b",)], "d string"
+    )
+    prop = {r.domain: r.weight for r in
+            temperature_mixing_weights(df, "d", alpha=1.0).collect()}
+    assert prop == {"a": 0.9, "b": 0.1}
+    unif = {r.domain: r.weight for r in
+            temperature_mixing_weights(df, "d", alpha=0.0).collect()}
+    assert unif == {"a": 0.5, "b": 0.5}
+    smooth = {r.domain: r.weight for r in
+              temperature_mixing_weights(df, "d", alpha=0.5).collect()}
+    assert 0.1 < smooth["b"] < 0.5
+    rows = temperature_mixing_weights(df, "d", alpha=0.7, budget=100).collect()
+    assert abs(sum(r.expected for r in rows) - 100.0) < 0.1
