@@ -1141,7 +1141,7 @@ _DRIVER_PRIORITY = [
     "axiomatic_f1exp_topk", "axiomatic_f1log_topk", "axiomatic_f2log_topk",
     "axiomatic_f3exp_topk", "axiomatic_f3log_topk",
     "dfr_ifh3_topk", "dfi_sat_topk", "sort_rescore", "ppl_buckets", "index_overview",
-    "dfr_ineb1_topk", "ib_splz_topk", "temperature_mix",
+    "dfr_ineb1_topk", "ib_splz_topk", "temperature_mix", "keyword_repeat_terms",
     # round-5 late-session additions
     "html_strip_text", "boilerplate_extract", "light_stems", "thai_tokens",
     "warc_roundtrip", "decompound_terms", "path_prefix_facets",
@@ -5216,6 +5216,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["temperature_mix"] = temperature_mix_gate
 
+    # --- KeywordRepeat + stem + RemoveDuplicates (miscellaneous/
+    # KeywordRepeatFilter.java:31): exact AND stemmed forms share a
+    # position; identical forms collapse
+    def keyword_repeat_gate(spark, sf):
+        from lucene_spark.analysis.filters import keyword_repeat_stemmed
+
+        return keyword_repeat_stemmed(
+            _docs(spark, sf).filter(F.col("doc_id") < 60)
+        )
+
+    out["keyword_repeat_terms"] = keyword_repeat_gate
+
     return _driver_order(out)
 
 
@@ -8153,5 +8165,21 @@ t AS (SELECT sum(w) AS tw FROM p)
 SELECT domain, n_docs, round(w / tw, 6) AS weight,
        round(round(w / tw, 6) * 1000.0, 4) AS expected
 FROM p, t ORDER BY domain
+"""
+    out["keyword_repeat_terms"] = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents WHERE doc_id < 60
+),
+p AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, l[i] AS term
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
+),
+forms AS (
+  SELECT doc_id, pos, term FROM p
+  UNION
+  SELECT doc_id, pos, {_STEM_CASE} AS term FROM p
+)
+SELECT doc_id, pos, term FROM forms ORDER BY doc_id, pos, term
 """
     return out

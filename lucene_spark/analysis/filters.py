@@ -46,6 +46,7 @@ from typing import Dict, List
 from pyspark.sql import Column, functions as F
 
 __all__ = [
+    "keyword_repeat_stemmed",
     "whitespace_tokens",
     "keyword_token",
     "length_filter",
@@ -379,3 +380,44 @@ def fingerprint(tokens_col: Column, separator: str = " ",
         F.array_sort(F.array_distinct(tokens_col)), separator
     )
     return F.when(F.length(joined) <= max_output_size, joined)
+
+
+def keyword_repeat_stemmed(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """KeywordRepeatFilter + PorterStemFilter + RemoveDuplicatesFilter
+    (`miscellaneous/KeywordRepeatFilter.java:31`,
+    `miscellaneous/RemoveDuplicatesTokenFilter.java:29`): each token is
+    emitted twice — the original (keyword-flagged so the stemmer skips
+    it) and the stemmed variant at the SAME position (posInc 0) — then
+    duplicate (term, position) pairs collapse, so unstemmed==stemmed
+    tokens appear once. The standard "index both exact and stemmed
+    forms" recipe.
+
+    Spark re-expression: posexplode + one Arrow stem pass +
+    array_distinct per position + explode — per-doc local, no shuffle.
+    Returns (id_col, pos, term) rows, one per distinct form."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis.porter import porter_stem_udf
+
+    stem = porter_stem_udf()
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("pos", "term"),
+    )
+    return (
+        toks.withColumn("_stem", stem(F.col("term")))
+        .select(
+            id_col,
+            "pos",
+            F.explode(
+                F.array_distinct(F.array(F.col("term"), F.col("_stem")))
+            ).alias("term"),
+        )
+        .orderBy(id_col, "pos", "term")
+    )
