@@ -174,7 +174,10 @@ def _similarity_gates():
         RawTFSimilarity,
     )
 
-    from lucene_spark.search.similarity import SweetSpotSimilarity
+    from lucene_spark.search.similarity import (
+        SweetSpotHyperbolicSimilarity,
+        SweetSpotSimilarity,
+    )
 
     return {
         "classic_term_topk": ClassicSimilarity,
@@ -210,6 +213,9 @@ def _similarity_gates():
         # the last DFR/IB component axes: I(ne), H1, Z
         "dfr_ineb1_topk": DFRIneB1Similarity,
         "ib_splz_topk": IBSPLZSimilarity,
+        "sweetspot_hyperbolic_topk": lambda: SweetSpotHyperbolicSimilarity(
+            ln_min=20, ln_max=40
+        ),
     }
 
 
@@ -1141,7 +1147,7 @@ _DRIVER_PRIORITY = [
     "axiomatic_f1exp_topk", "axiomatic_f1log_topk", "axiomatic_f2log_topk",
     "axiomatic_f3exp_topk", "axiomatic_f3log_topk",
     "dfr_ifh3_topk", "dfi_sat_topk", "sort_rescore", "ppl_buckets", "index_overview",
-    "dfr_ineb1_topk", "ib_splz_topk", "temperature_mix", "keyword_repeat_terms",
+    "dfr_ineb1_topk", "ib_splz_topk", "temperature_mix", "keyword_repeat_terms", "sweetspot_hyperbolic_topk",
     # round-5 late-session additions
     "html_strip_text", "boilerplate_extract", "light_stems", "thai_tokens",
     "warc_roundtrip", "decompound_terms", "path_prefix_facets",

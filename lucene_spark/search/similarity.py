@@ -83,6 +83,7 @@ __all__ = [
     "DFISaturated",
     "DFRIneB1Similarity",
     "IBSPLZSimilarity",
+    "SweetSpotHyperbolicSimilarity",
 ]
 
 _LN2 = math.log(2.0)
@@ -765,3 +766,63 @@ class IBSPLZSimilarity(Similarity):
         lam = "((ttf + 1.0) / (n_docs + 1.0))"
         q = f"(1.0 - 1.0 / ({tfn} + 1.0))"
         return f"boost * -ln((pow({lam}, {q}) - {lam}) / (1.0 - {lam}))"
+
+
+@dataclass(frozen=True)
+class SweetSpotHyperbolicSimilarity(Similarity):
+    """SweetSpotSimilarity with the hyperbolic tf function
+    (`misc/SweetSpotSimilarity.java:160` hyperbolicTf — min +
+    (max−min)/2 · (tanh-shaped ratio in base^±(freq−xoffset)) + 1)/…)
+    and the same plateau length norm as :class:`SweetSpotSimilarity`;
+    idf is Classic's. The reference's NaN→max guard covers base^x
+    overflow at extreme freq; the plain formula is exact for any
+    realistic tf (the guard region starts around freq ≈ 700 at the
+    default base 1.3)."""
+
+    tf_hyper_min: float = 0.0
+    tf_hyper_max: float = 2.0
+    tf_hyper_base: float = 1.3
+    tf_hyper_xoffset: float = 10.0
+    ln_min: int = 1
+    ln_max: int = 1
+    steepness: float = 0.5
+
+    def score_col(self, c):
+        idf = F.log((c["n_docs"] + F.lit(1.0)) / (c["doc_freq"] + F.lit(1.0))) + F.lit(1.0)
+        x = c["freq"] - F.lit(float(self.tf_hyper_xoffset))
+        b = F.lit(float(self.tf_hyper_base))
+        up, dn = F.pow(b, x), F.pow(b, -x)
+        tf = F.lit(float(self.tf_hyper_min)) + (
+            F.lit(float(self.tf_hyper_max - self.tf_hyper_min)) / F.lit(2.0)
+        ) * ((up - dn) / (up + dn) + F.lit(1.0))
+        span = float(self.ln_max - self.ln_min)
+        ln = F.lit(1.0) / F.sqrt(
+            F.lit(float(self.steepness))
+            * (
+                F.abs(c["dl"] - F.lit(float(self.ln_min)))
+                + F.abs(c["dl"] - F.lit(float(self.ln_max)))
+                - F.lit(span)
+            )
+            + F.lit(1.0)
+        )
+        return c["boost"] * idf * tf * ln
+
+    def score_sql(self):
+        mn = repr(float(self.tf_hyper_min))
+        half = repr(float(self.tf_hyper_max - self.tf_hyper_min) / 2.0)
+        b = repr(float(self.tf_hyper_base))
+        xo = repr(float(self.tf_hyper_xoffset))
+        lmin, lmax = repr(float(self.ln_min)), repr(float(self.ln_max))
+        span = repr(float(self.ln_max - self.ln_min))
+        st = repr(float(self.steepness))
+        up = f"pow({b}, freq - {xo})"
+        dn = f"pow({b}, -(freq - {xo}))"
+        tf = f"({mn} + {half} * ((({up} - {dn}) / ({up} + {dn})) + 1.0))"
+        ln_c = (
+            f"(1.0 / sqrt({st} * (abs(dl - {lmin}) + abs(dl - {lmax})"
+            f" - {span}) + 1.0))"
+        )
+        return (
+            f"boost * (ln((n_docs + 1.0) / (doc_freq + 1.0)) + 1.0) "
+            f"* {tf} * {ln_c}"
+        )
