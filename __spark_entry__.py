@@ -1147,7 +1147,7 @@ _DRIVER_PRIORITY = [
     "axiomatic_f1exp_topk", "axiomatic_f1log_topk", "axiomatic_f2log_topk",
     "axiomatic_f3exp_topk", "axiomatic_f3log_topk",
     "dfr_ifh3_topk", "dfi_sat_topk", "sort_rescore", "ppl_buckets", "index_overview",
-    "dfr_ineb1_topk", "ib_splz_topk", "temperature_mix", "keyword_repeat_terms", "sweetspot_hyperbolic_topk",
+    "dfr_ineb1_topk", "ib_splz_topk", "temperature_mix", "keyword_repeat_terms", "sweetspot_hyperbolic_topk", "large_num_hits",
     # round-5 late-session additions
     "html_strip_text", "boilerplate_extract", "light_stems", "thai_tokens",
     "warc_roundtrip", "decompound_terms", "path_prefix_facets",
@@ -5234,6 +5234,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["keyword_repeat_terms"] = keyword_repeat_gate
 
+    # --- LargeNumHitsTopDocsCollector (sandbox/search/
+    # LargeNumHitsTopDocsCollector.java:38): window >= hit count, no
+    # heap, exact totalHits
+    def large_num_hits_gate(spark, sf):
+        from lucene_spark.search.misc import large_num_hits_topk
+
+        return large_num_hits_topk(
+            _index(spark, sf), {"merge": 1.0, "scan": 0.5}, num_hits=1 << 20
+        ).filter(F.col("doc_id") < 400)
+
+    out["large_num_hits"] = large_num_hits_gate
+
     return _driver_order(out)
 
 
@@ -8187,5 +8199,13 @@ forms AS (
   SELECT doc_id, pos, {_STEM_CASE} AS term FROM p
 )
 SELECT doc_id, pos, term FROM forms ORDER BY doc_id, pos, term
+"""
+    _lnh_ctes = _bm25_scored_ctes({"merge": 1.0, "scan": 0.5})
+    out["large_num_hits"] = f"""
+WITH {_lnh_ctes},
+t AS (SELECT CAST(count(*) AS BIGINT) AS total_hits FROM first)
+SELECT doc_id, round(s, 4) AS score, t.total_hits
+FROM first, t WHERE doc_id < 400
+ORDER BY score DESC, doc_id ASC
 """
     return out

@@ -23,7 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["high_freq_terms", "doc_values_stats", "diversified_topk"]
+__all__ = [
+    "large_num_hits_topk","high_freq_terms", "doc_values_stats", "diversified_topk"]
 
 
 def high_freq_terms(
@@ -106,4 +107,30 @@ def diversified_topk(
         .drop("_rk")
         .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def large_num_hits_topk(
+    index,
+    term_boosts,
+    num_hits: int = 1 << 20,
+):
+    """LargeNumHitsTopDocsCollector
+    (`sandbox/search/LargeNumHitsTopDocsCollector.java:38`): when the
+    requested window is expected to exceed the hit count, skip the
+    per-hit priority queue — collect every hit's score and sort ONCE
+    at the end; totalHits is exact by construction. The Spark plan is
+    literally that collector: score all matches (no k-bounded heap
+    until the final TakeOrdered), one global sort of the hit set, plus
+    the exact hit total on every row. Returns
+    (doc_id, score, total_hits)."""
+    from lucene_spark.search.parity import _bm25_scored_f64
+
+    scored = _bm25_scored_f64(index, term_boosts)
+    total = scored.agg(F.count(F.lit(1)).cast("long").alias("total_hits"))
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .select("doc_id", F.round("s", 4).alias("score"), "total_hits")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(num_hits)
     )
