@@ -1147,7 +1147,7 @@ _DRIVER_PRIORITY = [
     "axiomatic_f1exp_topk", "axiomatic_f1log_topk", "axiomatic_f2log_topk",
     "axiomatic_f3exp_topk", "axiomatic_f3log_topk",
     "dfr_ifh3_topk", "dfi_sat_topk", "sort_rescore", "ppl_buckets", "index_overview",
-    "dfr_ineb1_topk", "ib_splz_topk", "temperature_mix", "keyword_repeat_terms", "sweetspot_hyperbolic_topk", "large_num_hits",
+    "dfr_ineb1_topk", "ib_splz_topk", "temperature_mix", "keyword_repeat_terms", "sweetspot_hyperbolic_topk", "large_num_hits", "bp_vector_reorder_topk",
     # round-5 late-session additions
     "html_strip_text", "boilerplate_extract", "light_stems", "thai_tokens",
     "warc_roundtrip", "decompound_terms", "path_prefix_facets",
@@ -5246,6 +5246,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["large_num_hits"] = large_num_hits_gate
 
+    # --- BpVectorReorderer (misc/index/BpVectorReorderer.java:55):
+    # vector-similarity docID clustering; search results must be
+    # invariant under the relayout (ids restored via orig_doc_id)
+    def bp_vector_reorder_topk_gate(spark, sf):
+        from lucene_spark.index.bp import bp_vector_reorder
+
+        emb = _emb(spark, sf)
+        re = bp_vector_reorder(
+            emb,
+            vec_col="embedding",
+            doc_id_col="vec_id",
+            num_partitions=4,
+            min_partition_size=4,
+        )
+        restored = re.select(
+            F.col("orig_doc_id").alias("vec_id"), "embedding"
+        )
+        return cosine_topk(restored, _qvec(spark, sf), k=15)
+
+    out["bp_vector_reorder_topk"] = bp_vector_reorder_topk_gate
+
     return _driver_order(out)
 
 
@@ -8208,4 +8229,6 @@ SELECT doc_id, round(s, 4) AS score, t.total_hits
 FROM first, t WHERE doc_id < 400
 ORDER BY score DESC, doc_id ASC
 """
+    # vector relayout must not change search results
+    out["bp_vector_reorder_topk"] = out["embedding_cosine_topk"]
     return out

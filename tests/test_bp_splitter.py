@@ -172,3 +172,42 @@ def test_multi_pass_union_matches_full(clustered):
         for r in p.terms.collect():
             got[r["term"]] = got.get(r["term"], 0) + r["doc_freq"]
     assert set(got.items()) == want
+
+
+def test_bp_vector_order_local_clusters():
+    # BpVectorReorderer.java:55 — similar vectors end up in the same
+    # half; the permutation is a bijection and deterministic
+    import numpy as np
+    from lucene_spark.index.bp import bp_vector_order_local
+
+    rng = np.random.RandomState(7)
+    a = rng.normal(0, 0.05, (16, 8)) + np.eye(8)[0]
+    b = rng.normal(0, 0.05, (16, 8)) + np.eye(8)[1]
+    # interleave the two clusters so doc order carries no signal
+    vecs = np.empty((32, 8))
+    vecs[0::2], vecs[1::2] = a, b
+    perm = bp_vector_order_local(vecs, min_partition_size=4)
+    assert sorted(perm.tolist()) == list(range(32))
+    first_half = set(perm[:16].tolist())
+    evens = set(range(0, 32, 2))
+    # one cluster fills one half exactly
+    assert first_half in (evens, set(range(32)) - evens)
+    perm2 = bp_vector_order_local(vecs, min_partition_size=4)
+    assert np.array_equal(perm, perm2)
+
+
+def test_bp_vector_order_objective_improves():
+    import numpy as np
+    from lucene_spark.index.bp import bp_vector_order_local
+
+    rng = np.random.RandomState(3)
+    centers = rng.normal(0, 1, (4, 6))
+    vecs = np.concatenate(
+        [rng.normal(0, 0.1, (8, 6)) + centers[i % 4] for i in range(8)]
+    )
+    order = bp_vector_order_local(vecs, min_partition_size=4)
+
+    def adjacent_sim(v):
+        return float(sum(v[i] @ v[i + 1] for i in range(len(v) - 1)))
+
+    assert adjacent_sim(vecs[order]) > adjacent_sim(vecs)
