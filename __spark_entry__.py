@@ -380,6 +380,42 @@ _ICU_PAIRS = [
 ]
 _ICU_SRC_TOKENS = [s for s, _ in _ICU_PAIRS]
 
+# Stempel (Egothor) Polish stemmer gate corpus: pinned inflected forms +
+# their expected lemmas from the in-repo trained table.  The stemming
+# algorithm (trie walk + Diff.apply patch commands) is validated
+# Java-parity in tests/test_stempel.py against the reference's own
+# stemmer_20000.tbl; the oracle pins the trained-table outputs so any
+# trainer/trie/apply drift hash-mismatches here.
+_PL_STEM_PAIRS = [
+    ("studenta", "student"),
+    ("studenci", "student"),
+    ("książki", "książka"),
+    ("książkę", "książka"),
+    ("kotami", "kot"),
+    ("czytają", "czytać"),
+    ("piszę", "pisać"),
+    ("mówili", "mówić"),
+    ("uniwersytecie", "uniwersytet"),
+    ("komputerów", "komputer"),
+    ("nowego", "nowy"),
+    ("wielkich", "wielki"),
+    ("szkołach", "szkoła"),
+    ("dzieciom", "dziecko"),
+    ("ludzie", "człowiek"),
+    ("rąk", "ręka"),
+    ("profesorowie", "profesor"),
+    ("telefonami", "telefon"),
+    ("systemów", "system"),
+    ("pracach", "praca"),
+    ("drogami", "droga"),
+    ("oknie", "okno"),
+    ("kobietą", "kobieta"),
+    ("miastach", "miasto"),
+    ("robiła", "robić"),
+    ("xylofon", "xylofon"),
+]
+_PL_SRC_TOKENS = [s for s, _ in _PL_STEM_PAIRS]
+
 # French gate corpus: pinned sentences + their hand-checked Snowball
 # stems (UAX#29 → lowercase → trimmed stop set → FrenchStemmer analog).
 # The oracle rebuilds BM25 from the PINNED stem lists, so the whole
@@ -1161,6 +1197,7 @@ _DRIVER_PRIORITY = [
     "perceptron_classify", "knn_fuzzy_classifier", "shape_grid_query",
     "bbox_overlap_topk", "semdedup_keep", "context_suggest",
     "sorted_range_docs", "collation_range", "cyrillic_translit",
+    "polish_stem_terms",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3061,6 +3098,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["icu_folding"] = icu_folding
+
+    # Stempel Polish stemmer (org/egothor/stemmer/Trie.java:84,
+    # StempelFilter.java:71, PolishAnalyzer.java:135): pinned inflected
+    # forms cycled by doc_id, stemmed by the live Arrow-batched UDF.
+    def polish_stem_terms(spark, sf):
+        from lucene_spark.analysis.stempel import polish_stem_udf
+
+        toks = F.array(*[F.lit(t) for t in _PL_SRC_TOKENS])
+        d = (
+            _docs(spark, sf)
+            .select("doc_id")
+            .filter(F.col("doc_id") < 600)
+            .select(
+                F.element_at(
+                    toks, (F.col("doc_id") % len(_PL_SRC_TOKENS) + 1).cast("int")
+                ).alias("word")
+            )
+            .select("word", polish_stem_udf()(F.col("word")).alias("stem"))
+        )
+        return (
+            d.groupBy("word", "stem")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("word")
+        )
+
+    out["polish_stem_terms"] = polish_stem_terms
 
     # Japanese morphological tokenizer (kuromoji analog,
     # `analysis/ja/JapaneseTokenizer.java:61`): distributed Viterbi
@@ -6836,6 +6899,19 @@ SELECT CASE (doc_id % {len(_ICU_PAIRS)}) {_icu_case} END AS term,
        CAST(count(*) AS BIGINT) AS n
 FROM documents WHERE doc_id < 600
 GROUP BY 1 ORDER BY 1
+"""
+    _pl_word_case = " ".join(
+        f"WHEN {i} THEN '{w}'" for i, (w, _) in enumerate(_PL_STEM_PAIRS)
+    )
+    _pl_stem_case = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, (_, s) in enumerate(_PL_STEM_PAIRS)
+    )
+    out["polish_stem_terms"] = f"""
+SELECT CASE (doc_id % {len(_PL_STEM_PAIRS)}) {_pl_word_case} END AS word,
+       CASE (doc_id % {len(_PL_STEM_PAIRS)}) {_pl_stem_case} END AS stem,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents WHERE doc_id < 600
+GROUP BY 1, 2 ORDER BY word
 """
     from lucene_spark.pipeline.redact import PII_PATTERNS
 
