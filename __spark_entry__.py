@@ -416,6 +416,147 @@ _PL_STEM_PAIRS = [
 ]
 _PL_SRC_TOKENS = [s for s, _ in _PL_STEM_PAIRS]
 
+# OpenNLP-analog gate corpus: pinned sentences + the full
+# tokenize→POS→chunk→lemmatize chain output (analysis/opennlp.py).
+_ONLP_SENTS = [
+    "The quick brown fox jumped over the lazy dog.",
+    "Dr. Smith went to Washington.",
+    "She has written three books and they were published.",
+    "Children are playing in the park with their friends.",
+    "He quickly ran to the station but the train had left.",
+    "The new system processes queries in 3.5 seconds.",
+]
+_ONLP_GOLDENS = [
+    (0, "The", "DT", "B-NP", "the"),
+    (0, "quick", "NN", "I-NP", "quick"),
+    (0, "brown", "NN", "I-NP", "brown"),
+    (0, "fox", "NN", "I-NP", "fox"),
+    (0, "jumped", "VBD", "B-VP", "jump"),
+    (0, "over", "IN", "B-PP", "over"),
+    (0, "the", "DT", "B-NP", "the"),
+    (0, "lazy", "NN", "I-NP", "lazy"),
+    (0, "dog", "NN", "I-NP", "dog"),
+    (0, ".", ".", "O", "."),
+    (1, "Dr", "NN", "B-NP", "dr"),
+    (1, ".", ".", "O", "."),
+    (1, "Smith", "NNP", "B-NP", "smith"),
+    (1, "went", "VBD", "B-VP", "go"),
+    (1, "to", "TO", "B-PP", "to"),
+    (1, "Washington", "NNP", "B-NP", "washington"),
+    (1, ".", ".", "O", "."),
+    (2, "She", "PRP", "B-NP", "she"),
+    (2, "has", "VBZ", "B-VP", "have"),
+    (2, "written", "VBN", "I-VP", "write"),
+    (2, "three", "NN", "B-NP", "three"),
+    (2, "books", "NNS", "I-NP", "book"),
+    (2, "and", "CC", "O", "and"),
+    (2, "they", "PRP", "B-NP", "they"),
+    (2, "were", "VBD", "B-VP", "be"),
+    (2, "published", "VBD", "I-VP", "publish"),
+    (2, ".", ".", "O", "."),
+    (3, "Children", "NN", "B-NP", "children"),
+    (3, "are", "VBP", "B-VP", "be"),
+    (3, "playing", "VBG", "I-VP", "play"),
+    (3, "in", "IN", "B-PP", "in"),
+    (3, "the", "DT", "B-NP", "the"),
+    (3, "park", "NN", "I-NP", "park"),
+    (3, "with", "IN", "B-PP", "with"),
+    (3, "their", "PRP$", "B-NP", "their"),
+    (3, "friends", "NNS", "I-NP", "friend"),
+    (3, ".", ".", "O", "."),
+    (4, "He", "PRP", "B-NP", "he"),
+    (4, "quickly", "RB", "O", "quickly"),
+    (4, "ran", "VBD", "B-VP", "run"),
+    (4, "to", "TO", "B-PP", "to"),
+    (4, "the", "DT", "B-NP", "the"),
+    (4, "station", "NN", "I-NP", "station"),
+    (4, "but", "CC", "O", "but"),
+    (4, "the", "DT", "B-NP", "the"),
+    (4, "train", "NN", "I-NP", "train"),
+    (4, "had", "VBD", "B-VP", "have"),
+    (4, "left", "VBD", "I-VP", "leave"),
+    (4, ".", ".", "O", "."),
+    (5, "The", "DT", "B-NP", "the"),
+    (5, "new", "NN", "I-NP", "new"),
+    (5, "system", "NN", "I-NP", "system"),
+    (5, "processes", "NNS", "I-NP", "process"),
+    (5, "queries", "NNS", "I-NP", "query"),
+    (5, "in", "IN", "B-PP", "in"),
+    (5, "3.5", "CD", "B-NP", "3.5"),
+    (5, "seconds", "NNS", "I-NP", "second"),
+    (5, ".", ".", "O", "."),
+]
+
+# Sentence-window chunking gate corpus: pinned multi-sentence texts and
+# their detected sentence lists; the oracle rebuilds the overlapping
+# windows (w=3, s=2) in pure SQL from the pinned lists.
+_CHUNK_TEXTS = [
+    "The index was built. It holds many terms. Queries are fast. Results are ranked by score. Users are happy.",
+    "Spark reads the table. Partitions are balanced. The shuffle is small.",
+    "Dr. Smith wrote the paper. It was published in 2020. Reviewers praised it. The method scales well.",
+    "One sentence only.",
+    "First things first. Second comes next. Third follows. Fourth arrives. Fifth ends here. Sixth is extra.",
+    "Data is loaded. Text is cleaned. Tokens are counted. Stats are saved.",
+]
+_CHUNK_SENTS = [
+    (0, 0, "The index was built."),
+    (0, 1, "It holds many terms."),
+    (0, 2, "Queries are fast."),
+    (0, 3, "Results are ranked by score."),
+    (0, 4, "Users are happy."),
+    (1, 0, "Spark reads the table."),
+    (1, 1, "Partitions are balanced."),
+    (1, 2, "The shuffle is small."),
+    (2, 0, "Dr. Smith wrote the paper."),
+    (2, 1, "It was published in 2020."),
+    (2, 2, "Reviewers praised it."),
+    (2, 3, "The method scales well."),
+    (3, 0, "One sentence only."),
+    (4, 0, "First things first."),
+    (4, 1, "Second comes next."),
+    (4, 2, "Third follows."),
+    (4, 3, "Fourth arrives."),
+    (4, 4, "Fifth ends here."),
+    (4, 5, "Sixth is extra."),
+    (5, 0, "Data is loaded."),
+    (5, 1, "Text is cleaned."),
+    (5, 2, "Tokens are counted."),
+    (5, 3, "Stats are saved."),
+]
+
+# Morfologik-analog gate corpus: pinned surface forms and ALL their
+# dictionary interpretations (ambiguous forms emit multiple rows).
+_MORF_WORDS = [
+    "mamy", "drogi", "piła", "studenta", "studenci", "książki",
+    "miastach", "czytają", "ludzie", "nowego", "polska", "warszawie",
+    "lat", "je", "xyzzy", "Mamy",
+]
+_MORF_GOLDENS = [
+    (0, "mamy", "mieć", "verb:fin:pl:pri:imperf"),
+    (0, "mamy", "mama", "subst:pl:nom:f+subst:sg:gen:f"),
+    (1, "drogi", "droga", "subst:pl:nom:f+subst:sg:gen:f"),
+    (1, "drogi", "drogi", "adj:sg:nom:m1"),
+    (2, "piła", "pić", "verb:praet:sg:f:imperf"),
+    (2, "piła", "piła", "subst:sg:nom:f"),
+    (3, "studenta", "student", "subst:sg:gen:m1+subst:sg:acc:m1"),
+    (4, "studenci", "student", "subst:pl:nom:m1"),
+    (5, "książki", "książka", "subst:pl:nom:f+subst:sg:gen:f"),
+    (6, "miastach", "miasto", "subst:pl:loc:n"),
+    (7, "czytają", "czytać", "verb:fin:pl:ter:imperf"),
+    (8, "ludzie", "człowiek", "subst:pl:nom:m1"),
+    (9, "nowego", "nowy", "adj:sg:gen:m1+adj:sg:acc:m1"),
+    (10, "polska", "polska", "subst:sg:nom:f"),
+    (10, "polska", "polski", "adj:sg:nom:f"),
+    (11, "warszawie", "warszawa", "subst:sg:loc:f+subst:sg:dat:f"),
+    (12, "lat", "rok", "subst:pl:gen:m3"),
+    (12, "lat", "lato", "subst:pl:gen:n"),
+    (13, "je", "jeść", "verb:fin:sg:ter:imperf"),
+    (13, "je", "on", "ppron3:pl:acc:n"),
+    (14, "xyzzy", "xyzzy", ""),
+    (15, "Mamy", "mieć", "verb:fin:pl:pri:imperf"),
+    (15, "Mamy", "mama", "subst:pl:nom:f+subst:sg:gen:f"),
+]
+
 # French gate corpus: pinned sentences + their hand-checked Snowball
 # stems (UAX#29 → lowercase → trimmed stop set → FrenchStemmer analog).
 # The oracle rebuilds BM25 from the PINNED stem lists, so the whole
@@ -1197,7 +1338,8 @@ _DRIVER_PRIORITY = [
     "perceptron_classify", "knn_fuzzy_classifier", "shape_grid_query",
     "bbox_overlap_topk", "semdedup_keep", "context_suggest",
     "sorted_range_docs", "collation_range", "cyrillic_translit",
-    "polish_stem_terms",
+    "polish_stem_terms", "opennlp_pos_chunks", "sentence_chunks",
+    "morfologik_lemmas",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3124,6 +3266,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["polish_stem_terms"] = polish_stem_terms
+
+    # OpenNLP chain analog (opennlp/OpenNLPTokenizer.java:30,
+    # OpenNLPPOSFilter.java:36, OpenNLPChunkerFilter.java:31,
+    # OpenNLPLemmatizerFilter.java:50): pinned sentences cycled by
+    # doc_id through the live tokenize→POS→chunk→lemmatize Arrow pass.
+    def opennlp_pos_chunks(spark, sf):
+        from lucene_spark.analysis.opennlp import pos_chunk_udf
+
+        sents = F.array(*[F.lit(s) for s in _ONLP_SENTS])
+        d = (
+            _docs(spark, sf)
+            .select("doc_id")
+            .filter(F.col("doc_id") < 600)
+            .select(
+                (F.col("doc_id") % len(_ONLP_SENTS)).cast("int").alias("i"),
+                F.element_at(
+                    sents, (F.col("doc_id") % len(_ONLP_SENTS) + 1).cast("int")
+                ).alias("sent"),
+            )
+            .select("i", F.explode(pos_chunk_udf()(F.col("sent"))).alias("t"))
+        )
+        return (
+            d.select(
+                "i",
+                F.col("t.term").alias("term"),
+                F.col("t.pos").alias("pos"),
+                F.col("t.chunk").alias("chunk"),
+                F.col("t.lemma").alias("lemma"),
+            )
+            .groupBy("i", "term", "pos", "chunk", "lemma")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("i", "term", "pos", "chunk", "lemma")
+        )
+
+    out["opennlp_pos_chunks"] = opennlp_pos_chunks
+
+    # Sentence-window chunking (pipeline/chunking.py over the
+    # OpenNLPSentenceBreakIterator analog): w=3, s=2 overlapping windows.
+    def sentence_chunks(spark, sf):
+        from lucene_spark.pipeline.chunking import sentence_windows
+
+        texts = F.array(*[F.lit(t) for t in _CHUNK_TEXTS])
+        d = (
+            _docs(spark, sf)
+            .select("doc_id")
+            .filter(F.col("doc_id") < 300)
+            .select(
+                "doc_id",
+                F.element_at(
+                    texts, (F.col("doc_id") % len(_CHUNK_TEXTS) + 1).cast("int")
+                ).alias("text"),
+            )
+        )
+        return (
+            sentence_windows(d, window=3, stride=2)
+            .select(
+                "doc_id",
+                "chunk_id",
+                "chunk_text",
+                F.col("n_sentences").cast("long").alias("n_sentences"),
+                F.col("first_sentence").cast("long").alias("first_sentence"),
+            )
+            .orderBy("doc_id", "chunk_id")
+        )
+
+    out["sentence_chunks"] = sentence_chunks
+
+    # Morfologik dictionary lemmatizer analog
+    # (morfologik/MorfologikFilter.java:51): ambiguous surface forms
+    # emit every interpretation; unknown forms pass through untagged.
+    def morfologik_lemmas(spark, sf):
+        from lucene_spark.analysis.morfologik import morfologik_lemmas_udf
+
+        words = F.array(*[F.lit(w) for w in _MORF_WORDS])
+        d = (
+            _docs(spark, sf)
+            .select("doc_id")
+            .filter(F.col("doc_id") < 600)
+            .select(
+                F.element_at(
+                    words, (F.col("doc_id") % len(_MORF_WORDS) + 1).cast("int")
+                ).alias("word")
+            )
+            .select("word", F.explode(morfologik_lemmas_udf()(F.col("word"))).alias("m"))
+        )
+        return (
+            d.select(
+                "word",
+                F.col("m.lemma").alias("lemma"),
+                F.concat_ws("+", F.col("m.tags")).alias("tags"),
+            )
+            .groupBy("word", "lemma", "tags")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("word", "lemma", "tags")
+        )
+
+    out["morfologik_lemmas"] = morfologik_lemmas
 
     # Japanese morphological tokenizer (kuromoji analog,
     # `analysis/ja/JapaneseTokenizer.java:61`): distributed Viterbi
@@ -6912,6 +7151,48 @@ SELECT CASE (doc_id % {len(_PL_STEM_PAIRS)}) {_pl_word_case} END AS word,
        CAST(count(*) AS BIGINT) AS n
 FROM documents WHERE doc_id < 600
 GROUP BY 1, 2 ORDER BY word
+"""
+    _onlp_rows = ", ".join(
+        f"({i}, '{t}', '{p}', '{c}', '{l}')" for i, t, p, c, l in _ONLP_GOLDENS
+    )
+    out["opennlp_pos_chunks"] = f"""
+WITH g(i, term, pos, chunk, lemma) AS (VALUES {_onlp_rows}),
+d AS (SELECT CAST(doc_id % {len(_ONLP_SENTS)} AS INT) AS i, count(*) AS nd
+      FROM documents WHERE doc_id < 600 GROUP BY 1)
+SELECT g.i, g.term, g.pos, g.chunk, g.lemma, CAST(sum(d.nd) AS BIGINT) AS n
+FROM g JOIN d USING (i)
+GROUP BY 1, 2, 3, 4, 5 ORDER BY g.i, g.term, g.pos, g.chunk, g.lemma
+"""
+    _chunk_sent_rows = ", ".join(
+        f"({i}, {si}, '{s}')" for i, si, s in _CHUNK_SENTS
+    )
+    out["sentence_chunks"] = f"""
+WITH s(i, si, sentence) AS (VALUES {_chunk_sent_rows}),
+d AS (SELECT doc_id, CAST(doc_id % {len(_CHUNK_TEXTS)} AS INT) AS i
+      FROM documents WHERE doc_id < 300),
+m AS (
+  SELECT d.doc_id, s.si, s.sentence,
+         CAST(unnest(generate_series(
+           GREATEST(0, CAST(ceil((s.si - 2) / 2.0) AS INT)),
+           CAST(floor(s.si / 2.0) AS INT))) AS INT) AS chunk_id
+  FROM d JOIN s USING (i)
+)
+SELECT doc_id, chunk_id,
+       string_agg(sentence, ' ' ORDER BY si) AS chunk_text,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(min(si) AS BIGINT) AS first_sentence
+FROM m GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id
+"""
+    _morf_rows = ", ".join(
+        f"({i}, '{w}', '{l}', '{t}')" for i, w, l, t in _MORF_GOLDENS
+    )
+    out["morfologik_lemmas"] = f"""
+WITH g(i, word, lemma, tags) AS (VALUES {_morf_rows}),
+d AS (SELECT CAST(doc_id % {len(_MORF_WORDS)} AS INT) AS i, count(*) AS nd
+      FROM documents WHERE doc_id < 600 GROUP BY 1)
+SELECT g.word, g.lemma, g.tags, CAST(sum(d.nd) AS BIGINT) AS n
+FROM g JOIN d USING (i)
+GROUP BY 1, 2, 3 ORDER BY g.word, g.lemma, g.tags
 """
     from lucene_spark.pipeline.redact import PII_PATTERNS
 

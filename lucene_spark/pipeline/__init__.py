@@ -14,6 +14,7 @@ from lucene_spark.pipeline.sampling import (
     pack_sequences,
     stratified_sample,
 )
+from lucene_spark.pipeline.chunking import sentence_windows
 from lucene_spark.pipeline.urls import (
     canonicalize_url,
     registered_domain,
@@ -95,4 +96,5 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "semdedup",
+    "sentence_windows",
 ]
