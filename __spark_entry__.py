@@ -1339,7 +1339,7 @@ _DRIVER_PRIORITY = [
     "bbox_overlap_topk", "semdedup_keep", "context_suggest",
     "sorted_range_docs", "collation_range", "cyrillic_translit",
     "polish_stem_terms", "opennlp_pos_chunks", "sentence_chunks",
-    "morfologik_lemmas",
+    "morfologik_lemmas", "histogram_facets",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3363,6 +3363,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["morfologik_lemmas"] = morfologik_lemmas
+
+    # Plain histogram facets (sandbox HistogramCollector.java:52):
+    # fixed-width buckets, floorDiv semantics, maxBuckets cap.
+    def histogram_facets(spark, sf):
+        from lucene_spark.search.facets import histogram_counts
+
+        return histogram_counts(
+            _docs(spark, sf).select("n_chars"), "n_chars", 40
+        )
+
+    out["histogram_facets"] = histogram_facets
 
     # Japanese morphological tokenizer (kuromoji analog,
     # `analysis/ja/JapaneseTokenizer.java:61`): distributed Viterbi
@@ -7193,6 +7204,12 @@ d AS (SELECT CAST(doc_id % {len(_MORF_WORDS)} AS INT) AS i, count(*) AS nd
 SELECT g.word, g.lemma, g.tags, CAST(sum(d.nd) AS BIGINT) AS n
 FROM g JOIN d USING (i)
 GROUP BY 1, 2, 3 ORDER BY g.word, g.lemma, g.tags
+"""
+    out["histogram_facets"] = """
+SELECT CAST(floor(n_chars / 40.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM documents WHERE n_chars IS NOT NULL
+GROUP BY 1 ORDER BY bucket
 """
     from lucene_spark.pipeline.redact import PII_PATTERNS
 

@@ -159,6 +159,47 @@ def long_range_counts(
     return one.select(F.explode(pairs).alias("p")).select("p.label", "p.cnt")
 
 
+def histogram_counts(
+    df: DataFrame,
+    value_col: str,
+    bucket_width: int,
+    max_buckets: int = 1024,
+) -> DataFrame:
+    """HistogramCollector analog
+    (`sandbox/facet/plain/histograms/HistogramCollector.java:52`,
+    `HistogramCollectorManager.java:38`): fixed-width value histogram,
+    bucket = floorDiv(value, bucketWidth) with Java's floor semantics
+    for negative values, hard ``maxBuckets`` cap (the reference throws
+    IllegalStateException past the cap).
+
+    Scale notes: ONE partial-agg'd groupBy on the bucket key — the
+    reference's PointTreeBulkCollector trick (count whole BKD subtrees
+    that fall inside one bucket without visiting docs) is what parquet
+    row-group pruning + partial aggregation already give this plan: the
+    scan never materializes more than (bucket, partial count) pairs per
+    task, and a sorted/partitioned value column prunes row groups the
+    filter excludes.  The cap check is one tiny count, not a collect of
+    the histogram.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    bucket = F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hist = hist.persist()  # cap check + downstream read: one scan total
+    n = hist.count()
+    if n > max_buckets:
+        hist.unpersist()
+        raise ValueError(
+            f"{n} buckets exceed maxBuckets={max_buckets} "
+            "(HistogramCollector.java cap semantics)"
+        )
+    return hist.orderBy("bucket")
+
+
 def sampled_facet_counts(
     df: DataFrame,
     facet_col: str,

@@ -112,3 +112,35 @@ def test_sentence_windows_validates_args(spark):
     df = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
     with pytest.raises(ValueError):
         sentence_windows(df, window=0)
+
+
+# ---------------------------------------------------------- histogram
+
+
+def test_histogram_floor_div_negative(spark):
+    from lucene_spark.search.facets import histogram_counts
+
+    df = spark.createDataFrame(
+        [(-25,), (-1,), (0,), (9,), (10,), (25,)], "v long"
+    )
+    rows = {r["bucket"]: r["cnt"] for r in histogram_counts(df, "v", 10).collect()}
+    # Java Math.floorDiv: -25/10 -> -3, -1/10 -> -1
+    assert rows == {-3: 1, -1: 1, 0: 2, 1: 1, 2: 1}
+
+
+def test_histogram_max_buckets_cap(spark):
+    import pytest as _pytest
+
+    from lucene_spark.search.facets import histogram_counts
+
+    df = spark.createDataFrame([(i * 100,) for i in range(10)], "v long")
+    with _pytest.raises(ValueError, match="maxBuckets"):
+        histogram_counts(df, "v", 10, max_buckets=5)
+
+
+def test_histogram_nulls_skipped(spark):
+    from lucene_spark.search.facets import histogram_counts
+
+    df = spark.createDataFrame([(1,), (None,), (11,)], "v long")
+    rows = histogram_counts(df, "v", 10).collect()
+    assert sum(r["cnt"] for r in rows) == 2
