@@ -1339,7 +1339,8 @@ _DRIVER_PRIORITY = [
     "bbox_overlap_topk", "semdedup_keep", "context_suggest",
     "sorted_range_docs", "collation_range", "cyrillic_translit",
     "polish_stem_terms", "opennlp_pos_chunks", "sentence_chunks",
-    "morfologik_lemmas", "histogram_facets",
+    "morfologik_lemmas", "histogram_facets", "span_payloads_collect",
+    "bp_merge_reorder_topk",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3374,6 +3375,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["histogram_facets"] = histogram_facets
+
+    # PayloadSpanUtil (sandbox/payloads/PayloadSpanUtil.java:37):
+    # collect payloads at the positions a (phrase-rewritten) query
+    # matches; payload = 0-based token index by construction.
+    def span_payloads_collect(spark, sf):
+        from lucene_spark.analysis.filters import delimited_payload_analyzer
+        from lucene_spark.search.payloads import payloads_for_query
+
+        docs = _docs(spark, sf).withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(split(text, ' '), "
+                    "(t, i) -> concat(t, '|', cast(i AS string)))"
+                ),
+            ),
+        )
+        idx = InvertedIndex.build(
+            docs,
+            analyzer=delimited_payload_analyzer(),
+            positions=True,
+            payloads=True,
+            docs_per_segment=2048,
+        )
+        rows = payloads_for_query(idx, {"phrase": ["table", "value"], "slop": 0})
+        return rows.select(
+            "doc_id",
+            "term",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("payload").cast("long").alias("payload"),
+        ).orderBy("doc_id", "pos")
+
+    out["span_payloads_collect"] = span_payloads_collect
+
+    # BPReorderingMergePolicy analog (misc/index/
+    # BPReorderingMergePolicy.java:18): merge + per-merge BP doc map;
+    # search results are invariant modulo the id permutation, checked
+    # by mapping back to original ids against the plain BM25 oracle.
+    def bp_merge_reorder_topk(spark, sf):
+        from lucene_spark.index.bpmerge import bp_reordering_merge
+
+        corpus = _docs(spark, sf)
+        idx = InvertedIndex.build(
+            corpus, analyzer="simple", docs_per_segment=128
+        )
+        plan = [[0, 1], [2, 3]]
+        new_idx, new_corpus, diag = bp_reordering_merge(
+            idx, corpus, plan,
+            min_natural_merge_num_docs=64, min_partition_size=16,
+        )
+        assert all(diag.values()), diag  # both merges clear the bar
+        from lucene_spark.search.parity import _bm25_scored_f64
+
+        scored = _bm25_scored_f64(new_idx, {"scan": 1.0, "merge": 0.5})
+        remap = new_corpus.select(
+            F.col("doc_id").alias("nid"), "orig_doc_id"
+        )
+        return (
+            scored.withColumnRenamed("doc_id", "nid")
+            .join(remap, "nid")
+            .orderBy(F.col("s").desc(), F.col("orig_doc_id").asc())
+            .limit(15)
+            .select(
+                F.col("orig_doc_id").alias("doc_id"),
+                F.round(F.col("s"), 4).alias("score"),
+            )
+        )
+
+    out["bp_merge_reorder_topk"] = bp_merge_reorder_topk
 
     # Japanese morphological tokenizer (kuromoji analog,
     # `analysis/ja/JapaneseTokenizer.java:61`): distributed Viterbi
@@ -7211,6 +7282,25 @@ SELECT CAST(floor(n_chars / 40.0) AS BIGINT) AS bucket,
 FROM documents WHERE n_chars IS NOT NULL
 GROUP BY 1 ORDER BY bucket
 """
+    out["span_payloads_collect"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+pos AS (
+  SELECT doc_id, i - 1 AS p, l[i] AS term
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
+),
+m AS (
+  SELECT a.doc_id, a.p
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = 'table' AND b.term = 'value'
+),
+c AS (
+  SELECT doc_id, 'table' AS term, p AS pos FROM m
+  UNION
+  SELECT doc_id, 'value' AS term, p + 1 AS pos FROM m
+)
+SELECT doc_id, term, CAST(pos AS INT) AS pos, CAST(pos AS BIGINT) AS payload
+FROM c ORDER BY doc_id, pos
+"""
     from lucene_spark.pipeline.redact import PII_PATTERNS
 
     _dirty_sql = """
@@ -7884,6 +7974,8 @@ ORDER BY node
 
     # BP reorder is score-invariant → plain BM25 oracle
     out["bp_reorder_topk"] = oracle_bm25_sql({"hash": 1.0, "join": 0.5}, k=15)
+    # merge-time BP reorder: invariant vs plain BM25 on original ids
+    out["bp_merge_reorder_topk"] = oracle_bm25_sql({"scan": 1.0, "merge": 0.5}, k=15)
 
     # a synced replica answers exactly like the primary commit
     out["replica_search"] = oracle_bm25_sql({"merge": 1.0, "scan": 0.5}, k=15)

@@ -19,6 +19,7 @@ from lucene_spark.index.deletes import (
     update_document,
 )
 from lucene_spark.index.bp import bp_order_local, bp_reorder
+from lucene_spark.index.bpmerge import bp_reordering_merge
 from lucene_spark.index.replicator import PrimaryNode, ReplicaNode
 from lucene_spark.index.resumable import load_resumable, resumable_build
 from lucene_spark.index.sorting import sort_docs
@@ -33,6 +34,7 @@ __all__ = [
     "assign_doc_ids",
     "bp_order_local",
     "bp_reorder",
+    "bp_reordering_merge",
     "check_index",
     "multi_pass_split",
     "pk_split",

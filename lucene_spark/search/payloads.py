@@ -32,7 +32,12 @@ from pyspark.sql import DataFrame, functions as F
 from lucene_spark.index.builder import InvertedIndex
 from lucene_spark.search.positional import decode_positions
 
-__all__ = ["decode_payloads", "payload_score_topk", "span_payload_check"]
+__all__ = [
+    "decode_payloads",
+    "payload_score_topk",
+    "span_payload_check",
+    "payloads_for_query",
+]
 
 
 def decode_payloads(
@@ -135,3 +140,88 @@ def span_payload_check(
         )
         .orderBy("doc_id")
     )
+
+
+def _term_payload_rows(index: InvertedIndex, terms: List[str]) -> DataFrame:
+    """(doc_id, term, pos, payload) — one row per posting position."""
+    d = decode_payloads(index, list(dict.fromkeys(terms)))
+    return d.select(
+        "doc_id",
+        "term",
+        F.explode(
+            F.zip_with(
+                "positions",
+                "payloads",
+                lambda p, y: F.struct(p.alias("pos"), y.alias("pay")),
+            )
+        ).alias("s"),
+    ).select("doc_id", "term", F.col("s.pos").alias("pos"), F.col("s.pay").alias("payload"))
+
+
+def payloads_for_query(index: InvertedIndex, spec) -> DataFrame:
+    """PayloadSpanUtil.getPayloadsForQuery
+    (`sandbox/payloads/PayloadSpanUtil.java:37,44`): collect the
+    payloads at every position a query matches.
+
+    ``spec`` mirrors the reference's query-to-span rewrite:
+      - ``{"term": t}`` — every position of t (SpanTermQuery);
+      - ``{"or": [spec, ...]}`` — union (BooleanQuery SHOULD /
+        DisjunctionMax / MultiPhrase term sets all reduce to this);
+      - ``{"bool": [(spec, prohibited), ...]}`` — union of the
+        non-prohibited clauses (PayloadSpanUtil.java:44 skips
+        ``clause.isProhibited()``);
+      - ``{"phrase": [t1, ...], "slop": s}`` — SpanNear rewrite with
+        the reference's quirk ``inorder = (slop == 0)``
+        (PayloadSpanUtil.java:61); collected payloads are those of the
+        clause terms at their matched positions inside each window.
+
+    Returns (doc_id, term, pos, payload) rows, one per collected
+    payload.  Plan shape: per-term block decode (posting pushdown) +
+    for phrases a doc_id equi-join of positions against match windows
+    — the payload arrays never leave the JVM.
+    """
+    if "term" in spec:
+        return _term_payload_rows(index, [spec["term"]])
+    if "or" in spec:
+        frames = [payloads_for_query(index, s) for s in spec["or"]]
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf)
+        return out.distinct()
+    if "bool" in spec:
+        frames = [
+            payloads_for_query(index, s)
+            for s, prohibited in spec["bool"]
+            if not prohibited
+        ]
+        if not frames:
+            return index.spark.createDataFrame(
+                [], "doc_id long, term string, pos int, payload float"
+            )
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf)
+        return out.distinct()
+    if "phrase" in spec:
+        from lucene_spark.search.spans import _near_match_windows
+
+        terms = list(spec["phrase"])
+        slop = int(spec.get("slop", 0))
+        in_order = slop == 0  # PayloadSpanUtil.java:61
+        win = _near_match_windows(index, [[t] for t in terms], slop, in_order)
+        if win is None:
+            return index.spark.createDataFrame(
+                [], "doc_id long, term string, pos int, payload float"
+            )
+        win = win.withColumnRenamed("doc_id", "w_doc").distinct()
+        rows = _term_payload_rows(index, terms)
+        cond = (
+            (F.col("w_doc") == F.col("doc_id"))
+            & (F.col("pos") >= F.col("start"))
+            & (F.col("pos") < F.col("end"))
+        )
+        return (
+            rows.join(win, cond, "left_semi")
+            .distinct()
+        )
+    raise ValueError(f"unsupported payload query spec: {spec!r}")

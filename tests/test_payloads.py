@@ -150,3 +150,83 @@ def test_checkindex_payload_alignment(spark):
     counts = check_index(idx)
     assert counts["payloads_lengths"] == 0
     assert all(v == 0 for k, v in counts.items() if k != "_df")
+
+
+# ------------------------------------------------ PayloadSpanUtil analog
+
+
+def _psu_corpus(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": [
+                "a|0.0 b|1.0 c|2.0",        # phrase "a b" at 0-1
+                "b|0.5 a|1.5 b|2.5",        # "a b" at 1-2 (ordered)
+                "a|9.0 c|8.0 b|7.0",        # no adjacent "a b"
+                "a|1.0 b|2.0 a|3.0 b|4.0",  # two matches
+            ],
+        }
+    )
+    return InvertedIndex.build(
+        spark.createDataFrame(pdf),
+        analyzer=delimited_payload_analyzer(),
+        positions=True,
+        payloads=True,
+        docs_per_segment=4,
+    )
+
+
+def test_payloads_for_term(spark):
+    from lucene_spark.search.payloads import payloads_for_query
+
+    idx = _psu_corpus(spark)
+    rows = payloads_for_query(idx, {"term": "a"}).collect()
+    got = sorted((r["doc_id"], r["pos"], r["payload"]) for r in rows)
+    assert got == [(0, 0, 0.0), (1, 1, 1.5), (2, 0, 9.0), (3, 0, 1.0), (3, 2, 3.0)]
+
+
+def test_payloads_for_phrase_exact(spark):
+    from lucene_spark.search.payloads import payloads_for_query
+
+    idx = _psu_corpus(spark)
+    rows = payloads_for_query(idx, {"phrase": ["a", "b"], "slop": 0}).collect()
+    got = sorted((r["doc_id"], r["term"], r["pos"]) for r in rows)
+    assert got == [
+        (0, "a", 0), (0, "b", 1),
+        (1, "a", 1), (1, "b", 2),
+        (3, "a", 0), (3, "a", 2), (3, "b", 1), (3, "b", 3),
+    ]
+
+
+def test_payloads_for_phrase_slop_unordered_quirk(spark):
+    from lucene_spark.search.payloads import payloads_for_query
+
+    idx = _psu_corpus(spark)
+    # PayloadSpanUtil.java:61 — slop > 0 means inorder = false, so the
+    # "b a" in doc 1 and the non-adjacent a..b in doc 2 now match
+    rows = payloads_for_query(idx, {"phrase": ["a", "b"], "slop": 2}).collect()
+    docs = {r["doc_id"] for r in rows}
+    assert 2 in docs  # a at 0, b at 2: width 1 <= 2, unordered
+
+
+def test_payloads_bool_skips_prohibited(spark):
+    from lucene_spark.search.payloads import payloads_for_query
+
+    idx = _psu_corpus(spark)
+    rows = payloads_for_query(
+        idx, {"bool": [({"term": "c"}, False), ({"term": "a"}, True)]}
+    ).collect()
+    assert {r["term"] for r in rows} == {"c"}
+    assert sorted(r["payload"] for r in rows) == [2.0, 8.0]
+
+
+def test_payloads_or_union(spark):
+    from lucene_spark.search.payloads import payloads_for_query
+
+    idx = _psu_corpus(spark)
+    rows = payloads_for_query(
+        idx, {"or": [{"term": "c"}, {"term": "b"}]}
+    ).collect()
+    assert {r["term"] for r in rows} == {"b", "c"}
