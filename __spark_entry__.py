@@ -1340,7 +1340,7 @@ _DRIVER_PRIORITY = [
     "sorted_range_docs", "collation_range", "cyrillic_translit",
     "polish_stem_terms", "opennlp_pos_chunks", "sentence_chunks",
     "morfologik_lemmas", "histogram_facets", "span_payloads_collect",
-    "bp_merge_reorder_topk",
+    "bp_merge_reorder_topk", "rearrange_stats",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3445,6 +3445,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["bp_merge_reorder_topk"] = bp_merge_reorder_topk
+
+    # IndexRearranger (misc/index/IndexRearranger.java:28): one output
+    # segment per selector, selector order preserved; per-segment doc
+    # counts AND per-segment postings ('hash' docFreq) must equal the
+    # selector partition computed straight from the corpus.
+    def rearrange_stats(spark, sf):
+        from lucene_spark.index.rearranger import rearrange
+
+        corpus = _docs(spark, sf)
+        idx, mapping = rearrange(
+            corpus,
+            [
+                F.col("doc_id") % 3 == 0,
+                F.col("doc_id") % 3 == 1,
+                F.col("doc_id") % 3 == 2,
+            ],
+        )
+        n_docs = mapping.groupBy("segment_id").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+        hash_docs = (
+            idx.blocks.filter(F.col("term") == "hash")
+            .groupBy("segment_id")
+            .agg(F.sum("num_docs").alias("hash_docs"))
+        )
+        return (
+            n_docs.join(hash_docs, "segment_id", "left")
+            .select(
+                F.col("segment_id").cast("long").alias("segment_id"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.coalesce(F.col("hash_docs"), F.lit(0)).cast("long").alias("hash_docs"),
+            )
+            .orderBy("segment_id")
+        )
+
+    out["rearrange_stats"] = rearrange_stats
 
     # Japanese morphological tokenizer (kuromoji analog,
     # `analysis/ja/JapaneseTokenizer.java:61`): distributed Viterbi
@@ -7976,6 +8012,13 @@ ORDER BY node
     out["bp_reorder_topk"] = oracle_bm25_sql({"hash": 1.0, "join": 0.5}, k=15)
     # merge-time BP reorder: invariant vs plain BM25 on original ids
     out["bp_merge_reorder_topk"] = oracle_bm25_sql({"scan": 1.0, "merge": 0.5}, k=15)
+    out["rearrange_stats"] = """
+SELECT CAST(doc_id % 3 AS BIGINT) AS segment_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN list_contains(string_split(text, ' '), 'hash')
+                THEN 1 ELSE 0 END) AS BIGINT) AS hash_docs
+FROM documents GROUP BY 1 ORDER BY segment_id
+"""
 
     # a synced replica answers exactly like the primary commit
     out["replica_search"] = oracle_bm25_sql({"merge": 1.0, "scan": 0.5}, k=15)

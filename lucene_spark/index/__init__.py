@@ -20,6 +20,7 @@ from lucene_spark.index.deletes import (
 )
 from lucene_spark.index.bp import bp_order_local, bp_reorder
 from lucene_spark.index.bpmerge import bp_reordering_merge
+from lucene_spark.index.rearranger import rearrange
 from lucene_spark.index.replicator import PrimaryNode, ReplicaNode
 from lucene_spark.index.resumable import load_resumable, resumable_build
 from lucene_spark.index.sorting import sort_docs
@@ -35,6 +36,7 @@ __all__ = [
     "bp_order_local",
     "bp_reorder",
     "bp_reordering_merge",
+    "rearrange",
     "check_index",
     "multi_pass_split",
     "pk_split",
