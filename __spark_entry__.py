@@ -1340,7 +1340,7 @@ _DRIVER_PRIORITY = [
     "sorted_range_docs", "collation_range", "cyrillic_translit",
     "polish_stem_terms", "opennlp_pos_chunks", "sentence_chunks",
     "morfologik_lemmas", "histogram_facets", "span_payloads_collect",
-    "bp_merge_reorder_topk", "rearrange_stats",
+    "bp_merge_reorder_topk", "rearrange_stats", "time_limited_topk",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3481,6 +3481,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["rearrange_stats"] = rearrange_stats
+
+    # TimeLimitingBulkScorer analog (core/search/
+    # TimeLimitingBulkScorer.java:28): chunked scoring with a clock
+    # check between chunks; a generous budget must reproduce the plain
+    # BM25 ranking exactly and must not report a timeout.
+    def time_limited_topk_gate(spark, sf):
+        from lucene_spark.search.timelimit import time_limited_topk
+
+        idx = _index(spark, sf)
+        topk, timed_out = time_limited_topk(
+            idx, {"hash": 1.0, "scan": 0.5}, k=15,
+            budget_ms=10 * 60 * 1000.0, chunk_segments=2,
+        )
+        assert not timed_out
+        return topk.select(
+            "doc_id", F.round(F.col("s"), 4).alias("score")
+        ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+    out["time_limited_topk"] = time_limited_topk_gate
 
     # Japanese morphological tokenizer (kuromoji analog,
     # `analysis/ja/JapaneseTokenizer.java:61`): distributed Viterbi
@@ -8019,6 +8038,7 @@ SELECT CAST(doc_id % 3 AS BIGINT) AS segment_id,
                 THEN 1 ELSE 0 END) AS BIGINT) AS hash_docs
 FROM documents GROUP BY 1 ORDER BY segment_id
 """
+    out["time_limited_topk"] = oracle_bm25_sql({"hash": 1.0, "scan": 0.5}, k=15)
 
     # a synced replica answers exactly like the primary commit
     out["replica_search"] = oracle_bm25_sql({"merge": 1.0, "scan": 0.5}, k=15)

@@ -74,7 +74,8 @@ from lucene_spark.search.rescore import (
     saturation,
     sigmoid,
 )
-from lucene_spark.search.payloads import decode_payloads, payload_score_topk
+from lucene_spark.search.payloads import decode_payloads, payload_score_topk, payloads_for_query
+from lucene_spark.search.timelimit import time_limited_topk
 from lucene_spark.search.complexphrase import complex_phrase_docs, parse_complex_phrase
 from lucene_spark.search.suggest import (
     build_freetext_model,
@@ -128,6 +129,8 @@ __all__ = [
     "saturation",
     "sigmoid",
     "decode_payloads",
+    "payloads_for_query",
+    "time_limited_topk",
     "payload_score_topk",
     "complex_phrase_docs",
     "parse_complex_phrase",
