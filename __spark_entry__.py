@@ -85,6 +85,7 @@ _COMMIT_CACHE: dict = {}
 _BP_CACHE: dict = {}
 _REPLICA_CACHE: dict = {}
 _SORTED_STORE_CACHE: dict = {}
+_UPGRADE_CACHE: dict = {}
 
 TOK_CTE = (
     "tok AS (SELECT doc_id, term FROM (SELECT doc_id, "
@@ -1341,6 +1342,7 @@ _DRIVER_PRIORITY = [
     "polish_stem_terms", "opennlp_pos_chunks", "sentence_chunks",
     "morfologik_lemmas", "histogram_facets", "span_payloads_collect",
     "bp_merge_reorder_topk", "rearrange_stats", "time_limited_topk",
+    "upgrade_roundtrip",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3500,6 +3502,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
 
     out["time_limited_topk"] = time_limited_topk_gate
+
+    # IndexUpgrader / backward-codecs analog (core/index/
+    # IndexUpgrader.java:48): fabricate a v1-format directory, upgrade
+    # it, and the upgraded index must answer BM25 exactly like a fresh
+    # current-format build (= the plain oracle).
+    def upgrade_roundtrip(spark, sf):
+        import json as _json
+        import os as _os
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from lucene_spark.functions.forutil import fordelta_decode
+        from lucene_spark.index.backward import (
+            V1_FORMAT,
+            _v1_encode_docs,
+            upgrade_index,
+        )
+
+        if sf not in _UPGRADE_CACHE:
+            path = _os.path.join(
+                _tempfile.mkdtemp(prefix="lucene_spark_upgrade_"), "idx"
+            )
+            idx = InvertedIndex.build(
+                _docs(spark, sf), analyzer="simple", docs_per_segment=2048
+            )
+            idx.save(path)
+            blocks = spark.read.parquet(_os.path.join(path, "blocks"))
+            pdf = blocks.toPandas()
+            pdf["docs_packed"] = [
+                _v1_encode_docs(fordelta_decode(bytes(b)))
+                for b in pdf["docs_packed"]
+            ]
+            pdf = pdf.drop(columns=["doc_zones"])
+            tmp = _os.path.join(path, "blocks_v1tmp")
+            spark.createDataFrame(pdf).write.mode("overwrite").parquet(tmp)
+            _shutil.rmtree(_os.path.join(path, "blocks"))
+            _os.replace(tmp, _os.path.join(path, "blocks"))
+            mp = _os.path.join(path, "manifest.json")
+            with open(mp) as fh:
+                m = _json.load(fh)
+            m["format"] = V1_FORMAT
+            with open(mp, "w") as fh:
+                _json.dump(m, fh)
+            upgrade_index(spark, path)
+            _UPGRADE_CACHE[sf] = path
+        from lucene_spark.search.parity import _bm25_scored_f64
+
+        upgraded = InvertedIndex.load(spark, _UPGRADE_CACHE[sf])
+        return (
+            _bm25_scored_f64(upgraded, {"hash": 1.0, "scan": 0.5})
+            .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+            .limit(15)
+            .select("doc_id", F.round(F.col("s"), 4).alias("score"))
+        )
+
+    out["upgrade_roundtrip"] = upgrade_roundtrip
 
     # Japanese morphological tokenizer (kuromoji analog,
     # `analysis/ja/JapaneseTokenizer.java:61`): distributed Viterbi
@@ -8039,6 +8097,8 @@ SELECT CAST(doc_id % 3 AS BIGINT) AS segment_id,
 FROM documents GROUP BY 1 ORDER BY segment_id
 """
     out["time_limited_topk"] = oracle_bm25_sql({"hash": 1.0, "scan": 0.5}, k=15)
+    # v1->v2 upgraded index answers exactly like a fresh v2 build
+    out["upgrade_roundtrip"] = oracle_bm25_sql({"hash": 1.0, "scan": 0.5}, k=15)
 
     # a synced replica answers exactly like the primary commit
     out["replica_search"] = oracle_bm25_sql({"merge": 1.0, "scan": 0.5}, k=15)

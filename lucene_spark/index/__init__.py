@@ -21,6 +21,7 @@ from lucene_spark.index.deletes import (
 from lucene_spark.index.bp import bp_order_local, bp_reorder
 from lucene_spark.index.bpmerge import bp_reordering_merge
 from lucene_spark.index.rearranger import rearrange
+from lucene_spark.index.backward import upgrade_index
 from lucene_spark.index.replicator import PrimaryNode, ReplicaNode
 from lucene_spark.index.resumable import load_resumable, resumable_build
 from lucene_spark.index.sorting import sort_docs
@@ -37,6 +38,7 @@ __all__ = [
     "bp_reorder",
     "bp_reordering_merge",
     "rearrange",
+    "upgrade_index",
     "check_index",
     "multi_pass_split",
     "pk_split",
