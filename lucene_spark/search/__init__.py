@@ -76,6 +76,7 @@ from lucene_spark.search.rescore import (
 )
 from lucene_spark.search.payloads import decode_payloads, payload_score_topk, payloads_for_query
 from lucene_spark.search.timelimit import time_limited_topk
+from lucene_spark.search.lifetime import PruneByAge, SearcherLifetimeManager, SearcherManager
 from lucene_spark.search.complexphrase import complex_phrase_docs, parse_complex_phrase
 from lucene_spark.search.suggest import (
     build_freetext_model,
@@ -131,6 +132,9 @@ __all__ = [
     "decode_payloads",
     "payloads_for_query",
     "time_limited_topk",
+    "SearcherManager",
+    "SearcherLifetimeManager",
+    "PruneByAge",
     "payload_score_topk",
     "complex_phrase_docs",
     "parse_complex_phrase",

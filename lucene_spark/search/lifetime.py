@@ -1,0 +1,171 @@
+"""Searcher lifecycle management: SearcherManager + SearcherLifetimeManager.
+
+Reference parity targets:
+  - lucene/core/src/java/org/apache/lucene/search/SearcherManager.java:59
+    (acquire the CURRENT searcher with a ref count; ``maybeRefresh``
+    swaps in a reader over the newest commit; release decrements)
+  - core/search/SearcherLifetimeManager.java:13 (record a searcher
+    under its reader VERSION so a follow-on request — paging through
+    results — can ``acquire(version)`` the exact point-in-time view it
+    started from; ``prune(Pruner)`` ages out old versions)
+  - SearcherLifetimeManager.java:123 (the prune quirk carried exactly:
+    a tracker's age is ``now - recordTime of the NEXT NEWER tracker``
+    — the time since it stopped being live — so the newest tracker is
+    always age 0.0 and is never pruned by PruneByAge)
+  - SearcherLifetimeManager.java:106 (PruneByAge: prune when
+    ``age > maxAgeSec``)
+
+Spark re-expression: a "searcher" is an :class:`InvertedIndex` opened
+from an :class:`IndexCommits` generation (the version IS the commit
+generation — Lucene's reader version is the same monotonic commit
+counter).  Ref-counting gates when a pruned generation's cached
+DataFrames may be released; the snapshot/release protocol of
+``IndexCommits`` protects the on-disk files the same way
+SnapshotDeletionPolicy does for the reference.  All bookkeeping is
+driver-side; the data plane is untouched.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+__all__ = [
+    "SearcherManager",
+    "SearcherLifetimeManager",
+    "PruneByAge",
+]
+
+
+class SearcherManager:
+    """SearcherManager.java:59 over an :class:`IndexCommits` root:
+    ``acquire()`` returns the current-generation index (ref-counted),
+    ``maybe_refresh()`` opens the newest committed generation when it
+    advanced, ``release()`` decrements."""
+
+    def __init__(self, commits):
+        self._commits = commits
+        self._gen = commits.current_generation()
+        self._index = commits.open(self._gen) if self._gen is not None else None
+        # id(index) -> [generation, outstanding refs]
+        self._refs: Dict[int, list] = {}
+
+    @property
+    def current_generation(self) -> Optional[int]:
+        return self._gen
+
+    def acquire(self):
+        if self._index is None:
+            raise RuntimeError("no committed generation to acquire")
+        slot = self._refs.setdefault(id(self._index), [self._gen, 0])
+        slot[1] += 1
+        return self._index
+
+    def release(self, index) -> None:
+        slot = self._refs.get(id(index))
+        if slot is None or slot[1] <= 0:
+            raise ValueError("release of an index not acquired from this manager")
+        slot[1] -= 1
+
+    def maybe_refresh(self) -> bool:
+        """True when a newer commit was swapped in (maybeRefresh
+        contract: cheap no-op when current)."""
+        newest = self._commits.current_generation()
+        if newest == self._gen:
+            return False
+        self._index = self._commits.open(newest)
+        self._gen = newest
+        return True
+
+
+@dataclass
+class _Tracker:
+    searcher: object
+    version: int
+    record_time_sec: float
+    refs: int = 0
+
+
+class PruneByAge:
+    """SearcherLifetimeManager.PruneByAge (java:106)."""
+
+    def __init__(self, max_age_sec: float):
+        if max_age_sec < 0:
+            raise ValueError("max_age_sec must be >= 0")
+        self.max_age_sec = max_age_sec
+
+    def do_prune(self, age_sec: float, searcher: object) -> bool:
+        return age_sec > self.max_age_sec
+
+
+class SearcherLifetimeManager:
+    """SearcherLifetimeManager.java:13 — version-pinned searchers for
+    consistent paging.  ``clock`` is injectable for deterministic
+    tests."""
+
+    def __init__(self, clock: Optional[Callable[[], float]] = None):
+        self._clock = clock or time.monotonic
+        self._trackers: Dict[int, _Tracker] = {}
+        self._closed = False
+
+    def record(self, searcher: object, version: int) -> int:
+        """Register ``searcher`` under its version; re-recording the
+        same version must present the same searcher (java:57-77
+        ensureOpen + same-instance assertion)."""
+        if self._closed:
+            raise RuntimeError("this SearcherLifetimeManager is closed")
+        cur = self._trackers.get(version)
+        if cur is not None:
+            if cur.searcher is not searcher:
+                raise ValueError(
+                    f"different searcher already recorded for version {version}"
+                )
+            return version
+        self._trackers[version] = _Tracker(
+            searcher=searcher, version=version, record_time_sec=self._clock()
+        )
+        return version
+
+    def acquire(self, version: int):
+        """The searcher recorded under ``version``, or None if pruned
+        (java:84-92: callers must handle None by falling back to the
+        current searcher)."""
+        t = self._trackers.get(version)
+        if t is None:
+            return None
+        t.refs += 1
+        return t.searcher
+
+    def release(self, searcher: object) -> None:
+        for t in self._trackers.values():
+            if t.searcher is searcher and t.refs > 0:
+                t.refs -= 1
+                return
+        raise ValueError("release of a searcher not acquired from this manager")
+
+    def prune(self, pruner) -> List[int]:
+        """Apply ``pruner`` newest-first with the reference's age rule:
+        the newest tracker is age 0.0; each older tracker's age is
+        ``now - record_time of the next newer one``.  Returns the
+        pruned versions."""
+        trackers = sorted(
+            self._trackers.values(), key=lambda t: -t.record_time_sec
+        )
+        now = self._clock()
+        last_record = 0.0
+        pruned: List[int] = []
+        for t in trackers:
+            age = 0.0 if last_record == 0.0 else now - last_record
+            if pruner.do_prune(age, t.searcher):
+                del self._trackers[t.version]
+                pruned.append(t.version)
+            last_record = t.record_time_sec
+        return pruned
+
+    def versions(self) -> List[int]:
+        return sorted(self._trackers)
+
+    def close(self) -> None:
+        self._closed = True
+        self._trackers.clear()
