@@ -77,6 +77,7 @@ from lucene_spark.search.rescore import (
 from lucene_spark.search.payloads import decode_payloads, payload_score_topk, payloads_for_query
 from lucene_spark.search.timelimit import time_limited_topk
 from lucene_spark.search.lifetime import PruneByAge, SearcherLifetimeManager, SearcherManager
+from lucene_spark.search.tostring import query_to_string
 from lucene_spark.search.complexphrase import complex_phrase_docs, parse_complex_phrase
 from lucene_spark.search.suggest import (
     build_freetext_model,
@@ -135,6 +136,7 @@ __all__ = [
     "SearcherManager",
     "SearcherLifetimeManager",
     "PruneByAge",
+    "query_to_string",
     "payload_score_topk",
     "complex_phrase_docs",
     "parse_complex_phrase",
