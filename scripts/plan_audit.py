@@ -432,6 +432,29 @@ def main() -> None:
         )
     )
 
+    # 17. sentence-window chunking: exactly ONE Arrow pass (the
+    # segmentation UDF); membership explode, window groupBy, and text
+    # assembly are all JVM — a second Python node would mean the window
+    # logic leaked out of codegen
+    from lucene_spark.pipeline.chunking import sentence_windows
+
+    docs17 = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    p17 = plan_of(sentence_windows(docs17, window=3, stride=2))
+    n_py17 = len(
+        re.findall(
+            r"\(\d+\) (?:ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas)",
+            p17,
+        )
+    )
+    checks.append(
+        (
+            "sentence chunking: one Arrow segmentation pass, JVM windowing",
+            n_py17 == 1,
+            f"{n_py17} Python node(s), want exactly 1",
+            p17,
+        )
+    )
+
     # report
     ok_all = all(ok for _, ok, _, _ in checks)
     rows = "\n".join(
