@@ -76,7 +76,7 @@ from lucene_spark.search.rescore import (
 )
 from lucene_spark.search.payloads import decode_payloads, payload_score_topk, payloads_for_query
 from lucene_spark.search.timelimit import time_limited_topk
-from lucene_spark.search.lifetime import PruneByAge, SearcherLifetimeManager, SearcherManager
+from lucene_spark.search.lifetime import ControlledReopenController, PruneByAge, SearcherLifetimeManager, SearcherManager
 from lucene_spark.search.tostring import query_to_string
 from lucene_spark.search.complexphrase import complex_phrase_docs, parse_complex_phrase
 from lucene_spark.search.suggest import (
@@ -136,6 +136,7 @@ __all__ = [
     "SearcherManager",
     "SearcherLifetimeManager",
     "PruneByAge",
+    "ControlledReopenController",
     "query_to_string",
     "payload_score_topk",
     "complex_phrase_docs",

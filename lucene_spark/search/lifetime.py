@@ -35,6 +35,7 @@ __all__ = [
     "SearcherManager",
     "SearcherLifetimeManager",
     "PruneByAge",
+    "ControlledReopenController",
 ]
 
 
@@ -169,3 +170,67 @@ class SearcherLifetimeManager:
     def close(self) -> None:
         self._closed = True
         self._trackers.clear()
+
+
+class ControlledReopenController:
+    """ControlledRealTimeReopenThread analog
+    (core/search/ControlledRealTimeReopenThread.java:11) — synchronous
+    driver-side pacing instead of a thread, same contract:
+
+      - ``targetMaxStaleSec``: ordinary searches tolerate this much
+        staleness; :meth:`run_once` (the reopen thread's periodic body)
+        refreshes when it elapsed.
+      - ``targetMinStaleSec``: once a caller WAITS for a specific
+        generation, refresh that much sooner — but never more often
+        (java:30-41; max < min raises, as in the reference ctor).
+      - :meth:`wait_for_generation` returns True once the searcher
+        covers the target commit generation, refreshing (min-stale
+        paced) as needed; False when the generation is not yet
+        committed (the synchronous stand-in for the reference's
+        blocking wait / timeout=False return, java:89).
+    """
+
+    def __init__(
+        self,
+        manager: "SearcherManager",
+        target_max_stale_sec: float,
+        target_min_stale_sec: float,
+        clock: Optional[Callable[[], float]] = None,
+    ):
+        if target_max_stale_sec < target_min_stale_sec:
+            raise ValueError(
+                f"targetMaxScaleSec (= {target_max_stale_sec}) < "
+                f"targetMinStaleSec (= {target_min_stale_sec})"
+            )
+        self._manager = manager
+        self._max_stale = target_max_stale_sec
+        self._min_stale = target_min_stale_sec
+        self._clock = clock or time.monotonic
+        self._last_refresh = self._clock()
+
+    @property
+    def searching_generation(self) -> Optional[int]:
+        return self._manager.current_generation
+
+    def run_once(self) -> bool:
+        """The reopen thread's periodic body: refresh when the ordinary
+        staleness budget elapsed.  Returns whether a refresh ran."""
+        now = self._clock()
+        if now - self._last_refresh >= self._max_stale:
+            self._last_refresh = now
+            return self._manager.maybe_refresh()
+        return False
+
+    def wait_for_generation(self, target_gen: int) -> bool:
+        cur = self._manager.current_generation
+        if cur is not None and cur >= target_gen:
+            return True
+        now = self._clock()
+        if now - self._last_refresh < self._min_stale:
+            # min-stale pacing: a waiter may pull the reopen earlier
+            # than max-stale, but never tighter than min-stale
+            return False
+        self._last_refresh = now
+        self._manager.maybe_refresh()
+        cur = self._manager.current_generation
+        return cur is not None and cur >= target_gen

@@ -139,3 +139,98 @@ def test_paging_scenario_with_commits(spark, tmp_path):
     pinned = lifetime.acquire(gen0)
     assert pinned is s  # the exact point-in-time view
     assert pinned.terms.filter("term = 'alpha'").count() == 1
+
+
+# -------------------------------------- ControlledRealTimeReopenThread
+
+
+def test_reopen_controller_pacing(spark, tmp_path):
+    from lucene_spark.search.lifetime import ControlledReopenController
+
+    commits = IndexCommits(spark, str(tmp_path / "r"), keep_last=5)
+    commits.commit(_idx(spark, "alpha"))
+    mgr = SearcherManager(commits)
+
+    t = {"now": 0.0}
+    ctl = ControlledReopenController(
+        mgr, target_max_stale_sec=10.0, target_min_stale_sec=2.0,
+        clock=lambda: t["now"],
+    )
+    gen1 = commits.commit(_idx(spark, "beta"))
+
+    # ordinary pacing: before max-stale elapses, run_once is a no-op
+    t["now"] = 5.0
+    assert not ctl.run_once()
+    assert ctl.searching_generation == 0
+
+    # a waiter pulls the refresh at min-stale (2s), well before the
+    # 10s ordinary budget: at t=5 the wait refreshes and sees gen1
+    assert ctl.wait_for_generation(gen1)
+    assert ctl.searching_generation == gen1
+
+
+def test_reopen_controller_wait_refreshes_at_min_stale(spark, tmp_path):
+    from lucene_spark.search.lifetime import ControlledReopenController
+
+    commits = IndexCommits(spark, str(tmp_path / "r2"), keep_last=5)
+    commits.commit(_idx(spark, "alpha"))
+    mgr = SearcherManager(commits)
+    t = {"now": 0.0}
+    ctl = ControlledReopenController(
+        mgr, target_max_stale_sec=10.0, target_min_stale_sec=2.0,
+        clock=lambda: t["now"],
+    )
+    gen1 = commits.commit(_idx(spark, "beta"))
+
+    t["now"] = 1.0  # under min-stale: waiter must NOT force a refresh
+    assert not ctl.wait_for_generation(gen1)
+    assert ctl.searching_generation == 0
+
+    t["now"] = 3.0  # past min-stale: waiter refreshes and sees gen1
+    assert ctl.wait_for_generation(gen1)
+    assert ctl.searching_generation == gen1
+
+    # already satisfied: immediate True with no pacing involved
+    t["now"] = 3.1
+    assert ctl.wait_for_generation(gen1)
+
+
+def test_reopen_controller_run_once_after_max_stale(spark, tmp_path):
+    from lucene_spark.search.lifetime import ControlledReopenController
+
+    commits = IndexCommits(spark, str(tmp_path / "r3"), keep_last=5)
+    commits.commit(_idx(spark, "alpha"))
+    mgr = SearcherManager(commits)
+    t = {"now": 0.0}
+    ctl = ControlledReopenController(
+        mgr, target_max_stale_sec=10.0, target_min_stale_sec=2.0,
+        clock=lambda: t["now"],
+    )
+    commits.commit(_idx(spark, "beta"))
+    t["now"] = 10.0
+    assert ctl.run_once()
+    assert ctl.searching_generation == 1
+
+
+def test_reopen_controller_validates_stale_bounds(spark, tmp_path):
+    from lucene_spark.search.lifetime import ControlledReopenController
+
+    commits = IndexCommits(spark, str(tmp_path / "r4"), keep_last=5)
+    commits.commit(_idx(spark, "alpha"))
+    mgr = SearcherManager(commits)
+    with pytest.raises(ValueError):
+        ControlledReopenController(mgr, 1.0, 2.0)
+
+
+def test_wait_for_uncommitted_generation_is_false(spark, tmp_path):
+    from lucene_spark.search.lifetime import ControlledReopenController
+
+    commits = IndexCommits(spark, str(tmp_path / "r5"), keep_last=5)
+    commits.commit(_idx(spark, "alpha"))
+    mgr = SearcherManager(commits)
+    t = {"now": 100.0}
+    ctl = ControlledReopenController(
+        mgr, 10.0, 2.0, clock=lambda: t["now"]
+    )
+    t["now"] = 200.0
+    assert not ctl.wait_for_generation(99)  # never committed
