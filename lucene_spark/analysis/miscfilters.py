@@ -272,3 +272,38 @@ def string_transform_udf(fn: Callable[[str], str]):
         return s.map(lambda t: fn(t) if isinstance(t, str) else t)
 
     return _f
+
+
+def date_recognizer(
+    tokens: Sequence[str],
+    formats: Sequence[str] = ("%b %d, %Y", "%B %d, %Y"),
+) -> List[str]:
+    """DateRecognizerFilter (`miscellaneous/DateRecognizerFilter.java:28`):
+    keep only tokens parseable as dates.  The reference's default is
+    ``DateFormat.getDateInstance(DEFAULT, ENGLISH)`` ("Jan 12, 1952");
+    pass ``formats`` (strptime patterns) the way the factory takes a
+    datePattern."""
+    from datetime import datetime
+
+    out: List[str] = []
+    for t in tokens:
+        for fmt in formats:
+            try:
+                datetime.strptime(t, fmt)
+                out.append(t)
+                break
+            except ValueError:
+                continue
+    return out
+
+
+def protected_term(
+    tokens: Sequence[str],
+    protected: Sequence[str],
+    fn: Callable[[str], str],
+) -> List[str]:
+    """ProtectedTermFilter (`miscellaneous/ProtectedTermFilter.java:33`):
+    the wrapped filter runs only on tokens NOT in the protected set —
+    a ConditionalTokenFilter specialization keyed on term membership."""
+    pset = set(protected)
+    return [t if t in pset else fn(t) for t in tokens]

@@ -144,3 +144,24 @@ def test_delimited_tf_and_override():
     )
     assert stemmer_override("walking", {}, lambda w: w[:-3]) == "walk"
     assert stemmer_override("walking", {}) == "walking"
+
+
+def test_date_recognizer_keeps_only_dates():
+    from lucene_spark.analysis.miscfilters import date_recognizer
+
+    # DateRecognizerFilter.java:28 — default ENGLISH DateFormat accepts
+    # "Jan 12, 1952"-style terms; everything else is dropped
+    assert date_recognizer(
+        ["Jan 12, 1952", "foo", "January 2, 2006", "12", "2006-01-02"]
+    ) == ["Jan 12, 1952", "January 2, 2006"]
+    assert date_recognizer(["2006-01-02"], formats=("%Y-%m-%d",)) == ["2006-01-02"]
+
+
+def test_protected_term_skips_wrapped_filter():
+    from lucene_spark.analysis.miscfilters import protected_term
+
+    # ProtectedTermFilter.java:33 — wrapped filter bypassed for the set
+    assert protected_term(
+        ["running", "jumping", "walking"], ["running", "walking"],
+        lambda t: t[:-3],
+    ) == ["running", "jump", "walking"]
