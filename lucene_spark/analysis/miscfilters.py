@@ -307,3 +307,63 @@ def protected_term(
     a ConditionalTokenFilter specialization keyed on term membership."""
     pset = set(protected)
     return [t if t in pset else fn(t) for t in tokens]
+
+
+def flatten_graph(
+    tokens: Sequence[Tuple],
+) -> List[Tuple[str, int, int, int, int]]:
+    """FlattenGraphFilter (`core/FlattenGraphFilter.java:17`): squash a
+    token GRAPH (SynonymGraphFilter output, where side paths span
+    multiple positions) into a flat "sausage" the indexer can consume.
+
+    Input/output tokens are ``(term, pos_inc, pos_len, start, end)``
+    (offsets optional on input, defaulted 0).  Node mapping mirrors the
+    reference: ``out(to) = max over incoming tokens of out(from) + 1``;
+    a node no token enters (a HOLE — e.g. a deleted stopword) maps to
+    ``out(prev) + (node - prev)`` so the hole's positionIncrement
+    survives (TestFlattenGraphFilter.testSimpleHole); input node ids
+    with no tokens at all are skipped, NOT holes
+    (testStrangelyNumberedNodes).  Every output token gets
+    ``pos_len = max(1, out(to) - out(from))`` — side paths align with
+    the main path.  Offsets pass through unchanged (the reference
+    additionally clamps them to output-node bounds for multi-word
+    spans; single-field web text never hits that corner here).
+    """
+    if not tokens:
+        return []
+    norm = []
+    pos = -1
+    for t in tokens:
+        term, inc, plen = t[0], int(t[1]), int(t[2])
+        start, end = (int(t[3]), int(t[4])) if len(t) >= 5 else (0, 0)
+        pos += inc
+        norm.append((term, pos, pos + plen, start, end))
+
+    incoming: Dict[int, List[int]] = {}
+    nodes = set()
+    for _, f, to, _, _ in norm:
+        nodes.add(f)
+        nodes.add(to)
+        incoming.setdefault(to, []).append(f)
+
+    out: Dict[int, int] = {}
+    prev = None
+    for n in sorted(nodes):
+        if n == min(nodes):
+            out[n] = 0
+        elif n in incoming:
+            out[n] = max(out[f] + 1 for f in incoming[n])
+        else:
+            out[n] = out[prev] + (n - prev)  # hole: width preserved
+        prev = n
+
+    order = sorted(range(len(norm)), key=lambda i: (out[norm[i][1]], i))
+    result: List[Tuple[str, int, int, int, int]] = []
+    last_pos = -1
+    for i in order:
+        term, f, to, start, end = norm[i]
+        p = out[f]
+        result.append((term, p - last_pos if p != last_pos else 0,
+                       max(1, out[to] - p), start, end))
+        last_pos = p
+    return result

@@ -165,3 +165,66 @@ def test_protected_term_skips_wrapped_filter():
         ["running", "jumping", "walking"], ["running", "walking"],
         lambda t: t[:-3],
     ) == ["running", "jump", "walking"]
+
+
+def _fg(toks):
+    from lucene_spark.analysis.miscfilters import flatten_graph
+
+    out = flatten_graph(toks)
+    return ([t[0] for t in out], [t[1] for t in out], [t[2] for t in out])
+
+
+def test_flatten_graph_wtf1():
+    # TestFlattenGraphFilter.testWTF1: parallel side paths flatten to a sausage
+    terms, incs, lens = _fg([
+        ("wtf", 1, 5, 0, 3), ("what", 0, 1, 0, 3), ("wow", 0, 3, 0, 3),
+        ("the", 1, 1, 0, 3), ("fudge", 1, 3, 0, 3), ("that's", 1, 1, 0, 3),
+        ("funny", 1, 1, 0, 3), ("happened", 1, 1, 4, 12),
+    ])
+    assert terms == ["wtf", "what", "wow", "the", "that's", "fudge", "funny", "happened"]
+    assert incs == [1, 0, 0, 1, 0, 1, 0, 1]
+    assert lens == [3, 1, 1, 1, 1, 1, 1, 1]
+
+
+def test_flatten_graph_already_flat():
+    # testAlreadyFlatten: flat inputs pass through (wtf posLen 1 stays 1)
+    terms, incs, lens = _fg([
+        ("wtf", 1, 1, 0, 3), ("what", 0, 1, 0, 3), ("wow", 0, 1, 0, 3),
+        ("the", 1, 1, 0, 3), ("that's", 0, 1, 0, 3), ("fudge", 1, 1, 0, 3),
+        ("funny", 0, 1, 0, 3), ("happened", 1, 1, 4, 12),
+    ])
+    assert terms == ["wtf", "what", "wow", "the", "that's", "fudge", "funny", "happened"]
+    assert incs == [1, 0, 0, 1, 0, 1, 0, 1]
+    assert lens == [1, 1, 1, 1, 1, 1, 1, 1]
+
+
+def test_flatten_graph_non_graph_and_hole():
+    # testNonGraph: plain stream unchanged
+    terms, incs, lens = _fg([
+        ("hello", 1, 1, 0, 5), ("pseudo", 1, 1, 6, 12),
+        ("world", 1, 1, 13, 18), ("fun", 1, 1, 19, 22),
+    ])
+    assert incs == [1, 1, 1, 1] and lens == [1, 1, 1, 1]
+    # testSimpleHole: the position hole (deleted stopword) survives
+    terms, incs, lens = _fg([
+        ("hello", 1, 1, 0, 5), ("hole", 2, 1, 6, 10), ("fun", 1, 1, 11, 13),
+    ])
+    assert terms == ["hello", "hole", "fun"]
+    assert incs == [1, 2, 1]
+    assert lens == [1, 1, 1]
+
+
+def test_flatten_graph_strangely_numbered_nodes():
+    # testStrangelyNumberedNodes: an unused node id is NOT a hole
+    terms, incs, lens = _fg([
+        ("dog", 1, 3, 0, 5), ("puppy", 0, 3, 0, 5), ("flies", 3, 1, 6, 11),
+    ])
+    assert terms == ["dog", "puppy", "flies"]
+    assert incs == [1, 0, 1]
+    assert lens == [1, 1, 1]
+
+
+def test_flatten_graph_empty():
+    from lucene_spark.analysis.miscfilters import flatten_graph
+
+    assert flatten_graph([]) == []
