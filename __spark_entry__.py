@@ -87,6 +87,29 @@ _REPLICA_CACHE: dict = {}
 _SORTED_STORE_CACHE: dict = {}
 _UPGRADE_CACHE: dict = {}
 
+# compression-ratio gate corpus: pinned texts + their deflate-level-6
+# sizes (zlib is pinned in this container; the oracle pins the bytes)
+_ZR_TEXTS = [
+    "the cat sat on the mat " * 40,
+    "Information retrieval systems rank documents by estimated relevance to a user query using statistical signals.",
+    "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+    "Spark executes declarative plans through a whole-stage code generator that fuses operators into compact loops.",
+    "buy now click here buy now click here buy now click here buy now click here",
+    "q7fz2kx9mw4vj8tr1ydc5nhb3lgp6soe0aiu",
+    "Posting lists compress well when document identifiers are clustered by topical similarity before encoding.",
+    "zero zero zero zero zero one one one one one two two two two two",
+]
+_ZR_GOLDENS = [
+    (0, 920, 36, 0.0391),
+    (1, 110, 94, 0.8545),
+    (2, 40, 12, 0.3),
+    (3, 110, 94, 0.8545),
+    (4, 75, 30, 0.4),
+    (5, 36, 44, 1.2222),
+    (6, 106, 93, 0.8774),
+    (7, 64, 25, 0.3906),
+]
+
 TOK_CTE = (
     "tok AS (SELECT doc_id, term FROM (SELECT doc_id, "
     "unnest(string_split(text, ' ')) AS term FROM documents) WHERE term <> '')"
@@ -1342,7 +1365,7 @@ _DRIVER_PRIORITY = [
     "polish_stem_terms", "opennlp_pos_chunks", "sentence_chunks",
     "morfologik_lemmas", "histogram_facets", "span_payloads_collect",
     "bp_merge_reorder_topk", "rearrange_stats", "time_limited_topk",
-    "upgrade_roundtrip",
+    "upgrade_roundtrip", "compression_ratio",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3558,6 +3581,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     out["upgrade_roundtrip"] = upgrade_roundtrip
+
+    # Deflate compression-ratio quality signal (MassiveText/Gopher-
+    # family curation heuristic): pinned texts cycled by doc_id, sizes
+    # from the live zlib pass; oracle pins the expected byte counts.
+    def compression_ratio_gate(spark, sf):
+        from lucene_spark.pipeline.textstats import compression_ratio
+
+        texts = F.array(*[F.lit(t) for t in _ZR_TEXTS])
+        d = (
+            _docs(spark, sf)
+            .select("doc_id")
+            .filter(F.col("doc_id") < 400)
+            .select(
+                "doc_id",
+                F.element_at(
+                    texts, (F.col("doc_id") % len(_ZR_TEXTS) + 1).cast("int")
+                ).alias("text"),
+            )
+        )
+        return compression_ratio(d).orderBy("doc_id")
+
+    out["compression_ratio"] = compression_ratio_gate
 
     # Japanese morphological tokenizer (kuromoji analog,
     # `analysis/ja/JapaneseTokenizer.java:61`): distributed Viterbi
@@ -8099,6 +8144,16 @@ FROM documents GROUP BY 1 ORDER BY segment_id
     out["time_limited_topk"] = oracle_bm25_sql({"hash": 1.0, "scan": 0.5}, k=15)
     # v1->v2 upgraded index answers exactly like a fresh v2 build
     out["upgrade_roundtrip"] = oracle_bm25_sql({"hash": 1.0, "scan": 0.5}, k=15)
+    _zr_raw = " ".join(f"WHEN {i} THEN {r}" for i, r, _, _ in _ZR_GOLDENS)
+    _zr_comp = " ".join(f"WHEN {i} THEN {c}" for i, _, c, _ in _ZR_GOLDENS)
+    _zr_ratio = " ".join(f"WHEN {i} THEN {x}" for i, _, _, x in _ZR_GOLDENS)
+    out["compression_ratio"] = f"""
+SELECT doc_id,
+       CAST(CASE (doc_id % {len(_ZR_GOLDENS)}) {_zr_raw} END AS BIGINT) AS raw_bytes,
+       CAST(CASE (doc_id % {len(_ZR_GOLDENS)}) {_zr_comp} END AS BIGINT) AS compressed_bytes,
+       round(CAST(CASE (doc_id % {len(_ZR_GOLDENS)}) {_zr_ratio} END AS DOUBLE), 4) AS ratio
+FROM documents WHERE doc_id < 400 ORDER BY doc_id
+"""
 
     # a synced replica answers exactly like the primary commit
     out["replica_search"] = oracle_bm25_sql({"merge": 1.0, "scan": 0.5}, k=15)

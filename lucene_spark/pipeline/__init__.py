@@ -15,6 +15,7 @@ from lucene_spark.pipeline.sampling import (
     stratified_sample,
 )
 from lucene_spark.pipeline.chunking import sentence_windows
+from lucene_spark.pipeline.textstats import compression_ratio
 from lucene_spark.pipeline.urls import (
     canonicalize_url,
     registered_domain,
@@ -97,4 +98,5 @@ __all__ = [
     "pq_topk",
     "semdedup",
     "sentence_windows",
+    "compression_ratio",
 ]

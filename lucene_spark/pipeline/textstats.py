@@ -203,3 +203,47 @@ def c4_quality_signals(
         has_brace.cast("int").alias("has_brace"),
         keep.cast("int").alias("keep"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Deflate compression-ratio quality signal (MassiveText/Gopher-
+    family heuristic; Rae et al. 2021 use repetition fractions, the
+    deflate ratio is the standard cheap proxy): compressed bytes / raw
+    utf-8 bytes.  Very LOW ratios flag templated/repetitive machine
+    text; very high ratios flag high-entropy noise (base64, minified
+    blobs).  One Arrow pass, embarrassingly parallel, no shuffle —
+    zlib is stdlib, so the 100 TB plan is pure map tasks.
+
+    Returns (id_col, raw_bytes, compressed_bytes, ratio).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _one(s):
+        import zlib
+
+        raws, comps = [], []
+        for t in s:
+            b = t.encode("utf-8") if isinstance(t, str) else b""
+            raws.append(len(b))
+            comps.append(len(zlib.compress(b, level)) if b else 0)
+        return pd.DataFrame({"raw_bytes": raws, "compressed_bytes": comps})
+
+    _one.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    one = F.pandas_udf(_one, "struct<raw_bytes:long,compressed_bytes:long>")
+    d = df.select(id_col, one(F.col(text_col)).alias("z"))
+    return d.select(
+        id_col,
+        F.col("z.raw_bytes").alias("raw_bytes"),
+        F.col("z.compressed_bytes").alias("compressed_bytes"),
+        F.round(
+            F.col("z.compressed_bytes")
+            / F.greatest(F.col("z.raw_bytes"), F.lit(1)),
+            4,
+        ).alias("ratio"),
+    )
