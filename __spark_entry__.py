@@ -1365,7 +1365,7 @@ _DRIVER_PRIORITY = [
     "polish_stem_terms", "opennlp_pos_chunks", "sentence_chunks",
     "morfologik_lemmas", "histogram_facets", "span_payloads_collect",
     "bp_merge_reorder_topk", "rearrange_stats", "time_limited_topk",
-    "upgrade_roundtrip", "compression_ratio",
+    "upgrade_roundtrip", "compression_ratio", "domain_cap_docs",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -3603,6 +3603,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return compression_ratio(d).orderBy("doc_id")
 
     out["compression_ratio"] = compression_ratio_gate
+
+    # Per-domain cap + blocklist (C4-family curation): deterministic
+    # md5-bucket keep order, exact row_number cap; urls synthesized
+    # from doc_id (7 domains), domain site0.com blocklisted.
+    def domain_cap_docs(spark, sf):
+        from lucene_spark.pipeline.urls import domain_cap
+
+        d = (
+            _docs(spark, sf)
+            .select("doc_id")
+            .filter(F.col("doc_id") < 500)
+            .withColumn(
+                "url",
+                F.concat(
+                    F.lit("https://sub.site"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".com/page/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            )
+        )
+        kept = domain_cap(d, cap=20, blocklist=["site0.com"], seed=5)
+        return kept.select("doc_id").orderBy("doc_id")
+
+    out["domain_cap_docs"] = domain_cap_docs
 
     # Japanese morphological tokenizer (kuromoji analog,
     # `analysis/ja/JapaneseTokenizer.java:61`): distributed Viterbi
@@ -8153,6 +8178,25 @@ SELECT doc_id,
        CAST(CASE (doc_id % {len(_ZR_GOLDENS)}) {_zr_comp} END AS BIGINT) AS compressed_bytes,
        round(CAST(CASE (doc_id % {len(_ZR_GOLDENS)}) {_zr_ratio} END AS DOUBLE), 4) AS ratio
 FROM documents WHERE doc_id < 400 ORDER BY doc_id
+"""
+    out["domain_cap_docs"] = """
+WITH u AS (
+  SELECT doc_id,
+         'https://sub.site' || CAST(doc_id % 7 AS VARCHAR) || '.com/page/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS dom
+  FROM documents WHERE doc_id < 500
+),
+b AS (
+  SELECT doc_id, url, dom,
+         ('0x' || substr(md5('5:' || url), 1, 8))::BIGINT % 1000000 AS bucket
+  FROM u WHERE dom <> 'site0.com'
+),
+f AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY dom ORDER BY bucket, url) AS rn
+  FROM b
+)
+SELECT doc_id FROM f WHERE rn <= 20 ORDER BY doc_id
 """
 
     # a synced replica answers exactly like the primary commit

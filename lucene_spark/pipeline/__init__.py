@@ -17,6 +17,7 @@ from lucene_spark.pipeline.sampling import (
 from lucene_spark.pipeline.chunking import sentence_windows
 from lucene_spark.pipeline.textstats import compression_ratio
 from lucene_spark.pipeline.urls import (
+    domain_cap,
     canonicalize_url,
     registered_domain,
     url_host,
@@ -99,4 +100,5 @@ __all__ = [
     "semdedup",
     "sentence_windows",
     "compression_ratio",
+    "domain_cap",
 ]

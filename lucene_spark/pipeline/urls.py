@@ -87,3 +87,62 @@ def registered_domain(
             F.concat_ws(".", F.get(parts, n - 3), two),
         ).otherwise(out)
     return out
+
+
+def domain_cap(
+    df: DataFrame,
+    url_col: str = "url",
+    cap: int = 100,
+    blocklist: Iterable[str] = (),
+    seed: int = 0,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-domain document cap + domain blocklist — the CommonCrawl
+    curation step that stops mega-domains dominating a training mix
+    (C4 and successors cap or downweight per-host contributions).
+
+    Deterministic by construction: which docs survive depends only on
+    (url, seed), never on partitioning — the keep-order within a
+    domain is the md5 bucket of the url (same machinery as
+    :func:`lucene_spark.pipeline.sampling.hash_sample`, verbatim
+    SQL-expressible for the oracle).
+
+    - ``exact=True``: row_number over (domain, bucket, url) keeps
+      exactly ``cap`` docs per domain.  The window sorts each domain's
+      rows; fine to ~10^7 docs/domain.  At true mega-domain skew use
+    - ``exact=False``: expected-cap thinning — per-domain counts (one
+      partial-agg'd groupBy, broadcast back) set a keep-rate
+      ``cap/count`` applied as a bucket threshold: no window, no
+      per-domain sort, survives any skew; survivor count is cap in
+      expectation, not exactly.
+
+    Blocklisted registered domains are dropped either way.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from lucene_spark.pipeline.sampling import _BUCKETS, _bucket
+
+    dom = registered_domain(F.col(url_col))
+    d = df.withColumn("_dom", dom)
+    if blocklist:
+        d = d.filter(~F.col("_dom").isin(list(blocklist)))
+    bucket = _bucket(F.col(url_col), seed)
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_dom").orderBy(bucket.asc(), F.col(url_col).asc())
+        return (
+            d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn", "_dom")
+        )
+    # plain equi-join, not broadcast: the domain-count frame is tiny
+    # relative to the corpus but can still exceed broadcast budgets at
+    # web scale (~10^8 domains); AQE skew-join splits the mega-domain
+    # partitions on the corpus side
+    counts = d.groupBy("_dom").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        d.join(counts, "_dom")
+        .filter(bucket < F.least(F.lit(_BUCKETS), (F.lit(cap * _BUCKETS) / F.col("_n")).cast("long")))
+        .drop("_n", "_dom")
+    )
