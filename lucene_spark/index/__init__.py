@@ -4,7 +4,7 @@ from lucene_spark.index.builder import (
     InvertedIndex,
     assign_doc_ids,
 )
-from lucene_spark.index.check import check_index
+from lucene_spark.index.check import check_index, exorcise
 from lucene_spark.index.commits import IndexCommits
 from lucene_spark.index.deletes import (
     apply_deletes,
@@ -40,6 +40,7 @@ __all__ = [
     "rearrange",
     "upgrade_index",
     "check_index",
+    "exorcise",
     "multi_pass_split",
     "pk_split",
     "PrimaryNode",

@@ -227,3 +227,92 @@ def check_index(index: InvertedIndex) -> Dict[str, int]:
         "norms_complete": int(norms_viol),
     }
     return out
+
+
+def exorcise(index: InvertedIndex):
+    """CheckIndex ``-exorcise`` analog (`index/CheckIndex.java` doExorcise:
+    drop every segment containing corruption so the remainder is
+    searchable again; the lost documents are gone for good — the
+    reference prints the same warning).
+
+    Returns ``(clean_index, report)`` with report =
+    ``{"dropped_segments": [...], "lost_docs": n}``.  All collection
+    stats (doc_count, sumTotalTermFreq, per-term df/ttf) are recomputed
+    from the surviving segments, so BM25 over the repaired index is
+    exactly what a fresh build over the surviving docs yields.
+    """
+    blocks = index.blocks
+    cols = [
+        "segment_id", "term", "block_ord", "num_docs", "first_doc",
+        "max_doc", "doc_zones", "docs_packed", "freqs_packed",
+        "impact_freqs", "impact_norms", "max_freq", "sum_freq",
+    ] + (["positions_packed"] if index.has_positions else []) + (
+        ["payloads_packed"] if index.has_payloads else []
+    )
+    decode_viol = blocks.select(*cols).mapInPandas(
+        _decode_checks(index.has_positions, index.has_payloads),
+        _VIOLATION_SCHEMA,
+    )
+    bad = {int(r["segment_id"]) for r in decode_viol.select("segment_id").distinct().collect()}
+
+    from pyspark.sql import Window as _W
+
+    w_chain = _W.partitionBy("segment_id", "term").orderBy("first_doc", "max_doc")
+    chain_bad = (
+        blocks.select(
+            "segment_id", "first_doc", "max_doc",
+            F.lag("max_doc").over(w_chain).alias("_prev_max"),
+        )
+        .filter(
+            (F.col("max_doc") < F.col("first_doc"))
+            | (F.col("_prev_max").isNotNull() & (F.col("first_doc") <= F.col("_prev_max")))
+        )
+        .select("segment_id").distinct().collect()
+    )
+    bad |= {int(r["segment_id"]) for r in chain_bad}
+    dps = index.docs_per_segment
+    bounds_bad = (
+        blocks.filter(
+            (F.col("first_doc") < F.col("segment_id") * dps)
+            | (F.col("max_doc") >= (F.col("segment_id") + 1) * dps)
+        ).select("segment_id").distinct().collect()
+    )
+    bad |= {int(r["segment_id"]) for r in bounds_bad}
+
+    if not bad:
+        return index, {"dropped_segments": [], "lost_docs": 0}
+
+    bad_list = sorted(bad)
+    new_blocks = blocks.filter(~F.col("segment_id").isin(bad_list)).persist()
+    new_blocks.count()
+    new_terms = new_blocks.groupBy("term").agg(
+        F.sum("num_docs").cast("long").alias("doc_freq"),
+        F.sum("sum_freq").cast("long").alias("total_term_freq"),
+    ).persist()
+    in_bad = F.floor(F.col("doc_id") / F.lit(dps)).isin(bad_list)
+    lost = index.norms.filter(in_bad).count()
+    new_norms = index.norms.filter(~in_bad)
+    sttf = int(new_norms.agg(F.sum("dl")).collect()[0][0] or 0)
+    deletes = index.deletes.filter(~in_bad) if index.deletes is not None else None
+    soft = index.soft_deletes.filter(~in_bad) if index.soft_deletes is not None else None
+    n_del = deletes.count() if deletes is not None else 0
+    n_soft = soft.count() if soft is not None else 0
+
+    import dataclasses
+
+    clean = dataclasses.replace(
+        index,
+        blocks=new_blocks,
+        terms=new_terms,
+        norms=new_norms,
+        doc_count=index.doc_count - lost,
+        sum_total_term_freq=sttf,
+        num_segments=index.num_segments - len(bad_list),
+        persisted_root=new_blocks,
+        deletes=deletes,
+        num_deleted=int(n_del),
+        soft_deletes=soft,
+        num_soft_deleted=int(n_soft),
+        metrics={**index.metrics, "exorcised_segments": bad_list},
+    )
+    return clean, {"dropped_segments": bad_list, "lost_docs": int(lost)}

@@ -219,3 +219,46 @@ def test_saved_index_full_query_battery(spark, documents, tmp_path):
         synonym_topk(loaded, ["hash", "merge"], k=5).collect()
         == synonym_topk(idx, ["hash", "merge"], k=5).collect()
     )
+
+
+def test_exorcise_drops_corrupt_segment(spark, documents):
+    """CheckIndex -exorcise analog: the corrupt segment is dropped,
+    stats recomputed, and the repaired index passes a fresh check."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.index.check import check_index, exorcise
+
+    idx = InvertedIndex.build(documents, analyzer="simple", docs_per_segment=128)
+    n_segments = idx.num_segments
+    total_docs = idx.doc_count
+    # corrupt segment 0's metadata (max_freq no longer covered)
+    idx.blocks = idx.blocks.withColumn(
+        "max_freq",
+        F.when(F.col("segment_id") == 0, F.lit(9999)).otherwise(F.col("max_freq")),
+    )
+    assert check_index(idx)["impacts_cover"] > 0
+
+    clean, report = exorcise(idx)
+    assert report["dropped_segments"] == [0]
+    assert report["lost_docs"] == 128
+    assert clean.num_segments == n_segments - 1
+    assert clean.doc_count == total_docs - 128
+    # repaired index is healthy and has no segment-0 docs
+    rep = check_index(clean)
+    assert all(v == 0 for v in rep.values())
+    assert clean.blocks.filter(F.col("segment_id") == 0).count() == 0
+    # stats consistent: sumTotalTermFreq equals surviving norms' Σ dl
+    assert clean.sum_total_term_freq == (
+        clean.norms.agg(F.sum("dl")).collect()[0][0]
+    )
+
+
+def test_exorcise_clean_index_is_noop(spark, documents):
+    from lucene_spark.index import InvertedIndex
+    from lucene_spark.index.check import exorcise
+
+    idx = InvertedIndex.build(documents, analyzer="simple", docs_per_segment=128)
+    same, report = exorcise(idx)
+    assert report == {"dropped_segments": [], "lost_docs": 0}
+    assert same is idx
