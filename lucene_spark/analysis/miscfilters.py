@@ -349,8 +349,10 @@ def flatten_graph(
     out: Dict[int, int] = {}
     prev = None
     for n in sorted(nodes):
-        if n == min(nodes):
-            out[n] = 0
+        if prev is None:
+            # a LEADING hole (first token's pos_inc > 1) must survive:
+            # the first node keeps its absolute offset from position 0
+            out[n] = n
         elif n in incoming:
             out[n] = max(out[f] + 1 for f in incoming[n])
         else:

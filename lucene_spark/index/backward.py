@@ -77,10 +77,10 @@ def _v2_encode_docs(docs: np.ndarray) -> bytes:
 
 
 def _zones(docs: np.ndarray) -> int:
-    """Exact 64-zone occupancy bitmap (builder._blocks_from_arrays)."""
-    span = np.uint64(int(docs[-1]) - int(docs[0]) + 1)
-    bits = ((docs - docs[0]).astype(np.uint64) * np.uint64(64)) // span
-    return int(np.bitwise_or.reduce(np.uint64(1) << bits).astype(np.int64))
+    """Exact 64-zone occupancy bitmap — the builder's shared definition."""
+    from lucene_spark.index.builder import zone_bitmap
+
+    return zone_bitmap(docs)
 
 
 def upgrade_index(

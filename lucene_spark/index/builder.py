@@ -178,6 +178,16 @@ def assign_doc_ids(
     )
 
 
+def zone_bitmap(docs: np.ndarray) -> int:
+    """64-zone occupancy bitmap of one block's sorted docIDs — the ONE
+    definition shared by the build kernel, CheckIndex's exactness
+    check, and the backward-codecs upgrader (divergence here would make
+    conjunction pruning silently skip live blocks)."""
+    span = np.uint64(int(docs[-1]) - int(docs[0]) + 1)
+    bits = ((docs - docs[0]).astype(np.uint64) * np.uint64(64)) // span
+    return int(np.bitwise_or.reduce(np.uint64(1) << bits).astype(np.int64))
+
+
 def _blocks_from_arrays(
     seg: int,
     term: str,
@@ -196,9 +206,7 @@ def _blocks_from_arrays(
         # competitive impacts: pareto frontier of (freq desc, norm asc)
         # — a pair dominates if freq >= and norm <= (CompetitiveImpactAccumulator)
         imp = _pareto_impacts(f, nb)
-        span = np.uint64(int(d[-1]) - int(d[0]) + 1)
-        zone_bits = ((d - d[0]).astype(np.uint64) * np.uint64(64)) // span
-        zones = np.bitwise_or.reduce(np.uint64(1) << zone_bits)
+        zones = zone_bitmap(d)
         row = {
             "segment_id": seg,
             "term": term,
@@ -206,7 +214,7 @@ def _blocks_from_arrays(
             "num_docs": int(len(d)),
             "first_doc": int(d[0]),
             "max_doc": int(d[-1]),
-            "doc_zones": int(zones.astype(np.int64)),
+            "doc_zones": zones,
             "docs_packed": fordelta_encode(d),
             "freqs_packed": pfor_encode(f),
             "norms_raw": nb.tobytes(),

@@ -103,13 +103,9 @@ def _decode_checks(has_positions: bool, has_payloads: bool = False):
                     # backfill sentinel (pre-format indexes, see
                     # InvertedIndex.load) — all-ones is conservative
                     # for the prune, so it is exempt here.
-                    span = np.uint64(int(docs[-1]) - int(docs[0]) + 1)
-                    zb = (
-                        (docs - docs[0]).astype(np.uint64) * np.uint64(64)
-                    ) // span
-                    want = int(
-                        np.bitwise_or.reduce(np.uint64(1) << zb).astype(np.int64)
-                    )
+                    from lucene_spark.index.builder import zone_bitmap
+
+                    want = zone_bitmap(docs)
                     if int(pdf["doc_zones"].values[i]) != want:
                         bad("doc_zones", i, "zone bitmap != decoded occupancy")
                 if has_positions and pdf["term"].values[i] != NORMS_TERM:
@@ -133,32 +129,57 @@ def _decode_checks(has_positions: bool, has_payloads: bool = False):
     return fn
 
 
+
+def _decode_violation_df(index: InvertedIndex):
+    """Per-block decode violations as a DataFrame — the ONE detection
+    pass shared by :func:`check_index` and :func:`exorcise` (a check
+    added here is automatically part of both)."""
+    cols = [
+        "segment_id", "term", "block_ord", "num_docs", "first_doc",
+        "max_doc", "doc_zones", "docs_packed", "freqs_packed",
+        "impact_freqs", "impact_norms", "max_freq", "sum_freq",
+    ] + (["positions_packed"] if index.has_positions else []) + (
+        ["payloads_packed"] if index.has_payloads else []
+    )
+    return index.blocks.select(*cols).mapInPandas(
+        _decode_checks(index.has_positions, index.has_payloads),
+        _VIOLATION_SCHEMA,
+    )
+
+
+def _chain_violation_df(index: InvertedIndex):
+    """(segment_id, ...) rows whose block doc ranges overlap within a
+    (segment, term) chain."""
+    from pyspark.sql import Window as _W
+
+    w_chain = _W.partitionBy("segment_id", "term").orderBy("first_doc", "max_doc")
+    return (
+        index.blocks.select(
+            "segment_id", "term", "first_doc", "max_doc",
+            F.lag("max_doc").over(w_chain).alias("_prev_max"),
+        )
+        .filter(
+            (F.col("max_doc") < F.col("first_doc"))
+            | (F.col("_prev_max").isNotNull() & (F.col("first_doc") <= F.col("_prev_max")))
+        )
+    )
+
+
+def _bounds_violation_df(index: InvertedIndex):
+    """Blocks whose doc range escapes their segment's id range."""
+    dps = index.docs_per_segment
+    return index.blocks.filter(
+        (F.col("first_doc") < F.col("segment_id") * dps)
+        | (F.col("max_doc") >= (F.col("segment_id") + 1) * dps)
+    )
+
+
 def check_index(index: InvertedIndex) -> Dict[str, int]:
     """Run all checks; returns {check_name: violation_count} (all 0 =
     healthy). Violation rows with details are in the returned dict under
     '_df' (a DataFrame) for drill-down."""
     blocks = index.blocks
-    cols = [
-        "segment_id",
-        "term",
-        "block_ord",
-        "num_docs",
-        "first_doc",
-        "max_doc",
-        "doc_zones",
-        "docs_packed",
-        "freqs_packed",
-        "impact_freqs",
-        "impact_norms",
-        "max_freq",
-        "sum_freq",
-    ] + (["positions_packed"] if index.has_positions else []) + (
-        ["payloads_packed"] if index.has_payloads else []
-    )
-    decode_viol = blocks.select(*cols).mapInPandas(
-        _decode_checks(index.has_positions, index.has_payloads),
-        _VIOLATION_SCHEMA,
-    )
+    decode_viol = _decode_violation_df(index)
 
     # block_chain: within (segment, term), doc ranges ordered by
     # first_doc must be pairwise disjoint — the invariant every reader
@@ -166,29 +187,8 @@ def check_index(index: InvertedIndex) -> Dict[str, int]:
     # the aligned build's partial flushes legally restart it at 0;
     # strict 0..n-1 numbering is NOT required, matching how Lucene
     # readers tolerate multiple flushed segments pre-merge.)
-    from pyspark.sql import Window as _W
-
-    w_chain = _W.partitionBy("segment_id", "term").orderBy("first_doc", "max_doc")
-    chain_viol = (
-        blocks.select(
-            "segment_id",
-            "term",
-            "first_doc",
-            "max_doc",
-            F.lag("max_doc").over(w_chain).alias("_prev_max"),
-        )
-        .filter(
-            (F.col("max_doc") < F.col("first_doc"))
-            | (F.col("_prev_max").isNotNull() & (F.col("first_doc") <= F.col("_prev_max")))
-        )
-        .count()
-    )
-
-    dps = index.docs_per_segment
-    seg_viol = blocks.filter(
-        (F.col("first_doc") < F.col("segment_id") * dps)
-        | (F.col("max_doc") >= (F.col("segment_id") + 1) * dps)
-    ).count()
+    chain_viol = _chain_violation_df(index).count()
+    seg_viol = _bounds_violation_df(index).count()
 
     # term stats vs block metadata
     from_blocks = blocks.groupBy("term").agg(
@@ -242,42 +242,17 @@ def exorcise(index: InvertedIndex):
     exactly what a fresh build over the surviving docs yields.
     """
     blocks = index.blocks
-    cols = [
-        "segment_id", "term", "block_ord", "num_docs", "first_doc",
-        "max_doc", "doc_zones", "docs_packed", "freqs_packed",
-        "impact_freqs", "impact_norms", "max_freq", "sum_freq",
-    ] + (["positions_packed"] if index.has_positions else []) + (
-        ["payloads_packed"] if index.has_payloads else []
-    )
-    decode_viol = blocks.select(*cols).mapInPandas(
-        _decode_checks(index.has_positions, index.has_payloads),
-        _VIOLATION_SCHEMA,
-    )
-    bad = {int(r["segment_id"]) for r in decode_viol.select("segment_id").distinct().collect()}
-
-    from pyspark.sql import Window as _W
-
-    w_chain = _W.partitionBy("segment_id", "term").orderBy("first_doc", "max_doc")
-    chain_bad = (
-        blocks.select(
-            "segment_id", "first_doc", "max_doc",
-            F.lag("max_doc").over(w_chain).alias("_prev_max"),
-        )
-        .filter(
-            (F.col("max_doc") < F.col("first_doc"))
-            | (F.col("_prev_max").isNotNull() & (F.col("first_doc") <= F.col("_prev_max")))
-        )
-        .select("segment_id").distinct().collect()
-    )
-    bad |= {int(r["segment_id"]) for r in chain_bad}
     dps = index.docs_per_segment
-    bounds_bad = (
-        blocks.filter(
-            (F.col("first_doc") < F.col("segment_id") * dps)
-            | (F.col("max_doc") >= (F.col("segment_id") + 1) * dps)
-        ).select("segment_id").distinct().collect()
-    )
-    bad |= {int(r["segment_id"]) for r in bounds_bad}
+    bad: set = set()
+    for viol in (
+        _decode_violation_df(index),
+        _chain_violation_df(index),
+        _bounds_violation_df(index),
+    ):
+        bad |= {
+            int(r["segment_id"])
+            for r in viol.select("segment_id").distinct().collect()
+        }
 
     if not bad:
         return index, {"dropped_segments": [], "lost_docs": 0}

@@ -90,11 +90,22 @@ def rearrange(
         docs_per_segment=int(dps),
         **build_kw,
     )
+    if index.num_segments != len(selectors):
+        # uneven selector sizes leave sparse tails; the prescribed
+        # layout has exactly one segment per selector regardless
+        import dataclasses
+
+        index = dataclasses.replace(index, num_segments=len(selectors))
     if deleted_selector is not None:
         from lucene_spark.index.deletes import _with_deletes
 
-        # stays a DataFrame — no driver round-trip for the doomed set
-        index = _with_deletes(
-            index, remapped.filter(deleted_selector).select(doc_id_col)
+        # the selector is written against the ORIGINAL corpus (same as
+        # the segment selectors), so evaluate it pre-remap and map the
+        # doomed originals to their rearranged ids; stays a DataFrame —
+        # no driver round-trip for the doomed set
+        doomed_orig = corpus.filter(deleted_selector).select(
+            F.col(doc_id_col).alias("orig_doc_id")
         )
+        doomed = mapping.join(doomed_orig, "orig_doc_id").select(doc_id_col)
+        index = _with_deletes(index, doomed)
     return index, mapping

@@ -34,8 +34,9 @@ __all__ = ["canonicalize_url", "url_host", "registered_domain"]
 
 def url_host(url_col: Column) -> Column:
     """Lowercased host of the URL (grouping key for politeness and
-    host-level stats)."""
-    return F.lower(F.parse_url(url_col, F.lit("HOST")))
+    host-level stats); NULL — not an exception — for unparseable
+    input (web-crawl url columns always contain junk)."""
+    return F.lower(F.try_parse_url(url_col, F.lit("HOST")))
 
 
 def canonicalize_url(url_col: Column) -> Column:
@@ -125,7 +126,12 @@ def domain_cap(
     dom = registered_domain(F.col(url_col))
     d = df.withColumn("_dom", dom)
     if blocklist:
-        d = d.filter(~F.col("_dom").isin(list(blocklist)))
+        # NULL-safe: an unparseable url has a NULL domain — it is NOT
+        # blocklisted (isin on NULL yields NULL, which a bare NOT
+        # filter would silently drop)
+        d = d.filter(
+            F.col("_dom").isNull() | ~F.col("_dom").isin(list(blocklist))
+        )
     bucket = _bucket(F.col(url_col), seed)
     if exact:
         from pyspark.sql import Window

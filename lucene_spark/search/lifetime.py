@@ -49,7 +49,10 @@ class SearcherManager:
         self._commits = commits
         self._gen = commits.current_generation()
         self._index = commits.open(self._gen) if self._gen is not None else None
-        # id(index) -> [generation, outstanding refs]
+        # id(index) -> [generation, outstanding refs, index]: the slot
+        # holds a STRONG reference to the index so a live slot's id()
+        # can never be recycled by a new object; zero-ref slots for
+        # superseded generations are pruned on refresh
         self._refs: Dict[int, list] = {}
 
     @property
@@ -59,13 +62,13 @@ class SearcherManager:
     def acquire(self):
         if self._index is None:
             raise RuntimeError("no committed generation to acquire")
-        slot = self._refs.setdefault(id(self._index), [self._gen, 0])
+        slot = self._refs.setdefault(id(self._index), [self._gen, 0, self._index])
         slot[1] += 1
         return self._index
 
     def release(self, index) -> None:
         slot = self._refs.get(id(index))
-        if slot is None or slot[1] <= 0:
+        if slot is None or slot[2] is not index or slot[1] <= 0:
             raise ValueError("release of an index not acquired from this manager")
         slot[1] -= 1
 
@@ -77,6 +80,9 @@ class SearcherManager:
             return False
         self._index = self._commits.open(newest)
         self._gen = newest
+        # reap dead slots (superseded generation, no outstanding refs)
+        for key in [k for k, s in self._refs.items() if s[1] <= 0 and s[0] != newest]:
+            del self._refs[key]
         return True
 
 

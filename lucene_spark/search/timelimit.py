@@ -72,7 +72,11 @@ def time_limited_topk(
         i += width
         width = max(width + 1, int(width * 1.08))  # interval growth, ref :48
 
-    partial_frames = []
+    # each chunk MUST be an executed job, not a lazy plan — otherwise
+    # the budget never bounds real work and the caller's final action
+    # scores everything after timed_out was decided. The per-chunk
+    # collect is k rows (driver memory k·chunks bounded).
+    collected = []
     timed_out = False
     for ci, chunk in enumerate(chunks):
         if budget_ms is not None and ci > 0 and clock() - start > budget_ms:
@@ -82,15 +86,15 @@ def time_limited_topk(
             index, blocks=index.blocks.filter(F.col("segment_id").isin(chunk))
         )
         scored = _bm25_scored_f64(view, term_boosts)
-        partial_frames.append(
-            scored.orderBy(F.col("s").desc(), F.col("doc_id").asc()).limit(k)
+        collected.extend(
+            (int(r["doc_id"]), float(r["s"]))
+            for r in scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .collect()
         )
 
-    if not partial_frames:
-        empty = index.spark.createDataFrame([], "doc_id long, s double")
-        return empty, timed_out
-    acc = partial_frames[0]
-    for fdf in partial_frames[1:]:
-        acc = acc.unionByName(fdf)
-    topk = acc.orderBy(F.col("s").desc(), F.col("doc_id").asc()).limit(k)
+    collected.sort(key=lambda t: (-t[1], t[0]))
+    topk = index.spark.createDataFrame(
+        collected[:k] or [], "doc_id long, s double"
+    )
     return topk, timed_out

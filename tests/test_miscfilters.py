@@ -228,3 +228,12 @@ def test_flatten_graph_empty():
     from lucene_spark.analysis.miscfilters import flatten_graph
 
     assert flatten_graph([]) == []
+
+
+def test_flatten_graph_leading_hole_preserved():
+    # a deleted LEADING stopword (first token posInc=2) must keep its
+    # increment — code-review regression
+    from lucene_spark.analysis.miscfilters import flatten_graph
+
+    out = flatten_graph([("b", 2, 1), ("c", 1, 1)])
+    assert [(t[0], t[1]) for t in out] == [("b", 2), ("c", 1)]

@@ -63,12 +63,20 @@ def test_doubly_selected_doc_raises(spark):
 
 def test_deleted_docs_selector_marks_without_merge(spark):
     corpus = _corpus(spark)
-    idx, _ = rearrange(
+    idx, mapping = rearrange(
         corpus,
         [F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1],
         deleted_selector=F.col("doc_id") % 10 == 9,
     )
-    assert idx.num_deleted == 2  # docs 9 and 19
+    assert idx.num_deleted == 2  # ORIGINAL docs 9 and 19
+    # the tombstoned NEW ids must map back to original ids 9 and 19
+    # (the selector is written against the original corpus)
+    doomed_new = {r["doc_id"] for r in idx.deletes.collect()}
+    back = {
+        r["orig_doc_id"]
+        for r in mapping.filter(F.col("doc_id").isin(list(doomed_new))).collect()
+    }
+    assert back == {9, 19}
     # postings were NOT merged away — blocks still carry the doomed docs
     total = (
         idx.blocks.filter(F.col("term") == "alpha")
@@ -81,3 +89,15 @@ def test_deleted_docs_selector_marks_without_merge(spark):
 def test_requires_selectors(spark):
     with pytest.raises(ValueError, match="at least one"):
         rearrange(_corpus(spark), [])
+
+
+def test_uneven_selectors_report_one_segment_each(spark):
+    corpus = _corpus(spark, n=7)
+    idx, mapping = rearrange(
+        corpus,
+        [F.col("doc_id") < 5, F.col("doc_id") == 5, F.col("doc_id") == 6],
+    )
+    # prescribed layout: one segment per selector even with sparse tails
+    assert idx.num_segments == 3
+    segs = {r["segment_id"] for r in mapping.collect()}
+    assert segs == {0, 1, 2}

@@ -104,3 +104,16 @@ def test_domain_cap_validates(spark):
 
     with _pytest.raises(ValueError):
         domain_cap(_urls_df(spark), cap=0)
+
+
+def test_domain_cap_null_domain_not_blocklisted(spark):
+    # unparseable url -> NULL domain; a blocklist must not silently
+    # drop it (code-review regression)
+    from lucene_spark.pipeline.urls import domain_cap
+
+    df = spark.createDataFrame(
+        [(1, "https://www.ok.com/x"), (2, "not a url")],
+        "doc_id long, url string",
+    )
+    kept = {r["doc_id"] for r in domain_cap(df, cap=5, blocklist=["spam.com"]).collect()}
+    assert kept == {1, 2}
