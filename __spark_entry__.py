@@ -1366,6 +1366,8 @@ _DRIVER_PRIORITY = [
     "morfologik_lemmas", "histogram_facets", "span_payloads_collect",
     "bp_merge_reorder_topk", "rearrange_stats", "time_limited_topk",
     "upgrade_roundtrip", "compression_ratio", "domain_cap_docs",
+    # round-5 closing-session additions
+    "auto_stop_topk", "term_ord_seek", "delimited_boost_topk",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -5834,6 +5836,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bp_vector_reorder_topk"] = bp_vector_reorder_topk_gate
 
+    # --- QueryAutoStopWordAnalyzer (analysis/common/.../query/
+    # QueryAutoStopWordAnalyzer.java:51): terms whose docFreq exceeds
+    # numDocs*maxPercentDocs become query-time stopwords; 'hash' and
+    # 'scan' (~79% of docs) drop, 'dup' (~5%) survives and scores alone
+    def auto_stop_topk_gate(spark, sf):
+        from lucene_spark.search.autostop import auto_stop_filter_boosts
+
+        idx = _index(spark, sf)
+        boosts = auto_stop_filter_boosts(
+            idx,
+            {"hash": 1.0, "dup": 1.5, "scan": 0.5},
+            max_percent_docs=0.5,
+        )
+        return bm25_topk_f64(idx, boosts, k=15)
+
+    out["auto_stop_topk"] = auto_stop_topk_gate
+
+    # --- blocktreeords TermsEnum.seekExact(ord) (codecs/blocktreeords/
+    # OrdsBlockTreeTermsWriter.java:71): dense lexicographic term
+    # ordinals over the whole-index dictionary
+    def term_ord_seek_gate(spark, sf):
+        from lucene_spark.index.ords import seek_by_ord
+
+        return seek_by_ord(_index(spark, sf), [0, 5, 12, 19, 30])
+
+    out["term_ord_seek"] = term_ord_seek_gate
+
+    # --- DelimitedBoostTokenFilter (analysis/common/.../boost/
+    # DelimitedBoostTokenFilter.java:28): "term|boost" query tokens →
+    # boosted SHOULD clauses (repeated terms' boosts add)
+    def delimited_boost_topk_gate(spark, sf):
+        from lucene_spark.analysis.filters import delimited_boost_query
+
+        boosts = delimited_boost_query("hash|2.0 join vector|0.5 join")
+        return bm25_topk_f64(_index(spark, sf), boosts, k=15)
+
+    out["delimited_boost_topk"] = delimited_boost_topk_gate
+
     return _driver_order(out)
 
 
@@ -8919,4 +8959,71 @@ ORDER BY score DESC, doc_id ASC
 """
     # vector relayout must not change search results
     out["bp_vector_reorder_topk"] = out["embedding_cosine_topk"]
+
+    # QueryAutoStopWordAnalyzer: query terms with docFreq >
+    # floor(numDocs * 0.5) drop before scoring (strictly-greater per
+    # QueryAutoStopWordAnalyzer.java:142; int-truncating threshold per
+    # java:115); the survivors score as plain BM25
+    from lucene_spark.search.parity import _DLQ_SQL as _DLQ, K1 as _K1, B as _B
+
+    out["auto_stop_topk"] = f"""
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sttf FROM dl),
+dlq AS (SELECT doc_id, {_DLQ} AS dl_q FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM tok
+  WHERE term IN ('hash', 'dup', 'scan') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+boosts(term, boost) AS (VALUES ('hash', 1.0), ('dup', 1.5), ('scan', 0.5)),
+live AS (
+  SELECT df.term FROM df CROSS JOIN stats
+  WHERE doc_freq <= CAST(floor(n_docs * 0.5) AS BIGINT)
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(boost * ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+             * freq / (freq + {_K1} * (1 - {_B} + {_B} * dl_q / (sttf * 1.0 / n_docs)))) AS s
+  FROM tf
+  JOIN live USING (term)
+  JOIN df USING (term) JOIN boosts USING (term) JOIN dlq USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scores
+ORDER BY s DESC, doc_id ASC LIMIT 15
+"""
+
+    # blocktreeords seekExact(ord): dense lexicographic ordinals over
+    # the whole-index dictionary, with per-term df/ttf
+    out["term_ord_seek"] = """
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> ''
+),
+d AS (
+  SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_term_freq
+  FROM tok GROUP BY term
+),
+o AS (
+  SELECT row_number() OVER (ORDER BY term) - 1 AS ord, term,
+         CAST(doc_freq AS BIGINT) AS doc_freq,
+         CAST(total_term_freq AS BIGINT) AS total_term_freq
+  FROM d
+)
+SELECT ord, term, doc_freq, total_term_freq FROM o
+WHERE ord IN (0, 5, 12, 19, 30) ORDER BY ord
+"""
+
+    # DelimitedBoostTokenFilter: "hash|2.0 join vector|0.5 join" →
+    # hash^2.0, join^(1.0+1.0), vector^0.5
+    out["delimited_boost_topk"] = oracle_bm25_sql(
+        {"hash": 2.0, "join": 2.0, "vector": 0.5}, k=15
+    )
     return out

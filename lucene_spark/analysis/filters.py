@@ -57,6 +57,8 @@ __all__ = [
     "ascii_fold",
     "synonym_expand",
     "delimited_payload_analyzer",
+    "delimited_boost_terms",
+    "delimited_boost_query",
     "word_delimiter_parts",
     "reverse_tokens",
     "common_grams",
@@ -280,6 +282,38 @@ def delimited_payload_analyzer(delimiter: str = "|", lowercase: bool = False):
         return out
 
     return analyze
+
+
+def delimited_boost_terms(query_text: str, delimiter: str = "|"):
+    """DelimitedBoostTokenFilter analog for query analysis:
+    ``"term|boost"`` tokens → [(term, boost)] in token order.
+
+    Mirrors `analysis/common/src/java/org/apache/lucene/analysis/boost/
+    DelimitedBoostTokenFilter.java:28`: the token splits at the FIRST
+    delimiter occurrence, the remainder parses as the BoostAttribute
+    float, and a token without the delimiter keeps the default boost
+    1.0 (BoostAttribute's initial value).  Unparsable boosts raise,
+    matching ``Float.parseFloat``.
+    """
+    out = []
+    for raw in query_text.split():
+        term, sep, suffix = raw.partition(delimiter)
+        out.append((term, float(suffix) if sep else 1.0))
+    return out
+
+
+def delimited_boost_query(query_text: str, delimiter: str = "|"):
+    """Token stream → term→boost map for a boosted SHOULD disjunction.
+
+    A repeated term contributes one BooleanQuery clause per occurrence;
+    since per-clause BM25 scores add, the clauses fold to a single
+    entry with the boosts summed (score-identical, one posting decode
+    instead of n).
+    """
+    boosts: dict = {}
+    for term, boost in delimited_boost_terms(query_text, delimiter):
+        boosts[term] = boosts.get(term, 0.0) + boost
+    return boosts
 
 
 def word_delimiter_parts(
