@@ -1367,7 +1367,7 @@ _DRIVER_PRIORITY = [
     "bp_merge_reorder_topk", "rearrange_stats", "time_limited_topk",
     "upgrade_roundtrip", "compression_ratio", "domain_cap_docs",
     # round-5 closing-session additions
-    "auto_stop_topk", "term_ord_seek", "delimited_boost_topk",
+    "auto_stop_topk", "term_ord_seek", "delimited_boost_topk", "wiki_tokens",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -5874,6 +5874,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["delimited_boost_topk"] = delimited_boost_topk_gate
 
+    # --- WikipediaTokenizer (analysis/common/.../wikipedia/
+    # WikipediaTokenizer.java:52): wiki-markup-aware typed tokens —
+    # italics/category/external-link (URL elu + display el at the same
+    # position)/heading/citation constructs over a per-doc template
+    def wiki_tokens_gate(spark, sf):
+        from lucene_spark.analysis.wiki import wikipedia_tokenizer_udf
+
+        base = _docs(spark, sf).select("doc_id").orderBy("doc_id").limit(50)
+        text = F.concat(
+            F.lit("''Intro'' [[Category:cat"),
+            F.col("doc_id"),
+            F.lit("]] plain"),
+            F.col("doc_id"),
+            F.lit(" [http://ex"),
+            F.col("doc_id"),
+            F.lit(".com site "),
+            F.col("doc_id"),
+            F.lit("] ==Head== <ref>cite"),
+            F.col("doc_id"),
+            F.lit("</ref> 3.25 it's"),
+        )
+        toks = base.select(
+            "doc_id", wikipedia_tokenizer_udf()(text).alias("t")
+        ).select("doc_id", F.explode("t").alias("tok"))
+        return toks.select(
+            "doc_id",
+            F.col("tok.term").alias("term"),
+            F.col("tok.type").alias("type"),
+            F.col("tok.pos").alias("pos"),
+        ).orderBy("doc_id", "pos", "term")
+
+    out["wiki_tokens"] = wiki_tokens_gate
+
     return _driver_order(out)
 
 
@@ -9025,5 +9058,31 @@ WHERE ord IN (0, 5, 12, 19, 30) ORDER BY ord
     # hash^2.0, join^(1.0+1.0), vector^0.5
     out["delimited_boost_topk"] = oracle_bm25_sql(
         {"hash": 2.0, "join": 2.0, "vector": 0.5}, k=15
+    )
+
+    # WikipediaTokenizer: the expected typed token stream per doc
+    # ("site" shares the URL's position — posInc 0 on the first
+    # external-link display word, TestWikipediaTokenizer checkLinkPhrases)
+    _WIKI_ROWS = [
+        ("'Intro'", "'i'", 0),
+        ("'cat' || d", "'c'", 1),
+        ("'plain' || d", "'<ALPHANUM>'", 2),
+        ("'http://ex' || d || '.com'", "'elu'", 3),
+        ("'site'", "'el'", 3),
+        ("d", "'el'", 4),
+        ("'Head'", "'h'", 5),
+        ("'cite' || d", "'ci'", 6),
+        ("'3.25'", "'<NUM>'", 7),
+        ("'it''s'", "'<APOSTROPHE>'", 8),
+    ]
+    _wiki_parts = [
+        f"SELECT doc_id, {t} AS term, {ty} AS type, {p} AS pos FROM d"
+        for t, ty, p in _WIKI_ROWS
+    ]
+    out["wiki_tokens"] = (
+        "WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS d "
+        "FROM documents ORDER BY doc_id LIMIT 50)\n"
+        + "\nUNION ALL ".join(_wiki_parts)
+        + "\nORDER BY doc_id, pos, term"
     )
     return out
