@@ -1368,6 +1368,7 @@ _DRIVER_PRIORITY = [
     "upgrade_roundtrip", "compression_ratio", "domain_cap_docs",
     # round-5 closing-session additions
     "auto_stop_topk", "term_ord_seek", "delimited_boost_topk", "wiki_tokens",
+    "simpletext_roundtrip",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -5907,6 +5908,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["wiki_tokens"] = wiki_tokens_gate
 
+    # --- SimpleText codec (codecs/simpletext/SimpleTextCodec.java:31):
+    # plain-text save → load round-trip must answer exactly like the
+    # original index (blocks re-encoded through the standard kernel)
+    def simpletext_roundtrip_gate(spark, sf):
+        import os
+        import tempfile
+
+        from lucene_spark.index.simpletext import load_simpletext, save_simpletext
+
+        key = ("simpletext", sf)
+        if key not in _INDEX_CACHE:
+            d = os.path.join(tempfile.gettempdir(), "lucene_spark_simpletext_gate")
+            save_simpletext(_index(spark, sf), d)
+            _INDEX_CACHE[key] = load_simpletext(spark, d)
+        return bm25_topk_f64(_INDEX_CACHE[key], {"merge": 1.0, "vector": 0.5}, k=15)
+
+    out["simpletext_roundtrip"] = simpletext_roundtrip_gate
+
     return _driver_order(out)
 
 
@@ -9085,4 +9104,7 @@ WHERE ord IN (0, 5, 12, 19, 30) ORDER BY ord
         + "\nUNION ALL ".join(_wiki_parts)
         + "\nORDER BY doc_id, pos, term"
     )
+
+    # SimpleText round-trip is lossless → plain BM25 oracle
+    out["simpletext_roundtrip"] = oracle_bm25_sql({"merge": 1.0, "vector": 0.5}, k=15)
     return out
