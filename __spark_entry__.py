@@ -1368,7 +1368,7 @@ _DRIVER_PRIORITY = [
     "upgrade_roundtrip", "compression_ratio", "domain_cap_docs",
     # round-5 closing-session additions
     "auto_stop_topk", "term_ord_seek", "delimited_boost_topk", "wiki_tokens",
-    "simpletext_roundtrip",
+    "simpletext_roundtrip", "direct_postings_topk",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -5926,6 +5926,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["simpletext_roundtrip"] = simpletext_roundtrip_gate
 
+    # --- DirectPostingsFormat (codecs/memory/DirectPostingsFormat.java:66):
+    # hot-term postings decoded once into Spark's in-memory cache; a
+    # query mixing hot ('hash') and cold ('dup') terms must be
+    # result-identical to the block-decode path
+    def direct_postings_topk_gate(spark, sf):
+        from lucene_spark.search.directcache import DirectPostingsCache
+
+        key = ("directcache", sf)
+        if key not in _INDEX_CACHE:
+            _INDEX_CACHE[key] = DirectPostingsCache(
+                _index(spark, sf), terms=["hash", "scan"]
+            )
+        return _INDEX_CACHE[key].bm25_topk(
+            {"hash": 1.0, "scan": 0.5, "dup": 2.0}, k=15
+        )
+
+    out["direct_postings_topk"] = direct_postings_topk_gate
+
     return _driver_order(out)
 
 
@@ -9107,4 +9125,9 @@ WHERE ord IN (0, 5, 12, 19, 30) ORDER BY ord
 
     # SimpleText round-trip is lossless → plain BM25 oracle
     out["simpletext_roundtrip"] = oracle_bm25_sql({"merge": 1.0, "vector": 0.5}, k=15)
+
+    # DirectPostings cache serves identical postings → plain BM25 oracle
+    out["direct_postings_topk"] = oracle_bm25_sql(
+        {"hash": 1.0, "scan": 0.5, "dup": 2.0}, k=15
+    )
     return out

@@ -94,6 +94,7 @@ def _bm25_scored_f64(
     must_terms: Optional[list] = None,
     must_not_terms: Optional[list] = None,
     filter_terms: Optional[list] = None,
+    posts: Optional[DataFrame] = None,
 ) -> DataFrame:
     """All matching docs with the RAW float64 score column ``s``
     (un-rounded, un-ordered). Shared by :func:`bm25_topk_f64` and
@@ -105,7 +106,10 @@ def _bm25_scored_f64(
     all_terms = sorted(
         set(term_boosts) | set(must_terms or []) | set(must_not_terms or []) | set(filter_terms or [])
     )
-    posts = _decode_postings(index, all_terms)
+    # `posts` seam: a pre-decoded (doc_id, term, freq, norm) frame —
+    # the DirectPostingsFormat cache path injects its in-memory copy
+    if posts is None:
+        posts = _decode_postings(index, all_terms)
 
     # 256-row broadcast: norm byte → quantized decoded length
     dlq = spark.createDataFrame(
@@ -167,6 +171,7 @@ def bm25_topk_f64(
     must_terms: Optional[list] = None,
     must_not_terms: Optional[list] = None,
     filter_terms: Optional[list] = None,
+    posts: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Engine-backed BM25 boolean top-k with SQL-reproducible scores.
 
@@ -180,6 +185,7 @@ def bm25_topk_f64(
         must_terms=must_terms,
         must_not_terms=must_not_terms,
         filter_terms=filter_terms,
+        posts=posts,
     )
     # order by the raw double (matching the oracle's ORDER BY s), round after
     return (
