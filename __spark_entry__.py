@@ -1368,7 +1368,7 @@ _DRIVER_PRIORITY = [
     "upgrade_roundtrip", "compression_ratio", "domain_cap_docs",
     # round-5 closing-session additions
     "auto_stop_topk", "term_ord_seek", "delimited_boost_topk", "wiki_tokens",
-    "simpletext_roundtrip", "direct_postings_topk",
+    "simpletext_roundtrip", "direct_postings_topk", "bpe_pieces",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -5944,6 +5944,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["direct_postings_topk"] = direct_postings_topk_gate
 
+    # --- BPE vocabulary training (Sennrich et al. 2016; beyond-
+    # reference pipeline op): distributed word histogram + driver-side
+    # merge loop; identical per-doc template text makes the learned
+    # merges corpus-size-independent, so the encodings are exact pins
+    def bpe_pieces_gate(spark, sf):
+        from lucene_spark.pipeline.bpe import bpe_encode_udf, train_bpe
+
+        corpus = _docs(spark, sf).select(
+            "doc_id",
+            F.lit(
+                "low low low low low lower lower newest newest newest "
+                "newest newest newest widest widest widest"
+            ).alias("text"),
+        )
+        merges = train_bpe(corpus, num_merges=8)["merges"]
+        probes = spark.createDataFrame(
+            [("lowest",), ("newest",), ("wider",), ("low",)], "word string"
+        )
+        return probes.select(
+            "word",
+            F.concat_ws(" ", bpe_encode_udf(merges)("word")).alias("pieces"),
+        ).orderBy("word")
+
+    out["bpe_pieces"] = bpe_pieces_gate
+
     return _driver_order(out)
 
 
@@ -9130,4 +9155,15 @@ WHERE ord IN (0, 5, 12, 19, 30) ORDER BY ord
     out["direct_postings_topk"] = oracle_bm25_sql(
         {"hash": 1.0, "scan": 0.5, "dup": 2.0}, k=15
     )
+
+    # BPE on the fixed template: canonical Sennrich merge progression
+    # (e+s, es+t, est+</w>, l+o, lo+w, e+w, ew+est</w>, n+ewest</w>)
+    out["bpe_pieces"] = """
+SELECT * FROM (VALUES
+  ('low', 'low </w>'),
+  ('lowest', 'low est</w>'),
+  ('newest', 'newest</w>'),
+  ('wider', 'w i d e r </w>')
+) AS t(word, pieces) ORDER BY word
+"""
     return out
