@@ -1369,6 +1369,7 @@ _DRIVER_PRIORITY = [
     # round-5 closing-session additions
     "auto_stop_topk", "term_ord_seek", "delimited_boost_topk", "wiki_tokens",
     "simpletext_roundtrip", "direct_postings_topk", "bpe_pieces",
+    "ext_parse_match",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -5969,6 +5970,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["bpe_pieces"] = bpe_pieces_gate
 
+    # --- ExtendableQueryParser (queryparser/ext/
+    # ExtendableQueryParser.java:40): the "anyof" extension receives
+    # its raw CSV un-analyzed and builds a TermInSetQuery; dispatch via
+    # the escaped-delimiter extension-field syntax
+    def ext_parse_match_gate(spark, sf):
+        from lucene_spark.search.extparser import Extensions, extendable_parse
+
+        ext = Extensions()
+        ext.add(
+            "anyof",
+            lambda eq: TermInSetQuery(tuple(eq.raw_query_string.split(","))),
+        )
+        q = extendable_parse("text\\:anyof:hash,dup", ext)
+        assert isinstance(q, TermInSetQuery), q
+        return _const_score_docs(spark, sf, q, k=450)
+
+    out["ext_parse_match"] = ext_parse_match_gate
+
     return _driver_order(out)
 
 
@@ -9155,6 +9174,14 @@ WHERE ord IN (0, 5, 12, 19, 30) ORDER BY ord
     out["direct_postings_topk"] = oracle_bm25_sql(
         {"hash": 1.0, "scan": 0.5, "dup": 2.0}, k=15
     )
+
+    # ExtendableQueryParser "anyof" extension → TermInSet const-score
+    out["ext_parse_match"] = """
+SELECT doc_id, 1.0 AS score FROM documents
+WHERE list_contains(string_split(text, ' '), 'hash')
+   OR list_contains(string_split(text, ' '), 'dup')
+ORDER BY doc_id LIMIT 450
+"""
 
     # BPE on the fixed template: canonical Sennrich merge progression
     # (e+s, es+t, est+</w>, l+o, lo+w, e+w, ew+est</w>, n+ewest</w>)
