@@ -1369,7 +1369,7 @@ _DRIVER_PRIORITY = [
     # round-5 closing-session additions
     "auto_stop_topk", "term_ord_seek", "delimited_boost_topk", "wiki_tokens",
     "simpletext_roundtrip", "direct_postings_topk", "bpe_pieces",
-    "ext_parse_match",
+    "ext_parse_match", "ts2a_match",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -5988,6 +5988,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["ext_parse_match"] = ext_parse_match_gate
 
+    # --- TokenStreamToTermAutomatonQuery (sandbox/search/
+    # TokenStreamToTermAutomatonQuery.java:35): a synonym-graph token
+    # stream — "hash" (posLength 2) as a side path over "big data" —
+    # followed by "scan"; the automaton accepts either surface form
+    def ts2a_match_gate(spark, sf):
+        from lucene_spark.search.termautomaton import (
+            doc_position_frame,
+            term_automaton_freqs,
+            token_stream_to_automaton,
+        )
+
+        auto = token_stream_to_automaton(
+            [("hash", 1, 2), ("big", 0, 1), ("data", 1, 1), ("scan", 1, 1)]
+        )
+        return term_automaton_freqs(
+            doc_position_frame(_docs(spark, sf)), auto
+        ).orderBy("doc_id")
+
+    out["ts2a_match"] = ts2a_match_gate
+
     return _driver_order(out)
 
 
@@ -9174,6 +9194,29 @@ WHERE ord IN (0, 5, 12, 19, 30) ORDER BY ord
     out["direct_postings_topk"] = oracle_bm25_sql(
         {"hash": 1.0, "scan": 0.5, "dup": 2.0}, k=15
     )
+
+    # TokenStreamToTermAutomatonQuery: each transition consumes one doc
+    # token (side paths rejoin at the shared state), so accepted starts
+    # are "hash scan" adjacent, or "big data scan" — either surface of
+    # the synonym graph
+    out["ts2a_match"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+pos AS (SELECT doc_id, i, l[i] AS term
+        FROM t, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)),
+m AS (
+  SELECT a.doc_id, a.i
+  FROM pos a JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 1
+  WHERE a.term = 'hash' AND c.term = 'scan'
+  UNION
+  SELECT a.doc_id, a.i
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+  WHERE a.term = 'big' AND b.term = 'data' AND c.term = 'scan'
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS freq
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
 
     # ExtendableQueryParser "anyof" extension → TermInSet const-score
     out["ext_parse_match"] = """

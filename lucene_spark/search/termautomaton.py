@@ -28,7 +28,12 @@ from typing import Dict, List, Optional, Set, Tuple
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["TermAutomaton", "term_automaton_freqs", "doc_position_frame"]
+__all__ = [
+    "TermAutomaton",
+    "term_automaton_freqs",
+    "doc_position_frame",
+    "token_stream_to_automaton",
+]
 
 
 class TermAutomaton:
@@ -154,3 +159,47 @@ def term_automaton_freqs(positions: DataFrame, auto: TermAutomaton) -> DataFrame
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+def token_stream_to_automaton(
+    tokens, preserve_position_increments: bool = True
+) -> TermAutomaton:
+    """TokenStreamToTermAutomatonQuery analog
+    (`sandbox/search/TokenStreamToTermAutomatonQuery.java:35`): a token
+    stream of ``(term, pos_inc, pos_length)`` triples → term automaton.
+
+    Mirrors the reference exactly: positions become states; a token
+    spans ``pos → pos + pos_length`` (posLength > 1 = synonym-graph
+    side path); posInc 0 stacks synonyms on one source state; the
+    literal term ``"*"`` becomes an ANY transition; a hole
+    (posInc > 1) raises unless ``preserve_position_increments`` is
+    False, which clamps it to 1 (java:62,66); the LAST created state
+    is the sole accept state (java:87).
+    """
+    auto = TermAutomaton()
+    pos = -1
+    max_state = 0  # state 0 pre-exists
+    saw_token = False
+    for term, pos_inc, pos_length in tokens:
+        saw_token = True
+        if not preserve_position_increments and pos_inc > 1:
+            pos_inc = 1
+        if pos < 0 and pos_inc <= 0:
+            raise ValueError("first token must have a positive increment")
+        if pos_inc > 1:
+            raise ValueError(
+                "cannot handle holes; to accept any term, use '*' term"
+            )
+        if pos_inc > 0:
+            pos += pos_inc
+        end_pos = pos + int(pos_length)
+        while max_state < end_pos:
+            max_state = auto.create_state()
+        if term == "*":
+            auto.add_any_transition(pos, end_pos)
+        else:
+            auto.add_transition(pos, end_pos, term)
+    if not saw_token:
+        raise ValueError("empty token stream")
+    auto.set_accept(max_state, True)
+    return auto
