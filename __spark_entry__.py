@@ -1369,7 +1369,7 @@ _DRIVER_PRIORITY = [
     # round-5 closing-session additions
     "auto_stop_topk", "term_ord_seek", "delimited_boost_topk", "wiki_tokens",
     "simpletext_roundtrip", "direct_postings_topk", "bpe_pieces",
-    "ext_parse_match", "ts2a_match",
+    "ext_parse_match", "ts2a_match", "wiki_plain_text",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -6008,6 +6008,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["ts2a_match"] = ts2a_match_gate
 
+    # --- wiki markup → plain display text: pure JVM regexp chain
+    # (codegen, no UDF, no shuffle) — the corpus-scale extraction
+    # companion to the WikipediaTokenizer analog
+    def wiki_plain_text_gate(spark, sf):
+        from lucene_spark.analysis.wiki import wiki_plain_text_col
+
+        base = _docs(spark, sf).select("doc_id").orderBy("doc_id").limit(80)
+        markup = F.concat(
+            F.lit("''Intro'' [[Category:cat"),
+            F.col("doc_id"),
+            F.lit("]] see [[target|docs "),
+            F.col("doc_id"),
+            F.lit("]] at [http://ex.com site "),
+            F.col("doc_id"),
+            F.lit("] ==Head== <ref>cite</ref> done"),
+        )
+        return base.select(
+            "doc_id", wiki_plain_text_col(markup).alias("plain")
+        ).orderBy("doc_id")
+
+    out["wiki_plain_text"] = wiki_plain_text_gate
+
     return _driver_order(out)
 
 
@@ -9216,6 +9238,14 @@ m AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS freq
 FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # wiki markup → display plain text (template pinned per doc)
+    out["wiki_plain_text"] = """
+SELECT doc_id,
+       'Intro see docs ' || CAST(doc_id AS VARCHAR)
+       || ' at site ' || CAST(doc_id AS VARCHAR) || ' Head done' AS plain
+FROM documents ORDER BY doc_id LIMIT 80
 """
 
     # ExtendableQueryParser "anyof" extension → TermInSet const-score

@@ -61,6 +61,7 @@ __all__ = [
     "SUB_HEADING",
     "wikipedia_tokenize",
     "wikipedia_tokenizer_udf",
+    "wiki_plain_text_col",
 ]
 
 TOKENS_ONLY = 0
@@ -295,3 +296,31 @@ def wikipedia_tokenizer_udf(
         )
 
     return _tok
+
+
+def wiki_plain_text_col(col):
+    """Wiki markup → display plain text as a PURE JVM regexp chain
+    (whole-stage codegen, no Python, no shuffle) — the corpus-scale
+    companion to the tokenizer for text-extraction pipelines.
+
+    Rules (display-text convention): citations and ``[[Category:…]]``
+    tags drop entirely; ``[[link|display]]`` keeps the display part,
+    ``[[link]]`` the target; ``[http://url display]`` keeps the
+    display (bare external links drop); quote runs and heading
+    ``=``-fences strip; remaining HTML tags strip; whitespace
+    collapses and trims.
+    """
+    from pyspark.sql import functions as F
+
+    c = col
+    c = F.regexp_replace(c, r"<ref[^>/]*>.*?</ref>", " ")
+    c = F.regexp_replace(c, r"\[\[:?Category:[^\]]*\]\]", " ")
+    c = F.regexp_replace(c, r"\[\[[^\]|]*\|([^\]]*)\]\]", r"$1")
+    c = F.regexp_replace(c, r"\[\[:?([^\]]*)\]\]", r"$1")
+    c = F.regexp_replace(c, r"\[(?:https?|ftp)://\S*\s+([^\]]*)\]", r"$1")
+    c = F.regexp_replace(c, r"\[(?:https?|ftp)://[^\]]*\]", " ")
+    c = F.regexp_replace(c, r"'{2,}", "")
+    c = F.regexp_replace(c, r"={2,}", " ")
+    c = F.regexp_replace(c, r"</?[A-Za-z][^>]*>", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)

@@ -186,3 +186,46 @@ def test_udf_roundtrip(spark):
         (0, "This", A), (0, "is", A), (0, "a", A), (0, "foo", "c"),
         (1, "it", "i"), (1, "http://x.com", "elu"), (1, "y", "el"),
     ]
+
+
+def test_plain_text_col(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis.wiki import wiki_plain_text_col
+
+    rows = [
+        (0, "''Intro'' [[Category:cats]] See [[link|the docs]] and "
+            "[[other]] at [http://x.com the site] ==Head== "
+            "<ref>cite</ref> done."),
+        (1, "[http://bare.com] plain <span class='x'>text</span>"),
+        (2, "'''''bold''''' and [[:Category:hidden]] tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        r["t"]
+        for r in df.select(wiki_plain_text_col(F.col("text")).alias("t"))
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert got == [
+        "Intro See the docs and other at the site Head done.",
+        "plain text",
+        "bold and tail",
+    ]
+
+
+def test_plain_text_is_codegen_only(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis.wiki import wiki_plain_text_col
+
+    df = spark.range(3).select(
+        F.concat(F.lit("[[a|b]] "), F.col("id")).alias("text")
+    )
+    plan = (
+        df.select(wiki_plain_text_col(F.col("text")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
