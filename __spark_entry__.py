@@ -1369,7 +1369,7 @@ _DRIVER_PRIORITY = [
     # round-5 closing-session additions
     "auto_stop_topk", "term_ord_seek", "delimited_boost_topk", "wiki_tokens",
     "simpletext_roundtrip", "direct_postings_topk", "bpe_pieces",
-    "ext_parse_match", "ts2a_match", "wiki_plain_text",
+    "ext_parse_match", "ts2a_match", "wiki_plain_text", "te_ro_terms",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -6030,6 +6030,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["wiki_plain_text"] = wiki_plain_text_gate
 
+    # --- Telugu analyzer pieces (te/TeluguNormalizer.java:27,
+    # te/TeluguStemmer.java:24) + Romanian cedilla folding
+    # (ro/RomanianNormalizer.java:28): reference-golden battery through
+    # the Arrow normalize UDFs
+    def te_ro_terms_gate(spark, sf):
+        from lucene_spark.analysis.normalize import normalize_udf
+
+        te_words = [
+            "పదాలూ", "అబ్బాయీ", "ఔఐఆఈఊ", "వస్తువులు",
+            "పన్నులు", "చేపిస్తున్నది", "చేపిస్తున్నడు",
+        ]
+        ro_words = ["peţişoară", "aşa"]
+        rows = [("te", w) for w in te_words] + [("ro", w) for w in ro_words]
+        df = spark.createDataFrame(rows, "lang string, word string")
+        te = df.filter(F.col("lang") == "te").select(
+            "lang", "word", normalize_udf("te_stem")("word").alias("out")
+        )
+        ro = df.filter(F.col("lang") == "ro").select(
+            "lang", "word", normalize_udf("ro")("word").alias("out")
+        )
+        return te.unionByName(ro).orderBy("lang", "word")
+
+    out["te_ro_terms"] = te_ro_terms_gate
+
     return _driver_order(out)
 
 
@@ -9238,6 +9262,21 @@ m AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS freq
 FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # Telugu normalize→stem chain + Romanian cedilla folding, pinned
+    out["te_ro_terms"] = """
+SELECT * FROM (VALUES
+  ('ro', 'aşa', 'așa'),
+  ('ro', 'peţişoară', 'pețișoară'),
+  ('te', 'అబ్బాయీ', 'అబ్బాయ'),
+  ('te', 'ఔఐఆఈఊ', 'ఓఏఅఇఉ'),
+  ('te', 'చేపిస్తున్నడు', 'చెపిస్తున్న'),
+  ('te', 'చేపిస్తున్నది', 'చెపిస్తున్న'),
+  ('te', 'పదాలూ', 'పదా'),
+  ('te', 'పన్నులు', 'పన్ను'),
+  ('te', 'వస్తువులు', 'వస్తువు')
+) AS t(lang, word, out) ORDER BY lang, word
 """
 
     # wiki markup → display plain text (template pinned per doc)

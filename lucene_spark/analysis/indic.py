@@ -16,7 +16,7 @@ the flag() ORs resolved to the integer masks.
 
 from __future__ import annotations
 
-__all__ = ["indic_normalize"]
+__all__ = ["indic_normalize", "telugu_normalize", "telugu_stem"]
 
 # (script flag, codepage base) — Character.UnicodeBlock equivalents
 _SCRIPTS = (
@@ -157,3 +157,69 @@ def indic_normalize(word: str) -> str:
                                 break
         i += 1
     return "".join(s)
+
+
+# --- Telugu (te/TeluguNormalizer.java:27, te/TeluguStemmer.java:24) --------
+
+def telugu_normalize(word: str) -> str:
+    """TeluguNormalizer.normalize: candrabindu→bindu, visarga/ZWJ/ZWNJ
+    deletion, long→short vowels and matras, decomposed diphthong and
+    oo/au composition — one left-to-right pass with the reference's
+    exact revisit-after-delete behavior."""
+    s = list(word)
+    i = 0
+    simple = {
+        "ఀ": "ం", "ఁ": "ం",  # candrabindu -> bindu
+        "ఔ": "ఓ", "ఐ": "ఏ",  # long -> short vowels
+        "ఆ": "అ", "ఈ": "ఇ", "ఊ": "ఉ",
+        "ీ": "ి", "ూ": "ు",  # long -> short matras
+        "ే": "ె", "ో": "ొ",
+    }
+    while i < len(s):
+        c = s[i]
+        if c in ("\u0c03", "\u200c", "\u200d"):  # visarga, zwnj, zwj
+            del s[i]
+            continue
+        if c == "ె" and i + 1 < len(s) and s[i + 1] == "ౖ":
+            s[i] = "ై"                      # decomposed ai matra
+            del s[i + 1]
+            i += 1
+            continue
+        if c == "ఒ" and i + 1 < len(s):
+            if s[i + 1] == "ౕ":             # o + length mark -> oo
+                s[i] = "ఓ"
+                del s[i + 1]
+                i += 1
+                continue
+            if s[i + 1] == "ౌ":             # o + au matra -> au
+                s[i] = "ఔ"
+                del s[i + 1]
+                i += 1
+                continue
+        if c in simple:
+            s[i] = simple[c]
+        i += 1
+    return "".join(s)
+
+
+_TE_SUF4 = ("ళ్ళు", "డ్లు")  # ళ్ళు డ్లు
+_TE_SUF2 = (
+    "డు", "ము", "వు", "లు",
+    "ని", "ను", "చే", "కై",
+    "లో", "ది", "కి", "సు",
+    "వై", "పై",
+)  # డు ము వు లు ని ను చే కై లో ది కి సు వై పై
+_TE_SUF1 = tuple("ిీుూెేొోా")
+
+
+def telugu_stem(word: str) -> str:
+    """TeluguStemmer.stem: longest-first suffix strip with the
+    reference's exact length guards (len>5 / >3 / >2)."""
+    n = len(word)
+    if n > 5 and word.endswith(_TE_SUF4):
+        return word[:-4]
+    if n > 3 and word.endswith(_TE_SUF2):
+        return word[:-2]
+    if n > 2 and word.endswith(_TE_SUF1):
+        return word[:-1]
+    return word

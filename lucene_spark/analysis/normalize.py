@@ -38,6 +38,7 @@ __all__ = [
     "scandinavian_normalize",
     "scandinavian_fold",
     "serbian_normalize",
+    "romanian_normalize",
     "irish_lowercase",
     "elision",
     "ELISION_ARTICLES",
@@ -184,6 +185,18 @@ _SR_MAP = {
 }
 
 
+def romanian_normalize(word: str) -> str:
+    """RomanianNormalizer (ro/RomanianNormalizer.java:28): legacy
+    cedilla forms of s/t fold to the correct comma-below letters
+    (U+015E/15F/162/163 -> U+0218/219/21A/21B)."""
+    return (
+        word.replace("\u015e", "\u0218")
+        .replace("\u015f", "\u0219")
+        .replace("\u0162", "\u021a")
+        .replace("\u0163", "\u021b")
+    )
+
+
 def serbian_normalize(word: str) -> str:
     return "".join(_SR_MAP.get(c, c) for c in word)
 
@@ -238,8 +251,27 @@ NORMALIZE_KINDS = {
     "elision_fr": lambda w: elision(w, "fr"),
     "elision_it": lambda w: elision(w, "it"),
     "elision_ca": lambda w: elision(w, "ca"),
+    "ro": romanian_normalize,
+    "te_norm": None,  # bound below (circular-import-free lazy import)
+    "te_stem": None,
     "elision_ga": lambda w: elision(w, "ga"),
 }
+
+
+def _te_norm(w):
+    from .indic import telugu_normalize
+
+    return telugu_normalize(w)
+
+
+def _te_stem(w):
+    from .indic import telugu_normalize, telugu_stem
+
+    return telugu_stem(telugu_normalize(w))
+
+
+NORMALIZE_KINDS["te_norm"] = _te_norm
+NORMALIZE_KINDS["te_stem"] = _te_stem
 
 
 def normalize_token(kind: str, word: str) -> str:
