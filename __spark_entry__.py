@@ -1370,6 +1370,7 @@ _DRIVER_PRIORITY = [
     "auto_stop_topk", "term_ord_seek", "delimited_boost_topk", "wiki_tokens",
     "simpletext_roundtrip", "direct_postings_topk", "bpe_pieces",
     "ext_parse_match", "ts2a_match", "wiki_plain_text", "te_ro_terms",
+    "blended_term_stats_topk",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -6054,6 +6055,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["te_ro_terms"] = te_ro_terms_gate
 
+    # --- BlendedTermQuery (core/search/BlendedTermQuery.java:47):
+    # 'dup' (rare) scored with 'hash's max docFreq — the blend damps
+    # rare-variant idf dominance; DisMax rewrite, class-default tie 0.01
+    def blended_term_stats_topk_gate(spark, sf):
+        from lucene_spark.search.blended import blended_term_topk
+
+        return blended_term_topk(
+            _index(spark, sf), {"hash": 1.0, "dup": 1.5}, k=15
+        )
+
+    out["blended_term_stats_topk"] = blended_term_stats_topk_gate
+
     return _driver_order(out)
 
 
@@ -9263,6 +9276,39 @@ m AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS freq
 FROM m GROUP BY doc_id ORDER BY doc_id
 """
+
+    # BlendedTermQuery: every term scored at df = max(df_i), DisMax 0.01
+    out["blended_term_stats_topk"] = f"""
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sttf FROM dl),
+dlq AS (SELECT doc_id, {{_DLQ}} AS dl_q FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM tok
+  WHERE term IN ('hash', 'dup') GROUP BY doc_id, term
+),
+bl AS (SELECT max(doc_freq) AS dfb FROM (
+  SELECT term, count(*) AS doc_freq FROM tf GROUP BY term
+)),
+boosts(term, boost) AS (VALUES ('hash', 1.0), ('dup', 1.5)),
+per AS (
+  SELECT doc_id,
+         boost * ln(1 + (n_docs - dfb + 0.5) / (dfb + 0.5))
+           * freq / (freq + {{_K1}} * (1 - {{_B}} + {{_B}} * dl_q / (sttf * 1.0 / n_docs))) AS s_t
+  FROM tf JOIN boosts USING (term) JOIN dlq USING (doc_id)
+  CROSS JOIN stats CROSS JOIN bl
+),
+sc AS (
+  SELECT doc_id, max(s_t) + 0.01 * (sum(s_t) - max(s_t)) AS s
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT 15
+""".format(_DLQ=_DLQ, _K1=_K1, _B=_B)
 
     # Telugu normalize→stem chain + Romanian cedilla folding, pinned
     out["te_ro_terms"] = """
