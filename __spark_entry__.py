@@ -1370,7 +1370,7 @@ _DRIVER_PRIORITY = [
     "auto_stop_topk", "term_ord_seek", "delimited_boost_topk", "wiki_tokens",
     "simpletext_roundtrip", "direct_postings_topk", "bpe_pieces",
     "ext_parse_match", "ts2a_match", "wiki_plain_text", "te_ro_terms",
-    "blended_term_stats_topk",
+    "blended_term_stats_topk", "late_interaction_topk",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -6067,6 +6067,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["blended_term_stats_topk"] = blended_term_stats_topk_gate
 
+    # --- Late-interaction MaxSim rescore (core/search/
+    # LateInteractionRescorer.java:28): doc multi-vectors = 4×16
+    # chunks of the embedding; query multi-vector = 2 chunks of the
+    # probe; cosine-topk first pass rescored by Σ_q max_d (1+cos)/2 —
+    # the whole MaxSim is one codegen'd HOF column, no UDF
+    def late_interaction_topk_gate(spark, sf):
+        from lucene_spark.search.lateinteraction import late_interaction_rescore
+
+        emb = _emb(spark, sf)
+        qv = _qvec(spark, sf)
+        fp = cosine_topk(emb, qv, k=40)
+        docs = emb.select(
+            "vec_id",
+            F.array(
+                F.slice("embedding", 1, 16),
+                F.slice("embedding", 17, 16),
+                F.slice("embedding", 33, 16),
+                F.slice("embedding", 49, 16),
+            ).alias("multi_vec"),
+        )
+        return late_interaction_rescore(
+            fp,
+            docs,
+            [qv[0:16], qv[48:64]],
+            id_col="vec_id",
+            score_col="cos",
+            k=15,
+        )
+
+    out["late_interaction_topk"] = late_interaction_topk_gate
+
     return _driver_order(out)
 
 
@@ -9275,6 +9306,40 @@ m AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS freq
 FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # Late-interaction MaxSim over 4x16 embedding chunks, 2 query tokens
+    out["late_interaction_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+z AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x, unnest(qv)::DOUBLE AS y
+  FROM embeddings, q
+),
+s AS (
+  SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nq
+  FROM z GROUP BY vec_id
+),
+fp AS (
+  SELECT vec_id FROM s
+  ORDER BY dot / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC LIMIT 40
+),
+mv AS (
+  SELECT e.vec_id,
+         [e.embedding[1:16], e.embedding[17:32],
+          e.embedding[33:48], e.embedding[49:64]] AS chunks
+  FROM embeddings e JOIN fp USING (vec_id)
+),
+qq AS (SELECT qv[1:16]::DOUBLE[] AS q1, qv[49:64]::DOUBLE[] AS q2 FROM q),
+sc AS (
+  SELECT vec_id,
+    list_max(list_transform(chunks,
+      c -> (1 + list_cosine_similarity(c::DOUBLE[], q1)) / 2.0))
+    + list_max(list_transform(chunks,
+      c -> (1 + list_cosine_similarity(c::DOUBLE[], q2)) / 2.0)) AS sim
+  FROM mv, qq
+)
+SELECT vec_id, round(sim, 6) AS score FROM sc
+ORDER BY sim DESC, vec_id ASC LIMIT 15
 """
 
     # BlendedTermQuery: every term scored at df = max(df_i), DisMax 0.01
