@@ -1371,6 +1371,7 @@ _DRIVER_PRIORITY = [
     "simpletext_roundtrip", "direct_postings_topk", "bpe_pieces",
     "ext_parse_match", "ts2a_match", "wiki_plain_text", "te_ro_terms",
     "blended_term_stats_topk", "late_interaction_topk",
+    "sorted_numeric_selector_topk",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -6098,6 +6099,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["late_interaction_topk"] = late_interaction_topk_gate
 
+    # --- SortedNumericSortField + MAX selector (core/search/
+    # SortedNumericSortField.java:43, SortedNumericSelector MAX):
+    # multi-valued numeric sort, empty sets at missingValue 0,
+    # reverse order, docID ties
+    def sorted_numeric_selector_topk_gate(spark, sf):
+        from lucene_spark.search.sortselectors import sorted_numeric_topk
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 9 == 0, F.array().cast("array<long>")
+            )
+            .otherwise(
+                F.array(
+                    F.col("doc_id") % 13,
+                    F.col("doc_id") % 7 + 3,
+                    F.col("doc_id") % 5 + 1,
+                )
+            )
+            .alias("vals"),
+        )
+        return sorted_numeric_topk(
+            docs, "vals", selector="max", reverse=True, k=40
+        )
+
+    out["sorted_numeric_selector_topk"] = sorted_numeric_selector_topk_gate
+
     return _driver_order(out)
 
 
@@ -9306,6 +9334,16 @@ m AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS freq
 FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # SortedNumeric MAX selector, reverse, missing=0, docID ties
+    out["sorted_numeric_selector_topk"] = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 9 = 0 THEN 0
+            ELSE greatest(doc_id % 13, doc_id % 7 + 3, doc_id % 5 + 1)
+       END AS BIGINT) AS sort_key
+FROM documents
+ORDER BY sort_key DESC, doc_id ASC LIMIT 40
 """
 
     # Late-interaction MaxSim over 4x16 embedding chunks, 2 query tokens
