@@ -1371,7 +1371,7 @@ _DRIVER_PRIORITY = [
     "simpletext_roundtrip", "direct_postings_topk", "bpe_pieces",
     "ext_parse_match", "ts2a_match", "wiki_plain_text", "te_ro_terms",
     "blended_term_stats_topk", "late_interaction_topk",
-    "sorted_numeric_selector_topk",
+    "sorted_numeric_selector_topk", "seeded_knn_topk",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -6126,6 +6126,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["sorted_numeric_selector_topk"] = sorted_numeric_selector_topk_gate
 
+    # --- SeededKnnVectorQuery (core/search/SeededKnnVectorQuery.java:36):
+    # seed-query hits become the layer-0 entry points (descent
+    # skipped); with ef >= rows_per_segment the beam still covers each
+    # segment, so seeded results are value-exact vs the brute oracle —
+    # the seeding plumbing is what this gate pins (recall behavior of
+    # small-ef seeded search is pytest-tested)
+    def seeded_knn_topk_gate(spark, sf):
+        from lucene_spark.search.hnsw import build_hnsw_segments, hnsw_topk
+
+        graphs = build_hnsw_segments(
+            _emb(spark, sf), rows_per_segment=256, m=16, beam_width=100
+        )
+        return hnsw_topk(
+            graphs, _qvec(spark, sf), k=15, ef=256, seed_ids=[0, 3, 17]
+        )
+
+    out["seeded_knn_topk"] = seeded_knn_topk_gate
+
     return _driver_order(out)
 
 
@@ -7207,6 +7225,8 @@ ORDER BY dot / (sqrt(na) * sqrt(nq)) DESC, vec_id ASC LIMIT 15
     out["knn_factory_topk"] = out["embedding_cosine_topk"]
     # HNSW with ef >= segment size covers every segment → exact
     out["embedding_hnsw_topk"] = out["embedding_cosine_topk"]
+    # seeded entry points do not change the covered-beam result set
+    out["seeded_knn_topk"] = out["embedding_cosine_topk"]
     out["embedding_near_dups"] = """
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
 z AS (

@@ -53,10 +53,19 @@ __all__ = ["build_hnsw_segments", "hnsw_topk"]
 # in-kernel graph construction (one segment's vectors)
 
 
-def _search_layer(vecs, neighbors, q, entry_points, ef, level):
+def _search_layer(vecs, neighbors, q, entry_points, ef, level,
+                  patience=None, stats=None):
     """Best-first beam search on one layer (Algorithm 2 of the paper).
 
-    Returns (ids, sims) of up to ef nearest, sims = dot(normalized)."""
+    Returns (ids, sims) of up to ef nearest, sims = dot(normalized).
+
+    ``patience`` enables the PatienceKnnVectorQuery analog
+    (`search/PatienceKnnVectorQuery.java` /
+    `HnswQueueSaturationCollector.java`): after that many CONSECUTIVE
+    candidate expansions in which the result queue saturates (no
+    update), the search stops early.  ``stats`` (a dict) receives
+    ``visited`` / ``saturated`` counters for instrumentation.
+    """
     import heapq
 
     visited = set(entry_points)
@@ -68,10 +77,12 @@ def _search_layer(vecs, neighbors, q, entry_points, ef, level):
     heapq.heapify(best)
     while len(best) > ef:
         heapq.heappop(best)
+    stale = 0
     while cand:
         negs, c = heapq.heappop(cand)
         if best and -negs < best[0][0] and len(best) >= ef:
             break
+        updated = False
         for nb in neighbors[level].get(c, ()):  # neighbor list of c
             if nb in visited:
                 continue
@@ -80,8 +91,17 @@ def _search_layer(vecs, neighbors, q, entry_points, ef, level):
             if len(best) < ef or s > best[0][0]:
                 heapq.heappush(cand, (-s, nb))
                 heapq.heappush(best, (s, nb))
+                updated = True
                 if len(best) > ef:
                     heapq.heappop(best)
+        if patience is not None:
+            stale = 0 if updated else stale + 1
+            if stale >= patience:
+                if stats is not None:
+                    stats["saturated"] = stats.get("saturated", 0) + 1
+                break
+    if stats is not None:
+        stats["visited"] = stats.get("visited", 0) + len(visited)
     out = sorted(best, reverse=True)
     return [i for _, i in out], [s for s, _ in out]
 
@@ -340,13 +360,29 @@ def hnsw_topk(
     query_vec,
     k: int = 10,
     ef: Optional[int] = None,
+    seed_ids=None,
+    patience: Optional[int] = None,
 ) -> DataFrame:
     """KnnFloatVectorQuery analog: search every segment graph
     (mapInPandas over the graph rows), then merge with one global
     top-k. Final scores are exact float64 cosine of the RAW vectors —
     the same expression as the brute-force path — so the only
-    approximation is which candidates the beam visits."""
+    approximation is which candidates the beam visits.
+
+    ``seed_ids`` — SeededKnnVectorQuery (`core/search/
+    SeededKnnVectorQuery.java:36`): vec_ids from a seed query become
+    the layer-0 entry points in the segments that contain them,
+    skipping the hierarchy descent (the reference's seeded entry
+    points from `seedWeight`); segments with no seed fall back to the
+    normal descent.  The seed set is k-bounded and ships in the task
+    closure — no extra job or shuffle.
+
+    ``patience`` — PatienceKnnVectorQuery analog: early-terminate each
+    segment beam after that many consecutive saturated expansions (see
+    :func:`_search_layer`).
+    """
     ef = max(k, ef if ef is not None else k * 4)
+    seed_set = frozenset(int(x) for x in seed_ids) if seed_ids is not None else None
     q64 = np.asarray(list(query_vec), dtype=np.float64)
     qn = np.linalg.norm(q64)
     q32 = (q64 / (qn or 1.0)).astype(np.float32)
@@ -383,11 +419,19 @@ def hnsw_topk(
                     nrm[nrm == 0] = 1.0
                     normed = raw / nrm
                     qt = q32
-                eps = [entry]
-                for level in range(top, 0, -1):
-                    got, _ = _search_layer(normed, nbrs, qt, eps, 1, level)
-                    eps = got[:1] or eps
-                cand, _ = _search_layer(normed, nbrs, qt, eps, ef, 0)
+                eps = None
+                if seed_set is not None:
+                    local = [j for j in range(n) if int(ids[j]) in seed_set]
+                    if local:
+                        eps = local  # seeded entry: skip the descent
+                if eps is None:
+                    eps = [entry]
+                    for level in range(top, 0, -1):
+                        got, _ = _search_layer(normed, nbrs, qt, eps, 1, level)
+                        eps = got[:1] or eps
+                cand, _ = _search_layer(
+                    normed, nbrs, qt, eps, ef, 0, patience=patience
+                )
                 cand = np.asarray(cand[: max(ef, k)], dtype=np.int64)
                 # exact float64 cosine over raw vectors for the merge;
                 # zero-norm vectors (or query) score 0, never NaN —
