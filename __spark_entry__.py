@@ -1371,7 +1371,7 @@ _DRIVER_PRIORITY = [
     "simpletext_roundtrip", "direct_postings_topk", "bpe_pieces",
     "ext_parse_match", "ts2a_match", "wiki_plain_text", "te_ro_terms",
     "blended_term_stats_topk", "late_interaction_topk",
-    "sorted_numeric_selector_topk", "seeded_knn_topk",
+    "sorted_numeric_selector_topk", "seeded_knn_topk", "indri_and_topk",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -6144,6 +6144,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["seeded_knn_topk"] = seeded_knn_topk_gate
 
+    # --- IndriAndQuery (core/search/IndriAndScorer.java:45): belief
+    # AND = boost-weighted MEAN over clauses, missing clauses score the
+    # Dirichlet smoothing (freq=0) background — every union doc scored
+    # by every clause
+    def indri_and_topk_gate(spark, sf):
+        from lucene_spark.search.indriand import indri_and_topk
+
+        return indri_and_topk(
+            _index(spark, sf), {"hash": 1.0, "dup": 2.0, "scan": 0.5}, k=15
+        )
+
+    out["indri_and_topk"] = indri_and_topk_gate
+
     return _driver_order(out)
 
 
@@ -9355,6 +9368,43 @@ m AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS freq
 FROM m GROUP BY doc_id ORDER BY doc_id
 """
+
+    # IndriAnd: boost-weighted mean, smoothing freq=0 for missing clauses
+    out["indri_and_topk"] = f"""
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS sttf FROM dl),
+dlq AS (SELECT doc_id, {{_DLQ}} AS dl_q FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM tok
+  WHERE term IN ('hash', 'dup', 'scan') GROUP BY doc_id, term
+),
+tt AS (
+  SELECT term, count(*) AS ttf FROM tok
+  WHERE term IN ('hash', 'dup', 'scan') GROUP BY term
+),
+u AS (SELECT DISTINCT doc_id FROM tf),
+boosts(term, boost) AS (VALUES ('hash', 1.0), ('dup', 2.0), ('scan', 0.5)),
+pairs AS (
+  SELECT u.doc_id, b.boost, tt.ttf, coalesce(f.freq, 0) AS freq, dlq.dl_q
+  FROM u CROSS JOIN boosts b
+  JOIN tt USING (term)
+  LEFT JOIN tf f ON f.doc_id = u.doc_id AND f.term = b.term
+  JOIN dlq ON dlq.doc_id = u.doc_id
+),
+sc AS (
+  SELECT doc_id,
+         sum(boost * ln((freq + 2000.0 * (ttf * 1.0 / sttf)) / (dl_q + 2000.0)))
+           / (SELECT sum(boost) FROM boosts) AS s
+  FROM pairs CROSS JOIN stats GROUP BY doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT 15
+""".format(_DLQ=_DLQ)
 
     # SortedNumeric MAX selector, reverse, missing=0, docID ties
     out["sorted_numeric_selector_topk"] = """
