@@ -78,8 +78,12 @@ class SearcherManager:
         newest = self._commits.current_generation()
         if newest == self._gen:
             return False
+        for li in getattr(self, "_listeners", []):
+            li.before_refresh()
         self._index = self._commits.open(newest)
         self._gen = newest
+        for li in getattr(self, "_listeners", []):
+            li.after_refresh(True)
         # reap dead slots (superseded generation, no outstanding refs)
         for key in [k for k, s in self._refs.items() if s[1] <= 0 and s[0] != newest]:
             del self._refs[key]
@@ -240,3 +244,66 @@ class ControlledReopenController:
         self._manager.maybe_refresh()
         cur = self._manager.current_generation
         return cur is not None and cur >= target_gen
+
+
+class LiveFieldValues:
+    """LiveFieldValues.java:33 — NRT get-by-id that tracks each doc's
+    field value from ``add()`` until it becomes visible via a
+    refreshed searcher: lookups try the live map, then the
+    being-refreshed map, then the searcher.
+
+    ``delete(id)`` records the missing sentinel so a deleted-but-not-
+    yet-refreshed id reads as absent (java:61).  The double-buffer
+    swap mirrors beforeRefresh/afterRefresh (java:30-48) with one
+    documented divergence: listeners fire only on an ACTUAL generation
+    swap.  The reference may clear buffers on a no-op refresh because
+    its NRT reader already reflects those writes; our searcher only
+    reflects adds at commit generations, so clearing early would drop
+    values that are not yet searchable.
+    """
+
+    _MISSING = object()
+
+    def __init__(self, manager: "SearcherManager", searcher_lookup=None):
+        self._mgr = manager
+        self._lookup = searcher_lookup
+        self._current: Dict[str, object] = {}
+        self._old: Dict[str, object] = {}
+        manager._listeners = getattr(manager, "_listeners", [])
+        manager._listeners.append(self)
+
+    def close(self) -> None:
+        self._mgr._listeners.remove(self)
+
+    # -- ReferenceManager.RefreshListener ---------------------------------
+    def before_refresh(self) -> None:
+        self._old = self._current
+        self._current = {}
+
+    def after_refresh(self, did_refresh: bool) -> None:
+        self._old = {}
+
+    # -- writer-side hooks --------------------------------------------------
+    def add(self, id_: str, value) -> None:
+        self._current[id_] = value
+
+    def delete(self, id_: str) -> None:
+        self._current[id_] = self._MISSING
+
+    def size(self) -> int:
+        return len(self._current) + len(self._old)
+
+    def get(self, id_: str):
+        for m in (self._current, self._old):
+            v = m.get(id_, None)
+            if v is self._MISSING:
+                return None  # deleted, deletion not yet refreshed
+            if v is not None:
+                return v
+        if self._lookup is None:
+            return None
+        idx = self._mgr.acquire()
+        try:
+            return self._lookup(idx, id_)
+        finally:
+            self._mgr.release(idx)

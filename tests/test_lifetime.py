@@ -234,3 +234,46 @@ def test_wait_for_uncommitted_generation_is_false(spark, tmp_path):
     )
     t["now"] = 200.0
     assert not ctl.wait_for_generation(99)  # never committed
+
+
+# ------------------------------------------------------ LiveFieldValues
+
+
+def test_live_field_values_cycle(spark, tmp_path):
+    from lucene_spark.search.lifetime import LiveFieldValues
+
+    commits = IndexCommits(spark, str(tmp_path / "lfv"), keep_last=3)
+    commits.commit(_idx(spark, "alpha"))
+    mgr = SearcherManager(commits)
+    seen = {}
+
+    def lookup(idx, id_):
+        return seen.get(id_)
+
+    lfv = LiveFieldValues(mgr, searcher_lookup=lookup)
+    # buffered adds are visible immediately
+    lfv.add("7", "v7")
+    assert lfv.get("7") == "v7"
+    assert lfv.size() == 1
+    # deleted-but-not-refreshed reads as absent (the missing sentinel)
+    lfv.delete("7")
+    assert lfv.get("7") is None
+    lfv.add("8", "v8")
+
+    # a no-op refresh must NOT drop buffered values (documented
+    # divergence: our searcher only advances at commit generations)
+    assert not mgr.maybe_refresh()
+    assert lfv.get("8") == "v8"
+
+    # a real refresh makes the values searcher-visible: simulate by
+    # publishing to the searcher-side store at commit time
+    seen["8"] = "v8-from-searcher"
+    commits.commit(_idx(spark, "beta"))
+    assert mgr.maybe_refresh()
+    assert lfv.size() == 0  # both maps cleared after the swap
+    assert lfv.get("8") == "v8-from-searcher"  # falls through to searcher
+    assert lfv.get("nope") is None
+
+    lfv.close()
+    lfv2_registered = getattr(mgr, "_listeners", [])
+    assert lfv not in lfv2_registered
