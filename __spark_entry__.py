@@ -1372,6 +1372,7 @@ _DRIVER_PRIORITY = [
     "ext_parse_match", "ts2a_match", "wiki_plain_text", "te_ro_terms",
     "blended_term_stats_topk", "late_interaction_topk",
     "sorted_numeric_selector_topk", "seeded_knn_topk", "indri_and_topk",
+    "multi_collector_stats",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -6157,6 +6158,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["indri_and_topk"] = indri_and_topk_gate
 
+    # --- MultiCollector/MultiCollectorManager (core/search/
+    # MultiCollector.java:36): TotalHitCount + score-statistics
+    # collectors fused into ONE partial-agg'd pass over the scored frame
+    def multi_collector_stats_gate(spark, sf):
+        from lucene_spark.search.misc import multi_collector_stats
+
+        return multi_collector_stats(
+            _index(spark, sf), {"hash": 1.0, "dup": 2.0}
+        )
+
+    out["multi_collector_stats"] = multi_collector_stats_gate
+
     return _driver_order(out)
 
 
@@ -9367,6 +9380,18 @@ m AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS freq
 FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # MultiCollector: one-pass fused scalar collectors over BM25 hits
+    _mc_ctes = _bm25_scored_ctes({"hash": 1.0, "dup": 2.0})
+    out["multi_collector_stats"] = f"""
+WITH {_mc_ctes}
+SELECT CAST(count(*) AS BIGINT) AS total_hits,
+       round(max(s), 4) AS max_score,
+       round(min(s), 4) AS min_score,
+       round(sum(s), 4) AS sum_score,
+       round(avg(s), 4) AS avg_score
+FROM first
 """
 
     # IndriAnd: boost-weighted mean, smoothing freq=0 for missing clauses

@@ -134,3 +134,34 @@ def large_num_hits_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(num_hits)
     )
+
+
+def multi_collector_stats(
+    index,
+    term_boosts,
+    value_col_expr=None,
+) -> DataFrame:
+    """MultiCollector / MultiCollectorManager analog
+    (`core/search/MultiCollector.java:36`,
+    `MultiCollectorManager.java:30`): several collectors observe ONE
+    scoring pass.  Where Lucene wraps LeafCollectors so each collect()
+    feeds every child, the DataFrame analog fuses every SCALAR
+    collector (TotalHitCountCollector, max/min/avg score trackers,
+    sum aggregators) into ONE partial-agg'd job over the single scored
+    frame — literally one pass over the postings, map-side combined.
+
+    Returns one row: (total_hits, max_score, min_score, sum_score,
+    avg_score) — TotalHitCount + the score-statistics collectors.
+    """
+    from pyspark.sql import functions as F
+
+    from .parity import _bm25_scored_f64
+
+    scored = _bm25_scored_f64(index, term_boosts)
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("total_hits"),
+        F.round(F.max("s"), 4).alias("max_score"),
+        F.round(F.min("s"), 4).alias("min_score"),
+        F.round(F.sum("s"), 4).alias("sum_score"),
+        F.round(F.avg("s"), 4).alias("avg_score"),
+    )

@@ -165,3 +165,26 @@ def test_delimited_boost_query_folds_duplicates():
 
 def test_delimited_boost_custom_delimiter():
     assert delimited_boost_terms("a^4", delimiter="^") == [("a", 4.0)]
+
+
+# --- MultiCollector fused scalar collectors --------------------------------
+
+
+def test_multi_collector_single_pass(idx, spark):
+    from lucene_spark.search.misc import multi_collector_stats
+
+    row = multi_collector_stats(idx, {"common": 1.0, "rare": 2.0}).collect()[0]
+    # 'common' in 5 docs, 'rare' in 1 (doc 0, which also has common)
+    assert row["total_hits"] == 5
+    assert row["max_score"] >= row["avg_score"] >= row["min_score"]
+    assert row["sum_score"] == pytest.approx(row["avg_score"] * 5, abs=1e-3)
+    # every collector fused into ONE aggregate job: the plan has a
+    # single final HashAggregate pair over the scored frame, no join
+    # of separate passes
+    plan = (
+        multi_collector_stats(idx, {"common": 1.0})
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Aggregate [") <= 3  # score groupBy + the fused stats
