@@ -20,8 +20,10 @@ use on their serial path):
 - a ``-`` task prefix disables that task's report line
   (`Algorithm.java` '-' handling);
 - tasks: ResetSystemErase, CreateIndex, AddDoc / AddDocs(n),
-  ForceMerge(n), CloseIndex, OpenReader, Search, CloseReader,
-  NewRound, RepSumByName.
+  ForceMerge(n), CloseIndex, OpenReader, Search, CountingSearch,
+  SearchTrav(n), SearchWithSort, Warm, CloseReader, NewRound,
+  RepSumByName (`tasks/SearchTask.java`, `CountingSearchTask`,
+  `SearchTravTask`, `SearchWithSortTask`, `WarmTask`).
 
 Parallel sequences ``[ ... ]`` run SEQUENTIALLY here by design: the
 driver is an orchestrator and each task is already a cluster-parallel
@@ -230,14 +232,39 @@ class _Runner:
             self.reader_open = True
         elif n == "CloseReader":
             self.reader_open = False
-        elif n == "Search":
+        elif n in ("Search", "CountingSearch", "SearchTrav", "SearchWithSort", "Warm"):
             if not self.reader_open:
                 self._ensure_index()
-            from .search.parity import bm25_topk_f64
-
             q = self.queries[self.qcursor % len(self.queries)]
             self.qcursor += 1
-            recs = len(bm25_topk_f64(self.index, q, k=self.k).collect())
+            if n == "Warm":
+                # WarmTask: touch every live doc once (no query)
+                recs = self.index.norms.count()
+            elif n == "CountingSearch":
+                # CountingSearchTask: count hits, no top-k materialization
+                from .search.parity import _bm25_scored_f64
+
+                recs = _bm25_scored_f64(self.index, q).count()
+            elif n == "SearchTrav":
+                # SearchTravTask(n): traverse up to arg hits of the result
+                from .search.parity import bm25_topk_f64
+
+                lim = int(t.arg) if t.arg else self.k
+                recs = len(bm25_topk_f64(self.index, q, k=lim).collect())
+            elif n == "SearchWithSort":
+                # SearchWithSortTask: hits ordered by docID instead of score
+                from .search.parity import _bm25_scored_f64
+
+                recs = len(
+                    _bm25_scored_f64(self.index, q)
+                    .orderBy("doc_id")
+                    .limit(self.k)
+                    .collect()
+                )
+            else:
+                from .search.parity import bm25_topk_f64
+
+                recs = len(bm25_topk_f64(self.index, q, k=self.k).collect())
         elif n == "NewRound":
             self.round += 1
         elif n == "RepSumByName":

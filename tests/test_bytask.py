@@ -107,3 +107,17 @@ def test_round_iterated_property(spark, corpus):
     props, _ = parse_algorithm("p=c:1:2\n" + alg)
     res = run_algorithm(spark, corpus, "p=c:1:2\n" + alg)
     assert res["rounds"] == 4
+
+
+def test_search_task_variants(spark, corpus):
+    alg = (
+        '{ "Run" CreateIndex { "Add" AddDocs(20) > : 1 CloseIndex OpenReader '
+        '{ "C" CountingSearch > : 1 { "T" SearchTrav(3) > : 1 '
+        '{ "W" Warm > : 1 { "SS" SearchWithSort > : 1 CloseReader } : 1'
+    )
+    res = run_algorithm(spark, corpus, alg, queries=[{"hash": 1.0}], k=5)
+    by = {r["op"]: r for r in res["by_name"]}
+    assert by["Seq_C_1"]["recs"] == 20       # every doc matches 'hash'
+    assert by["Seq_T_1"]["recs"] == 3        # traversal capped at arg
+    assert by["Seq_W_1"]["recs"] == 20       # warm touches every doc
+    assert by["Seq_SS_1"]["recs"] == 5       # sorted page of k
