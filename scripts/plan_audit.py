@@ -455,6 +455,70 @@ def main() -> None:
         )
     )
 
+    # 18. late-interaction MaxSim: the whole Σ_q max_d sim(q,d) over
+    # multi-vectors is codegen'd HOFs — zero Python nodes (at 100 TB
+    # the rescore is a broadcast join plus this projection)
+    from lucene_spark.search.lateinteraction import late_interaction_maxsim_col
+
+    emb18 = spark.read.parquet(f"{SF}/embeddings.parquet")
+    mv18 = emb18.select(
+        "vec_id",
+        F.array(F.slice("embedding", 1, 32), F.slice("embedding", 33, 32)).alias(
+            "mv"
+        ),
+    )
+    p18 = plan_of(
+        mv18.select(
+            late_interaction_maxsim_col(F.col("mv"), [[0.1] * 32, [0.2] * 32])
+        )
+    )
+    n_py18 = len(re.findall(r"EvalPython|MapInPandas|InPandas", p18))
+    checks.append(
+        (
+            "late-interaction MaxSim: pure codegen HOFs, 0 Python nodes",
+            n_py18 == 0,
+            f"{n_py18} Python node(s)",
+            p18,
+        )
+    )
+
+    # 19. wiki markup -> plain text: a pure regexp_replace chain — the
+    # page→text extraction stays inside WholeStageCodegen
+    from lucene_spark.analysis.wiki import wiki_plain_text_col
+
+    p19 = plan_of(
+        docs.select(wiki_plain_text_col(F.concat(F.lit("[[a|b]] "), F.col("text"))))
+    )
+    n_py19 = len(re.findall(r"EvalPython|MapInPandas|InPandas", p19))
+    checks.append(
+        (
+            "wiki plain-text extraction: codegen regexp chain, 0 Python nodes",
+            n_py19 == 0 and "codegen id" in p19,
+            f"{n_py19} Python node(s); the projection carries a codegen id",
+            p19,
+        )
+    )
+
+    # 20. DirectPostings hot-term cache: queries over cached terms read
+    # InMemoryTableScan with no decode node ABOVE the scan (the cached
+    # relation's recorded child plan legitimately shows the original
+    # decode)
+    from lucene_spark.search.directcache import DirectPostingsCache
+
+    cache20 = DirectPostingsCache(idx, terms=["spark"])
+    p20 = plan_of(cache20.postings(["spark"]))
+    above = p20.split("InMemoryRelation")[0]
+    ok20 = "InMemoryTableScan" in p20 and "MapInPandas" not in above
+    cache20.release()
+    checks.append(
+        (
+            "DirectPostings cache: hot path reads InMemoryTableScan, no re-decode",
+            ok20,
+            "InMemoryTableScan above; decode only inside the cached relation",
+            p20,
+        )
+    )
+
     # report
     ok_all = all(ok for _, ok, _, _ in checks)
     rows = "\n".join(
