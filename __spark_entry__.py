@@ -1372,7 +1372,7 @@ _DRIVER_PRIORITY = [
     "ext_parse_match", "ts2a_match", "wiki_plain_text", "te_ro_terms",
     "blended_term_stats_topk", "late_interaction_topk",
     "sorted_numeric_selector_topk", "seeded_knn_topk", "indri_and_topk",
-    "multi_collector_stats",
+    "multi_collector_stats", "concat_graph_paths",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -6170,6 +6170,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["multi_collector_stats"] = multi_collector_stats_gate
 
+    # --- ConcatenateGraphFilter (miscellaneous/
+    # ConcatenateGraphFilter.java:45): token-graph paths enumerated as
+    # completion keys — synonym side paths, no-separator dedupe, holes
+    def concat_graph_paths_gate(spark, sf):
+        from pyspark.sql.functions import pandas_udf
+
+        from lucene_spark.analysis.miscfilters import concatenate_graph_paths
+
+        streams = {
+            "phrase": ([("a", 1, 1), ("b", 1, 1)], "/"),
+            "synonym": (
+                [("wifi", 1, 2), ("wi", 0, 1), ("fi", 1, 1), ("net", 1, 1)],
+                "/",
+            ),
+            "nosep": (
+                [("wifi", 1, 2), ("wi", 0, 1), ("fi", 1, 1), ("net", 1, 1)],
+                None,
+            ),
+            "hole": ([("a", 1, 1), ("b", 3, 1)], "/"),
+        }
+
+        @pandas_udf("array<string>")
+        def paths_of(kinds):
+            return kinds.map(
+                lambda kd: concatenate_graph_paths(
+                    streams[kd][0], token_separator=streams[kd][1]
+                )
+            )
+
+        df = spark.createDataFrame(
+            [(k,) for k in sorted(streams)], "kind string"
+        )
+        return (
+            df.select("kind", F.explode(paths_of("kind")).alias("path"))
+            .orderBy("kind", "path")
+        )
+
+    out["concat_graph_paths"] = concat_graph_paths_gate
+
     return _driver_order(out)
 
 
@@ -9380,6 +9419,17 @@ m AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS freq
 FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # ConcatenateGraph: every accepted path of the token graph
+    out["concat_graph_paths"] = """
+SELECT * FROM (VALUES
+  ('hole', 'a///b'),
+  ('nosep', 'wifinet'),
+  ('phrase', 'a/b'),
+  ('synonym', 'wi/fi/net'),
+  ('synonym', 'wifi/net')
+) AS t(kind, path) ORDER BY kind, path
 """
 
     # MultiCollector: one-pass fused scalar collectors over BM25 hits

@@ -39,6 +39,8 @@ __all__ = [
     "stemmer_override",
     "hyphenated_words",
     "string_transform_udf",
+    "SEP_LABEL",
+    "concatenate_graph_paths",
 ]
 
 
@@ -369,3 +371,64 @@ def flatten_graph(
                        max(1, out[to] - p), start, end))
         last_pos = p
     return result
+
+
+SEP_LABEL = "\u001f"  # ConcatenateGraphFilter.SEP_LABEL (POS_SEP)
+
+
+def concatenate_graph_paths(
+    tokens,
+    token_separator: Optional[str] = SEP_LABEL,
+    preserve_position_increments: bool = True,
+    max_graph_expansions: int = 10000,
+):
+    """ConcatenateGraphFilter analog (`analysis/common/.../miscellaneous/
+    ConcatenateGraphFilter.java:45`): the token-stream GRAPH becomes an
+    automaton whose accepted strings are enumerated — one output string
+    per distinct path, tokens joined by ``token_separator`` (U+001F,
+    the reference's SEP_LABEL; ``None`` concatenates directly, and
+    identical accepted strings dedupe exactly like the automaton).
+
+    tokens: (term, pos_inc, pos_length) triples.  A hole (pos_inc > 1)
+    contributes an empty position — two consecutive separators — when
+    ``preserve_position_increments`` (the reference default), else it
+    collapses.  More than ``max_graph_expansions`` paths raises,
+    mirroring TooComplexToDeterminizeException.  Output is sorted
+    (the automaton's finite-strings enumeration is label-ordered).
+    """
+    edges: Dict[int, list] = {}  # node -> [(term, dest)]
+    pos = -1
+    max_node = 0
+    for term, pos_inc, pos_length in tokens:
+        if not preserve_position_increments and pos_inc > 1:
+            pos_inc = 1
+        if pos < 0 and pos_inc <= 0:
+            raise ValueError("first token must have a positive increment")
+        if pos_inc > 1:
+            # holes: one empty position per skipped slot
+            for h in range(pos + 1, pos + pos_inc):
+                edges.setdefault(h, []).append(("", h + 1))
+            pos += pos_inc
+        elif pos_inc > 0:
+            pos += 1
+        dest = pos + int(pos_length)
+        edges.setdefault(pos, []).append((term, dest))
+        max_node = max(max_node, dest)
+    if pos < 0:
+        return []
+    sep = token_separator if token_separator is not None else ""
+    out = set()
+    stack = [(0, [])]
+    while stack:
+        node, parts = stack.pop()
+        if node == max_node:
+            out.add(sep.join(parts))
+            if len(out) > max_graph_expansions:
+                raise ValueError(
+                    "too many graph expansions "
+                    f"(> {max_graph_expansions}): too complex to determinize"
+                )
+            continue
+        for term, dest in edges.get(node, ()):
+            stack.append((dest, parts + [term]))
+    return sorted(out)

@@ -237,3 +237,63 @@ def test_flatten_graph_leading_hole_preserved():
 
     out = flatten_graph([("b", 2, 1), ("c", 1, 1)])
     assert [(t[0], t[1]) for t in out] == [("b", 2), ("c", 1)]
+
+
+# --------------------------------------------- ConcatenateGraphFilter
+
+
+def test_concatenate_graph_simple_phrase():
+    from lucene_spark.analysis.miscfilters import concatenate_graph_paths
+
+    assert concatenate_graph_paths(
+        [("a", 1, 1), ("b", 1, 1)], token_separator="/"
+    ) == ["a/b"]
+
+
+def test_concatenate_graph_synonym_paths():
+    from lucene_spark.analysis.miscfilters import (
+        SEP_LABEL,
+        concatenate_graph_paths,
+    )
+
+    stream = [("wifi", 1, 2), ("wi", 0, 1), ("fi", 1, 1), ("net", 1, 1)]
+    got = concatenate_graph_paths(stream, token_separator="/")
+    assert got == ["wi/fi/net", "wifi/net"]
+    # default separator is the reference's SEP_LABEL (U+001F)
+    assert concatenate_graph_paths(stream) == [
+        "wi" + SEP_LABEL + "fi" + SEP_LABEL + "net",
+        "wifi" + SEP_LABEL + "net",
+    ]
+
+
+def test_concatenate_graph_no_separator_dedupes():
+    from lucene_spark.analysis.miscfilters import concatenate_graph_paths
+
+    stream = [("wifi", 1, 2), ("wi", 0, 1), ("fi", 1, 1), ("net", 1, 1)]
+    # "wi"+"fi"+"net" == "wifi"+"net": the automaton accepts ONE string
+    assert concatenate_graph_paths(stream, token_separator=None) == ["wifinet"]
+
+
+def test_concatenate_graph_holes():
+    from lucene_spark.analysis.miscfilters import concatenate_graph_paths
+
+    stream = [("a", 1, 1), ("b", 3, 1)]
+    # two skipped positions -> two empty slots between the tokens
+    assert concatenate_graph_paths(stream, token_separator="/") == ["a///b"]
+    assert concatenate_graph_paths(
+        stream, token_separator="/", preserve_position_increments=False
+    ) == ["a/b"]
+
+
+def test_concatenate_graph_expansion_limit():
+    import pytest
+
+    from lucene_spark.analysis.miscfilters import concatenate_graph_paths
+
+    # 4 binary choices -> 16 paths
+    stream = []
+    for i in range(4):
+        stream += [(f"x{i}", 1, 1), (f"y{i}", 0, 1)]
+    assert len(concatenate_graph_paths(stream, token_separator="/")) == 16
+    with pytest.raises(ValueError):
+        concatenate_graph_paths(stream, max_graph_expansions=10)
