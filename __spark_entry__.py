@@ -1372,7 +1372,7 @@ _DRIVER_PRIORITY = [
     "ext_parse_match", "ts2a_match", "wiki_plain_text", "te_ro_terms",
     "blended_term_stats_topk", "late_interaction_topk",
     "sorted_numeric_selector_topk", "seeded_knn_topk", "indri_and_topk",
-    "multi_collector_stats", "concat_graph_paths",
+    "multi_collector_stats", "concat_graph_paths", "synonym_rules",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -6209,6 +6209,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["concat_graph_paths"] = concat_graph_paths_gate
 
+    # --- Solr + WordNet synonym-format parsers (synonym/
+    # SolrSynonymParser.java:33, WordnetSynonymParser.java:26)
+    def synonym_rules_gate(spark, sf):
+        from lucene_spark.analysis.synparser import (
+            parse_solr_synonyms,
+            parse_wordnet_synonyms,
+        )
+
+        solr = "# c\nquick, fast\nbig => large, huge\n"
+        wn = (
+            "s(100000001,1,'wood',n,1,0).\n"
+            "s(100000001,2,'forest',n,1,0).\n"
+        )
+        rules = [
+            ("solr",) + r for r in parse_solr_synonyms(solr)
+        ] + [("wordnet",) + r for r in parse_wordnet_synonyms(wn)]
+        return spark.createDataFrame(
+            rules, "fmt string, input string, output string, keep_orig boolean"
+        ).orderBy("fmt", "input", "output")
+
+    out["synonym_rules"] = synonym_rules_gate
+
     return _driver_order(out)
 
 
@@ -9419,6 +9441,19 @@ m AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS freq
 FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # Solr/WordNet synonym rules: expand all-pairs, explicit never-
+    # keep-original mappings, synset grouping
+    out["synonym_rules"] = """
+SELECT * FROM (VALUES
+  ('solr', 'big', 'huge', false),
+  ('solr', 'big', 'large', false),
+  ('solr', 'fast', 'quick', true),
+  ('solr', 'quick', 'fast', true),
+  ('wordnet', 'forest', 'wood', true),
+  ('wordnet', 'wood', 'forest', true)
+) AS t(fmt, input, output, keep_orig) ORDER BY fmt, input, output
 """
 
     # ConcatenateGraph: every accepted path of the token graph
