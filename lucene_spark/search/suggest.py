@@ -510,3 +510,57 @@ def exact_first_suggest(
         )
         .limit(n)
     )
+
+
+def file_dictionary(
+    spark, path_or_lines, field_delimiter: str = "\t"
+):
+    """FileDictionary analog (`suggest/FileDictionary.java:44`): lines
+    of ``term[<delim>weight[<delim>payload]]`` → a suggestions frame
+    (term, weight, payload).  More than 3 fields raises; a term-only
+    line weighs 1; weights keep the reference's long-then-double
+    parse (the double path truncates toward zero like Java's (long)
+    cast).  Reads distributed via ``spark.read.text`` when given a
+    path — the dictionary never collects.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(path_or_lines, str):
+        raw = spark.read.text(path_or_lines)
+    else:
+        raw = spark.createDataFrame(
+            [(ln,) for ln in path_or_lines], "value string"
+        )
+    fields = raw.select(F.split("value", field_delimiter).alias("f"))
+    bad = fields.filter(F.size("f") > 3).count()
+    if bad:
+        raise ValueError("More than 3 fields in one line")
+    weight = F.when(F.size("f") < 2, F.lit(1).cast("long")).otherwise(
+        F.coalesce(
+            F.element_at("f", 2).try_cast("long"),
+            F.element_at("f", 2).try_cast("double").cast("long"),
+        )
+    )
+    return fields.select(
+        F.element_at("f", 1).alias("term"),
+        weight.alias("weight"),
+        F.when(F.size("f") >= 3, F.element_at("f", 3)).alias("payload"),
+    )
+
+
+def plain_text_dictionary(spark, path_or_lines):
+    """PlainTextDictionary analog (`suggest/PlainTextDictionary.java`):
+    one term per line, unit weights, no payloads."""
+    from pyspark.sql import functions as F
+
+    if isinstance(path_or_lines, str):
+        raw = spark.read.text(path_or_lines)
+    else:
+        raw = spark.createDataFrame(
+            [(ln,) for ln in path_or_lines], "value string"
+        )
+    return raw.select(
+        F.col("value").alias("term"),
+        F.lit(1).cast("long").alias("weight"),
+        F.lit(None).cast("string").alias("payload"),
+    )

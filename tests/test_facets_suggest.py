@@ -143,3 +143,38 @@ def test_freetext_dedup_across_levels(spark):
     rows = freetext_suggest(m, "a ", k=10).collect()
     # 'b' suggested once (bigram level), not re-added by unigrams
     assert [r["suggestion"] for r in rows].count("a b") == 1
+
+
+# ----------------------------------------------- dictionary input adapters
+
+
+def test_file_dictionary(spark, tmp_path):
+    from lucene_spark.search.suggest import file_dictionary
+
+    lines = ["apple\t50\tfruit", "banana\t3.9", "cherry"]
+    rows = {
+        r["term"]: (r["weight"], r["payload"])
+        for r in file_dictionary(spark, lines).collect()
+    }
+    assert rows["apple"] == (50, "fruit")
+    # double weight truncates toward zero like Java's (long) cast
+    assert rows["banana"] == (3, None)
+    assert rows["cherry"] == (1, None)
+
+
+def test_file_dictionary_too_many_fields(spark):
+    import pytest
+
+    from lucene_spark.search.suggest import file_dictionary
+
+    with pytest.raises(ValueError):
+        file_dictionary(spark, ["a\t1\tp\textra"])
+
+
+def test_plain_text_dictionary(spark, tmp_path):
+    from lucene_spark.search.suggest import plain_text_dictionary
+
+    p = tmp_path / "words.txt"
+    p.write_text("alpha\nbeta\n")
+    rows = plain_text_dictionary(spark, str(p)).orderBy("term").collect()
+    assert [(r["term"], r["weight"]) for r in rows] == [("alpha", 1), ("beta", 1)]
