@@ -421,7 +421,9 @@ def hnsw_topk(
                     qt = q32
                 eps = None
                 if seed_set is not None:
-                    local = [j for j in range(n) if int(ids[j]) in seed_set]
+                    local = np.nonzero(
+                        np.isin(ids, np.fromiter(seed_set, dtype=np.int64))
+                    )[0].tolist()
                     if local:
                         eps = local  # seeded entry: skip the descent
                 if eps is None:
