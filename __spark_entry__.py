@@ -1373,6 +1373,7 @@ _DRIVER_PRIORITY = [
     "blended_term_stats_topk", "late_interaction_topk",
     "sorted_numeric_selector_topk", "seeded_knn_topk", "indri_and_topk",
     "multi_collector_stats", "concat_graph_paths", "synonym_rules",
+    "inet_range_counts",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -6231,6 +6232,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["synonym_rules"] = synonym_rules_gate
 
+    # --- InetAddressRange (document/InetAddressRange.java:33): docs
+    # store IP ranges; relation counts against a query range over the
+    # sortable hex keys (CROSSES = INTERSECTS && !WITHIN)
+    def inet_range_counts_gate(spark, sf):
+        from lucene_spark.search.inet import inet_range_relation, ipv4_key_col
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select("event_id", "user_id")
+        ranged = ev.select(
+            "event_id",
+            ipv4_key_col(
+                F.format_string("10.%d.0.0", (F.col("user_id") % 200).cast("int"))
+            ).alias("lo"),
+            ipv4_key_col(
+                F.format_string(
+                    "10.%d.255.255",
+                    (F.col("user_id") % 200 + F.col("user_id") % 5).cast("int"),
+                )
+            ).alias("hi"),
+        )
+        parts = []
+        for rel in ("intersects", "within", "contains", "crosses"):
+            parts.append(
+                inet_range_relation(
+                    ranged, "lo", "hi", "10.50.0.0", "10.90.0.0", relation=rel
+                ).agg(
+                    F.lit(rel).alias("label"),
+                    F.count(F.lit(1)).cast("long").alias("cnt"),
+                )
+            )
+        out_df = parts[0]
+        for p in parts[1:]:
+            out_df = out_df.unionByName(p)
+        return out_df.orderBy("label")
+
+    out["inet_range_counts"] = inet_range_counts_gate
+
     return _driver_order(out)
 
 
@@ -9441,6 +9478,33 @@ m AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS freq
 FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # InetAddressRange relations over sortable keys
+    _irq_lo, _irq_hi = _ipk("10.50.0.0"), _ipk("10.90.0.0")
+    _IRC_CTE = (
+        "r AS (SELECT event_id, "
+        "printf('00000000000000000000ffff%02x%02x%02x%02x', 10, "
+        "CAST(user_id % 200 AS INT), 0, 0) AS lo, "
+        "printf('00000000000000000000ffff%02x%02x%02x%02x', 10, "
+        "CAST(user_id % 200 + user_id % 5 AS INT), 255, 255) AS hi "
+        "FROM events)"
+    )
+    out["inet_range_counts"] = f"""
+WITH {_IRC_CTE}
+SELECT 'contains' AS label, CAST(count(*) AS BIGINT) AS cnt FROM r
+WHERE lo <= '{_irq_lo}' AND '{_irq_hi}' <= hi
+UNION ALL
+SELECT 'crosses', CAST(count(*) AS BIGINT) FROM r
+WHERE (lo <= '{_irq_hi}' AND hi >= '{_irq_lo}')
+  AND NOT ('{_irq_lo}' <= lo AND hi <= '{_irq_hi}')
+UNION ALL
+SELECT 'intersects', CAST(count(*) AS BIGINT) FROM r
+WHERE lo <= '{_irq_hi}' AND hi >= '{_irq_lo}'
+UNION ALL
+SELECT 'within', CAST(count(*) AS BIGINT) FROM r
+WHERE '{_irq_lo}' <= lo AND hi <= '{_irq_hi}'
+ORDER BY label
 """
 
     # Solr/WordNet synonym rules: expand all-pairs, explicit never-

@@ -124,3 +124,32 @@ def int128_range_query(
         (F.col(key_col) >= F.lit(int128_key(lo)))
         & (F.col(key_col) <= F.lit(int128_key(hi)))
     )
+
+
+def inet_range_relation(
+    df: DataFrame,
+    lo_key_col: str,
+    hi_key_col: str,
+    query_lo_ip: str,
+    query_hi_ip: str,
+    relation: str = "intersects",
+) -> DataFrame:
+    """InetAddressRange analog (`document/InetAddressRange.java:33`):
+    documents store an ADDRESS RANGE [lo, hi]; queries relate a query
+    range to it (intersects/within/contains/crosses with the
+    reference's CROSSES = INTERSECTS && !WITHIN semantics).  The
+    relation predicates reuse the generic RangeFieldQuery conditions
+    over the fixed-width sortable hex keys, so every predicate is a
+    plain string comparison that pushes to the scan.
+    """
+    from .rangefield import range_relation_cond
+
+    return df.filter(
+        range_relation_cond(
+            F.col(lo_key_col),
+            F.col(hi_key_col),
+            ip_key(query_lo_ip),
+            ip_key(query_hi_ip),
+            relation,
+        )
+    )

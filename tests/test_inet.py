@@ -72,3 +72,33 @@ def test_int128_key_order_and_column_parity(spark):
         for r in int128_range_query(df, "k", (-1 << 64), (5 << 64)).collect()
     )
     assert got == [(-1, (1 << 63) - 1), (0, 0)]
+
+
+# ------------------------------------------------- InetAddressRange
+
+
+def test_inet_range_relations(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.search.inet import inet_range_relation, ip_key
+
+    rows = [
+        (0, ip_key("10.10.0.0"), ip_key("10.20.0.0")),   # within query
+        (1, ip_key("10.0.0.0"), ip_key("10.90.0.0")),    # contains query
+        (2, ip_key("10.25.0.0"), ip_key("10.40.0.0")),   # crosses high edge
+        (3, ip_key("10.50.0.0"), ip_key("10.60.0.0")),   # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lo string, hi string")
+    q = ("10.5.0.0", "10.30.0.0")
+
+    def ids(rel):
+        return sorted(
+            r["doc_id"]
+            for r in inet_range_relation(df, "lo", "hi", *q, relation=rel).collect()
+        )
+
+    assert ids("intersects") == [0, 1, 2]
+    assert ids("within") == [0]
+    assert ids("contains") == [1]
+    # CROSSES = INTERSECTS && !WITHIN (contains still crosses)
+    assert ids("crosses") == [1, 2]
