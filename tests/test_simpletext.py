@@ -112,3 +112,29 @@ def test_payloads_rejected(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError):
         save_simpletext(idx, str(tmp_path / "pay"))
+
+
+def test_roundtrip_adversarial_terms(spark, tmp_path):
+    # terms containing the line-format field markers must survive:
+    # real fields come first on each line and term= runs to EOL
+    rows = [
+        (0, "seg=5 doc=9 freq=3 pos=1,2 term=x plain"),
+        (1, "plain seg=5 doc=9"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = InvertedIndex.build(
+        corpus, analyzer="simple", docs_per_segment=2, positions=True
+    )
+    d = str(tmp_path / "adv")
+    save_simpletext(idx, d)
+    loaded = load_simpletext(spark, d)
+    t0 = {
+        r["term"]: (r["doc_freq"], r["total_term_freq"])
+        for r in idx.terms.collect()
+    }
+    t1 = {
+        r["term"]: (r["doc_freq"], r["total_term_freq"])
+        for r in loaded.terms.collect()
+    }
+    assert t0 == t1
+    assert t1["seg=5"] == (2, 2) and t1["term=x"] == (1, 1)
