@@ -1373,7 +1373,7 @@ _DRIVER_PRIORITY = [
     "blended_term_stats_topk", "late_interaction_topk",
     "sorted_numeric_selector_topk", "seeded_knn_topk", "indri_and_topk",
     "multi_collector_stats", "concat_graph_paths", "synonym_rules",
-    "inet_range_counts",
+    "inet_range_counts", "multi_reader_topk",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -6268,6 +6268,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["inet_range_counts"] = inet_range_counts_gate
 
+    # --- MultiReader (core/index/MultiReader.java:33): two halves
+    # built independently with LOCAL ids, composed with the
+    # BaseCompositeReader docBase rule — the composite must answer
+    # exactly like the single whole-corpus index (stats sum, ids remap)
+    def multi_reader_topk_gate(spark, sf):
+        from lucene_spark.index.multireader import multi_reader
+
+        key = ("multireader", sf)
+        if key not in _INDEX_CACHE:
+            docs = _docs(spark, sf)
+            half = 250
+            lo = InvertedIndex.build(
+                docs.filter(F.col("doc_id") < half),
+                analyzer="simple",
+                docs_per_segment=125,
+            )
+            hi = InvertedIndex.build(
+                docs.filter(F.col("doc_id") >= half).withColumn(
+                    "doc_id", F.col("doc_id") - half
+                ),
+                analyzer="simple",
+                docs_per_segment=125,
+            )
+            _INDEX_CACHE[key] = multi_reader([lo, hi])
+        return bm25_topk_f64(
+            _INDEX_CACHE[key], {"hash": 1.0, "dup": 2.0, "scan": 0.5}, k=20
+        )
+
+    out["multi_reader_topk"] = multi_reader_topk_gate
+
     return _driver_order(out)
 
 
@@ -9479,6 +9509,11 @@ m AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS freq
 FROM m GROUP BY doc_id ORDER BY doc_id
 """
+
+    # MultiReader composite answers like the whole-corpus index
+    out["multi_reader_topk"] = oracle_bm25_sql(
+        {"hash": 1.0, "dup": 2.0, "scan": 0.5}, k=20
+    )
 
     # InetAddressRange relations over sortable keys
     _irq_lo, _irq_hi = _ipk("10.50.0.0"), _ipk("10.90.0.0")
