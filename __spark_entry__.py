@@ -1373,7 +1373,7 @@ _DRIVER_PRIORITY = [
     "blended_term_stats_topk", "late_interaction_topk",
     "sorted_numeric_selector_topk", "seeded_knn_topk", "indri_and_topk",
     "multi_collector_stats", "concat_graph_paths", "synonym_rules",
-    "inet_range_counts", "multi_reader_topk",
+    "inet_range_counts", "multi_reader_topk", "parallel_fields_topk",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -6298,6 +6298,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["multi_reader_topk"] = multi_reader_topk_gate
 
+    # --- ParallelReader (core/index/ParallelLeafReader.java:46):
+    # title = first 3 tokens, body = the rest, indexed SEPARATELY;
+    # the multi-field query sums independent per-field BM25 scores
+    # (each field keeps its own stats — the parallel-reader contract)
+    def parallel_fields_topk_gate(spark, sf):
+        from lucene_spark.index.multireader import ParallelReader
+
+        key = ("parallel", sf)
+        if key not in _INDEX_CACHE:
+            docs = _docs(spark, sf)
+            toks = docs.select(
+                "doc_id", F.split(F.col("text"), " ").alias("l")
+            )
+            title = toks.select(
+                "doc_id",
+                F.concat_ws(" ", F.slice("l", 1, 3)).alias("text"),
+            )
+            body = toks.select(
+                "doc_id",
+                F.concat_ws(
+                    " ", F.slice("l", 4, F.greatest(F.size("l") - 3, F.lit(0)))
+                ).alias("text"),
+            )
+            _INDEX_CACHE[key] = ParallelReader(
+                {
+                    "title": InvertedIndex.build(
+                        title, analyzer="simple", docs_per_segment=2048
+                    ),
+                    "body": InvertedIndex.build(
+                        body, analyzer="simple", docs_per_segment=2048
+                    ),
+                }
+            )
+        return _INDEX_CACHE[key].bm25_topk(
+            {"title": {"hash": 1.0}, "body": {"dup": 2.0, "scan": 0.5}}, k=20
+        )
+
+    out["parallel_fields_topk"] = parallel_fields_topk_gate
+
     return _driver_order(out)
 
 
@@ -9514,6 +9553,52 @@ FROM m GROUP BY doc_id ORDER BY doc_id
     out["multi_reader_topk"] = oracle_bm25_sql(
         {"hash": 1.0, "dup": 2.0, "scan": 0.5}, k=20
     )
+
+    # ParallelReader: independent per-field BM25s summed per doc
+    def _pfield_ctes(pref, toks_expr, terms_sql, boosts_sql):
+        return f"""
+{pref}tok AS (
+  SELECT doc_id, unnest({toks_expr}) AS term FROM tl
+),
+{pref}tokf AS (SELECT doc_id, term FROM {pref}tok WHERE term <> ''),
+{pref}dl AS (SELECT doc_id, count(*) AS dl FROM {pref}tokf GROUP BY doc_id),
+{pref}stats AS (SELECT count(*) AS n_docs, sum(dl) AS sttf FROM {pref}dl),
+{pref}dlq AS (SELECT doc_id, {{dlq}} AS dl_q FROM {pref}dl),
+{pref}tf AS (
+  SELECT doc_id, term, count(*) AS freq FROM {pref}tokf
+  WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+{pref}df AS (SELECT term, count(*) AS doc_freq FROM {pref}tf GROUP BY term),
+{pref}boosts(term, boost) AS (VALUES {boosts_sql}),
+{pref}sc AS (
+  SELECT tf.doc_id,
+         sum(boost * ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+             * freq / (freq + {{k1}} * (1 - {{b}} + {{b}} * dl_q / (sttf * 1.0 / n_docs)))) AS s
+  FROM {pref}tf tf
+  JOIN {pref}df USING (term) JOIN {pref}boosts USING (term)
+  JOIN {pref}dlq USING (doc_id) CROSS JOIN {pref}stats
+  GROUP BY tf.doc_id
+)"""
+
+    _pf = (
+        "WITH tl AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS l FROM documents),"
+        + _pfield_ctes("t_", "l[1:3]", "'hash'", "('hash', 1.0)")
+        + ","
+        + _pfield_ctes(
+            "b_", "l[4:len(l)]", "'dup', 'scan'", "('dup', 2.0), ('scan', 0.5)"
+        )
+        + """,
+u AS (
+  SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+         coalesce(t.s, 0) + coalesce(b.s, 0) AS s
+  FROM t_sc t FULL OUTER JOIN b_sc b ON t.doc_id = b.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM u
+ORDER BY s DESC, doc_id ASC LIMIT 20
+"""
+    )
+    out["parallel_fields_topk"] = _pf.format(dlq=_DLQ, k1=_K1, b=_B)
 
     # InetAddressRange relations over sortable keys
     _irq_lo, _irq_hi = _ipk("10.50.0.0"), _ipk("10.90.0.0")

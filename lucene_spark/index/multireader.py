@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .builder import InvertedIndex
 
-__all__ = ["multi_reader"]
+__all__ = ["multi_reader", "ParallelReader"]
 
 
 def _shift_blocks(blocks: DataFrame, base: int, seg_base: int) -> DataFrame:
@@ -173,3 +173,63 @@ def multi_reader(
         soft_deletes=_cat(soft),
         num_soft_deleted=n_soft,
     )
+
+
+class ParallelReader:
+    """ParallelLeafReader / ParallelCompositeReader analog
+    (`core/index/ParallelLeafReader.java:46`): DIFFERENT FIELDS of the
+    SAME documents live in separately built indexes; a field-qualified
+    query routes to that field's index, and multi-field queries
+    combine per-field scores per doc (each field keeps its OWN
+    statistics — docFreq/sumTotalTermFreq never mix across fields,
+    exactly the parallel-reader contract).
+
+    The composition is pure routing — no data moves at construction;
+    a multi-field query is one scored frame per touched field plus a
+    full-outer union-aggregate on doc_id.
+    """
+
+    def __init__(self, fields):
+        if not fields:
+            raise ValueError("ParallelReader needs at least one field index")
+        counts = {name: idx.doc_count for name, idx in fields.items()}
+        if len(set(counts.values())) != 1:
+            raise ValueError(
+                "all parallel field indexes must cover the same documents; "
+                f"doc counts differ: {counts}"
+            )
+        self.fields = dict(fields)
+        self.doc_count = next(iter(counts.values()))
+
+    def field(self, name):
+        try:
+            return self.fields[name]
+        except KeyError:
+            raise KeyError(
+                f"unknown field {name!r}; have {sorted(self.fields)}"
+            ) from None
+
+    def bm25_topk(self, field_boosts, k: int = 10):
+        """Top-k for a multi-field SHOULD query: per-doc score =
+        Σ_field BM25_field(terms) with each field's own stats.
+
+        field_boosts: {field: {term: boost}}.
+        """
+        from pyspark.sql import functions as F
+
+        from ..search.parity import _bm25_scored_f64
+
+        scored = None
+        for name, boosts in field_boosts.items():
+            part = _bm25_scored_f64(self.field(name), boosts).select(
+                "doc_id", F.col("s").alias("_s")
+            )
+            scored = part if scored is None else scored.unionByName(part)
+        if scored is None:
+            raise ValueError("empty field_boosts")
+        out = scored.groupBy("doc_id").agg(F.sum("_s").alias("s"))
+        return (
+            out.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .select("doc_id", F.round("s", 4).alias("score"))
+        )

@@ -115,3 +115,74 @@ def test_flag_mismatch_rejected(spark, corpus):
         multi_reader([a, b])
     with pytest.raises(ValueError):
         multi_reader([])
+
+
+# ------------------------------------------------------ ParallelReader
+
+
+def test_parallel_reader_fields(spark):
+    from lucene_spark.index.multireader import ParallelReader
+
+    rows = [
+        (0, "spark engine", "fast distributed engine"),
+        (1, "duck engine", "small analytical engine"),
+        (2, "spark guide", "fast tutorial text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    title = InvertedIndex.build(
+        df.select("doc_id", F.col("title").alias("text")),
+        analyzer="simple",
+        docs_per_segment=4,
+    )
+    body = InvertedIndex.build(
+        df.select("doc_id", F.col("body").alias("text")),
+        analyzer="simple",
+        docs_per_segment=4,
+    )
+    pr = ParallelReader({"title": title, "body": body})
+    assert pr.doc_count == 3
+    # field routing
+    assert pr.field("title") is title
+    with pytest.raises(KeyError):
+        pr.field("nope")
+    # per-field stats stay separate: 'engine' df in title=2, body=2
+    # but sttf/dl differ per field; the combined score is the SUM of
+    # independent per-field BM25s
+    combined = {
+        r["doc_id"]: r["score"]
+        for r in pr.bm25_topk(
+            {"title": {"spark": 1.0}, "body": {"fast": 1.0}}, k=5
+        ).collect()
+    }
+    t_only = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk_f64(title, {"spark": 1.0}, k=5).collect()
+    }
+    b_only = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk_f64(body, {"fast": 1.0}, k=5).collect()
+    }
+    for d in combined:
+        want = t_only.get(d, 0.0) + b_only.get(d, 0.0)
+        assert abs(combined[d] - want) < 2e-4
+    # docs matching either field (doc 1 matches neither query term)
+    assert set(combined) == {0, 2}
+
+
+def test_parallel_reader_doc_count_mismatch(spark):
+    from lucene_spark.index.multireader import ParallelReader
+
+    a = InvertedIndex.build(
+        spark.createDataFrame([(0, "x")], "doc_id long, text string"),
+        analyzer="simple",
+        docs_per_segment=4,
+    )
+    b = InvertedIndex.build(
+        spark.createDataFrame([(0, "x"), (1, "y")], "doc_id long, text string"),
+        analyzer="simple",
+        docs_per_segment=4,
+    )
+    with pytest.raises(ValueError):
+        ParallelReader({"title": a, "body": b})
+    with pytest.raises(ValueError):
+        ParallelReader({})
