@@ -1374,6 +1374,7 @@ _DRIVER_PRIORITY = [
     "sorted_numeric_selector_topk", "seeded_knn_topk", "indri_and_topk",
     "multi_collector_stats", "concat_graph_paths", "synonym_rules",
     "inet_range_counts", "multi_reader_topk", "parallel_fields_topk",
+    "string_distances",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -6337,6 +6338,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["parallel_fields_topk"] = parallel_fields_topk_gate
 
+    # --- StringDistance family (spell/LevenshteinDistance.java:29,
+    # LuceneLevenshteinDistance.java:33, JaroWinklerDistance.java:30,
+    # NGramDistance.java:33): similarity battery through the Arrow
+    # pair UDF
+    def string_distances_gate(spark, sf):
+        from lucene_spark.search.stringdist import string_distance_udf
+
+        pairs = [
+            ("martha", "marhta"),
+            ("dwayne", "duane"),
+            ("kitten", "sitting"),
+            ("al", "al"),
+        ]
+        kinds = ["jaro_winkler", "levenshtein", "lucene_levenshtein", "ngram"]
+        df = spark.createDataFrame(
+            [(k, a, b) for k in kinds for a, b in pairs],
+            "kind string, a string, b string",
+        )
+        parts = [
+            df.filter(F.col("kind") == k).select(
+                "kind", "a", "b",
+                F.round(string_distance_udf(k)("a", "b"), 6).alias("sim"),
+            )
+            for k in kinds
+        ]
+        out_df = parts[0]
+        for p in parts[1:]:
+            out_df = out_df.unionByName(p)
+        return out_df.orderBy("kind", "a", "b")
+
+    out["string_distances"] = string_distances_gate
+
     return _driver_order(out)
 
 
@@ -9547,6 +9580,28 @@ m AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS freq
 FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # StringDistance similarity battery (pinned, float64 6dp)
+    out["string_distances"] = """
+SELECT kind, a, b, CAST(s0 AS DOUBLE) AS sim FROM (VALUES
+  ('jaro_winkler', 'al', 'al', 1.0),
+  ('jaro_winkler', 'dwayne', 'duane', 0.84),
+  ('jaro_winkler', 'kitten', 'sitting', 0.746032),
+  ('jaro_winkler', 'martha', 'marhta', 0.961111),
+  ('levenshtein', 'al', 'al', 1.0),
+  ('levenshtein', 'dwayne', 'duane', 0.666667),
+  ('levenshtein', 'kitten', 'sitting', 0.571429),
+  ('levenshtein', 'martha', 'marhta', 0.666667),
+  ('lucene_levenshtein', 'al', 'al', 1.0),
+  ('lucene_levenshtein', 'dwayne', 'duane', 0.6),
+  ('lucene_levenshtein', 'kitten', 'sitting', 0.5),
+  ('lucene_levenshtein', 'martha', 'marhta', 0.833333),
+  ('ngram', 'al', 'al', 1.0),
+  ('ngram', 'dwayne', 'duane', 0.583333),
+  ('ngram', 'kitten', 'sitting', 0.5),
+  ('ngram', 'martha', 'marhta', 0.666667)
+) AS t(kind, a, b, s0) ORDER BY kind, a, b
 """
 
     # MultiReader composite answers like the whole-corpus index
