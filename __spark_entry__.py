@@ -1374,7 +1374,7 @@ _DRIVER_PRIORITY = [
     "sorted_numeric_selector_topk", "seeded_knn_topk", "indri_and_topk",
     "multi_collector_stats", "concat_graph_paths", "synonym_rules",
     "inet_range_counts", "multi_reader_topk", "parallel_fields_topk",
-    "string_distances",
+    "string_distances", "spell_checker_topk",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -6370,6 +6370,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["string_distances"] = string_distances_gate
 
+    # --- classic n-gram SpellChecker (suggest/spell/
+    # SpellChecker.java:66): gram-boosted candidates re-ranked by
+    # Levenshtein similarity with the 0.5 accuracy floor, freq-desc
+    # tie-break (SuggestWordScoreComparator)
+    def spell_checker_topk_gate(spark, sf):
+        from lucene_spark.search.spellcheck import spell_checker_suggest
+
+        idx = _index(spark, sf)
+        return spell_checker_suggest(
+            idx.terms, "hsah", num_sug=5, freq_col="doc_freq"
+        )
+
+    out["spell_checker_topk"] = spell_checker_topk_gate
+
     return _driver_order(out)
 
 
@@ -9580,6 +9594,39 @@ m AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS freq
 FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # classic SpellChecker: candidate cutoff covers the whole 31-term
+    # dictionary at this scale, so the oracle needs only the re-rank
+    out["spell_checker_topk"] = """
+WITH tok AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> ''
+),
+d AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY term),
+g AS (
+  SELECT term, doc_freq,
+    (CASE WHEN term LIKE 'h%' THEN 2.0 ELSE 0 END
+     + CASE WHEN term LIKE '%h' THEN 1.0 ELSE 0 END
+     + CASE WHEN instr(term, 'h') > 0 THEN 2.0 ELSE 0 END
+     + CASE WHEN instr(term, 's') > 0 THEN 1.0 ELSE 0 END
+     + CASE WHEN instr(term, 'a') > 0 THEN 1.0 ELSE 0 END
+     + CASE WHEN term LIKE 'hs%' THEN 2.0 ELSE 0 END
+     + CASE WHEN term LIKE '%ah' THEN 1.0 ELSE 0 END
+     + CASE WHEN instr(term, 'hs') > 0 THEN 1.0 ELSE 0 END
+     + CASE WHEN instr(term, 'sa') > 0 THEN 1.0 ELSE 0 END
+     + CASE WHEN instr(term, 'ah') > 0 THEN 1.0 ELSE 0 END) AS sc
+  FROM d
+)
+SELECT term,
+       round(1.0 - levenshtein(term, 'hsah') * 1.0
+             / greatest(length(term), 4), 6) AS sim,
+       CAST(doc_freq AS BIGINT) AS freq
+FROM g
+WHERE sc > 0 AND term <> 'hsah'
+  AND 1.0 - levenshtein(term, 'hsah') * 1.0 / greatest(length(term), 4) >= 0.5
+ORDER BY sim DESC, freq DESC, term ASC LIMIT 5
 """
 
     # StringDistance similarity battery (pinned, float64 6dp)

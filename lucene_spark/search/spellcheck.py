@@ -65,3 +65,76 @@ def suggest_corrections(
         )
         .limit(num_suggestions)
     )
+
+
+def _gram_sizes(word_len: int):
+    """SpellChecker.getMin/getMax (java): len>5 → 3..4, len==5 → 2..3,
+    shorter → 1..min(len,2)."""
+    if word_len > 5:
+        return 3, 4
+    if word_len == 5:
+        return 2, 3
+    return 1, min(word_len, 2)
+
+
+def spell_checker_suggest(
+    dictionary: DataFrame,
+    word: str,
+    num_sug: int = 5,
+    accuracy: float = 0.5,
+    distance: str = "levenshtein",
+    b_start: float = 2.0,
+    b_end: float = 1.0,
+    term_col: str = "term",
+    freq_col: str = None,
+):
+    """Classic n-gram SpellChecker analog (`suggest/spell/
+    SpellChecker.java:66`): candidates retrieved by shared n-grams of
+    the reference's per-length sizes with the start-gram (2.0) and
+    end-gram (1.0) boosts, top ``10·numSug`` kept (maxHits), then
+    RE-RANKED by StringDistance (LevenshteinDistance default) with the
+    ``accuracy`` floor (0.5 default) and the word-itself skip;
+    SuggestWordScoreComparator order (distance desc, freq desc, term
+    asc).  Documented divergence: retrieval scores are boosted
+    shared-gram counts rather than BM25 over a side index — the
+    candidate set has the same shape and the user-visible ranking is
+    the re-ranked one either way.
+
+    ``dictionary``: any (term[, freq]) frame — ``index.terms``, a
+    HighFrequencyDictionary, or a FileDictionary.
+    """
+    from .stringdist import string_distance_udf
+
+    lo, hi = _gram_sizes(len(word))
+    score = F.lit(0.0)
+    for ng in range(lo, hi + 1):
+        grams = [word[i : i + ng] for i in range(len(word) - ng + 1)]
+        if not grams:
+            continue
+        if b_start > 0:
+            score = score + F.when(
+                F.col(term_col).startswith(grams[0]), F.lit(float(b_start))
+            ).otherwise(0.0)
+        if b_end > 0:
+            score = score + F.when(
+                F.col(term_col).endswith(grams[-1]), F.lit(float(b_end))
+            ).otherwise(0.0)
+        for g in grams:  # duplicates intentionally count twice (java)
+            score = score + F.when(
+                F.instr(F.col(term_col), g) > 0, F.lit(1.0)
+            ).otherwise(0.0)
+    cand = (
+        dictionary.withColumn("_g", score)
+        .filter(F.col("_g") > 0)
+        .orderBy(F.col("_g").desc(), F.col(term_col).asc())
+        .limit(10 * num_sug)
+    )
+    dist = string_distance_udf(distance)(F.lit(word), F.col(term_col))
+    freq = F.col(freq_col) if freq_col else F.lit(0).cast("long")
+    return (
+        cand.withColumn("sim", F.round(dist, 6))
+        .filter((F.col(term_col) != word) & (F.col("sim") >= accuracy))
+        .select(term_col, "sim", freq.alias("freq"))
+        .orderBy(F.col("sim").desc(), F.col("freq").desc(), F.col(term_col).asc())
+        .limit(num_sug)
+    )

@@ -81,3 +81,45 @@ def test_high_frequency_dictionary(spark):
     assert terms == ["common", "word"]
     # threshold 0 admits everything
     assert len(high_frequency_dictionary(idx, 0.0).collect()) == 3
+
+
+# ------------------------------------------------ classic SpellChecker
+
+
+def test_spell_checker_suggest(spark):
+    from lucene_spark.search.spellcheck import spell_checker_suggest
+
+    words = ["hash", "harsh", "hush", "mash", "join", "merge", "stash", "has"]
+    d = spark.createDataFrame(
+        [(w, i + 1) for i, w in enumerate(words)], "term string, freq long"
+    )
+    rows = spell_checker_suggest(d, "hsah", num_sug=5, freq_col="freq").collect()
+    got = [(r["term"], r["sim"]) for r in rows]
+    # plain Levenshtein: transposition costs 2 -> hash/hush/has all 0.5;
+    # SuggestWordScoreComparator ties break by freq desc then term asc
+    assert got == [("has", 0.5), ("hush", 0.5), ("hash", 0.5)]
+    # the word itself is never suggested
+    assert all(t != "hsah" for t, _ in got)
+
+
+def test_spell_checker_accuracy_floor(spark):
+    from lucene_spark.search.spellcheck import spell_checker_suggest
+
+    d = spark.createDataFrame([("hash", 1)], "term string, freq long")
+    assert (
+        spell_checker_suggest(d, "hsah", accuracy=0.75, freq_col="freq").count()
+        == 0
+    )
+    assert (
+        spell_checker_suggest(d, "hsah", accuracy=0.5, freq_col="freq").count()
+        == 1
+    )
+
+
+def test_spell_checker_gram_sizes():
+    from lucene_spark.search.spellcheck import _gram_sizes
+
+    assert _gram_sizes(8) == (3, 4)
+    assert _gram_sizes(5) == (2, 3)
+    assert _gram_sizes(4) == (1, 2)
+    assert _gram_sizes(1) == (1, 1)
