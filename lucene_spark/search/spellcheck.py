@@ -87,6 +87,7 @@ def spell_checker_suggest(
     b_end: float = 1.0,
     term_col: str = "term",
     freq_col: str = None,
+    suggest_mode: str = "always",
 ):
     """Classic n-gram SpellChecker analog (`suggest/spell/
     SpellChecker.java:66`): candidates retrieved by shared n-grams of
@@ -102,8 +103,31 @@ def spell_checker_suggest(
 
     ``dictionary``: any (term[, freq]) frame — ``index.terms``, a
     HighFrequencyDictionary, or a FileDictionary.
+
+    ``suggest_mode`` (`spell/SuggestMode.java`, requires ``freq_col``
+    for the frequency-aware modes):
+    ``always`` | ``when_not_in_index`` (no suggestions when the word
+    itself is a dictionary term with freq > 0) | ``more_popular``
+    (only candidates strictly more frequent than the word).
     """
     from .stringdist import string_distance_udf
+
+    if suggest_mode not in ("always", "when_not_in_index", "more_popular"):
+        raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
+    goal_freq = 0
+    if suggest_mode != "always":
+        if freq_col is None:
+            raise ValueError("frequency-aware suggest modes need freq_col")
+        row = (
+            dictionary.filter(F.col(term_col) == word)
+            .select(freq_col)
+            .collect()
+        )
+        goal_freq = int(row[0][0]) if row else 0
+        if suggest_mode == "when_not_in_index" and goal_freq > 0:
+            return dictionary.sparkSession.createDataFrame(
+                [], f"{term_col} string, sim double, freq long"
+            )
 
     lo, hi = _gram_sizes(len(word))
     score = F.lit(0.0)
@@ -131,10 +155,15 @@ def spell_checker_suggest(
     )
     dist = string_distance_udf(distance)(F.lit(word), F.col(term_col))
     freq = F.col(freq_col) if freq_col else F.lit(0).cast("long")
-    return (
+    out = (
         cand.withColumn("sim", F.round(dist, 6))
         .filter((F.col(term_col) != word) & (F.col("sim") >= accuracy))
         .select(term_col, "sim", freq.alias("freq"))
-        .orderBy(F.col("sim").desc(), F.col("freq").desc(), F.col(term_col).asc())
-        .limit(num_sug)
+    )
+    if suggest_mode == "more_popular":
+        out = out.filter(F.col("freq") > goal_freq)
+    return (
+        out.orderBy(
+            F.col("sim").desc(), F.col("freq").desc(), F.col(term_col).asc()
+        ).limit(num_sug)
     )

@@ -123,3 +123,29 @@ def test_spell_checker_gram_sizes():
     assert _gram_sizes(5) == (2, 3)
     assert _gram_sizes(4) == (1, 2)
     assert _gram_sizes(1) == (1, 1)
+
+
+def test_spell_checker_suggest_modes(spark):
+    from lucene_spark.search.spellcheck import spell_checker_suggest
+
+    d = spark.createDataFrame(
+        [("hash", 10), ("hsah", 2), ("hush", 1)], "term string, freq long"
+    )
+    # word present in the dictionary -> when_not_in_index suggests nothing
+    assert (
+        spell_checker_suggest(
+            d, "hsah", freq_col="freq", suggest_mode="when_not_in_index"
+        ).count()
+        == 0
+    )
+    # more_popular keeps only candidates with freq > the word's own (2)
+    rows = spell_checker_suggest(
+        d, "hsah", freq_col="freq", suggest_mode="more_popular"
+    ).collect()
+    assert [r["term"] for r in rows] == ["hash"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        spell_checker_suggest(d, "x", suggest_mode="sometimes")
+    with pytest.raises(ValueError):
+        spell_checker_suggest(d, "x", suggest_mode="more_popular")  # no freq_col
