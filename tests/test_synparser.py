@@ -100,3 +100,40 @@ def test_end_to_end_with_expand_filter(spark):
         .collect()
     )
     assert rows[0]["t"] == ["the", "quick", "fast", "big", "large", "fox"]
+
+
+WN_REFERENCE_FIXTURE = (
+    "s(100000001,1,'woods',n,1,0).\n"
+    "s(100000001,2,'wood',n,1,0).\n"
+    "s(100000001,3,'forest',n,1,0).\n"
+    "s(100000002,1,'wolfish',n,1,0).\n"
+    "s(100000002,2,'ravenous',n,1,0).\n"
+    "s(100000003,1,'king',n,1,1).\n"
+    "s(100000003,2,'baron',n,1,1).\n"
+    "s(100000004,1,'king''s evil',n,1,1).\n"
+    "s(100000004,2,'king''s meany',n,1,1).\n"
+)
+
+
+def test_wordnet_reference_fixture(spark):
+    """TestWordnetSynonymParser.synonymsFile end-to-end: the single-
+    token expansions match the reference's analyzer assertions."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis.filters import synonym_expand, whitespace_tokens
+
+    rules = parse_wordnet_synonyms(WN_REFERENCE_FIXTURE)
+    m = synonym_map(rules)
+    # 3-way synset expands all-pairs
+    assert set(m["woods"]) == {"wood", "forest"}
+    assert set(m["forest"]) == {"woods", "wood"}
+    # single-quote unescape inside multi-word entries
+    assert set(m["king's evil"]) == {"king's meany"}
+    # "king" expands to "baron" exactly like assertAnalyzesTo
+    df = spark.createDataFrame([(0, "Lost in the woods")], "doc_id long, text string")
+    toks = df.select(
+        F.flatten(
+            synonym_expand(whitespace_tokens(F.lower(F.col("text"))), m)
+        ).alias("t")
+    ).collect()[0]["t"]
+    assert toks == ["lost", "in", "the", "woods", "wood", "forest"]
