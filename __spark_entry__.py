@@ -5925,7 +5925,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         key = ("simpletext", sf)
         if key not in _INDEX_CACHE:
-            d = os.path.join(tempfile.gettempdir(), "lucene_spark_simpletext_gate")
+            tag = "".join(c if c.isalnum() else "_" for c in str(sf))
+            d = os.path.join(
+                tempfile.gettempdir(), f"lucene_spark_simpletext_gate_{tag}"
+            )
             save_simpletext(_index(spark, sf), d)
             _INDEX_CACHE[key] = load_simpletext(spark, d)
         return bm25_topk_f64(_INDEX_CACHE[key], {"merge": 1.0, "vector": 0.5}, k=15)

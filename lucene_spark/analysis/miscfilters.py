@@ -400,6 +400,10 @@ def concatenate_graph_paths(
     pos = -1
     max_node = 0
     for term, pos_inc, pos_length in tokens:
+        if pos_length < 1:
+            # PositionLengthAttribute rejects posLength < 1; without
+            # this the DFS would self-loop forever on a 0-length edge
+            raise ValueError("pos_length must be >= 1")
         if not preserve_position_increments and pos_inc > 1:
             pos_inc = 1
         if pos < 0 and pos_inc <= 0:

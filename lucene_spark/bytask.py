@@ -235,8 +235,11 @@ class _Runner:
         elif n in ("Search", "CountingSearch", "SearchTrav", "SearchWithSort", "Warm"):
             if not self.reader_open:
                 self._ensure_index()
-            q = self.queries[self.qcursor % len(self.queries)]
-            self.qcursor += 1
+            if n != "Warm":
+                # WarmTask is not a QueryMaker consumer — it must not
+                # shift which queries later Search tasks execute
+                q = self.queries[self.qcursor % len(self.queries)]
+                self.qcursor += 1
             if n == "Warm":
                 # WarmTask: touch every live doc once (no query)
                 recs = self.index.norms.count()
@@ -278,8 +281,15 @@ class _Runner:
         if self.index is None:
             from .index.builder import InvertedIndex
 
-            n = self.added if self.added > 0 else None
-            corpus = self.corpus if n is None else self.corpus.limit(n)
+            if self.added > 0:
+                # deterministic "first n docs" — a bare limit(n) lets
+                # Spark pick ANY n rows, which would make Search recs
+                # vary across runs/partitionings
+                corpus = self.corpus.orderBy("doc_id").limit(self.added)
+            else:
+                # no AddDoc before CloseIndex: an EMPTY index, exactly
+                # like the reference writer with zero adds
+                corpus = self.corpus.limit(0)
             self.index = InvertedIndex.build(
                 corpus,
                 analyzer="simple",

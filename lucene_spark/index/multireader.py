@@ -38,9 +38,7 @@ __all__ = ["multi_reader", "ParallelReader"]
 
 def _shift_blocks(blocks: DataFrame, base: int, seg_base: int) -> DataFrame:
     """Shift a sub-index's blocks by ``base`` docIDs (+ segment ids)."""
-    from .backward import _v2_encode_docs
-
-    from lucene_spark.functions.forutil import fordelta_decode
+    from lucene_spark.functions.forutil import fordelta_decode, fordelta_encode
 
     if base == 0 and seg_base == 0:
         return blocks
@@ -51,9 +49,11 @@ def _shift_blocks(blocks: DataFrame, base: int, seg_base: int) -> DataFrame:
             new_blobs = []
             for blob in pdf["docs_packed"].values:
                 docs = fordelta_decode(bytes(blob)) + base
-                # v2 codec: the shift touches only the 8-byte block
-                # base — gaps (and the relative zone bitmap) unchanged
-                new_blobs.append(_v2_encode_docs(docs))
+                # re-encode with the env-aware codec (the same switch
+                # fordelta_decode honors); under v2 the shift touches
+                # only the 8-byte block base — gaps and the relative
+                # zone bitmap are unchanged
+                new_blobs.append(fordelta_encode(docs))
             pdf["docs_packed"] = new_blobs
             pdf["segment_id"] = pdf["segment_id"].values + seg_base
             pdf["first_doc"] = pdf["first_doc"].values + base

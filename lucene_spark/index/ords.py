@@ -38,8 +38,14 @@ def _with_ords(dictionary: DataFrame, num_partitions: Optional[int] = None) -> D
     dictionary: one row per term (any extra columns are carried).
     """
     n = num_partitions or dictionary.sparkSession.sparkContext.defaultParallelism
-    parted = dictionary.repartitionByRange(n, F.col("term")).withColumn(
-        "_pid", F.spark_partition_id()
+    # PERSIST before any action: repartitionByRange samples boundaries
+    # per physical execution, so the counts job and the ranking job
+    # must read the SAME materialization — otherwise boundary terms can
+    # migrate between partitions and ordinals silently duplicate/skip
+    parted = (
+        dictionary.repartitionByRange(n, F.col("term"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     # per-partition term counts -> exclusive prefix offsets (one tiny
     # driver-side cumsum over <= n rows, then broadcast back)

@@ -104,6 +104,17 @@ def save_simpletext(index: InvertedIndex, index_dir: str) -> None:
         )
     ).write.mode("overwrite").text(os.path.join(index_dir, "norms"))
 
+    # liveDocs: tombstones and soft deletes as one-id-per-line files —
+    # a round trip must NOT resurrect deleted documents
+    for side, frame, n in (
+        ("deletes", index.deletes, index.num_deleted),
+        ("soft_deletes", index.soft_deletes, index.num_soft_deleted),
+    ):
+        if frame is not None and n > 0:
+            frame.select(
+                F.format_string("doc=%d", "doc_id").alias("value")
+            ).write.mode("overwrite").text(os.path.join(index_dir, side))
+
     header = {
         "format": SIMPLETEXT_FORMAT,
         "doc_count": index.doc_count,
@@ -111,6 +122,8 @@ def save_simpletext(index: InvertedIndex, index_dir: str) -> None:
         "docs_per_segment": index.docs_per_segment,
         "num_segments": index.num_segments,
         "has_positions": has_pos,
+        "num_deleted": index.num_deleted,
+        "num_soft_deleted": index.num_soft_deleted,
     }
     os.makedirs(index_dir, exist_ok=True)
     tmp = os.path.join(index_dir, "_header.tmp")
@@ -168,6 +181,16 @@ def load_simpletext(spark: SparkSession, index_dir: str) -> InvertedIndex:
         F.sum("sum_freq").cast("long").alias("total_term_freq"),
     )
     blocks = blocks.persist()
+
+    def _live_side(name: str, count: int):
+        if count <= 0:
+            return None
+        return spark.read.text(os.path.join(index_dir, name)).select(
+            F.regexp_extract("value", r"doc=(\d+)", 1).cast("long").alias("doc_id")
+        )
+
+    n_del = int(h.get("num_deleted", 0))
+    n_soft = int(h.get("num_soft_deleted", 0))
     return InvertedIndex(
         spark=spark,
         blocks=blocks,
@@ -180,4 +203,8 @@ def load_simpletext(spark: SparkSession, index_dir: str) -> InvertedIndex:
         metrics={"loaded_from": "simpletext"},
         has_positions=has_pos,
         persisted_root=blocks,
+        deletes=_live_side("deletes", n_del),
+        num_deleted=n_del,
+        soft_deletes=_live_side("soft_deletes", n_soft),
+        num_soft_deleted=n_soft,
     )

@@ -50,7 +50,15 @@ def _norm2(d: Column) -> Column:
 def _compare(d: Column, q: List[float], similarity: str) -> Column:
     qn2 = sum(float(x) * float(x) for x in q)
     if similarity == "cosine":
-        cos = _dot(d, q) / (F.sqrt(_norm2(d)) * F.lit(math.sqrt(qn2)))
+        if qn2 == 0.0:
+            raise ValueError("zero-norm query token vector")
+        # zero-norm DOC vectors score cos=0 instead of 0/0=NaN (Spark
+        # orders NaN above every double, which would rank them FIRST);
+        # same guard as the HNSW merge path
+        n2 = _norm2(d)
+        cos = F.when(n2 == 0.0, F.lit(0.0)).otherwise(
+            _dot(d, q) / (F.sqrt(n2) * F.lit(math.sqrt(qn2)))
+        )
         return (F.lit(1.0) + cos) / F.lit(2.0)
     if similarity == "dot_product":
         return (F.lit(1.0) + _dot(d, q)) / F.lit(2.0)

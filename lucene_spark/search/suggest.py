@@ -523,6 +523,8 @@ def file_dictionary(
     cast).  Reads distributed via ``spark.read.text`` when given a
     path — the dictionary never collects.
     """
+    import re as _re
+
     from pyspark.sql import functions as F
 
     if isinstance(path_or_lines, str):
@@ -531,14 +533,22 @@ def file_dictionary(
         raw = spark.createDataFrame(
             [(ln,) for ln in path_or_lines], "value string"
         )
-    fields = raw.select(F.split("value", field_delimiter).alias("f"))
-    bad = fields.filter(F.size("f") > 3).count()
-    if bad:
-        raise ValueError("More than 3 fields in one line")
-    weight = F.when(F.size("f") < 2, F.lit(1).cast("long")).otherwise(
-        F.coalesce(
-            F.element_at("f", 2).try_cast("long"),
-            F.element_at("f", 2).try_cast("double").cast("long"),
+    # F.split takes a Java REGEX; the reference splits on the literal
+    # delimiter, so escape it (a "|" delimiter must not split per-char)
+    fields = raw.select(
+        F.split("value", _re.escape(field_delimiter)).alias("f")
+    )
+    # lazy single-pass validation, like FileDictionary raising during
+    # iteration: the error column only evaluates on >3-field rows
+    weight = F.when(
+        F.size("f") > 3,
+        F.raise_error(F.lit("More than 3 fields in one line")).cast("long"),
+    ).otherwise(
+        F.when(F.size("f") < 2, F.lit(1).cast("long")).otherwise(
+            F.coalesce(
+                F.element_at("f", 2).try_cast("long"),
+                F.element_at("f", 2).try_cast("double").cast("long"),
+            )
         )
     )
     return fields.select(

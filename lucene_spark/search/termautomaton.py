@@ -182,6 +182,8 @@ def token_stream_to_automaton(
     saw_token = False
     for term, pos_inc, pos_length in tokens:
         saw_token = True
+        if pos_length < 1:
+            raise ValueError("pos_length must be >= 1")
         if not preserve_position_increments and pos_inc > 1:
             pos_inc = 1
         if pos < 0 and pos_inc <= 0:

@@ -167,8 +167,10 @@ def test_file_dictionary_too_many_fields(spark):
 
     from lucene_spark.search.suggest import file_dictionary
 
-    with pytest.raises(ValueError):
-        file_dictionary(spark, ["a\t1\tp\textra"])
+    # the error is LAZY (single pass, like the reference raising during
+    # iteration) — it surfaces when the frame evaluates
+    with pytest.raises(Exception):
+        file_dictionary(spark, ["a\t1\tp\textra"]).collect()
 
 
 def test_plain_text_dictionary(spark, tmp_path):
@@ -178,3 +180,25 @@ def test_plain_text_dictionary(spark, tmp_path):
     p.write_text("alpha\nbeta\n")
     rows = plain_text_dictionary(spark, str(p)).orderBy("term").collect()
     assert [(r["term"], r["weight"]) for r in rows] == [("alpha", 1), ("beta", 1)]
+
+
+def test_file_dictionary_literal_regex_delimiter(spark):
+    # review finding: the delimiter is a LITERAL, not a Java regex
+    from lucene_spark.search.suggest import file_dictionary
+
+    rows = {
+        r["term"]: r["weight"]
+        for r in file_dictionary(spark, ["apple|7", "pear"], field_delimiter="|").collect()
+    }
+    assert rows == {"apple": 7, "pear": 1}
+
+
+def test_file_dictionary_lazy_validation(spark):
+    from lucene_spark.search.suggest import file_dictionary
+
+    # the >3-field error now surfaces lazily at evaluation, single pass
+    df = file_dictionary(spark, ["a\t1\tp\textra"])
+    import pytest
+
+    with pytest.raises(Exception):
+        df.collect()

@@ -105,3 +105,23 @@ def test_bad_similarity(spark, docs):
         )
     with pytest.raises(ValueError):
         late_interaction_maxsim_col(F.col("multi_vec"), [])
+
+
+def test_zero_norm_doc_vector_never_nan(spark):
+    # review finding: a zero doc token must score (1+0)/2, not NaN-first
+    docs = spark.createDataFrame(
+        [(0, [[0.0, 0.0]]), (1, [[1.0, 0.0]])],
+        "doc_id long, multi_vec array<array<double>>",
+    )
+    rows = (
+        docs.select(
+            "doc_id",
+            late_interaction_maxsim_col(F.col("multi_vec"), [[1.0, 0.0]]).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), "doc_id")
+        .collect()
+    )
+    assert [r["doc_id"] for r in rows] == [1, 0]
+    assert rows[1]["s"] == pytest.approx(0.5)
+    with pytest.raises(ValueError):
+        late_interaction_maxsim_col(F.col("multi_vec"), [[0.0, 0.0]])

@@ -297,3 +297,12 @@ def test_concatenate_graph_expansion_limit():
     assert len(concatenate_graph_paths(stream, token_separator="/")) == 16
     with pytest.raises(ValueError):
         concatenate_graph_paths(stream, max_graph_expansions=10)
+
+
+def test_concatenate_graph_rejects_bad_pos_length():
+    import pytest
+
+    from lucene_spark.analysis.miscfilters import concatenate_graph_paths
+
+    with pytest.raises(ValueError):
+        concatenate_graph_paths([("a", 1, 0)])

@@ -138,3 +138,20 @@ def test_roundtrip_adversarial_terms(spark, tmp_path):
     }
     assert t0 == t1
     assert t1["seg=5"] == (2, 2) and t1["term=x"] == (1, 1)
+
+
+def test_roundtrip_preserves_deletes(spark, corpus, tmp_path):
+    # review finding: a round trip must NOT resurrect deleted docs
+    from lucene_spark.index.deletes import delete_by_query
+    from lucene_spark.search.query import TermQuery
+
+    idx = InvertedIndex.build(corpus, analyzer="simple", docs_per_segment=8)
+    idx = delete_by_query(idx, TermQuery("gamma"))
+    assert idx.num_deleted > 0
+    d = str(tmp_path / "std")
+    save_simpletext(idx, d)
+    loaded = load_simpletext(spark, d)
+    assert loaded.num_deleted == idx.num_deleted
+    got = {r["doc_id"] for r in
+           bm25_topk_f64(loaded, {"gamma": 1.0}, k=40).collect()}
+    assert got == set()  # every gamma doc was tombstoned
