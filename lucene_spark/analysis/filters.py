@@ -62,6 +62,7 @@ __all__ = [
     "word_delimiter_parts",
     "reverse_tokens",
     "common_grams",
+    "tee_tokens",
 ]
 
 
@@ -455,3 +456,29 @@ def keyword_repeat_stemmed(
         )
         .orderBy(id_col, "pos", "term")
     )
+
+
+def tee_tokens(docs, text_col: str = "text", analyzer_udf=None):
+    """TeeSinkTokenFilter analog (`analysis/common/.../sinks/
+    TeeSinkTokenFilter.java:38`): run the analysis chain ONCE and feed
+    any number of downstream consumers ("sinks") from the same token
+    stream.  The Spark shape is a PERSISTED token frame: the one Arrow
+    analysis pass materializes into the columnar cache and every sink
+    reads InMemoryTableScan — no re-analysis, exactly the
+    tee-then-consume contract (the reference's caveat that sinks see
+    tokens only after the source is consumed maps to Spark's laziness:
+    the first sink action materializes the cache for all).
+
+    Returns the cached DataFrame with a ``tokens`` column; call
+    ``.unpersist()`` when every sink is done.
+    """
+    from pyspark.sql import functions as F
+
+    if analyzer_udf is None:
+        from .analyzer import standard_analyzer_udf
+
+        tok = standard_analyzer_udf()(F.col(text_col))
+        tokens = F.transform(tok, lambda t: t["term"])
+    else:
+        tokens = analyzer_udf(F.col(text_col))
+    return docs.withColumn("tokens", tokens).persist()

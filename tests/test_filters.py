@@ -234,3 +234,28 @@ def test_fingerprint(spark):
         fingerprint(F.col("toks"), separator="_").alias("fp")
     ).first()
     assert r.fp == "A_B"
+
+
+def test_tee_tokens_single_analysis_pass(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis.filters import shingles, tee_tokens
+
+    docs = spark.createDataFrame(
+        [(0, "Quick brown fox"), (1, "lazy dog")], "doc_id long, text string"
+    )
+    teed = tee_tokens(docs)
+    try:
+        # sink 1: term counts; sink 2: shingles — both from one stream
+        counts = teed.select(F.explode("tokens").alias("t")).groupBy("t").count()
+        sh = teed.select(shingles(F.col("tokens")).alias("s"))
+        got = {r["t"]: r["count"] for r in counts.collect()}
+        assert got["quick"] == 1 and got["lazy"] == 1
+        rows = {tuple(r["s"]) for r in sh.collect()}
+        assert ("quick brown", "brown fox") in rows
+        # the second sink reads the CACHE, not a fresh analysis pass
+        plan = sh._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        assert "ArrowEvalPython" not in plan.split("InMemoryRelation")[0]
+    finally:
+        teed.unpersist()
