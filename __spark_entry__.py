@@ -1374,7 +1374,7 @@ _DRIVER_PRIORITY = [
     "sorted_numeric_selector_topk", "seeded_knn_topk", "indri_and_topk",
     "multi_collector_stats", "concat_graph_paths", "synonym_rules",
     "inet_range_counts", "multi_reader_topk", "parallel_fields_topk",
-    "string_distances", "spell_checker_topk",
+    "string_distances", "spell_checker_topk", "luke_doc_view",
     # round-4 late-session additions
     "high_freq_terms", "doc_values_stats", "diversified_topk",
     "dynamic_range_facets", "memory_index_scores", "query_profile",
@@ -6387,6 +6387,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["spell_checker_topk"] = spell_checker_topk_gate
 
+    # --- Luke Documents-tab analog: one document's full indexed view
+    # (term, freq), block-range pruned before decode
+    def luke_doc_view_gate(spark, sf):
+        from lucene_spark.search.misc import document_terms
+
+        return document_terms(_index(spark, sf), 7)
+
+    out["luke_doc_view"] = luke_doc_view_gate
+
     return _driver_order(out)
 
 
@@ -9597,6 +9606,14 @@ m AS (
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS freq
 FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+    # Luke document view: doc 7's exact (term, freq) postings
+    out["luke_doc_view"] = """
+SELECT term, CAST(count(*) AS BIGINT) AS freq FROM (
+  SELECT unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id = 7
+) WHERE term <> '' GROUP BY term ORDER BY term
 """
 
     # classic SpellChecker: candidate cutoff covers the whole 31-term

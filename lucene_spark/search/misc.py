@@ -165,3 +165,45 @@ def multi_collector_stats(
         F.round(F.sum("s"), 4).alias("sum_score"),
         F.round(F.avg("s"), 4).alias("avg_score"),
     )
+
+
+def document_terms(index, doc_id: int, with_positions: bool = False) -> DataFrame:
+    """Luke Documents-tab analog: one document's indexed view — every
+    (term, freq[, positions]) posting it carries.
+
+    The block skip metadata prunes first: only blocks whose
+    [first_doc, max_doc] interval covers the id decode (the same
+    pushdown every query path uses), so the cost is one narrow pass
+    over the document's own blocks, not the index.
+    """
+    from pyspark.sql import functions as F
+
+    from .parity import _decode_postings
+
+    blocks = index.blocks.filter(
+        (F.col("first_doc") <= doc_id) & (F.col("max_doc") >= doc_id)
+    )
+    pruned = index.__class__(
+        **{**index.__dict__, "blocks": blocks}
+    )
+    posts = _decode_postings(pruned, None).filter(F.col("doc_id") == doc_id)
+    out = posts.select("term", F.col("freq").cast("long").alias("freq"))
+    if with_positions:
+        from .positional import decode_positions
+
+        # the doc's own distinct terms (<= its dl — a bounded collect)
+        doc_terms = [r["term"] for r in out.select("term").collect()]
+        if doc_terms:
+            pos = decode_positions(
+                pruned, doc_terms, doc_range=(doc_id, doc_id)
+            ).filter(F.col("doc_id") == doc_id)
+            out = out.join(
+                pos.select("term", F.col("positions")),
+                "term",
+                "left",
+            )
+        else:
+            out = out.withColumn(
+                "positions", F.lit(None).cast("array<long>")
+            )
+    return out.orderBy("term")

@@ -188,3 +188,26 @@ def test_multi_collector_single_pass(idx, spark):
         .toString()
     )
     assert plan.count("Aggregate [") <= 3  # score groupBy + the fused stats
+
+
+# --------------------------------------------------- Luke document view
+
+
+def test_document_terms_view(spark):
+    from lucene_spark.search.misc import document_terms
+
+    corpus = spark.createDataFrame(
+        [(0, "a b a c"), (1, "b d"), (2, "c c c")],
+        "doc_id long, text string",
+    )
+    pidx = InvertedIndex.build(
+        corpus, analyzer="simple", docs_per_segment=2, positions=True
+    )
+    rows = document_terms(pidx, 0, with_positions=True).collect()
+    got = {r["term"]: (r["freq"], list(r["positions"])) for r in rows}
+    assert got == {"a": (2, [0, 2]), "b": (1, [1]), "c": (1, [3])}
+    # freq-only view of another doc
+    rows2 = document_terms(pidx, 2).collect()
+    assert [(r["term"], r["freq"]) for r in rows2] == [("c", 3)]
+    # absent doc -> empty
+    assert document_terms(pidx, 99).count() == 0
